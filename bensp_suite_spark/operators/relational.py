@@ -1,0 +1,189 @@
+"""Relational operator shapes from SURVEY.md §2, Spark-first.
+
+Each function is a parameterized logical-plan builder over DataFrames; the
+physical strategy (broadcast vs shuffle join, partial aggregation, codegen)
+is Catalyst's job. Reference citations point at the C implementation whose
+semantics the op reproduces (all paths relative to /root/reference/).
+
+Scale notes are inline per op — these run on local[32] for tests but are
+written for a 1000-executor cluster over ~100 TB:
+
+- first-occurrence dedup partitions by the dedup key (hash exchange), so
+  state is distributed, never a driver-side hashtable;
+- top-K per group uses a rank window *after* the shuffle on the group key —
+  one exchange, map-side partial sort;
+- small dimension sides are broadcast explicitly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cols(names: Sequence[str] | str) -> list[str]:
+    return [names] if isinstance(names, str) else list(names)
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — first-occurrence-wins dedup
+# Reference: sub_Deduplicate, apps/dedup/src/encoder.c:666-703 — SHA1-keyed
+# hashtable lookup-or-insert; first chunk with a given SHA1 becomes canonical,
+# later ones are marked duplicates. J2 (apps/dedup/src/new_dedup.c:278,799-812)
+# scopes the dedup domain per input file (extra partition key).
+# ---------------------------------------------------------------------------
+
+def first_wins_dedup(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    keep: str = "winner",
+) -> DataFrame:
+    """First-occurrence-wins dedup: one shuffle on ``keys``.
+
+    keep="winner"  → canonical rows only (hashtable miss → insert path)
+    keep="flag"    → all rows + boolean ``is_dup`` column (the routing
+                     predicate P4, encoder.c:770-786)
+    """
+    w = Window.partitionBy(*_cols(keys)).orderBy(*[F.col(c) for c in _cols(order)])
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    if keep == "winner":
+        return ranked.filter(F.col("__rn") == 1).drop("__rn")
+    if keep == "flag":
+        return ranked.withColumn("is_dup", F.col("__rn") > 1).drop("__rn")
+    raise ValueError(f"keep must be 'winner' or 'flag', got {keep!r}")
+
+
+def canonical_ref_join(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    ref_cols: Sequence[str] | str,
+) -> DataFrame:
+    """J3 — attach the canonical (first) row's columns to every row.
+
+    Reference: write_chunk_to_file, encoder.c:449-471 — a duplicate chunk
+    dereferences its canonical chunk's compressed data. The C code blocks on
+    a condvar; in Spark the dataflow barrier is the window itself. Single
+    shuffle on ``keys`` (same exchange as the dedup), no join needed:
+    ``first(...) OVER (PARTITION BY keys ORDER BY order)`` is cheaper than a
+    self-join at 100 TB because it reuses one hash exchange.
+    """
+    w = (
+        Window.partitionBy(*_cols(keys))
+        .orderBy(*[F.col(c) for c in _cols(order)])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in _cols(ref_cols):
+        out = out.withColumn(f"canonical_{c}", F.first(c).over(w))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J7 — candidate-restricted scan (semi join)
+# Reference: raw_query, apps/ferret/src/src/raw.c:158-209 — the rank stage
+# scans only the candidate list produced by the cheap LSH probe.
+# ---------------------------------------------------------------------------
+
+def semi_join(
+    df: DataFrame, candidates: DataFrame, on: Sequence[str] | str, broadcast_candidates: bool = True
+) -> DataFrame:
+    """LEFT SEMI join; candidate side broadcast when small (the common case —
+    candidates ≪ corpus, exactly why the reference prunes before EMD)."""
+    right = F.broadcast(candidates) if broadcast_candidates else candidates
+    return df.join(right, on=_cols(on), how="left_semi")
+
+
+def anti_join(df: DataFrame, other: DataFrame, on: Sequence[str] | str) -> DataFrame:
+    return df.join(F.broadcast(other), on=_cols(on), how="left_anti")
+
+
+def dim_join(
+    fact: DataFrame, dim: DataFrame, on: Sequence[str] | str, how: str = "inner"
+) -> DataFrame:
+    """J8 — id → object-name map join (cass_map_id_to_dataobj, map.c:189).
+    Dimension side broadcast: no shuffle of the fact table."""
+    return fact.join(F.broadcast(dim), on=_cols(on), how=how)
+
+
+# ---------------------------------------------------------------------------
+# O1/O2/O6 — ordering, per-group top-K, limit
+# ---------------------------------------------------------------------------
+
+def ordered_emit(df: DataFrame, order: Sequence[str] | str) -> DataFrame:
+    """O1 — restore total order before the sink (Reorder stage,
+    encoder.c:1345-1496: BST of binheaps over (l1,l2)). In Spark this is a
+    range-exchange sort; at scale, a global sort is the *only* shuffle whose
+    output partitioning is range — keep it last in the plan."""
+    return df.orderBy(*_cols(order))
+
+
+def topk_per_group(
+    df: DataFrame,
+    group: Sequence[str] | str,
+    order: Column | Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """O2 — bounded top-K per group (TOPK_INSERT_MIN heaps, raw.c:163-204,
+    include/cass_topk.h). ``row_number() <= k`` after one hash exchange on
+    the group key; Spark's WindowExec is rank-limit-pushdown aware
+    (WindowGroupLimit) so partial top-K happens map-side, mirroring the
+    reference's per-thread heaps merged at the end."""
+    order_cols = [order] if isinstance(order, Column) else list(order)
+    w = Window.partitionBy(*_cols(group)).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def global_topk(df: DataFrame, order: Column | Sequence[Column], k: int) -> DataFrame:
+    """O6 — global LIMIT K under ORDER BY: Spark plans TakeOrderedAndProject
+    (per-partition heaps + driver merge) — no full sort, no full shuffle."""
+    order_cols = [order] if isinstance(order, Column) else list(order)
+    return df.orderBy(*order_cols).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# A1-A4 — aggregations (dedup statistics)
+# Reference: stats_t + merge_stats, encoder.c:144-219 — per-thread partial
+# sums merged at the end == Spark's native partial/final hash aggregation.
+# ---------------------------------------------------------------------------
+
+def histogram(df: DataFrame, value: Column, bucket_width: float, bucket_col: str = "bucket") -> DataFrame:
+    """A2 — fixed-width bucket histogram (CHUNK_SIZE_TO_SLOT,
+    encoder.c:133-141: slot = size >> 7). Map-side partial count then one
+    exchange on the bucket id; output cardinality == bucket count (tiny)."""
+    return (
+        df.groupBy(F.floor(value / F.lit(bucket_width)).cast("long").alias(bucket_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1-E3 — set operations
+# ---------------------------------------------------------------------------
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """E2 — union of candidate lists then uniq (cass_result_merge_lists,
+    apps/ferret/src/src/util.c:248-292)."""
+    return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# P-series — predicates
+# ---------------------------------------------------------------------------
+
+def range_filter(df: DataFrame, value: Column, upper: float) -> DataFrame:
+    """P7 — ε-range predicate (dist < query->range, raw.c:212-227). Plain
+    comparison so Catalyst pushes it into the parquet scan."""
+    return df.filter(value < F.lit(upper))
+
+
+def prefix_filter(df: DataFrame, name: Column, prefix: str = ".") -> DataFrame:
+    """P1 — dotfile filter (new_dedup.c:963-973)."""
+    return df.filter(~name.startswith(prefix))

@@ -1,0 +1,468 @@
+"""Declared-query registry: the driver-facing correctness surface.
+
+Each entry pairs a Spark DataFrame query (``QUERIES[name]``, callable
+``(spark, sf_dir) -> DataFrame``) with an equivalent ANSI-SQL oracle
+(``ORACLES[name]``) that DuckDB runs on the same parquet tables. Names map
+to SURVEY.md §2 operator ids.
+
+Determinism rules (so the driver's value-hash matches):
+- every computed column is aliased identically in Spark and SQL;
+- float aggregations go through exact DECIMAL sums, are cast to DOUBLE at
+  the end, and are ROUNDed — decimal addition is associative, so the value
+  is independent of Spark's partial-agg order vs DuckDB's scan order;
+- top-K orderings always carry a unique tiebreaker key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import relational as R
+from .session import align_session
+from .tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            align_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Exact-decimal casts for float columns (see module docstring).
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary == dedup stats aggregation shape
+# (A1 totals + A3 mean, reference encoder.c:144-219,290-303)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 3) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 3) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 3) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3/A4 aggregation shape. One hash exchange on a 6-value group key;
+    partial aggregation map-side (Spark native), filter pushed to scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 3).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 3).alias("sum_base_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4))).cast("double"),
+                3,
+            ).alias("sum_disc_price"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2/J3 — first-occurrence-wins dedup family
+# ---------------------------------------------------------------------------
+
+@query(
+    "j1_first_wins_dedup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def j1_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — hashtable lookup-or-insert (encoder.c:666-703) as a rank window:
+    first row per key wins; one shuffle on the dedup key."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return R.first_wins_dedup(orders, keys="o_custkey", order="o_orderkey", keep="winner")
+
+
+@query(
+    "j2_scoped_dedup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+                                ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def j2_scoped_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — per-file-scoped dedup (new_dedup.c:278,799-812): dedup domain is
+    a composite key."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    return R.first_wins_dedup(
+        li, keys=["l_partkey", "l_suppkey"], order=["l_orderkey", "l_linenumber"], keep="winner"
+    )
+
+
+@query(
+    "j3_canonical_ref",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS canonical_o_orderkey,
+           (ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) > 1) AS is_dup
+    FROM orders
+    """,
+)
+def j3_canonical_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — duplicate → canonical resolution (write_chunk_to_file,
+    encoder.c:449-471): every row carries its canonical row's key. Reuses
+    the J1 exchange (window), no self-join."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    out = R.canonical_ref_join(orders, keys="o_custkey", order="o_orderkey", ref_cols="o_orderkey")
+    return R.first_wins_dedup(out, keys="o_custkey", order="o_orderkey", keep="flag")
+
+
+# ---------------------------------------------------------------------------
+# J7/J8 — semi/anti/dim joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "j7_semi_join",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+)
+def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — candidate-restricted scan (raw_query, raw.c:158-209): rank stage
+    touches only LSH candidates == LEFT SEMI join."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey")).distinct()
+    return R.semi_join(part, cand, on="p_partkey")
+
+
+@query(
+    "j7_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    have = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return R.anti_join(cust, have, on="c_custkey")
+
+
+@query(
+    "j8_dim_join_revenue",
+    oracle="""
+    SELECT p_brand,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 3) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def j8_dim_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — id → name map join (map.c:189). Dimension broadcast: the 100 TB
+    fact side never shuffles for the join; only the tiny group-by exchanges."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = R.dim_join(li, part, on="p_partkey")
+    return joined.groupBy("p_brand").agg(
+        F.round(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4))).cast("double"), 3
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, revenue FROM (
+      SELECT l_orderkey AS o_orderkey, o.o_orderdate,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 3) AS revenue
+      FROM lineitem JOIN orders o ON o.o_orderkey = l_orderkey
+      GROUP BY l_orderkey, o.o_orderdate
+    ) ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + global top-K (O6): TakeOrderedAndProject, no full sort."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4))).cast("double"),
+                3,
+            ).alias("revenue")
+        )
+    )
+    return R.global_topk(agg, [F.col("revenue").desc(), F.col("o_orderkey")], 10).select(
+        "o_orderkey", "o_orderdate", "revenue"
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O2/O6 — ordering / top-K
+# ---------------------------------------------------------------------------
+
+@query(
+    "o1_ordered_emit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def o1_ordered_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — Reorder stage (encoder.c:1345-1496): total (l1,l2) order restore
+    == range-exchange sort as the final plan node."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return R.ordered_emit(li, ["l_orderkey", "l_linenumber"])
+
+
+@query(
+    "o2_topk_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, rank FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rank
+      FROM lineitem
+    ) WHERE rank <= 3
+    """,
+)
+def o2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — TOPK_INSERT_MIN bounded heaps (cass_topk.h, raw.c:163-204):
+    rank-limited window; Spark's WindowGroupLimit does map-side partial top-K
+    (the per-thread heap analog)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return R.topk_per_group(
+        li,
+        group="l_orderkey",
+        order=[F.col("l_extendedprice").desc(), F.col("l_linenumber")],
+        k=3,
+    )
+
+
+@query(
+    "o6_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def o6_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return R.global_topk(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 100)
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 — histogram / moments
+# ---------------------------------------------------------------------------
+
+@query(
+    "a2_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_quantity / 5) AS BIGINT) AS bucket, COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — chunk-size histogram (CHUNK_SIZE_TO_SLOT, encoder.c:133-141):
+    slot = size >> 7 generalized to width-w buckets."""
+    li = _t(spark, sf_dir, "lineitem")
+    return R.histogram(li, F.col("l_quantity"), 5.0)
+
+
+@query(
+    "a3_group_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+           ROUND(SQRT(
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             - POW(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
+           ), 4) AS stddev_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a3_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — mean/stddev of chunk sizes (print_stats, encoder.c:290-303).
+    stddev assembled from exact decimal Σx, Σx² so the value is
+    summation-order independent (Spark's stddev_pop is not)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _dec("l_extendedprice")
+    n = F.count(F.lit(1))
+    sx = F.sum(p).cast("double")
+    sxx = F.sum(p * p).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(sx / n, 4).alias("avg_price"),
+        F.round(F.sqrt(sxx / n - F.pow(sx / n, F.lit(2))), 4).alias("stddev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "e2_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    UNION
+    SELECT c_custkey AS custkey FROM customer
+    """,
+)
+def e2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return R.union_distinct(a, b)
+
+
+@query(
+    "e_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def e_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "e_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def e_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# P-series — predicates
+# ---------------------------------------------------------------------------
+
+@query(
+    "p7_range_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    WHERE l_extendedprice < 1500.0
+    """,
+)
+def p7_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — ε-range predicate; pushed to the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return R.range_filter(li, F.col("l_extendedprice"), 1500.0)
+
+
+@query(
+    "p1_prefix_filter",
+    oracle="""
+    SELECT doc_id, source FROM documents WHERE source NOT LIKE 'src1%'
+    """,
+)
+def p1_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — dotfile-style name-prefix filter (new_dedup.c:963-973)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return R.prefix_filter(docs, F.col("source"), "src1")
+
+
+# ---------------------------------------------------------------------------
+# A5/A6 — windowed throughput / latency metrics
+# Reference: 1-s collection windows, new_dedup.c:1380-1496. Batch analog over
+# the events table (streaming variant lives in streaming/).
+# ---------------------------------------------------------------------------
+
+@query(
+    "a5_windowed_throughput",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def a5_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 3).alias("sum_value"),
+    )
+
+
+@query(
+    "a6_windowed_latency_by_type",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a6_windowed_latency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — per-window, per-class mean (dup vs non-dup latency split in the
+    reference, new_dedup.c:1380-1443)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("window_start"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_value"),
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for the BenSP-Spark engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+conf scales to a multi-executor cluster — shuffle partitioning, AQE and
+Arrow batch sizing are the knobs that matter at 100 TB, and they are all
+set here rather than hard-coded in operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Arrow batch size for pandas-UDF stages. This is the Spark analog of the
+#: reference's ITEM_PER_FETCH / CHUNK_ANCHOR_PER_FETCH queue-batching knobs
+#: (reference: apps/dedup/src/dedupdef.h:282-295).
+ARROW_BATCH = 10_000
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bensp-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    AQE is on so runtime statistics re-plan shuffles (partition coalescing,
+    skew-join splitting) — at 100 TB this is what keeps a fixed
+    ``shuffle.partitions`` from being wrong in both directions.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def align_session(spark: SparkSession) -> SparkSession:
+    """Runtime-settable conf alignment for a session we did not create.
+
+    The correctness driver hands us its own SparkSession; pin the confs that
+    affect result *values* (timezone for timestamp rendering vs the DuckDB
+    oracle, Arrow for collect speed).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

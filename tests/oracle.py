@@ -1,0 +1,88 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a Spark query and its oracle SQL side-by-side, sorts columns by name,
+sorts rows, and compares values — exact for ints/strings/timestamps,
+bit-exact for floats (our queries are engineered so decimal-exact
+aggregation makes Spark and DuckDB produce identical doubles).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("bool")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+    con = duckdb_con(sf_dir)
+    expected = con.execute(oracle_sql).df()
+    actual = spark_df.toPandas()
+
+    if sorted(actual.columns) != sorted(expected.columns):
+        return False, f"columns differ: spark={sorted(actual.columns)} oracle={sorted(expected.columns)}"
+    if len(actual) != len(expected):
+        return False, f"row count differs: spark={len(actual)} oracle={len(expected)}"
+
+    a, e = _normalize(actual), _normalize(expected)
+    for c in a.columns:
+        av, ev = a[c].values, e[c].values
+        if pd.api.types.is_float_dtype(a[c]):
+            for i, (x, y) in enumerate(zip(av, ev)):
+                xn, yn = (isinstance(x, float) and math.isnan(x)), (
+                    isinstance(y, float) and math.isnan(y)
+                )
+                if xn and yn:
+                    continue
+                if x != y:
+                    return False, f"col {c} row {i}: spark={x!r} oracle={y!r} (float mismatch)"
+        else:
+            neq = av != ev
+            try:
+                bad = neq.any()
+            except Exception:
+                bad = any(bool(v) for v in neq)
+            if bad:
+                i = int(pd.Series(neq).idxmax())
+                return False, f"col {c} row {i}: spark={av[i]!r} oracle={ev[i]!r}"
+    return True, f"ok ({len(a)} rows)"
