@@ -1,0 +1,231 @@
+"""Batch dedup/compress pipeline (reference: apps/dedup/src/encoder.c Encode).
+
+Stage map (reference → here):
+
+  Fragment+FragmentRefine (encoder.c:1035-1207, 825-979)
+      → ``chunk_files``: mapInPandas per-file CDC chunker (parallel across
+        files, sequential within — the reference's own scaling insight,
+        encoder.c:989-996)
+  Deduplicate (encoder.c:666-703, SHA1 hashtable J1)
+      → built-in ``sha1`` + first-wins rank window, one hash exchange on the
+        digest; no locks, no driver state
+  Compress (encoder.c:499-576, K6)
+      → Arrow pandas UDF over unique chunks only (dup bypass routing P4,
+        encoder.c:770-786, is a lazy ``when`` — no physical routing)
+  Reorder + write (encoder.c:1345-1496, O1/S5)
+      → ``ORDER BY (file_id, l1, l2)`` range exchange, then the ``ddp``
+        Parquet table (record types dedupdef.h:257-259)
+
+At 100 TB: files parallelize across executors; the only all-to-all
+exchanges are the sha1 hash shuffle (AQE-skew-safe: digests are uniform)
+and the final range sort. Compression stays Arrow-batched in the JVM→Python
+fast path.
+"""
+
+from __future__ import annotations
+
+import bz2
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .rabin import chunk_offsets
+
+# Archive record types (reference: apps/dedup/src/dedupdef.h:257-259).
+TYPE_FINGERPRINT = 0
+TYPE_COMPRESS = 1
+TYPE_ORIGINAL = 2
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("file_id", LongType()),
+        StructField("l1", LongType()),
+        StructField("l2", LongType()),
+        StructField("is_last_l2", BooleanType()),
+        StructField("size", LongType()),
+        StructField("data", BinaryType()),
+    ]
+)
+
+DDP_SCHEMA = StructType(
+    [
+        StructField("file_id", LongType()),
+        StructField("l1", LongType()),
+        StructField("l2", LongType()),
+        StructField("is_last_l2", BooleanType()),
+        StructField("rtype", IntegerType()),
+        StructField("sha1", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def chunk_files(files: DataFrame) -> DataFrame:
+    """CDC-chunk a (file_id, content) DataFrame → CHUNK_SCHEMA rows.
+
+    One Python task per partition; each file is chunked independently
+    (coarse ANCHOR_JUMP pass then fine refine pass, both from one
+    vectorized match scan — see rabin.py).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in ("file_id", "l1", "l2", "is_last_l2", "size", "data")}
+            for fid, content in zip(pdf["file_id"], pdf["content"]):
+                content = bytes(content)
+                for l1, l2, s, e, last in chunk_offsets(content):
+                    rows["file_id"].append(fid)
+                    rows["l1"].append(l1)
+                    rows["l2"].append(l2)
+                    rows["is_last_l2"].append(last)
+                    rows["size"].append(e - s)
+                    rows["data"].append(content[s:e])
+            yield pd.DataFrame(rows)
+
+    return files.select("file_id", "content").mapInPandas(gen, CHUNK_SCHEMA)
+
+
+def _compress_series(data: pd.Series, compress_type: str) -> pd.Series:
+    if compress_type == "gzip":
+        return data.map(lambda b: None if b is None else zlib.compress(bytes(b), 1))
+    if compress_type == "bzip2":
+        # level 9, mirroring BZ2_bzBuffToBuffCompress(..., 9, ...) encoder.c:523
+        return data.map(lambda b: None if b is None else bz2.compress(bytes(b), 9))
+    if compress_type == "none":
+        return data.map(lambda b: None if b is None else bytes(b))
+    raise ValueError(f"unknown compress_type {compress_type!r}")
+
+
+def deduplicate(chunks: DataFrame, scope_per_file: bool = False) -> DataFrame:
+    """J1 (global) or J2 (per-file scope): flag duplicates and attach the
+    canonical chunk's identity — one hash exchange on the digest."""
+    keys = ["file_id", "sha1"] if scope_per_file else ["sha1"]
+    hashed = chunks.withColumn("sha1", F.sha1(F.col("data")))
+    w = Window.partitionBy(*keys).orderBy("file_id", "l1", "l2")
+    return hashed.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "is_dup", F.col("__rn") > 1
+    ).drop("__rn")
+
+
+def encode(files: DataFrame, compress_type: str = "gzip", scope_per_file: bool = False) -> DataFrame:
+    """Full encode pipeline → ordered ``ddp`` DataFrame (write with
+    .write.parquet to materialize the archive table)."""
+    flagged = deduplicate(chunk_files(files), scope_per_file=scope_per_file)
+
+    ctype = compress_type
+
+    @F.pandas_udf(BinaryType())
+    def compress_udf(data: pd.Series) -> pd.Series:
+        return _compress_series(data, ctype)
+
+    unique_type = TYPE_ORIGINAL if compress_type == "none" else TYPE_COMPRESS
+    ddp = flagged.select(
+        "file_id",
+        "l1",
+        "l2",
+        "is_last_l2",
+        F.when(F.col("is_dup"), F.lit(TYPE_FINGERPRINT))
+        .otherwise(F.lit(unique_type))
+        .cast("int")
+        .alias("rtype"),
+        "sha1",
+        # Bypass routing P4: duplicates never reach the compressor; their
+        # payload is the fingerprint reference (sha1 carried alongside).
+        F.when(F.col("is_dup"), F.lit(None).cast("binary"))
+        .otherwise(compress_udf(F.col("data")))
+        .alias("payload"),
+    )
+    return ddp.orderBy("file_id", "l1", "l2")
+
+
+def decode(ddp: DataFrame, compress_type: str = "gzip") -> DataFrame:
+    """Decode pipeline (reference: apps/dedup/src/decoder.c:173-264) —
+    fingerprint records resolve against unique chunks by sha1 (J4), chunks
+    reassemble in (l1, l2) order per file. Round-trip oracle:
+    decode(encode(files)) must equal files byte-for-byte."""
+    ctype = compress_type
+
+    @F.pandas_udf(BinaryType())
+    def decompress_udf(data: pd.Series) -> pd.Series:
+        if ctype == "gzip":
+            return data.map(lambda b: None if b is None else zlib.decompress(bytes(b)))
+        if ctype == "bzip2":
+            return data.map(lambda b: None if b is None else bz2.decompress(bytes(b)))
+        return data.map(lambda b: None if b is None else bytes(b))
+
+    uniques = (
+        ddp.filter(F.col("rtype") != TYPE_FINGERPRINT)
+        .select("sha1", decompress_udf(F.col("payload")).alias("udata"))
+        # one canonical payload per digest (first-occurrence semantics)
+        .dropDuplicates(["sha1"])
+    )
+    resolved = ddp.select("file_id", "l1", "l2", "sha1").join(uniques, on="sha1", how="left")
+
+    out_schema = StructType([StructField("file_id", LongType()), StructField("content", BinaryType())])
+
+    def reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["l1", "l2"])
+        content = b"".join(bytes(b) for b in pdf["udata"])
+        return pd.DataFrame({"file_id": [pdf["file_id"].iloc[0]], "content": [content]})
+
+    return resolved.groupBy("file_id").applyInPandas(reassemble, out_schema)
+
+
+def dedup_stats(files: DataFrame, compress_type: str = "gzip") -> DataFrame:
+    """A1-A4 statistics (print_stats, encoder.c:225-388): totals, duplicate
+    ratio, mean/stddev chunk size, compression factor. One row out."""
+    flagged = deduplicate(chunk_files(files))
+    ctype = compress_type
+
+    @F.pandas_udf(LongType())
+    def compressed_len_udf(data: pd.Series) -> pd.Series:
+        return _compress_series(data, ctype).map(lambda b: 0 if b is None else len(b))
+
+    enriched = flagged.withColumn(
+        "c_len", F.when(F.col("is_dup"), F.lit(0)).otherwise(compressed_len_udf(F.col("data")))
+    )
+    n = F.count(F.lit(1))
+    return enriched.agg(
+        n.alias("n_chunks"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+        F.sum("size").alias("total_input_bytes"),
+        F.sum(F.when(F.col("is_dup"), 0).otherwise(F.col("size"))).alias("total_dedup_bytes"),
+        F.sum("c_len").alias("total_compressed_bytes"),
+        F.round(F.sum("size") / n, 2).alias("mean_chunk_b"),
+        F.round(F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) / n, 6).alias("dup_ratio"),
+    )
+
+
+def chunk_size_histogram(files: DataFrame) -> DataFrame:
+    """A2 — 256 buckets of 128 B, top bucket open-ended
+    (CHUNK_SIZE_TO_SLOT, encoder.c:133-141)."""
+    chunks = chunk_files(files)
+    slot = F.least(F.floor(F.col("size") / 128), F.lit(255)).cast("long")
+    return chunks.groupBy(slot.alias("slot")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def reference_encode_py(contents: dict[int, bytes]) -> list[tuple]:
+    """Pure-Python reference encoder for tests: same (file_id, l1, l2,
+    sha1, is_dup) stream the Spark pipeline must produce."""
+    seen: set[str] = set()
+    out = []
+    for fid in sorted(contents):
+        for l1, l2, s, e, last in chunk_offsets(contents[fid]):
+            digest = hashlib.sha1(contents[fid][s:e]).hexdigest()
+            dup = digest in seen
+            seen.add(digest)
+            out.append((fid, l1, l2, last, digest, dup))
+    return out

@@ -466,3 +466,48 @@ def a6_windowed_latency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC dedup pipeline (non-SQL-expressible — driver records rows-only checks;
+# bit-exactness is covered by tests/test_rabin.py + round-trip tests).
+# ---------------------------------------------------------------------------
+
+@query("cdc_dedup_stats")
+def cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full encode-pipeline statistics (A1-A4, print_stats encoder.c:225-388)
+    over deterministic per-document binary content. Deterministic output."""
+    from .dedup import fixtures, pipeline
+
+    files = fixtures.docs_from_documents(spark, sf_dir)
+    return pipeline.dedup_stats(files)
+
+
+@query("cdc_chunk_histogram")
+def cdc_chunk_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — 128-byte-bucket chunk-size histogram of the CDC chunker output
+    (CHUNK_SIZE_TO_SLOT, encoder.c:133-141)."""
+    from .dedup import fixtures, pipeline
+
+    files = fixtures.docs_from_documents(spark, sf_dir)
+    return pipeline.chunk_size_histogram(files).orderBy("slot")
+
+
+@query("cdc_round_trip_check")
+def cdc_round_trip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode round-trip oracle as a query: one row per file with a
+    match flag; all_match must be true (decoder.c verification path §3.2)."""
+    from .dedup import fixtures, pipeline
+
+    files = fixtures.docs_from_documents(spark, sf_dir)
+    ddp = pipeline.encode(files, compress_type="gzip")
+    decoded = pipeline.decode(ddp, compress_type="gzip").withColumnRenamed(
+        "content", "decoded_content"
+    )
+    joined = files.join(decoded, on="file_id", how="full")
+    return joined.select(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(
+            F.when(F.sha1("content") == F.sha1("decoded_content"), 1).otherwise(0)
+        ).alias("n_match"),
+    )

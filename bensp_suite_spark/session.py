@@ -53,13 +53,49 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _package_zip() -> str:
+    """Zip this package (once per content hash) so executors can import it.
+
+    Python workers don't inherit the driver's ``sys.path`` mutations, so any
+    pandas UDF / mapInPandas closure referencing this package would raise
+    ModuleNotFoundError on workers when the driver process was launched from
+    a different cwd. ``sc.addPyFile`` of this zip fixes that at runtime.
+    """
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    digest = hashlib.sha1()
+    names = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                names.append(p)
+                with open(p, "rb") as fh:
+                    digest.update(fh.read())
+    zpath = os.path.join(tempfile.gettempdir(), f"bensp_suite_spark-{digest.hexdigest()[:12]}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath + ".tmp", "w") as zf:
+            for p in names:
+                zf.write(p, os.path.join("bensp_suite_spark", os.path.relpath(p, pkg_dir)))
+        os.replace(zpath + ".tmp", zpath)
+    return zpath
+
+
 def align_session(spark: SparkSession) -> SparkSession:
     """Runtime-settable conf alignment for a session we did not create.
 
     The correctness driver hands us its own SparkSession; pin the confs that
     affect result *values* (timezone for timestamp rendering vs the DuckDB
-    oracle, Arrow for collect speed).
+    oracle, Arrow for collect speed) and ship this package to the Python
+    workers.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    sc = spark.sparkContext
+    if not getattr(sc, "_bensp_pyfile_added", False):
+        sc.addPyFile(_package_zip())
+        sc._bensp_pyfile_added = True
     return spark
