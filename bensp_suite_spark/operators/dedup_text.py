@@ -1,0 +1,366 @@
+"""Document-level dedup operators for LLM-data pipelines: exact hash dedup,
+MinHash + banded LSH, n-gram Jaccard set-similarity join, SimHash.
+
+Generalizes the reference's chunk dedup (J1, encoder.c:666-703) from byte
+chunks to documents. Everything is JVM-side (md5/conv/higher-order array
+exprs) — no Python UDFs — and integer-exact, so each op has a bit-exact
+DuckDB oracle (generated here, from the same constants).
+
+Scale design (100 TB):
+- shingling + minhash are per-row map work (codegen, no shuffle);
+- LSH candidate generation is an equi-join on band keys — shuffle is
+  proportional to candidate pairs, never O(n²);
+- the exact-Jaccard join uses the inverted-index (explode → equi-join on
+  shingle) pattern with counts, i.e. the standard set-similarity join;
+- near-dup groups resolve with first-wins semantics, same as J1.
+
+Since the driver's ``documents`` table has no near-duplicates, ops run on a
+deterministic AUGMENTED corpus: each doc unioned with a jittered copy
+(doc_id + 1_000_000, last 3 words dropped) — defined identically in Spark
+and in the oracle SQL, so true positives exist by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- MinHash parameters (shared by Spark exprs and generated oracle SQL) ---
+MINHASH_K = 16  # hash functions
+LSH_BANDS = 8  # bands of r = 2 rows → candidates at jaccard ≳ 0.3
+MINHASH_P = (1 << 61) - 1  # Mersenne prime modulus
+_rng = np.random.default_rng(20240813)
+# a odd < 2^30, b < 2^30: with 32-bit shingle hashes, a*x+b < 2^62 fits i64
+MINHASH_A = [int(a) | 1 for a in _rng.integers(1, 1 << 30, size=MINHASH_K)]
+MINHASH_B = [int(b) for b in _rng.integers(0, 1 << 30, size=MINHASH_K)]
+
+AUG_OFFSET = 1_000_000
+SHINGLE_N = 3
+
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# corpus + shingles
+# ---------------------------------------------------------------------------
+
+def augmented_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ jittered copies (planted near-duplicates)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    keep = F.greatest(F.size(words) - 3, F.lit(1))
+    jitter = docs.select(
+        (F.col("doc_id") + AUG_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, keep), " ").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(jitter)
+
+
+AUGMENTED_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {AUG_OFFSET} AS doc_id,
+         array_to_string(words[1:GREATEST(len(words) - 3, 1)], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+"""
+
+
+def shingles(corpus: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams — the inverted-index input."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(
+        F.size(words) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split(trim(text), '\\\\s+')) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, {n})))"
+        ),
+    ).otherwise(F.array(F.trim(F.col("text"))))
+    return (
+        corpus.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingles_sql(src: str) -> str:
+    return f"""
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+      SELECT doc_id,
+             UNNEST(CASE WHEN len(words) >= {SHINGLE_N}
+               THEN list_distinct(list_transform(range(1, len(words) - {SHINGLE_N - 2}),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               ELSE [trim(text)] END) AS shingle
+      FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM ({src}))
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, normalized: bool = True) -> DataFrame:
+    """First-wins exact dedup on an md5 content hash (J1 semantics).
+    normalized=True collapses whitespace + lowercases first."""
+    t = F.col("text")
+    if normalized:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    hashed = docs.select("doc_id", F.md5(t).alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+EXACT_DEDUP_SQL = """
+    SELECT doc_id, content_hash FROM (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+             ROW_NUMBER() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hash32() -> F.Column:
+    # 32-bit integer from md5 hex — portable across engines
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """One row per doc: m0..m{K-1} minhash values (integer-exact)."""
+    sh = shingles(corpus).withColumn("x", _shingle_hash32())
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("x") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
+            f"m{i}"
+        )
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql(src: str) -> str:
+    x = "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)"
+    cols = ", ".join(
+        f"MIN(({MINHASH_A[i]} * {x} + {MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"SELECT doc_id, {cols} FROM ({_shingles_sql(src)}) GROUP BY doc_id"
+
+
+def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Banded-LSH candidate pairs with minhash-estimated Jaccard.
+
+    Bands of 2 minhashes hash-join docs into candidate pairs (the J5
+    bucket-probe shape); est_jaccard = matching minhashes / K. Only pairs
+    ≥ threshold survive. All integer math → exact oracle.
+    """
+    sig = minhash_signatures(corpus)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(MINHASH_K)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_K)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(MINHASH_K)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est.cast("double") / MINHASH_K, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_oracle_sql(threshold: float = 0.5) -> str:
+    bands_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(m{2*b} AS VARCHAR) || ':' || CAST(m{2*b+1} AS VARCHAR) AS key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    est = " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K))
+    return f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    sig AS ({_minhash_sql('SELECT * FROM corpus')}),
+    bands AS ({bands_sel}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(({est}) AS DOUBLE) / {MINHASH_K}, 6) AS est_jaccard
+    FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+              JOIN sig sb ON sb.doc_id = cand.doc_b
+    WHERE ROUND(CAST(({est}) AS DOUBLE) / {MINHASH_K}, 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard set-similarity join
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over distinct word 3-grams via the inverted-index join:
+    explode shingles → self-equi-join on shingle → per-pair intersection
+    count → |A∪B| = |A| + |B| − |A∩B|. Shuffle ∝ shared-shingle pairs."""
+    sh = shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.round(
+        F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+    )
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_oracle_sql(threshold: float = 0.5) -> str:
+    return f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    sh AS ({_shingles_sql('SELECT * FROM corpus')}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE ROUND(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash fingerprint: token 32-bit hashes vote ±1 per bit
+    (term-frequency weighted — every token instance votes); bit set iff the
+    vote is positive. Conditional-aggregate formulation, fully JVM-side."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    tok = corpus.select("doc_id", F.explode(words).alias("token"))
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    tok = tok.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)
+    )
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
+    h = "CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)"
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    sim = " + ".join(f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END" for i in range(bits))
+    return f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    tok AS (
+      SELECT doc_id, {h} AS h
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token FROM corpus)
+    ),
+    agg AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+    SELECT doc_id, {sim} AS simhash FROM agg
+    """
+
+
+def simhash_near_dup_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into 4 byte-blocks
+    (pigeonhole candidate generation — an exact-match join per band, never
+    O(n²)), then filter on true Hamming distance."""
+    sig = simhash(corpus)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(0xFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_near_dup_oracle_sql(max_hamming: int = 6) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8*b}) & 255 AS key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH sig AS ({simhash_oracle_sql()}),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Generalizes the reference's ferret query path (J5 LSH probe → J7 candidate
+scan → O2 top-K, ferret-pthreads.c:561-668) to arbitrary embedding tables.
+
+- ``cosine_topk_bruteforce``: exact baseline. Dot products are sequential
+  left folds over doubles (F.aggregate), mirrored exactly by the DuckDB
+  oracle's list_reduce fold → bit-identical cosines.
+- ``lsh_ann_topk``: the scale path — random-hyperplane signatures bucket
+  the corpus (equi-join candidate generation, shuffle ∝ bucket collisions,
+  never O(n²)); multi-probe via 1-bit perturbations mirrors the
+  reference's multi-probe LSH (LSH_query.c:281-340). Recall is checked
+  statistically in tests (FIXTURES.md §3), not via SQL.
+
+At 100 TB the broadcast side is the query set / hyperplanes, the corpus
+never leaves its partitions until the bucket join, and the final top-K is
+a rank window on the (tiny) candidate set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ANN_SEED = 77
+
+
+def _dot(a: Column, b: Column) -> Column:
+    # sequential left fold, init 0.0 — same float op order as the oracle's
+    # list_reduce over the products list (0.0 + p1 == p1 exactly)
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (broadcast queries ×
+    corpus, rank window on the rounded cosine with id tiebreak)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_topk_oracle_sql(k: int = 5, max_query_id: int = 8) -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+    dqc = dot.format(a="qv", b="cv")
+    dqq = dot.format(a="qv", b="qv")
+    dcc = dot.format(a="cv", b="cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {max_query_id}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND({dqc} / (SQRT({dqq}) * SQRT({dcc})), 6) AS cosine
+      FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int, seed: int = ANN_SEED) -> list[list[float]]:
+    rng = np.random.default_rng(seed + 7919 * table)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _bucket_col(vec: Column, dim: int, n_planes: int, table: int) -> Column:
+    """Random-hyperplane bucket id: bit i = sign(v · h_i). The cosine analog
+    of the reference's E2LSH hash family (LSH_query.c:109-187)."""
+    planes = _hyperplanes(dim, n_planes, table)
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(x) for x in p])) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    return sum(bits).cast("long")
+
+
+def lsh_index(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int
+) -> DataFrame:
+    """Corpus index: one (table, bucket) row per vector per table — the
+    DataFrame analog of the reference's L LSH tables (LSH.c:751-770, S8)."""
+    v = F.col(vec_col).cast("array<double>")
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("table"), _bucket_col(v, dim, n_planes, t).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    return df.withColumn("tb", F.explode(entries)).select(*df.columns, "tb.table", "tb.bucket")
+
+
+def _probe_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, n_probes: int) -> Column:
+    """Per-table probe sequence: base bucket + 1-bit perturbations — the
+    multi-probe scheme of LSH_query_probe (LSH_query.c:281-340), which buys
+    recall without more tables."""
+    probes = []
+    for t in range(n_tables):
+        base = _bucket_col(vec, dim, n_planes, t)
+        probes.append(F.struct(F.lit(t).alias("table"), base.alias("bucket")))
+        for i in range(min(n_probes - 1, n_planes)):
+            probes.append(
+                F.struct(F.lit(t).alias("table"), base.bitwiseXOR(F.lit(1 << i)).alias("bucket"))
+            )
+    return F.array(*probes)
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    n_probes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multi-table multi-probe bucket join then exact
+    cosine re-rank within candidates — the two-phase cheap-filter /
+    expensive-rerank plan of the reference (L=12 tables, -T 20 probes →
+    EMD rerank, ferret-pthreads.c:261,580-596)."""
+    c = lsh_index(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv",
+        dim,
+        n_planes,
+        n_tables,
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "tb",
+        F.explode(
+            _probe_buckets(F.col("qv").cast("array<double>"), dim, n_planes, n_tables, n_probes)
+        ),
+    ).select("query_id", "qv", "tb.table", "tb.bucket")
+    cand = q.join(c, on=["table", "bucket"]).filter(F.col("query_id") != F.col("neighbor_id"))
+    qv = F.col("qv").cast("array<double>")
+    cv = F.col("cv").cast("array<double>")
+    cos = F.round(_dot(qv, cv) / (_norm(qv) * _norm(cv)), 6)
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators for LLM-data pipelines (north-star extensions,
+SURVEY §7 phase 5): token counting, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path logic is JVM-side (built-in functions / higher-order array
+expressions) — no Python UDFs — so whole-stage codegen applies and the ops
+scale to 100 TB document tables. Every op has an exact DuckDB oracle:
+integer-only or integer-then-single-division math, so values hash
+identically across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the stopword-hit language heuristic.
+# Order = tie-break priority (first wins).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "por"),
+}
+
+FINGERPRINT_MOD = 2147483647  # 2^31 - 1; 31*acc + cp stays < 2^36, exact in i64
+
+
+def words_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(df: DataFrame, text: str = "text") -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.size(words_col(F.col(text))).alias("n_tokens"),
+        F.length(F.col(text)).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length / alpha-ratio / stopword-ratio quality signals. Ratios are
+    int/int single divisions — deterministic doubles in any engine."""
+    t = F.col(text)
+    words = words_col(t)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^a-z]", ""))
+    n_tokens = F.size(words)
+    stop = F.size(F.filter(words, lambda w: w.isin(*LANG_STOPWORDS["en"])))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias("avg_token_len"),
+    )
+
+
+def _membership(sw: tuple[str, ...]):
+    # NB: can't use a `sw=sw` default — PySpark's higher-order-function
+    # wrapper binds a lambda Column to EVERY parameter of the callable.
+    return lambda w: w.isin(*sw)
+
+
+def _lang_counts(text: Column) -> dict[str, Column]:
+    words = words_col(text)
+    return {
+        lang: F.size(F.filter(words, _membership(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: argmax of per-language stopword
+    counts; earlier language wins ties; 'und' when no hits at all."""
+    counts = _lang_counts(F.col(text))
+    best_lang, best_cnt = F.lit("und"), F.lit(-1)
+    for lang in LANG_STOPWORDS:  # forward pass, strict > keeps first-wins ties
+        c = counts[lang]
+        best_lang = F.when(c > best_cnt, F.lit(lang)).otherwise(best_lang)
+        best_cnt = F.when(c > best_cnt, c).otherwise(best_cnt)
+    pred = F.when(best_cnt <= 0, F.lit("und")).otherwise(best_lang)
+    return df.select("doc_id", pred.alias("pred_lang"), best_cnt.alias("hits"))
+
+
+def lang_id_oracle_sql(table: str = "documents") -> str:
+    """DuckDB SQL equivalent of lang_id (generated from the same stopword
+    tables so the two can never drift)."""
+    sel = ", ".join(
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"w -> w IN ({', '.join(repr(w) for w in sw)}))) AS c_{lang}"
+        for lang, sw in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"c_{lang} > 0"]
+        conds += [f"c_{lang} > c_{o}" for o in langs[:i]]
+        conds += [f"c_{lang} >= c_{o}" for o in langs[i + 1 :]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    greatest = "GREATEST(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    return f"""
+    SELECT doc_id, {case} AS pred_lang, CAST({greatest} AS INTEGER) AS hits
+    FROM (SELECT doc_id, {sel} FROM {table})
+    """
+
+
+def doc_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the whole document:
+    fold(acc*31 + codepoint) mod 2^31-1 — the relational cousin of the
+    reference's Rabin fingerprint kernel (rabin.c), expressed as a pure SQL
+    fold so DuckDB reproduces it exactly."""
+    t = text
+    fp = F.expr(
+        f"aggregate(transform(sequence(1, length({t})), i -> ascii(substr({t}, i, 1))), "
+        f"0L, (acc, cp) -> (acc * 31 + cp) % {FINGERPRINT_MOD})"
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def doc_fingerprint_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(unicode(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             (acc, cp) -> (acc * 31 + cp) % {FINGERPRINT_MOD}) AS fingerprint
+    FROM {table}
+    """

@@ -511,3 +511,110 @@ def cdc_round_trip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.sha1("content") == F.sha1("decoded_content"), 1).otherwise(0)
         ).alias("n_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-data-pipeline ops; oracle SQL generated from the same
+# constants as the Spark exprs — see operators/text_analysis.py)
+# ---------------------------------------------------------------------------
+
+from .operators import dedup_text as DT  # noqa: E402
+from .operators import similarity as SIM  # noqa: E402
+from .operators import text_analysis as TA  # noqa: E402
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.token_count(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars AS INTEGER) AS n_chars,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1), 6) AS alpha_ratio,
+           ROUND(CAST(stop AS DOUBLE) / GREATEST(n_tokens, 1), 6) AS stopword_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / GREATEST(n_tokens, 1), 6) AS avg_token_len
+    FROM (
+      SELECT doc_id, length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS stop
+      FROM documents
+    )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query("text_lang_id", oracle=TA.lang_id_oracle_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@query("text_doc_fingerprint", oracle=TA.doc_fingerprint_oracle_sql())
+def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Document dedup family (exact / minhash-LSH / n-gram jaccard / simhash)
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact_text", oracle=DT.EXACT_DEDUP_SQL)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DT.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_lsh", oracle=DT.minhash_lsh_pairs_oracle_sql(0.5))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
+    return DT.minhash_lsh_pairs(corpus, threshold=0.5)
+
+
+@query("dedup_ngram_jaccard", oracle=DT.ngram_jaccard_oracle_sql(0.5))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
+    return DT.ngram_jaccard_pairs(corpus, threshold=0.5)
+
+
+@query("dedup_simhash", oracle=DT.simhash_oracle_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
+    return DT.simhash(corpus)
+
+
+@query("dedup_simhash_pairs", oracle=DT.simhash_near_dup_oracle_sql(6))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
+    return DT.simhash_near_dup_pairs(corpus, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@query("ann_cosine_topk", oracle=SIM.cosine_topk_oracle_sql(k=5, max_query_id=8))
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.cosine_topk_bruteforce(queries_df, emb, k=5)
+
+
+@query("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.lsh_ann_topk(queries_df, emb, k=5, dim=64)

@@ -1,0 +1,68 @@
+"""Quality checks for the LLM-data-pipeline ops that the SQL oracle can't
+express: LSH-ANN recall vs brute force, planted near-dup detection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bensp_suite_spark.operators import dedup_text as DT
+from bensp_suite_spark.operators import similarity as SIM
+
+from .conftest import SF_CORRECT
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk_bruteforce(queries, emb, k=5)
+    approx = SIM.lsh_ann_topk(queries, emb, k=5, dim=64)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # FIXTURES.md §3: statistical recall bound, mirrors the reference's
+    # -L 8 -T 20 multi-probe quality target
+    assert recall >= 0.5, f"LSH ANN recall too low: {recall:.2f}"
+
+
+def test_lsh_top1_is_exact_often(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk_bruteforce(queries, emb, k=1)
+    approx = SIM.lsh_ann_topk(queries, emb, k=1, dim=64)
+    e = {r.query_id: r.neighbor_id for r in exact.collect()}
+    a = {r.query_id: r.neighbor_id for r in approx.collect()}
+    hit = sum(1 for qid in e if a.get(qid) == e[qid])
+    assert hit / len(e) >= 0.5
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    corpus = DT.augmented_corpus(docs)
+    pairs = DT.minhash_lsh_pairs(corpus, threshold=0.5)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # every planted pair is (doc_id, doc_id + offset); count how many the
+    # banded LSH recovered (docs with >3 words have jaccard near 1)
+    n_docs = docs.count()
+    planted_found = sum(1 for a, b in found if b - a == DT.AUG_OFFSET)
+    assert planted_found >= 0.8 * n_docs, f"only {planted_found}/{n_docs} planted pairs found"
+
+
+def test_ngram_jaccard_finds_planted_near_dups(spark):
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    corpus = DT.augmented_corpus(docs)
+    pairs = DT.ngram_jaccard_pairs(corpus, threshold=0.5)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    n_docs = docs.count()
+    planted_found = sum(1 for a, b in found if b - a == DT.AUG_OFFSET)
+    assert planted_found >= 0.8 * n_docs
+
+
+def test_simhash_pairs_find_planted(spark):
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    corpus = DT.augmented_corpus(docs)
+    pairs = DT.simhash_near_dup_pairs(corpus, max_hamming=6)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    n_docs = docs.count()
+    planted_found = sum(1 for a, b in found if b - a == DT.AUG_OFFSET)
+    # simhash on heavily-shared-vocab corpora is noisier; still must find most
+    assert planted_found >= 0.5 * n_docs
