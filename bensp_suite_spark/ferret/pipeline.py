@@ -1,0 +1,207 @@
+"""Ferret query pipeline, Spark-first (reference:
+apps/ferret/src/benchmark/ferret-pthreads.c t_vec → t_rank → t_out,
+lines 561-762).
+
+Plan shape (== SURVEY §3.3's Spark lifecycle):
+
+  queries → posexplode(regions) → per-region candidate probe
+      (exhaustive squared-L2 top-2K, or E2LSH bucket join J5)
+  → map region vec → parent image, merge + distinct (J6/E1/E2)
+  → semi-join corpus on candidate image ids (J7)
+  → applyInPandas exact-EMD rerank (K11)
+  → top-K window, sorted (O2/O3) → name join (J8)
+
+Scale: the probe is an equi-join on bucket keys (shuffle ∝ collisions);
+candidates per query are bounded (2K per region, reference
+ferret-pthreads.c:590); EMD touches only the candidate set — the same
+cheap-filter / expensive-rerank split the reference hard-codes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .emd import emd, pairwise_l2
+
+# E2LSH defaults mirroring the reference index recipe
+# (-L 12 -M 17 -w 4.0708 -H 19697, LSH.c:43-50 / mkdb:30; probe -L 8 -T 20,
+# ferret-pthreads.c:261). M is lower here because our bucket join already
+# concatenates all M hash values into one exact key.
+LSH_M = 6
+LSH_L = 8
+LSH_W = 4.0708
+LSH_SEED = 20240813
+
+
+def explode_regions(vecsets: DataFrame, prefix: str) -> DataFrame:
+    return vecsets.select(
+        F.col("image_id").alias(f"{prefix}_image_id"),
+        F.posexplode("regions").alias("region_idx", "region"),
+    ).select(
+        f"{prefix}_image_id",
+        "region_idx",
+        F.col("region.weight").alias("weight"),
+        F.col("region.features").alias("features"),
+    )
+
+
+def _sql2(a, b):
+    # squared L2 as a sequential JVM fold (dist_L2_float, cass_dist.c:45-58)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def candidates_exhaustive(
+    query_regions: DataFrame, corpus_regions: DataFrame, per_region_k: int
+) -> DataFrame:
+    """Per query region: exact squared-L2 top-(per_region_k) corpus regions
+    (the raw-table full scan path, raw.c:195-204), then parent-image merge."""
+    q = query_regions.select(
+        F.col("q_image_id"), F.col("region_idx"), F.col("features").cast("array<double>").alias("qf")
+    )
+    c = corpus_regions.select(
+        F.col("c_image_id"), F.col("features").cast("array<double>").alias("cf")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    d = _sql2(F.col("qf"), F.col("cf"))
+    w = Window.partitionBy("q_image_id", "region_idx").orderBy(F.col("dist"), F.col("c_image_id"))
+    ranked = pairs.select("q_image_id", "region_idx", "c_image_id", d.alias("dist")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.filter(F.col("rn") <= per_region_k)
+        .select("q_image_id", "c_image_id")
+        .distinct()
+    )
+
+
+def _e2lsh_keys_udf(dim: int, m: int = LSH_M, tables: int = LSH_L, w: float = LSH_W):
+    """Vectorized E2LSH bucket keys: h_j = floor((α_j·v + β_j)/W), one
+    concatenated exact key per table (LSH_hash_score, LSH_query.c:109-145).
+    One BLAS matmul per Arrow batch — the K12 kernel as a pandas UDF."""
+    rng = np.random.default_rng(LSH_SEED)
+    alphas = rng.standard_normal((dim, m * tables))
+    betas = rng.uniform(0, w, size=m * tables)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def keys(features: pd.Series) -> pd.Series:
+        V = np.vstack([np.asarray(f, dtype=np.float64) for f in features])
+        H = np.floor((V @ alphas + betas) / w).astype(np.int64)
+        out = []
+        for row in H:
+            out.append([f"{t}|" + ",".join(map(str, row[t * m : (t + 1) * m])) for t in range(tables)])
+        return pd.Series(out)
+
+    return keys
+
+
+def candidates_lsh(
+    query_regions: DataFrame, corpus_regions: DataFrame, dim: int, m: int = LSH_M, tables: int = LSH_L, w: float = LSH_W
+) -> DataFrame:
+    """J5 — LSH bucket-probe join: corpus index (vec, table-key) rows vs
+    query probes; equi-join on the key, distinct parent images."""
+    keys = _e2lsh_keys_udf(dim, m, tables, w)
+    c = corpus_regions.select(
+        "c_image_id", F.explode(keys(F.col("features"))).alias("key")
+    )
+    q = query_regions.select(
+        "q_image_id", F.explode(keys(F.col("features"))).alias("key")
+    )
+    return q.join(c, on="key").select("q_image_id", "c_image_id").distinct()
+
+
+RANK_SCHEMA = StructType(
+    [
+        StructField("q_image_id", LongType()),
+        StructField("c_image_id", LongType()),
+        StructField("emd", DoubleType()),
+    ]
+)
+
+
+def emd_rerank(candidates: DataFrame, queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    """J7 + K11: candidate-restricted exact-EMD scoring. Query vecsets are
+    broadcast (few, small); corpus vecsets semi-join to candidates so only
+    candidate rows ever reach Python."""
+    q = queries.select(
+        F.col("image_id").alias("q_image_id"), F.col("regions").alias("q_regions")
+    )
+    c = corpus.select(
+        F.col("image_id").alias("c_image_id"), F.col("regions").alias("c_regions")
+    )
+    joined = candidates.join(F.broadcast(q), "q_image_id").join(c, "c_image_id")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dists = []
+            for qr, cr in zip(pdf["q_regions"], pdf["c_regions"]):
+                w1 = np.array([r["weight"] for r in qr], dtype=np.float64)
+                f1 = np.vstack([np.asarray(r["features"], dtype=np.float64) for r in qr])
+                w2 = np.array([r["weight"] for r in cr], dtype=np.float64)
+                f2 = np.vstack([np.asarray(r["features"], dtype=np.float64) for r in cr])
+                dists.append(emd(w1, w2, pairwise_l2(f1, f2)))
+            yield pd.DataFrame(
+                {
+                    "q_image_id": pdf["q_image_id"],
+                    "c_image_id": pdf["c_image_id"],
+                    "emd": dists,
+                }
+            )
+
+    return joined.mapInPandas(score, RANK_SCHEMA)
+
+
+def ferret_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    top_k: int = 10,
+    dim: int = 14,
+    mode: str = "exhaustive",
+    per_region_k: int | None = None,
+    lsh_m: int = LSH_M,
+    lsh_tables: int = LSH_L,
+    lsh_w: float = LSH_W,
+) -> DataFrame:
+    """End-to-end ferret query: returns (q_image_id, rank, name, emd) —
+    the obj:dist output lines of t_out (S7, ferret-pthreads.c:752-762).
+
+    mode="exhaustive" → exact (golden-test config); mode="lsh" → E2LSH
+    probe (recall checked statistically, FIXTURES.md §3). per_region_k
+    defaults to 2*top_k, the reference's query.topk = 2*top_K
+    (ferret-pthreads.c:590)."""
+    per_region_k = per_region_k or 2 * top_k
+    qr = explode_regions(queries, "q")
+    cr = explode_regions(corpus, "c")
+    if mode == "exhaustive":
+        cand = candidates_exhaustive(qr, cr, per_region_k)
+    elif mode == "lsh":
+        cand = candidates_lsh(qr, cr, dim, lsh_m, lsh_tables, lsh_w)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    scored = emd_rerank(cand, queries, corpus)
+    w = Window.partitionBy("q_image_id").orderBy(
+        F.round(F.col("emd"), 6), F.col("c_image_id")
+    )
+    names = corpus.select(F.col("image_id").alias("c_image_id"), "name")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .join(F.broadcast(names), "c_image_id")  # J8 id→name map join
+        .select(
+            "q_image_id", "rank", "name", F.round(F.col("emd"), 6).alias("emd")
+        )
+    )

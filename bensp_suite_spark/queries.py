@@ -618,3 +618,58 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return SIM.lsh_ann_topk(queries_df, emb, k=5, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Ferret similarity-search pipeline (reference: apps/ferret §3.3)
+# ---------------------------------------------------------------------------
+
+def _ferret_single_region_oracle(k: int = 5, max_q: int = 8) -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len(qv) + 1), i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS q_image_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {max_q}),
+    c AS (SELECT vec_id AS c_image_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT q_image_id, c_image_id, ROUND({dot}, 6) AS emd
+      FROM c CROSS JOIN q
+    )
+    SELECT q_image_id, rank, name, emd FROM (
+      SELECT q_image_id, c_image_id,
+             printf('img_%05d.jpg', CAST(c_image_id AS INTEGER)) AS name, emd,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_image_id
+                  ORDER BY emd, c_image_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ferret_topk_single_region", oracle=_ferret_single_region_oracle())
+def ferret_topk_single_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ferret pipeline (probe → merge → EMD rerank → top-K → name join)
+    on single-region vecsets, where exact EMD == squared L2 — giving the
+    whole pipeline a SQL oracle."""
+    from .ferret import fixtures as FF
+    from .ferret import pipeline as FP
+
+    corpus = FF.vecsets_from_embeddings(spark, sf_dir, regions_per_image=1)
+    queries_df = corpus.filter(F.col("image_id") < 8)
+    return FP.ferret_topk(queries_df, corpus, top_k=5, dim=64, mode="exhaustive")
+
+
+@query("ferret_topk_multiregion")
+def ferret_topk_multiregion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-region vecsets (4 regions/image from consecutive embeddings):
+    exercises the exact-EMD transportation simplex in the rank stage.
+    Deterministic but not SQL-expressible → rows-only driver check; the
+    golden-exactness test vs the numpy reference lives in tests/test_ferret.py."""
+    from .ferret import fixtures as FF
+    from .ferret import pipeline as FP
+
+    corpus = FF.vecsets_from_embeddings(spark, sf_dir, regions_per_image=4)
+    queries_df = corpus.filter(F.col("image_id") < 4)
+    return FP.ferret_topk(queries_df, corpus, top_k=5, dim=64, mode="exhaustive")

@@ -1,0 +1,93 @@
+"""Ferret pipeline golden tests (FIXTURES.md §3): the engine in exhaustive
+mode must EXACTLY match an independent numpy brute-force implementation;
+LSH mode is checked statistically (top-1 recall)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bensp_suite_spark.ferret import fixtures, pipeline
+from bensp_suite_spark.ferret.emd import emd, pairwise_l2
+
+
+def _collect_vecsets(df):
+    out = {}
+    for r in df.collect():
+        w = np.array([x["weight"] for x in r.regions], dtype=np.float64)
+        f = np.vstack([np.asarray(x["features"], dtype=np.float64) for x in r.regions])
+        out[int(r.image_id)] = (w, f, r.name)
+    return out
+
+
+def _numpy_reference_topk(queries, corpus, top_k, per_region_k):
+    """Independent brute force: per-region L2 top-K candidates → distinct
+    parents → EMD rerank → (round(emd,6), id)-sorted top-K."""
+    results = {}
+    cvecs = []  # (image_id, features row)
+    for cid, (w, f, _name) in corpus.items():
+        for row in f:
+            cvecs.append((cid, row))
+    cmat = np.vstack([v for _, v in cvecs])
+    cids = np.array([i for i, _ in cvecs])
+    for qid, (qw, qf, _qname) in queries.items():
+        cand: set[int] = set()
+        for row in qf:
+            d = ((cmat - row) ** 2).sum(1)
+            order = np.lexsort((cids, d))[:per_region_k]
+            cand.update(cids[order].tolist())
+        scored = []
+        for cid in cand:
+            cw, cf, cname = corpus[cid]
+            scored.append((round(emd(qw, cw, pairwise_l2(qf, cf)), 6), cid, cname))
+        scored.sort()
+        results[qid] = [(rank + 1, name, d) for rank, (d, cid, name) in enumerate(scored[:top_k])]
+    return results
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return fixtures.synthetic_corpus(spark, m=120, n_clusters=16).cache()
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark, corpus_df):
+    return fixtures.synthetic_queries(spark, corpus_df, q=8, jitter=0.02).cache()
+
+
+def test_exhaustive_matches_numpy_reference(spark, corpus_df, queries_df):
+    got_df = pipeline.ferret_topk(queries_df, corpus_df, top_k=5, mode="exhaustive")
+    got = {}
+    for r in got_df.collect():
+        got.setdefault(int(r.q_image_id), []).append((int(r.rank), r.name, float(r.emd)))
+    for k in got:
+        got[k].sort()
+
+    want = _numpy_reference_topk(
+        _collect_vecsets(queries_df), _collect_vecsets(corpus_df), top_k=5, per_region_k=10
+    )
+    assert set(got) == set(want)
+    for qid in want:
+        assert got[qid] == want[qid], f"query {qid}:\n got {got[qid]}\nwant {want[qid]}"
+
+
+def test_jittered_query_finds_source_top1(spark, corpus_df, queries_df):
+    got = pipeline.ferret_topk(queries_df, corpus_df, top_k=1, mode="exhaustive").collect()
+    hits = sum(1 for r in got if r.name == f"img_{int(r.q_image_id):05d}.jpg")
+    assert hits == len(got), f"only {hits}/{len(got)} top-1 self matches"
+
+
+def test_lsh_mode_recall(spark, corpus_df, queries_df):
+    exact = pipeline.ferret_topk(queries_df, corpus_df, top_k=1, mode="exhaustive").collect()
+    approx = pipeline.ferret_topk(queries_df, corpus_df, top_k=1, mode="lsh").collect()
+    e = {int(r.q_image_id): r.name for r in exact}
+    a = {int(r.q_image_id): r.name for r in approx}
+    recall = sum(1 for q in e if a.get(q) == e[q]) / len(e)
+    # FIXTURES.md §3: ≥0.9 top-1 recall at -L 8 -T 20-equivalent settings
+    assert recall >= 0.9, f"LSH top-1 recall {recall:.2f}"
+
+
+def test_single_region_emd_equals_l2(spark):
+    rng = np.random.default_rng(5)
+    a, b = rng.random(14), rng.random(14)
+    assert abs(emd([1.0], [1.0], pairwise_l2(a[None], b[None])) - ((a - b) ** 2).sum()) < 1e-12
