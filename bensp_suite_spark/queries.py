@@ -673,3 +673,48 @@ def ferret_topk_multiregion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = FF.vecsets_from_embeddings(spark, sf_dir, regions_per_image=4)
     queries_df = corpus.filter(F.col("image_id") < 4)
     return FP.ferret_topk(queries_df, corpus, top_k=5, dim=64, mode="exhaustive")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (T1-T8): a real micro-batch stream inside the
+# correctness gate — availableNow trigger, event-time windows + watermark.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_windowed_metrics",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replays the events table through a parquet readStream
+    (maxFilesPerTrigger=1 → multiple micro-batches), watermarked event-time
+    tumbling windows, complete-mode memory sink. Result must equal the
+    batch aggregation — proving the streaming path computes the same
+    answer as SQL."""
+    import tempfile
+    import uuid
+
+    from .streaming import dedup_stream as DS
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="bensp_stream_src_")
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = DS.windowed_event_metrics(stream, window="1 day", watermark="2 days")
+    qname = f"winq_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT window_start, event_type, n_events FROM {qname}")

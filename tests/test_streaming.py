@@ -1,0 +1,164 @@
+"""Streaming pipeline tests: cross-batch dedup state equals the batch
+pipeline; windowed event-time metrics equal the batch aggregation; ordered
+emission per batch (SURVEY §2.8 T1/T5/T6/T7/T8)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bensp_suite_spark.dedup import fixtures, pipeline
+from bensp_suite_spark.streaming import dedup_stream
+
+from .conftest import SF_CORRECT
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="bensp_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_files_as_stream_source(spark, files_df, src_dir, n_splits=6):
+    files_df.repartition(n_splits).write.mode("overwrite").parquet(src_dir)
+
+
+def test_streaming_dedup_equals_batch(spark, tmpdir):
+    files = fixtures.synthetic_docs(spark, n_files=24, file_bytes=16384, seed=31)
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    _write_files_as_stream_source(spark, files, src)
+
+    schema = "file_id long, content binary"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    dedup_stream.stream_encode(spark, stream, out, ckpt)
+
+    got_df = spark.read.parquet(out)
+    # multiple micro-batches actually ran (cross-batch state exercised)
+    assert got_df.select("batch_id").distinct().count() > 1
+
+    # stream vs batch: same chunk stream, same total dup count; dup FLAGS can
+    # legitimately differ in which occurrence won (arrival order vs global
+    # (file,l1,l2) order), so compare at the digest-multiset level.
+    batch = pipeline.deduplicate(pipeline.chunk_files(spark.read.parquet(src)))
+    got_chunks = got_df.groupBy("sha1").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dups")
+    )
+    want_chunks = batch.groupBy("sha1").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dups")
+    )
+    assert got_chunks.exceptAll(want_chunks).count() == 0
+    assert want_chunks.exceptAll(got_chunks).count() == 0
+
+    # every duplicate must reference a canonical chunk with the same sha1
+    # that is itself not a duplicate (J3 across micro-batches)
+    dups = got_df.filter("is_dup").alias("d")
+    canon = got_df.filter("NOT is_dup").alias("c")
+    resolved = dups.join(
+        canon,
+        (F.col("d.canonical_file_id") == F.col("c.file_id"))
+        & (F.col("d.canonical_l1") == F.col("c.l1"))
+        & (F.col("d.canonical_l2") == F.col("c.l2"))
+        & (F.col("d.sha1") == F.col("c.sha1")),
+        "left_semi",
+    )
+    assert resolved.count() == dups.count()
+
+
+def test_streaming_round_trip(spark, tmpdir):
+    """Decode of the streaming output reproduces the original bytes."""
+    files = fixtures.synthetic_docs(spark, n_files=12, file_bytes=8192, seed=77)
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    _write_files_as_stream_source(spark, files, src, n_splits=4)
+    stream = (
+        spark.readStream.schema("file_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dedup_stream.stream_encode(spark, stream, out, ckpt)
+
+    got = spark.read.parquet(out)
+    # reassemble: resolve dup payloads from their canonical chunk
+    canon = got.filter("NOT is_dup").select("sha1", F.col("data").alias("cdata"))
+    resolved = got.select("file_id", "l1", "l2", "sha1").join(canon, "sha1")
+    rebuilt = {
+        r.file_id: bytes(r.content)
+        for r in (
+            resolved.groupBy("file_id")
+            .agg(F.sort_array(F.collect_list(F.struct("l1", "l2", "cdata"))).alias("cs"))
+            .select(
+                "file_id",
+                F.aggregate(
+                    "cs", F.lit(b""), lambda acc, s: F.concat(acc, s["cdata"])
+                ).alias("content"),
+            )
+            .collect()
+        )
+    }
+    orig = {r.file_id: bytes(r.content) for r in spark.read.parquet(src).collect()}
+    assert rebuilt == orig
+
+
+def test_streaming_windowed_metrics_match_batch(spark, tmpdir):
+    src = os.path.join(tmpdir, "events")
+    from bensp_suite_spark.tables import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events").select("ts", "event_type", "value")
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    agg = dedup_stream.windowed_event_metrics(stream, window="1 day", watermark="2 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winmetrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("select * from winmetrics").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_throughput_listener_captures_progress(spark, tmpdir):
+    files = fixtures.synthetic_docs(spark, n_files=8, file_bytes=4096, seed=9)
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    _write_files_as_stream_source(spark, files, src, n_splits=4)
+    listener = dedup_stream.ThroughputListener()
+    handle = listener.attach(spark)
+    try:
+        stream = (
+            spark.readStream.schema("file_id long, content binary")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        dedup_stream.stream_encode(spark, stream, out, ckpt)
+        import time
+
+        deadline = time.time() + 20
+        while not listener.progress and time.time() < deadline:
+            time.sleep(0.5)
+        assert listener.progress, "listener captured no progress events"
+        assert sum(p["num_input_rows"] for p in listener.progress) > 0
+    finally:
+        spark.streams.removeListener(handle)
