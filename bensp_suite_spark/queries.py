@@ -718,3 +718,41 @@ def stream_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql(f"SELECT window_start, event_type, n_events FROM {qname}")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary image column → decode → segment → extract → search
+# (S4/K8/K9/K13 + the whole ferret query path; deterministic, rows-only)
+# ---------------------------------------------------------------------------
+
+@query("multimodal_image_search")
+def multimodal_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic raw-rgb images through the full image pipeline (decode →
+    HSV → SRM segmentation → 14-dim region features) then ferret top-3.
+    Deterministic; every image's top-1 is itself (checked in tests)."""
+    from .ferret import pipeline as FP
+    from .multimodal import images as IM
+
+    imgs = IM.synthetic_images(spark, n=12, size=32)
+    vecsets = IM.images_to_vecsets(imgs)
+    return FP.ferret_topk(vecsets, vecsets, top_k=3, mode="exhaustive")
+
+
+@query("multimodal_image_stats")
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image segmentation/extraction statistics (region counts, weight
+    normalization check) — the seg/extract stage observability surface."""
+    from .multimodal import images as IM
+
+    imgs = IM.synthetic_images(spark, n=12, size=32)
+    vecsets = IM.images_to_vecsets(imgs)
+    return vecsets.select(
+        "image_id",
+        F.size("regions").alias("n_regions"),
+        F.round(
+            F.aggregate(
+                "regions", F.lit(0.0), lambda acc, r: acc + r["weight"].cast("double")
+            ),
+            4,
+        ).alias("weight_sum"),
+    )

@@ -1,0 +1,117 @@
+"""Image kernel tests (K8 SRM, K9 extraction, K13 HSV) on synthetic
+raw-rgb images, plus the end-to-end image→search pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bensp_suite_spark.multimodal import images as IM
+
+
+def test_rgb_hsv_properties():
+    # gray pixels → s=0, h=0, v=level (delta==0 path, image.c:214-222)
+    gray = np.full((4, 4, 3), 77, dtype=np.uint8)
+    hsv = IM.rgb_to_hsv(gray)
+    assert (hsv[..., 0] == 0).all() and (hsv[..., 1] == 0).all() and (hsv[..., 2] == 77).all()
+    # pure red → h=0, s=255, v=255 (mx==r branch)
+    red = np.zeros((2, 2, 3), dtype=np.uint8)
+    red[..., 0] = 255
+    hsv = IM.rgb_to_hsv(red)
+    assert (hsv[..., 0] == 0).all() and (hsv[..., 1] == 255).all() and (hsv[..., 2] == 255).all()
+    # pure green → hue=2/6 → h = floor(255*2/6) = 85
+    green = np.zeros((2, 2, 3), dtype=np.uint8)
+    green[..., 1] = 200
+    hsv = IM.rgb_to_hsv(green)
+    assert (hsv[..., 0] == 85).all() and (hsv[..., 2] == 200).all()
+    # black → all zero (mx==0 early return)
+    black = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert (IM.rgb_to_hsv(black) == 0).all()
+
+
+def _scalar_rgb2hsv(rgb_px):
+    # independent scalar transcription of pixel_rgb2hsv (image.c:198-236)
+    r, g, b = int(rgb_px[0]), int(rgb_px[1]), int(rgb_px[2])
+    mx, mn = max(r, g, b), min(r, g, b)
+    delta = mx - mn
+    if mx == 0:
+        return (0, 0, 0)
+    s = delta * 255 // mx
+    if delta == 0:
+        return (0, s, mx)
+    if mx == r:
+        hue = (g - b) / delta
+    elif mx == g:
+        hue = 2.0 + (b - r) / delta
+    else:
+        hue = 4.0 + (r - g) / delta
+    if hue < 0:
+        hue += 6.0
+    return (int(255 * hue / 6.0), s, mx)
+
+
+def test_rgb_hsv_matches_scalar_reference():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(500, 1, 3), dtype=np.uint8)
+    got = IM.rgb_to_hsv(px).reshape(-1, 3)
+    want = np.array([_scalar_rgb2hsv(p) for p in px.reshape(-1, 3)], dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_srm_segments_rectangles():
+    # two flat color blocks → exactly 2 regions, mask matches the blocks
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[:, 16:] = [200, 40, 40]
+    mask, nrgn = IM.srm_segment(img)
+    assert nrgn == 2
+    assert len(np.unique(mask[:, :16])) == 1
+    assert len(np.unique(mask[:, 16:])) == 1
+    assert mask[0, 0] != mask[0, 31]
+
+
+def test_srm_merges_noise_into_one_region():
+    rng = np.random.default_rng(0)
+    base = np.full((24, 24, 3), 120, dtype=np.uint8)
+    noisy = (base.astype(np.int16) + rng.integers(-3, 4, base.shape)).clip(0, 255).astype(np.uint8)
+    _mask, nrgn = IM.srm_segment(noisy)
+    assert nrgn == 1  # Q=125 merges ±3 noise
+
+
+def test_extract_features_invariants():
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[:, 16:] = [200, 40, 40]
+    hsv = IM.rgb_to_hsv(img)
+    mask, nrgn = IM.srm_segment(img)
+    regions = IM.extract_features(hsv, mask, nrgn)
+    assert len(regions) == nrgn
+    weights = [w for w, _ in regions]
+    assert abs(sum(weights) - 1.0) < 1e-6  # √size normalization
+    for _w, feats in regions:
+        assert len(feats) == IM.IMAGE_DIM
+        # stddev/skew of a flat region are 0 (moments 1,2 per channel)
+        assert abs(feats[1]) < 1e-6 and abs(feats[2]) < 1e-6
+    # mean moment of the right block: V channel = 200/255 * dw[6]=4.0 ...
+    # check one concrete value: region covering the black half has V=0
+    dark = min(regions, key=lambda r: r[1][6])
+    assert abs(dark[1][6]) < 1e-6
+
+
+def test_jpeg_decode_is_stubbed():
+    with pytest.raises(NotImplementedError, match="STUB"):
+        IM.decode_image(b"\xff\xd8\xff", "jpeg")
+
+
+def test_image_pipeline_end_to_end(spark):
+    imgs = IM.synthetic_images(spark, n=10, size=32)
+    vecsets = IM.images_to_vecsets(imgs)
+    rows = vecsets.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 1 <= len(r.regions) <= IM.MAXR
+        assert abs(sum(x["weight"] for x in r.regions) - 1.0) < 1e-5
+
+    # feed the ferret query path: every image's top-1 match is itself
+    from bensp_suite_spark.ferret import pipeline as FP
+
+    found = FP.ferret_topk(vecsets, vecsets, top_k=1, mode="exhaustive").collect()
+    assert all(r.name == f"img_{int(r.q_image_id):05d}.raw" for r in found)
