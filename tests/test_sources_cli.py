@@ -1,0 +1,118 @@
+"""Sources (binaryFile, byte-exact .ddp) and the dedup CLI round trip."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+from bensp_suite_spark.dedup import fixtures, pipeline
+from bensp_suite_spark.sources import binaryfiles, ddp as ddpfmt
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="bensp_src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_input_files(tmpdir, n=5, size=20000, seed=3):
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    rng = np.random.default_rng(seed)
+    pool = [rng.integers(0, 256, 4096, dtype=np.uint8).tobytes() for _ in range(6)]
+    datas = {}
+    for i in range(n):
+        parts = [pool[int(rng.integers(0, 6))] for _ in range(size // 4096 + 1)]
+        data = b"".join(parts)[:size]
+        name = f"file_{i}.bin"
+        with open(os.path.join(src, name), "wb") as fh:
+            fh.write(data)
+        datas[name] = data
+    # dotfile must be skipped (P1)
+    with open(os.path.join(src, ".hidden"), "wb") as fh:
+        fh.write(b"nope")
+    return src, datas
+
+
+def test_binaryfile_source_reads_files_and_skips_dotfiles(spark, tmpdir):
+    src, datas = _write_input_files(tmpdir)
+    df = binaryfiles.read_files(spark, src)
+    rows = {r.file_name: bytes(r.content) for r in df.collect()}
+    assert rows == datas  # .hidden excluded
+
+
+def test_ddp_serialization_round_trip(spark, tmpdir):
+    files = fixtures.synthetic_docs(spark, n_files=6, file_bytes=16384, seed=5)
+    ddp_df = pipeline.encode(files, compress_type="gzip")
+    blob = ddpfmt.serialize_ddp(ddp_df, compress_type="gzip")
+    # header layout parity (util.c:65-74)
+    assert struct.unpack_from("<i", blob, 0)[0] == ddpfmt.CHECKBIT
+    assert struct.unpack_from("<B", blob, 4)[0] == ddpfmt.COMPRESS_GZIP
+
+    ctype, records = ddpfmt.parse_ddp(spark, blob)
+    assert ctype == "gzip"
+    n_records = records.count()
+    assert n_records == ddp_df.count()
+    # fingerprints carry 20-byte digests; payload records carry bytes
+    fp = records.filter(f"rtype = {ddpfmt.TYPE_FINGERPRINT}").collect()
+    assert all(len(bytes.fromhex(r.sha1)) == 20 for r in fp)
+
+
+def test_parse_rejects_bad_magic(spark):
+    with pytest.raises(ValueError, match="CHECKBIT"):
+        ddpfmt.parse_ddp(spark, struct.pack("<iB", 999, 0))
+
+
+def test_cli_encode_decode_round_trip(tmpdir):
+    src, datas = _write_input_files(tmpdir, n=4, size=30000)
+    archive = os.path.join(tmpdir, "out.ddp")
+    outdir = os.path.join(tmpdir, "decoded")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.cli", "-c", "-i", src, "-o", archive, "-v"],
+        capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert os.path.exists(archive)
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.cli", "-u", "-i", archive, "-o", outdir, "-v"],
+        capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    # decode order: concatenation of decoded outputs == concatenation of
+    # inputs in file_id (listing) order
+    decoded = b"".join(
+        open(os.path.join(outdir, f), "rb").read() for f in sorted(os.listdir(outdir))
+    )
+    original = b"".join(datas[k] for k in sorted(datas))
+    assert decoded == original
+
+
+def test_cli_stats(tmpdir):
+    src, _ = _write_input_files(tmpdir, n=4, size=30000)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.cli", "--stats", "-i", src],
+        capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Total chunks:" in r.stdout and "Duplicate chunks:" in r.stdout
+
+
+def test_cli_missing_input(tmpdir):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.cli", "-c", "-i", "/nonexistent", "-o", "/tmp/x.ddp"],
+        capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert r.returncode == 2
+    assert "not found" in r.stderr
