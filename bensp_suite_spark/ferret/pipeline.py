@@ -205,3 +205,25 @@ def ferret_topk(
             "q_image_id", "rank", "name", F.round(F.col("emd"), 6).alias("emd")
         )
     )
+
+
+def write_results(topk: DataFrame, out_path: str) -> None:
+    """S7 — similarity-result sink: one ``name:dist\\t...`` line per query
+    image, the t_out output format (ferret-pthreads.c:752-762). Text-file
+    golden-output surface; the DataFrame itself stays the canonical result."""
+    lines = (
+        topk.groupBy("q_image_id")
+        .agg(F.sort_array(F.collect_list(F.struct("rank", "name", "emd"))).alias("rs"))
+        .select(
+            F.concat_ws(
+                "\t",
+                F.col("q_image_id").cast("string"),
+                F.array_join(
+                    F.transform(F.col("rs"), lambda r: F.concat_ws(":", r["name"], r["emd"])),
+                    "\t",
+                ),
+            ).alias("value")
+        )
+        .orderBy("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(out_path)

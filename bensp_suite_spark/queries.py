@@ -756,3 +756,92 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("weight_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K10 distance family + P5/P7 range search + grouping-set extras
+# ---------------------------------------------------------------------------
+
+from .functions import distances as DIST  # noqa: E402
+
+
+def _range_search_oracle(eps: float = 60.0, max_q: int = 4) -> str:
+    l1 = DIST.sql_dist_l1("qv", "cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {max_q}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+    SELECT query_id, neighbor_id, ROUND({l1}, 6) AS l1_dist
+    FROM c CROSS JOIN q
+    WHERE query_id <> neighbor_id AND ROUND({l1}, 6) < {eps}
+    """
+
+
+@query("ann_range_search", oracle=_range_search_oracle())
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P5 ε-range similarity search (raw.c:212-227: keep candidates with
+    dist < query->range) with the K10 L1 distance — JVM fold, exact oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").cast("array<double>").alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    l1 = F.round(DIST.dist_l1(F.col("qv"), F.col("cv")), 6)
+    return pairs.select("query_id", "neighbor_id", l1.alias("l1_dist")).filter(
+        F.col("l1_dist") < 60.0
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 3) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals — one of the aggregations Catalyst gives
+    for free that the reference lacks (SURVEY §2.6 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 3).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "agg_cube_events",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, date_trunc('day', ts))
+    """,
+)
+def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube(F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.date_format(F.col("day_ts"), "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            "n",
+        )
+    )

@@ -137,7 +137,16 @@ def stream_encode(
     mapped to this schema.
     """
     chunks = chunk_files(files_stream)
-    flagged = streaming_deduplicate(chunks)
+    flagged = streaming_deduplicate(chunks).observe(
+        # T9/A8 — per-trigger counters (the cnt_enqueue/cnt_dequeue and
+        # per-item tracing surface, ferret-pthreads.c:325-326,
+        # new_dedup.c:1382-1418): observed metrics land in each
+        # StreamingQueryProgress for the listener to collect.
+        "dedup_metrics",
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+        F.sum("size").alias("bytes"),
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # T6/O1: intra-batch total order restore before the sink, with the
@@ -202,15 +211,18 @@ class ThroughputListener:
 
             def onQueryProgress(self, event):
                 p = event.progress
-                outer.progress.append(
-                    {
-                        "batch_id": p.batchId,
-                        "num_input_rows": p.numInputRows,
-                        "input_rows_per_second": p.inputRowsPerSecond,
-                        "processed_rows_per_second": p.processedRowsPerSecond,
-                        "duration_ms": p.durationMs.get("triggerExecution"),
-                    }
-                )
+                entry = {
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "input_rows_per_second": p.inputRowsPerSecond,
+                    "processed_rows_per_second": p.processedRowsPerSecond,
+                    "duration_ms": p.durationMs.get("triggerExecution"),
+                }
+                try:
+                    entry["observed"] = dict(p.observedMetrics.get("dedup_metrics").asDict())
+                except Exception:
+                    entry["observed"] = None
+                outer.progress.append(entry)
 
             def onQueryIdle(self, event):
                 pass
