@@ -20,8 +20,10 @@ a rank window on the (tiny) candidate set.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints via fn globals
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 ANN_SEED = 77
 
@@ -83,20 +85,33 @@ def cosine_topk_oracle_sql(k: int = 5, max_query_id: int = 8) -> str:
     """
 
 
-def _hyperplanes(dim: int, n_planes: int, table: int, seed: int = ANN_SEED) -> list[list[float]]:
-    rng = np.random.default_rng(seed + 7919 * table)
-    return rng.standard_normal((n_planes, dim)).tolist()
+def _hyperplane_matrix(dim: int, n_planes: int, n_tables: int, seed: int = ANN_SEED) -> np.ndarray:
+    """(dim, n_tables*n_planes): table t's planes are columns
+    [t*n_planes, (t+1)*n_planes) — per-table seeds keep tables independent."""
+    cols = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + 7919 * t)
+        cols.append(rng.standard_normal((n_planes, dim)).T)
+    return np.hstack(cols)
 
 
-def _bucket_col(vec: Column, dim: int, n_planes: int, table: int) -> Column:
-    """Random-hyperplane bucket id: bit i = sign(v · h_i). The cosine analog
-    of the reference's E2LSH hash family (LSH_query.c:109-187)."""
-    planes = _hyperplanes(dim, n_planes, table)
-    bits = [
-        F.when(_dot(vec, F.array(*[F.lit(x) for x in p])) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    return sum(bits).cast("long")
+def _bucket_udf(dim: int, n_planes: int, n_tables: int):
+    """Random-hyperplane bucket ids for ALL tables in one BLAS matmul per
+    Arrow batch (bit i = sign(v · h_i) — the cosine analog of the
+    reference's E2LSH hash family, LSH_query.c:109-187). A pandas UDF
+    rather than per-plane JVM folds: 48 fold expressions with 64 literals
+    each made Catalyst planning the bottleneck."""
+    H = _hyperplane_matrix(dim, n_planes, n_tables)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (V @ H) > 0  # (n, tables*planes)
+        B = bits.reshape(len(V), n_tables, n_planes) @ weights  # (n, tables)
+        return pd.Series(list(B.astype(np.int64)))
+
+    return buckets
 
 
 def lsh_index(
@@ -104,23 +119,18 @@ def lsh_index(
 ) -> DataFrame:
     """Corpus index: one (table, bucket) row per vector per table — the
     DataFrame analog of the reference's L LSH tables (LSH.c:751-770, S8)."""
-    v = F.col(vec_col).cast("array<double>")
-    entries = F.array(
-        *[
-            F.struct(F.lit(t).alias("table"), _bucket_col(v, dim, n_planes, t).alias("bucket"))
-            for t in range(n_tables)
-        ]
-    )
-    return df.withColumn("tb", F.explode(entries)).select(*df.columns, "tb.table", "tb.bucket")
+    buckets = _bucket_udf(dim, n_planes, n_tables)
+    tb = F.posexplode(buckets(F.col(vec_col).cast("array<double>")))
+    return df.select(*df.columns, tb.alias("table", "bucket"))
 
 
-def _probe_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, n_probes: int) -> Column:
+def _probe_entries(bucket_arr: Column, n_planes: int, n_tables: int, n_probes: int) -> Column:
     """Per-table probe sequence: base bucket + 1-bit perturbations — the
     multi-probe scheme of LSH_query_probe (LSH_query.c:281-340), which buys
     recall without more tables."""
     probes = []
     for t in range(n_tables):
-        base = _bucket_col(vec, dim, n_planes, t)
+        base = F.element_at(bucket_arr, t + 1)
         probes.append(F.struct(F.lit(t).alias("table"), base.alias("bucket")))
         for i in range(min(n_probes - 1, n_planes)):
             probes.append(
@@ -151,12 +161,13 @@ def lsh_ann_topk(
         n_planes,
         n_tables,
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
-        "tb",
-        F.explode(
-            _probe_buckets(F.col("qv").cast("array<double>"), dim, n_planes, n_tables, n_probes)
-        ),
-    ).select("query_id", "qv", "tb.table", "tb.bucket")
+    buckets = _bucket_udf(dim, n_planes, n_tables)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("ba", buckets(F.col("qv").cast("array<double>")))
+        .withColumn("tb", F.explode(_probe_entries(F.col("ba"), n_planes, n_tables, n_probes)))
+        .select("query_id", "qv", "tb.table", "tb.bucket")
+    )
     cand = q.join(c, on=["table", "bucket"]).filter(F.col("query_id") != F.col("neighbor_id"))
     qv = F.col("qv").cast("array<double>")
     cv = F.col("cv").cast("array<double>")

@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) — SURVEY §5 notes the reference has no
+randomized testing; we add it for the kernels where bit-exactness claims
+live."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bensp_suite_spark.dedup import rabin
+from bensp_suite_spark.dedup.pipeline import reference_encode_py
+from bensp_suite_spark.ferret.emd import emd, pairwise_l2
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=20_000))
+def test_rabin_vectorized_equals_scalar(data):
+    arr = np.frombuffer(data, np.uint8)
+    vec = rabin.fine_boundaries(rabin.match_positions(arr), 0, len(data))
+    out, s = [], 0
+    while True:
+        off = rabin.rabinseg_scalar(data, s)
+        if s + off >= len(data):
+            break
+        s += off
+        out.append(s)
+    assert vec == out
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=30_000))
+def test_chunk_offsets_partition_the_buffer(data):
+    offs = rabin.chunk_offsets(data)
+    assert offs[0][2] == 0 and offs[-1][3] == len(data)
+    assert all(a[3] == b[2] for a, b in zip(offs, offs[1:]))
+    # reassembly identity (the decoder invariant, without Spark)
+    assert b"".join(data[s:e] for (_, _, s, e, _) in offs) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=5_000), min_size=1, max_size=5),
+)
+def test_reference_encoder_dup_flags_consistent(contents):
+    files = {i: c for i, c in enumerate(contents)}
+    stream = reference_encode_py(files)
+    seen = {}
+    for fid, l1, l2, _last, sha, dup in stream:
+        if sha in seen:
+            assert dup, "second occurrence must be a duplicate"
+        else:
+            assert not dup, "first occurrence must be canonical"
+            seen[sha] = (fid, l1, l2)
+        # digest really is the sha1 of the chunk bytes
+    for fid, content in files.items():
+        for l1, l2, s, e, _last in rabin.chunk_offsets(content):
+            assert hashlib.sha1(content[s:e]).hexdigest() in seen
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.integers(0, 10_000),
+)
+def test_emd_metric_properties(n, m, seed):
+    rng = np.random.default_rng(seed)
+    f1, f2 = rng.random((n, 3)), rng.random((m, 3))
+    w1 = rng.random(n) + 0.01
+    w2 = rng.random(m) + 0.01
+    w1 /= w1.sum()
+    w2 /= w2.sum()
+    # true-metric ground distance for the metric properties
+    D12 = np.sqrt(pairwise_l2(f1, f2))
+    d = emd(w1, w2, D12)
+    assert d >= -1e-12
+    # symmetry
+    assert abs(d - emd(w2, w1, D12.T)) < 1e-9
+    # identity on identical signatures
+    assert emd(w1, w1, np.sqrt(pairwise_l2(f1, f1))) < 1e-9
+    # lower bound: EMD >= distance between barycenters (for metric D via
+    # convexity this holds for L2 ground distance)
+    bary = np.linalg.norm((w1[:, None] * f1).sum(0) - (w2[:, None] * f2).sum(0))
+    assert d >= bary - 1e-8
