@@ -27,9 +27,19 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     from bensp_suite_spark import queries as Q
-    from bensp_suite_spark.session import get_spark
+    from bensp_suite_spark.session import default_parallelism, get_spark
 
-    spark = get_spark("bensp-bench")
+    # Scale-aware shuffle sizing: ~1 partition per 32 MB of input, clamped
+    # to [8, 4×cpus]. At sf0.1 (tens of MB) 32 partitions is pure task-
+    # scheduling overhead (1.6× slower than 8); at 100 TB the same rule
+    # gives thousands of partitions and AQE re-coalesces per stage.
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)
+    )
+    cpus = default_parallelism()
+    shuffle = max(8, min(4 * cpus, total_bytes // (32 << 20) or 8))
+
+    spark = get_spark("bensp-bench", shuffle_partitions=int(shuffle))
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footers so per-query times measure the plan,
@@ -50,6 +60,8 @@ def main() -> None:
     from bensp_suite_spark.dedup import pipeline as DP
 
     dedup_mb = 256
+    # the 256 MB dedup job is compute-bound — use full parallelism for it
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     files = DF.synthetic_docs(spark, n_files=dedup_mb, file_bytes=1 << 20, pool_size=64, seed=11)
     files = files.cache()
     files.count()
