@@ -33,6 +33,9 @@ def docs_from_documents(spark: SparkSession, sf_dir: str, target_bytes: int = 16
     Tiling creates genuine intra/inter-file duplicate chunks (documents
     share vocabulary), exercising the dedup path on driver-owned data.
     """
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(spark)
     from ..tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -71,6 +74,9 @@ def synthetic_docs(
 ) -> DataFrame:
     """Distributed generation: pool built once per executor (cached),
     per-file RNG seeded by (seed, file_id) — pure function of its args."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(spark)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pool = _block_pool(seed, pool_size, block_min, block_max)

@@ -80,6 +80,9 @@ def chunk_files(files: DataFrame) -> DataFrame:
     (coarse ANCHOR_JUMP pass then fine refine pass, both from one
     vectorized match scan — see rabin.py).
     """
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(files.sparkSession)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,6 +130,9 @@ def chunk_hash_compress(
     leave Python, and the sha1 exchange shuffles mostly metadata.
     ~4× wall-clock over the staged plan at 256 MB / 32 cores.
     """
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(files.sparkSession)
     import hashlib
     import zlib
     import bz2 as _bz2
@@ -232,6 +238,9 @@ def decode(ddp: DataFrame, compress_type: str = "gzip") -> DataFrame:
     fingerprint records resolve against unique chunks by sha1 (J4), chunks
     reassemble in (l1, l2) order per file. Round-trip oracle:
     decode(encode(files)) must equal files byte-for-byte."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(ddp.sparkSession)
     ctype = compress_type
 
     @F.pandas_udf(BinaryType())
@@ -260,7 +269,9 @@ def decode(ddp: DataFrame, compress_type: str = "gzip") -> DataFrame:
     return resolved.groupBy("file_id").applyInPandas(reassemble, out_schema)
 
 
-def dedup_stats(files: DataFrame, compress_type: str = "gzip") -> DataFrame:
+def dedup_stats(
+    files: DataFrame, compress_type: str = "gzip", scope_per_file: bool = False
+) -> DataFrame:
     """A1-A4 statistics (print_stats, encoder.c:225-388): totals, duplicate
     ratio, mean/stddev chunk size, compression factor. One row out.
 
@@ -270,7 +281,8 @@ def dedup_stats(files: DataFrame, compress_type: str = "gzip") -> DataFrame:
     fused = chunk_hash_compress(files, compress_type=compress_type, with_payload=False).drop(
         "payload"
     )
-    w = Window.partitionBy("sha1").orderBy("file_id", "l1", "l2")
+    keys = ["file_id", "sha1"] if scope_per_file else ["sha1"]
+    w = Window.partitionBy(*keys).orderBy("file_id", "l1", "l2")
     enriched = fused.withColumn("is_dup", F.row_number().over(w) > 1).withColumn(
         "c_len", F.when(F.col("is_dup"), F.lit(0)).otherwise(F.col("c_len"))
     )

@@ -114,6 +114,9 @@ def candidates_lsh(
 ) -> DataFrame:
     """J5 — LSH bucket-probe join: corpus index (vec, table-key) rows vs
     query probes; equi-join on the key, distinct parent images."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(query_regions.sparkSession)
     keys = _e2lsh_keys_udf(dim, m, tables, w)
     c = corpus_regions.select(
         "c_image_id", F.explode(keys(F.col("features"))).alias("key")
@@ -137,6 +140,9 @@ def emd_rerank(candidates: DataFrame, queries: DataFrame, corpus: DataFrame) -> 
     """J7 + K11: candidate-restricted exact-EMD scoring. Query vecsets are
     broadcast (few, small); corpus vecsets semi-join to candidates so only
     candidate rows ever reach Python."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(candidates.sparkSession)
     q = queries.select(
         F.col("image_id").alias("q_image_id"), F.col("regions").alias("q_regions")
     )

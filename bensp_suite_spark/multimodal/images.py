@@ -364,6 +364,9 @@ def images_to_vecsets(images: DataFrame, q_value: float = Q_VALUE, size_factor: 
     """mapInPandas: decode → HSV → segment → extract, one fused Python stage
     (no shuffle; the reference's load/seg/extract thread stages collapse
     into one narrow map, SURVEY §3.3)."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(images.sparkSession)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -38,7 +38,7 @@ MINHASH_B = [int(b) for b in _rng.integers(0, 1 << 30, size=MINHASH_K)]
 AUG_OFFSET = 1_000_000
 SHINGLE_N = 3
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 48  # 48 of 63 safe BIGINT bits; 32 was far too collision-prone
 
 
 # ---------------------------------------------------------------------------
@@ -316,10 +316,11 @@ def simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
     """
 
 
-def simhash_near_dup_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_near_dup_pairs(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint into 4 byte-blocks
     (pigeonhole candidate generation — an exact-match join per band, never
-    O(n²)), then filter on true Hamming distance."""
+    O(n²)), then filter on true Hamming distance. 48-bit fingerprints and
+    6 byte-bands: at hamming ≤ 5 at least one band matches exactly."""
     sig = simhash(corpus)
     bands = sig.select(
         "doc_id",
@@ -331,7 +332,7 @@ def simhash_near_dup_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame
                         F.lit(b).alias("band"),
                         F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(0xFF)).alias("key"),
                     )
-                    for b in range(4)
+                    for b in range(6)
                 ]
             )
         ).alias("bk"),
@@ -351,10 +352,10 @@ def simhash_near_dup_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame
     )
 
 
-def simhash_near_dup_oracle_sql(max_hamming: int = 6) -> str:
+def simhash_near_dup_oracle_sql(max_hamming: int = 4) -> str:
     bands = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8*b}) & 255 AS key FROM sig"
-        for b in range(4)
+        for b in range(6)
     )
     return f"""
     WITH sig AS ({simhash_oracle_sql()}),

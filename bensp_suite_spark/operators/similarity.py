@@ -119,6 +119,9 @@ def lsh_index(
 ) -> DataFrame:
     """Corpus index: one (table, bucket) row per vector per table — the
     DataFrame analog of the reference's L LSH tables (LSH.c:751-770, S8)."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(df.sparkSession)
     buckets = _bucket_udf(dim, n_planes, n_tables)
     tb = F.posexplode(buckets(F.col(vec_col).cast("array<double>")))
     return df.select(*df.columns, tb.alias("table", "bucket"))
@@ -154,6 +157,9 @@ def lsh_ann_topk(
     cosine re-rank within candidates — the two-phase cheap-filter /
     expensive-rerank plan of the reference (L=12 tables, -T 20 probes →
     EMD rerank, ferret-pthreads.c:261,580-596)."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(queries.sparkSession)
     c = lsh_index(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         "cv",

@@ -596,10 +596,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DT.simhash(corpus)
 
 
-@query("dedup_simhash_pairs", oracle=DT.simhash_near_dup_oracle_sql(6))
+@query("dedup_simhash_pairs", oracle=DT.simhash_near_dup_oracle_sql(4))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
-    return DT.simhash_near_dup_pairs(corpus, max_hamming=6)
+    return DT.simhash_near_dup_pairs(corpus, max_hamming=4)
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,19 @@ def _package_zip() -> str:
     return zpath
 
 
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to Python workers (idempotent).
+
+    Called by every function that ships a UDF/closure referencing this
+    package, so the library works from any driver cwd — workers don't
+    inherit the driver's ``sys.path`` mutations.
+    """
+    sc = spark.sparkContext
+    if not getattr(sc, "_bensp_pyfile_added", False):
+        sc.addPyFile(_package_zip())
+        sc._bensp_pyfile_added = True
+
+
 def align_session(spark: SparkSession) -> SparkSession:
     """Runtime-settable conf alignment for a session we did not create.
 
@@ -94,8 +107,5 @@ def align_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    sc = spark.sparkContext
-    if not getattr(sc, "_bensp_pyfile_added", False):
-        sc.addPyFile(_package_zip())
-        sc._bensp_pyfile_added = True
+    ensure_worker_imports(spark)
     return spark

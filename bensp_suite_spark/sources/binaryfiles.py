@@ -67,3 +67,61 @@ def write_files(df: DataFrame, out_dir: str) -> None:
     for row in df.select("file_name", "content").toLocalIterator():
         with open(os.path.join(out_dir, row.file_name), "wb") as fh:
             fh.write(bytes(row.content))
+
+
+def read_tar_members(spark: SparkSession, path: str, skip_dotfiles: bool = True) -> DataFrame:
+    """S2 TAR-input parity: the reference's benchmark inputs are TAR
+    archives whose members become the per-file dedup domain
+    (new_dedup.c:925-1107, input classes bin/parsec_stream:30-39).
+
+    Each .tar is one binaryFile row; a mapInPandas stage expands members
+    into (file_id, file_name, content) rows — archives parallelize across
+    executors, members stream within one (the reference's own
+    serial-within/parallel-across split)."""
+    import io
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tars = spark.read.format("binaryFile").option("pathGlobFilter", "*.tar").load(path)
+
+    schema = StructType(
+        [
+            StructField("tar_path", StringType()),
+            StructField("file_name", StringType()),
+            StructField("member_idx", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("tar_path", "file_name", "member_idx", "content")}
+            for tpath, blob in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    idx = 0
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue  # P2: regular files only
+                        base = m.name.rsplit("/", 1)[-1]
+                        if skip_dotfiles and base.startswith("."):
+                            continue  # P1
+                        rows["tar_path"].append(tpath)
+                        rows["file_name"].append(m.name)
+                        rows["member_idx"].append(idx)
+                        rows["content"].append(tf.extractfile(m).read())
+                        idx += 1
+            yield pd.DataFrame(rows)
+
+    expanded = tars.select("path", "content").mapInPandas(expand, schema)
+    return expanded.withColumn(
+        "file_id", F.xxhash64("tar_path", "file_name")
+    )

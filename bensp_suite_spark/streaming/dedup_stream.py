@@ -113,6 +113,9 @@ def _dedup_state_fn(
 
 def streaming_deduplicate(chunks: DataFrame) -> DataFrame:
     """Apply cross-batch first-wins dedup state to a streaming chunk frame."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(chunks.sparkSession)
     hashed = chunks.withColumn("sha1", F.sha1(F.col("data")))
     return hashed.groupBy("sha1").applyInPandasWithState(
         _dedup_state_fn,

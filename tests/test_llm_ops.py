@@ -60,7 +60,7 @@ def test_ngram_jaccard_finds_planted_near_dups(spark):
 def test_simhash_pairs_find_planted(spark):
     docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
     corpus = DT.augmented_corpus(docs)
-    pairs = DT.simhash_near_dup_pairs(corpus, max_hamming=6)
+    pairs = DT.simhash_near_dup_pairs(corpus, max_hamming=4)
     found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     n_docs = docs.count()
     planted_found = sum(1 for a, b in found if b - a == DT.AUG_OFFSET)

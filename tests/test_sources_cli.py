@@ -116,3 +116,38 @@ def test_cli_missing_input(tmpdir):
     )
     assert r.returncode == 2
     assert "not found" in r.stderr
+
+
+def test_tar_ingestion_and_dedup(spark, tmpdir):
+    """S2 TAR parity: members become per-file rows; per-file-scoped dedup
+    (J2) finds fewer dups than global (cross-member blocks dedupe globally)."""
+    import io
+    import tarfile
+
+    rng = np.random.default_rng(6)
+    block = rng.integers(0, 256, 8192, dtype=np.uint8).tobytes()
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in [
+            ("a.bin", block * 3),
+            ("sub/b.bin", block * 2 + b"x" * 100),
+            (".hidden", b"skip me"),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    tar_path = os.path.join(tmpdir, "input.tar")
+    with open(tar_path, "wb") as fh:
+        fh.write(buf.getvalue())
+
+    members = binaryfiles.read_tar_members(spark, tmpdir)
+    rows = {r.file_name: bytes(r.content) for r in members.collect()}
+    assert set(rows) == {"a.bin", "sub/b.bin"}  # dotfile skipped
+    assert rows["a.bin"] == block * 3
+
+    g = pipeline.dedup_stats(members.select("file_id", "content")).collect()[0]
+    p = pipeline.dedup_stats(
+        members.select("file_id", "content"), scope_per_file=True
+    ).collect()[0]
+    assert g.n_dup >= p.n_dup  # global domain ⊇ per-file domain
+    assert g.n_dup > 0  # the shared block dedupes across members

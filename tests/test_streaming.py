@@ -162,3 +162,35 @@ def test_throughput_listener_captures_progress(spark, tmpdir):
         assert sum(p["num_input_rows"] for p in listener.progress) > 0
     finally:
         spark.streams.removeListener(handle)
+
+
+def test_streaming_ferret_matches_batch(spark, tmpdir):
+    """Streaming query images (2 per trigger) against a static corpus must
+    produce the same top-K as the batch pipeline."""
+    from bensp_suite_spark.ferret import fixtures as FF
+    from bensp_suite_spark.ferret import pipeline as FP
+    from bensp_suite_spark.streaming import ferret_stream
+
+    corpus = FF.synthetic_corpus(spark, m=60, n_clusters=8).cache()
+    queries = FF.synthetic_queries(spark, corpus, q=6, jitter=0.02)
+
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    queries.repartition(3).write.mode("overwrite").parquet(src)
+    qstream = (
+        spark.readStream.schema(queries.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ferret_stream.stream_similarity_search(
+        spark, qstream, corpus, out, ckpt, top_k=3, mode="exhaustive"
+    )
+
+    got = {
+        (r.q_image_id, r.rank): (r.name, r.emd)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.q_image_id, r.rank): (r.name, r.emd)
+        for r in FP.ferret_topk(queries, corpus, top_k=3, mode="exhaustive").collect()
+    }
+    assert got == want
+    # multiple triggers actually ran
+    assert spark.read.parquet(out).select("batch_id").distinct().count() > 1
