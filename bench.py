@@ -59,8 +59,8 @@ def main() -> None:
     from bensp_suite_spark.dedup import fixtures as DF
     from bensp_suite_spark.dedup import pipeline as DP
 
-    dedup_mb = 256
-    # the 256 MB dedup job is compute-bound — use full parallelism for it
+    dedup_mb = 1024
+    # the 1 GB dedup job is compute-bound — use full parallelism for it
     spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     files = DF.synthetic_docs(spark, n_files=dedup_mb, file_bytes=1 << 20, pool_size=64, seed=11)
     files = files.cache()

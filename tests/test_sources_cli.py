@@ -151,3 +151,24 @@ def test_tar_ingestion_and_dedup(spark, tmpdir):
     ).collect()[0]
     assert g.n_dup >= p.n_dup  # global domain ⊇ per-file domain
     assert g.n_dup > 0  # the shared block dedupes across members
+
+
+def test_dedup_sweep_harness(spark):
+    """testbed-t1 analog: the sweep grid runs and produces sane metrics."""
+    from bensp_suite_spark.bench.sweeps import SweepConfig, run_dedup_sweep, summarize
+
+    cfg = SweepConfig(
+        shuffle_partitions=[4, 8],
+        compress_types=["gzip", "none"],
+        repetitions=2,
+        n_files=8,
+        file_bytes=65536,
+    )
+    metrics = run_dedup_sweep(spark, cfg)
+    rows = metrics.collect()
+    assert len(rows) == 2 * 2 * 2  # grid × reps
+    assert all(r.throughput_mbps > 0 for r in rows)
+    # identical inputs → identical chunk counts across configs
+    assert len({r.n_chunks for r in rows}) == 1
+    summary = summarize(metrics).collect()
+    assert len(summary) == 4
