@@ -1,0 +1,167 @@
+"""Audio / video multimodal columns (north-star spec: treat media as opaque
+``binary`` columns with typed metadata; decode / feature-extract / resize /
+frame-sample as Pandas UDFs over mapInPandas).
+
+Codec layer: real deterministic raw codecs (PCM s16le for audio, packed
+raw-rgb frames for video) keep the full Spark path executable in this
+container; compressed formats (mp3/flac/mp4/...) are STUBS behind
+NotImplementedError — swap in ffmpeg/soundfile on a real cluster, the
+plumbing (schema, batch shape, partitioning) is format-agnostic.
+
+Feature kernels are REAL numpy: framed RMS energy + zero-crossing rate
+(audio), per-frame mean color + frame sampling (video).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401 (callers compose)
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+AUDIO_TABLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("audio", BinaryType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("frame_rms", ArrayType(DoubleType())),
+        StructField("frame_zcr", ArrayType(DoubleType())),
+    ]
+)
+
+VIDEO_TABLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("video", BinaryType()),
+    ]
+)
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mean_rgb", ArrayType(DoubleType())),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+# --- codecs -----------------------------------------------------------------
+
+def encode_pcm_s16le(samples: np.ndarray) -> bytes:
+    return samples.astype("<i2").tobytes()
+
+
+def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
+    if fmt == "pcm-s16le":
+        return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+    if fmt in ("mp3", "flac", "ogg", "wav"):
+        raise NotImplementedError(
+            f"STUB: {fmt} decode requires an audio codec library (soundfile/ffmpeg), "
+            "not available in this container; use format='pcm-s16le' for tests"
+        )
+    raise ValueError(f"unknown audio format {fmt!r}")
+
+
+def encode_raw_video(frames: np.ndarray) -> bytes:
+    n, h, w, _ = frames.shape
+    return struct.pack("<III", w, h, n) + frames.astype(np.uint8).tobytes()
+
+
+def decode_video(payload: bytes, fmt: str) -> np.ndarray:
+    if fmt == "raw-frames":
+        w, h, n = struct.unpack_from("<III", payload, 0)
+        arr = np.frombuffer(payload, dtype=np.uint8, offset=12)
+        return arr.reshape(n, h, w, 3)
+    if fmt in ("mp4", "webm", "avi"):
+        raise NotImplementedError(
+            f"STUB: {fmt} decode requires ffmpeg, not available in this "
+            "container; use format='raw-frames' for tests"
+        )
+    raise ValueError(f"unknown video format {fmt!r}")
+
+
+# --- kernels ----------------------------------------------------------------
+
+def audio_frame_features(samples: np.ndarray, frame: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+    """Per-frame RMS energy and zero-crossing rate (vectorized)."""
+    n = len(samples) - (len(samples) % frame)
+    if n == 0:
+        return np.zeros(0), np.zeros(0)
+    x = samples[:n].reshape(-1, frame)
+    rms = np.sqrt((x**2).mean(axis=1))
+    zcr = (np.abs(np.diff(np.signbit(x), axis=1)).sum(axis=1)) / frame
+    return rms, zcr.astype(np.float64)
+
+
+def extract_audio_features(audio: DataFrame, frame: int = 1024) -> DataFrame:
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(audio.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_samples", "duration_s", "frame_rms", "frame_zcr")}
+            for mid, fmt, sr, payload in zip(
+                pdf["media_id"], pdf["format"], pdf["sample_rate"], pdf["audio"]
+            ):
+                samples = decode_audio(bytes(payload), fmt)
+                rms, zcr = audio_frame_features(samples, frame)
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(len(samples))
+                rows["duration_s"].append(len(samples) / sr)
+                rows["frame_rms"].append([round(float(v), 8) for v in rms])
+                rows["frame_zcr"].append([round(float(v), 8) for v in zcr])
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_video_frames(video: DataFrame, every_n: int = 5) -> DataFrame:
+    """Frame-sample + per-frame feature extraction: keep every Nth frame
+    with its mean color — the 1→N UDTF shape (explode inside mapInPandas)."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(video.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_idx", "mean_rgb", "frame")}
+            for mid, fmt, payload in zip(pdf["media_id"], pdf["format"], pdf["video"]):
+                frames = decode_video(bytes(payload), fmt)
+                for idx in range(0, frames.shape[0], every_n):
+                    f = frames[idx]
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["mean_rgb"].append([round(float(v), 6) for v in f.reshape(-1, 3).mean(0)])
+                    rows["frame"].append(f.tobytes())
+            yield pd.DataFrame(rows)
+
+    return video.mapInPandas(gen, VIDEO_FRAMES_SCHEMA)

@@ -187,3 +187,75 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (the fifth dedup method of the
+# north-star list). Deterministic sign-pattern blocking so the WHOLE op —
+# candidate generation included — has an exact SQL oracle: block key =
+# sign bits of the first SIGN_BITS components (pure comparisons, no float
+# arithmetic), then exact fold-cosine ≥ threshold within blocks.
+# ---------------------------------------------------------------------------
+
+SIGN_BITS = 12
+AUG_VEC_OFFSET = 1_000_000
+
+
+def augmented_embeddings(emb: DataFrame) -> DataFrame:
+    """embeddings ∪ planted near-duplicates: x -> x*1.01 + 0.001 per
+    component (deterministic IEEE double math — identical in any engine;
+    cosine to the source ≈ 0.9999)."""
+    v = F.col("embedding").cast("array<double>")
+    jitter = emb.select(
+        (F.col("vec_id") + AUG_VEC_OFFSET).alias("vec_id"),
+        F.transform(v, lambda x: x * F.lit(1.01) + F.lit(0.001)).alias("embedding"),
+    )
+    return emb.select("vec_id", v.alias("embedding")).unionByName(jitter)
+
+
+def _sign_block(vec: Column) -> Column:
+    bits = [
+        F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(SIGN_BITS)
+    ]
+    return sum(bits).cast("long")
+
+
+def embedding_near_dup_pairs(emb_aug: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Near-dup vector pairs: equi-join on the sign-pattern block (shuffle ∝
+    block collisions, never O(n²)), exact cosine ≥ threshold."""
+    sided = emb_aug.select("vec_id", "embedding", _sign_block(F.col("embedding")).alias("blk"))
+    a = sided.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "blk")
+    b = sided.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "blk")
+    pairs = a.join(b, on="blk").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def embedding_near_dup_oracle_sql(threshold: float = 0.99) -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+    blk = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(SIGN_BITS)
+    )
+    cos = f"ROUND({dot.format(a='va', b='vb')} / (SQRT({dot.format(a='va', b='va')}) * SQRT({dot.format(a='vb', b='vb')})), 6)"
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {AUG_VEC_OFFSET},
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01 + 0.001)
+      FROM embeddings
+    ),
+    sided AS (SELECT vec_id, embedding, CAST({blk} AS BIGINT) AS blk FROM aug)
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos.replace('va', 'a.embedding').replace('vb', 'b.embedding')} AS cosine
+      FROM sided a JOIN sided b ON a.blk = b.blk AND a.vec_id < b.vec_id
+    ) WHERE cosine >= {threshold}
+    """

@@ -845,3 +845,12 @@ def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query("dedup_embedding_cosine", oracle=SIM.embedding_near_dup_oracle_sql(0.99))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (fifth dedup method): planted
+    near-duplicate vectors recovered via sign-pattern blocking + exact
+    cosine — whole op including candidate generation has a SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(SIM.augmented_embeddings(emb), threshold=0.99)

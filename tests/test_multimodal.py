@@ -115,3 +115,49 @@ def test_image_pipeline_end_to_end(spark):
 
     found = FP.ferret_topk(vecsets, vecsets, top_k=1, mode="exhaustive").collect()
     assert all(r.name == f"img_{int(r.q_image_id):05d}.raw" for r in found)
+
+
+def test_audio_pipeline(spark):
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    rows = []
+    for i in range(4):
+        rng = np.random.default_rng(50 + i)
+        t = np.arange(8192)
+        tone = (np.sin(2 * np.pi * t * (110 * (i + 1)) / 16000) * 20000).astype(np.int16)
+        rows.append((i, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(tone)))
+    audio = spark.createDataFrame(rows, AV.AUDIO_TABLE_SCHEMA)
+    feats = {r.media_id: r for r in AV.extract_audio_features(audio).collect()}
+    assert len(feats) == 4
+    for i, r in feats.items():
+        assert r.n_samples == 8192 and abs(r.duration_s - 0.512) < 1e-9
+        assert len(r.frame_rms) == 8
+        # sine RMS ≈ amplitude/√2 (in normalized units)
+        assert abs(r.frame_rms[0] - (20000 / 32768) / np.sqrt(2)) < 0.02
+    # higher frequency → higher zero-crossing rate
+    assert feats[3].frame_zcr[0] > feats[0].frame_zcr[0]
+
+
+def test_video_frame_sampling(spark):
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    frames = np.zeros((12, 8, 8, 3), dtype=np.uint8)
+    for k in range(12):
+        frames[k] = k * 20  # frame k has mean color k*20
+    video = spark.createDataFrame(
+        [(0, "raw-frames", 8, 8, 12, AV.encode_raw_video(frames))], AV.VIDEO_TABLE_SCHEMA
+    )
+    out = AV.sample_video_frames(video, every_n=5).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 5, 10]
+    for r in out:
+        assert r.mean_rgb == [r.frame_idx * 20.0] * 3
+        assert len(bytes(r.frame)) == 8 * 8 * 3
+
+
+def test_av_codecs_stubbed(spark):
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    with pytest.raises(NotImplementedError, match="STUB"):
+        AV.decode_audio(b"ID3", "mp3")
+    with pytest.raises(NotImplementedError, match="STUB"):
+        AV.decode_video(b"\x00", "mp4")
