@@ -854,3 +854,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine — whole op including candidate generation has a SQL oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_pairs(SIM.augmented_embeddings(emb), threshold=0.99)
+
+
+@query(
+    "agg_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE), 3) AS sum_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-shaped conditional aggregation (wide table from a categorical
+    column) — another SURVEY §2.6 'free in Spark' aggregation form."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", _dec("o_totalprice")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).cast("double"),
+            3,
+        ).alias("sum_f"),
+    )
