@@ -228,11 +228,26 @@ def minhash_lsh_pairs_oracle_sql(threshold: float = 0.5) -> str:
 # exact n-gram Jaccard set-similarity join
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    corpus: DataFrame, threshold: float = 0.5, max_shingle_doc_freq: int | None = None
+) -> DataFrame:
     """Exact Jaccard over distinct word 3-grams via the inverted-index join:
     explode shingles → self-equi-join on shingle → per-pair intersection
-    count → |A∪B| = |A| + |B| − |A∩B|. Shuffle ∝ shared-shingle pairs."""
+    count → |A∪B| = |A| + |B| − |A∩B|. Shuffle ∝ shared-shingle pairs.
+
+    ``max_shingle_doc_freq`` is the 100 TB skew guard: a stop-shingle
+    appearing in k docs contributes k² join rows, so one hot shingle can
+    dominate the whole shuffle. Dropping shingles with doc-frequency above
+    the cap bounds per-key fan-out (the standard prefix/frequency filter in
+    set-similarity joins). Default None = exact semantics (required for the
+    DuckDB oracle); set it for web-scale corpora where a slightly lossy
+    candidate set is the right trade.
+    """
     sh = shingles(corpus)
+    if max_shingle_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = freq.filter(F.col("df") <= max_shingle_doc_freq).select("shingle")
+        sh = sh.join(keep, on="shingle", how="left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

@@ -66,3 +66,18 @@ def test_simhash_pairs_find_planted(spark):
     planted_found = sum(1 for a, b in found if b - a == DT.AUG_OFFSET)
     # simhash on heavily-shared-vocab corpora is noisier; still must find most
     assert planted_found >= 0.5 * n_docs
+
+
+def test_ngram_jaccard_skew_guard(spark):
+    """The hot-shingle cap bounds join fan-out while keeping planted pairs
+    (their distinctive shingles are rare)."""
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    corpus = DT.augmented_corpus(docs)
+    exact = DT.ngram_jaccard_pairs(corpus, threshold=0.5)
+    capped = DT.ngram_jaccard_pairs(corpus, threshold=0.5, max_shingle_doc_freq=20)
+    e = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    c = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    planted_e = {p for p in e if p[1] - p[0] == DT.AUG_OFFSET}
+    planted_c = {p for p in c if p[1] - p[0] == DT.AUG_OFFSET}
+    # capped keeps ~all planted pairs (their shingles are rare)
+    assert len(planted_c) >= 0.9 * len(planted_e)
