@@ -717,6 +717,11 @@ def stream_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the result lives in the memory sink; the temp source/checkpoint dirs
+    # are dead weight once the availableNow run terminates
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
     return spark.sql(f"SELECT window_start, event_type, n_events FROM {qname}")
 
 
