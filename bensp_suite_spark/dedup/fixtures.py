@@ -41,6 +41,11 @@ def docs_from_documents(spark: SparkSession, sf_dir: str, target_bytes: int = 16
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("file_id"), "text"
     )
+    # The documents table is often a single parquet file → 1 input split, and
+    # mapInPandas preserves partitioning — without an explicit spread the whole
+    # tile+chunk+hash pipeline would run on ONE core. Shuffling the tiny text
+    # rows is ~free; the generated binary content is what's expensive.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -237,33 +237,44 @@ def decode(ddp: DataFrame, compress_type: str = "gzip") -> DataFrame:
     """Decode pipeline (reference: apps/dedup/src/decoder.c:173-264) —
     fingerprint records resolve against unique chunks by sha1 (J4), chunks
     reassemble in (l1, l2) order per file. Round-trip oracle:
-    decode(encode(files)) must equal files byte-for-byte."""
+    decode(encode(files)) must equal files byte-for-byte.
+
+    Payloads stay COMPRESSED through both shuffles (the sha1 resolution join
+    and the per-file regroup) and only inflate inside the final reassembly —
+    at scale the exchanges move archive-sized bytes, not original-sized.
+    The regroup is an explicit fixed-width repartition: AQE sizes shuffles
+    by their (compressed, tiny) byte count and would otherwise coalesce the
+    decompression stage down to a couple of tasks."""
     from ..session import ensure_worker_imports as _ewi
 
     _ewi(ddp.sparkSession)
     ctype = compress_type
 
-    @F.pandas_udf(BinaryType())
-    def decompress_udf(data: pd.Series) -> pd.Series:
-        if ctype == "gzip":
-            return data.map(lambda b: None if b is None else zlib.decompress(bytes(b)))
-        if ctype == "bzip2":
-            return data.map(lambda b: None if b is None else bz2.decompress(bytes(b)))
-        return data.map(lambda b: None if b is None else bytes(b))
-
     uniques = (
         ddp.filter(F.col("rtype") != TYPE_FINGERPRINT)
-        .select("sha1", decompress_udf(F.col("payload")).alias("udata"))
+        .select("sha1", "payload")
         # one canonical payload per digest (first-occurrence semantics)
         .dropDuplicates(["sha1"])
     )
     resolved = ddp.select("file_id", "l1", "l2", "sha1").join(uniques, on="sha1", how="left")
+    n_parts = max(
+        ddp.sparkSession.sparkContext.defaultParallelism,
+        int(ddp.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    resolved = resolved.repartition(n_parts, "file_id")
 
     out_schema = StructType([StructField("file_id", LongType()), StructField("content", BinaryType())])
 
+    if ctype == "gzip":
+        inflate = lambda b: zlib.decompress(bytes(b))  # noqa: E731
+    elif ctype == "bzip2":
+        inflate = lambda b: bz2.decompress(bytes(b))  # noqa: E731
+    else:
+        inflate = bytes
+
     def reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["l1", "l2"])
-        content = b"".join(bytes(b) for b in pdf["udata"])
+        content = b"".join(inflate(b) for b in pdf["payload"])
         return pd.DataFrame({"file_id": [pdf["file_id"].iloc[0]], "content": [content]})
 
     return resolved.groupBy("file_id").applyInPandas(reassemble, out_schema)

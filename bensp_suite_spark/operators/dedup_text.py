@@ -331,12 +331,29 @@ def simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
     """
 
 
-def simhash_near_dup_pairs(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash: band the fingerprint into 4 byte-blocks
-    (pigeonhole candidate generation — an exact-match join per band, never
-    O(n²)), then filter on true Hamming distance. 48-bit fingerprints and
-    6 byte-bands: at hamming ≤ 5 at least one band matches exactly."""
-    sig = simhash(corpus)
+def _simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) band layout: ``max_hamming + 1`` near-equal bands over
+    SIMHASH_BITS. Pigeonhole: with ≤ h flipped bits and h+1 bands, at least
+    one band is untouched, so banded equi-join has perfect recall at ≤ h.
+    Wider bands (fewer, when h is small) mean exponentially more bucket
+    values — 3×16-bit bands give 65536 buckets vs a byte-band's 256, which
+    is what keeps per-bucket join fan-out ~1 even at 10⁸ docs."""
+    nb = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, nb)
+    out, shift = [], 0
+    for i in range(nb):
+        w = base + (1 if i < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
+def simhash_near_dup_pairs(corpus: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into ``max_hamming+1``
+    blocks (pigeonhole candidate generation — an exact-match join per band,
+    never O(n²)), then filter on true Hamming distance. The signature table
+    is persisted so the banded self-join computes the 48 vote-sums once."""
+    sig = simhash(corpus).persist()
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -345,9 +362,9 @@ def simhash_near_dup_pairs(corpus: DataFrame, max_hamming: int = 4) -> DataFrame
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(0xFF)).alias("key"),
+                        F.shiftright(F.col("simhash"), sh).bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
                     )
-                    for b in range(6)
+                    for b, (sh, w) in enumerate(_simhash_bands(max_hamming))
                 ]
             )
         ).alias("bk"),
@@ -367,10 +384,10 @@ def simhash_near_dup_pairs(corpus: DataFrame, max_hamming: int = 4) -> DataFrame
     )
 
 
-def simhash_near_dup_oracle_sql(max_hamming: int = 4) -> str:
+def simhash_near_dup_oracle_sql(max_hamming: int = 2) -> str:
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8*b}) & 255 AS key FROM sig"
-        for b in range(6)
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {sh}) & {(1 << w) - 1} AS key FROM sig"
+        for b, (sh, w) in enumerate(_simhash_bands(max_hamming))
     )
     return f"""
     WITH sig AS ({simhash_oracle_sql()}),

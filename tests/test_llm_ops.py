@@ -68,6 +68,37 @@ def test_simhash_pairs_find_planted(spark):
     assert planted_found >= 0.5 * n_docs
 
 
+def test_simhash_banding_pigeonhole_exact(spark):
+    """Banded candidate generation must have PERFECT recall at the declared
+    hamming bound: every true pair from the brute-force signature join must
+    survive banding (the pigeonhole guarantee _simhash_bands encodes)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    corpus = DT.augmented_corpus(docs)
+    sig = DT.simhash(corpus).persist()
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in DT.simhash_near_dup_pairs(corpus, max_hamming=2).collect()
+    }
+    assert got == want
+    assert len(DT._simhash_bands(2)) == 3
+    assert sum(w for _, w in DT._simhash_bands(2)) == DT.SIMHASH_BITS
+
+
 def test_ngram_jaccard_skew_guard(spark):
     """The hot-shingle cap bounds join fan-out while keeping planted pairs
     (their distinctive shingles are rare)."""
