@@ -27,12 +27,25 @@ FILES_SCHEMA = StructType(
 )
 
 
+# One persisted fixture per (session, sf_dir, size): the three cdc_* declared
+# queries all start from the same 80 MB generated input — sharing one
+# materialization instead of three is worth ~2-3 s each in any run that
+# executes the family (bench, driver correctness pass).
+_FIXTURE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def docs_from_documents(spark: SparkSession, sf_dir: str, target_bytes: int = 16384) -> DataFrame:
     """One binary file per document row: the text tiled to ~target_bytes.
 
     Tiling creates genuine intra/inter-file duplicate chunks (documents
     share vocabulary), exercising the dedup path on driver-owned data.
+    Cached + persisted per (session, sf_dir): deterministic content, so
+    reuse is safe.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, target_bytes)
+    cached = _FIXTURE_CACHE.get(key)
+    if cached is not None:
+        return cached
     from ..session import ensure_worker_imports as _ewi
 
     _ewi(spark)
@@ -56,7 +69,10 @@ def docs_from_documents(spark: SparkSession, sf_dir: str, target_bytes: int = 16
                 contents.append((blob * reps)[:target_bytes])
             yield pd.DataFrame({"file_id": pdf["file_id"], "content": contents})
 
-    return docs.mapInPandas(gen, FILES_SCHEMA)
+    out = docs.mapInPandas(gen, FILES_SCHEMA).persist()
+    out.count()
+    _FIXTURE_CACHE[key] = out
+    return out
 
 
 @lru_cache(maxsize=4)

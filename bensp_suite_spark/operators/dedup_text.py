@@ -162,7 +162,11 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     bucket-probe shape); est_jaccard = matching minhashes / K. Only pairs
     ≥ threshold survive. All integer math → exact oracle.
     """
-    sig = minhash_signatures(corpus)
+    # sig feeds four plan branches (both band join sides + both signature
+    # re-joins); persist AND materialize, else the branches race to fill the
+    # cache and the shingle+minhash aggregation still runs 4×.
+    sig = minhash_signatures(corpus).persist()
+    sig.count()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -243,7 +247,10 @@ def ngram_jaccard_pairs(
     DuckDB oracle); set it for web-scale corpora where a slightly lossy
     candidate set is the right trade.
     """
-    sh = shingles(corpus)
+    # sh feeds three plan branches (sizes + both inverted-index join sides);
+    # persist AND materialize, or the explode+distinct runs once per branch.
+    sh = shingles(corpus).persist()
+    sh.count()
     if max_shingle_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         keep = freq.filter(F.col("df") <= max_shingle_doc_freq).select("shingle")
@@ -354,6 +361,7 @@ def simhash_near_dup_pairs(corpus: DataFrame, max_hamming: int = 2) -> DataFrame
     never O(n²)), then filter on true Hamming distance. The signature table
     is persisted so the banded self-join computes the 48 vote-sums once."""
     sig = simhash(corpus).persist()
+    sig.count()
     bands = sig.select(
         "doc_id",
         "simhash",

@@ -499,13 +499,11 @@ def cdc_round_trip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     match flag; all_match must be true (decoder.c verification path §3.2)."""
     from .dedup import fixtures, pipeline
 
-    # Both decode branches (unique-payload table + fingerprint resolution) and
-    # the final compare re-read their inputs; persist once or the whole
-    # encode pipeline executes three times. Materialize eagerly — otherwise
-    # sibling stages of the final job race to fill the same cache and the
-    # fixture/encode work runs once per branch anyway.
-    files = fixtures.docs_from_documents(spark, sf_dir).persist()
-    files.count()
+    # The fixture is persisted by docs_from_documents; ddp feeds both decode
+    # branches (unique-payload table + fingerprint resolution) AND the final
+    # compare, so persist + materialize eagerly — otherwise sibling stages of
+    # the final job race to fill the same cache and encode runs per branch.
+    files = fixtures.docs_from_documents(spark, sf_dir)
     ddp = pipeline.encode(files, compress_type="gzip").persist()
     ddp.count()
     decoded = pipeline.decode(ddp, compress_type="gzip").withColumnRenamed(
