@@ -29,7 +29,6 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -38,11 +37,14 @@ from .emd import emd, pairwise_l2
 
 # E2LSH defaults mirroring the reference index recipe
 # (-L 12 -M 17 -w 4.0708 -H 19697, LSH.c:43-50 / mkdb:30; probe -L 8 -T 20,
-# ferret-pthreads.c:261). M is lower here because our bucket join already
-# concatenates all M hash values into one exact key.
+# ferret-pthreads.c:261). M is lower than the reference's 17 because the
+# synthetic fixture corpus is far smaller than corel — fewer concatenated
+# projections keep bucket occupancy comparable.
 LSH_M = 6
 LSH_L = 8
 LSH_W = 4.0708
+LSH_H = 19697  # second-level hash-table size (mkdb:30 -H; LSH.c:129-141)
+LSH_T = 20  # score-ordered probes per table (ferret-pthreads.c:261 -T)
 LSH_SEED = 20240813
 
 
@@ -89,41 +91,135 @@ def candidates_exhaustive(
     )
 
 
-def _e2lsh_keys_udf(dim: int, m: int = LSH_M, tables: int = LSH_L, w: float = LSH_W):
-    """Vectorized E2LSH bucket keys: h_j = floor((α_j·v + β_j)/W), one
-    concatenated exact key per table (LSH_hash_score, LSH_query.c:109-145).
-    One BLAS matmul per Arrow batch — the K12 kernel as a pandas UDF."""
+def _e2lsh_params(dim: int, m: int, tables: int, w: float):
+    """Shared E2LSH parameter draw: projection matrix α, offsets β, and the
+    per-table second-level mixing integers r_j (LSH.c:43-50 random init)."""
     rng = np.random.default_rng(LSH_SEED)
     alphas = rng.standard_normal((dim, m * tables))
     betas = rng.uniform(0, w, size=m * tables)
+    rnd = rng.integers(1, 1 << 32, size=(tables, m), dtype=np.uint64).astype(np.uint32)
+    return alphas, betas, rnd
 
-    @F.pandas_udf(ArrayType(StringType()))
+
+def _second_level(Hu: np.ndarray, rnd: np.ndarray) -> np.ndarray:
+    """Bucket id per (row, table): (Σ_j r_j·h_j) in wrapping uint32
+    arithmetic, then mod H — the reference's ohash bucket address
+    (LSH_hash2, LSH.c:129-141). Hu: (n, tables, m) uint32."""
+    with np.errstate(over="ignore"):
+        s = (Hu * rnd[None, :, :]).sum(axis=2, dtype=np.uint32)
+    return (s % np.uint32(LSH_H)).astype(np.int64)
+
+
+def _probe_atom_sets(scores: np.ndarray, t_probes: int) -> list[list[int]]:
+    """Score-ordered perturbation sets (O4) — multi-probe LSH (Lv et al.,
+    VLDB'07; reference perturb.c:52-122 heap enumeration). ``scores`` holds
+    2M atom costs: atom 2j   = move h_j down (cost frac_j²),
+                   atom 2j+1 = move h_j up   (cost (W−frac_j)²).
+    Returns up to ``t_probes`` atom-index sets, ascending total cost,
+    never perturbing the same hash function twice in one set."""
+    import heapq
+
+    order = np.argsort(scores, kind="stable")
+    n = len(order)
+    out: list[list[int]] = []
+    # heap entries: (total cost, ranks tuple); ranks index into `order`
+    heap: list[tuple[float, tuple[int, ...]]] = [(float(scores[order[0]]), (0,))]
+    while heap and len(out) < t_probes:
+        cost, ranks = heapq.heappop(heap)
+        atoms = [int(order[r]) for r in ranks]
+        if len({a >> 1 for a in atoms}) == len(atoms):  # one move per h_j
+            out.append(atoms)
+        mx = ranks[-1]
+        if mx + 1 < n:
+            nxt = float(scores[order[mx + 1]])
+            heapq.heappush(heap, (cost + nxt, ranks + (mx + 1,)))  # expand
+            heapq.heappush(
+                heap, (cost - float(scores[order[mx]]) + nxt, ranks[:-1] + (mx + 1,))
+            )  # shift
+    return out
+
+
+def _e2lsh_keys_udf(
+    dim: int,
+    m: int = LSH_M,
+    tables: int = LSH_L,
+    w: float = LSH_W,
+    t_probes: int = 0,
+):
+    """Vectorized E2LSH bucket keys — the K12 kernel as a pandas UDF.
+
+    h_j = floor((α_j·v + β_j)/W) per function (LSH_hash_score,
+    LSH_query.c:109-145), then the second-level uint32 mix down to an
+    H-sized bucket id (LSH.c:129-141); emitted key = table·H + bucket.
+    One BLAS matmul per Arrow batch.
+
+    t_probes=0 → index side (one key per table). t_probes>0 → query side:
+    base key plus up to T score-ordered perturbation probes per table,
+    each probe key derived incrementally as base ± r_j in wrapping uint32
+    (LSH_hash2_perturb, LSH_query.c:158-180)."""
+    alphas, betas, rnd = _e2lsh_params(dim, m, tables, w)
+
+    @F.pandas_udf(ArrayType(LongType()))
     def keys(features: pd.Series) -> pd.Series:
         V = np.vstack([np.asarray(f, dtype=np.float64) for f in features])
-        H = np.floor((V @ alphas + betas) / w).astype(np.int64)
+        S = V @ alphas + betas
+        Hf = np.floor(S / w)
+        Hu = Hf.astype(np.int64).astype(np.uint32).reshape(len(V), tables, m)
+        base = _second_level(Hu, rnd)  # (n, tables) int64 bucket ids
+        with np.errstate(over="ignore"):
+            base_sum = (Hu * rnd[None, :, :]).sum(axis=2, dtype=np.uint32)
+        offs = (np.arange(tables, dtype=np.int64) * LSH_H)[None, :]
+        if not t_probes:
+            return pd.Series(list(base + offs))
+        frac = (S - Hf * w).reshape(len(V), tables, m)
+        down = frac**2  # cost of h_j − 1 (distance to lower boundary)
+        up = (w - frac) ** 2  # cost of h_j + 1
         out = []
-        for row in H:
-            out.append([f"{t}|" + ",".join(map(str, row[t * m : (t + 1) * m])) for t in range(tables)])
+        for i in range(len(V)):
+            row_keys = list(base[i] + offs[0])
+            for t in range(tables):
+                scores = np.empty(2 * m)
+                scores[0::2] = down[i, t]
+                scores[1::2] = up[i, t]
+                for atoms in _probe_atom_sets(scores, t_probes):
+                    adj = np.uint32(0)
+                    with np.errstate(over="ignore"):
+                        for a in atoms:
+                            r = rnd[t, a >> 1]
+                            adj = adj + r if a & 1 else adj - r
+                        h = np.uint32(base_sum[i, t] + adj) % np.uint32(LSH_H)
+                    row_keys.append(t * LSH_H + int(h))
+            out.append(np.array(row_keys, dtype=np.int64))
         return pd.Series(out)
 
     return keys
 
 
 def candidates_lsh(
-    query_regions: DataFrame, corpus_regions: DataFrame, dim: int, m: int = LSH_M, tables: int = LSH_L, w: float = LSH_W
+    query_regions: DataFrame,
+    corpus_regions: DataFrame,
+    dim: int,
+    m: int = LSH_M,
+    tables: int = LSH_L,
+    w: float = LSH_W,
+    t_probes: int = LSH_T,
 ) -> DataFrame:
-    """J5 — LSH bucket-probe join: corpus index (vec, table-key) rows vs
-    query probes; equi-join on the key, distinct parent images."""
+    """J5 — LSH bucket-probe join: corpus index rows (one H-bucket key per
+    table) vs query probes (base bucket + T score-ordered perturbations per
+    table, O4); equi-join on the key, distinct parent images."""
     from ..session import ensure_worker_imports as _ewi
 
     _ewi(query_regions.sparkSession)
-    keys = _e2lsh_keys_udf(dim, m, tables, w)
     c = corpus_regions.select(
-        "c_image_id", F.explode(keys(F.col("features"))).alias("key")
+        "c_image_id",
+        F.explode(_e2lsh_keys_udf(dim, m, tables, w)(F.col("features"))).alias("key"),
     )
     q = query_regions.select(
-        "q_image_id", F.explode(keys(F.col("features"))).alias("key")
-    )
+        "q_image_id",
+        F.explode(
+            _e2lsh_keys_udf(dim, m, tables, w, t_probes=t_probes)(F.col("features"))
+        ).alias("key"),
+    ).dropDuplicates(["q_image_id", "key"])  # probes may collide on a bucket
     return q.join(c, on="key").select("q_image_id", "c_image_id").distinct()
 
 

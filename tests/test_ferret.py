@@ -91,3 +91,46 @@ def test_single_region_emd_equals_l2(spark):
     rng = np.random.default_rng(5)
     a, b = rng.random(14), rng.random(14)
     assert abs(emd([1.0], [1.0], pairwise_l2(a[None], b[None])) - ((a - b) ** 2).sum()) < 1e-12
+
+
+def test_probe_sets_score_ordered_and_valid():
+    """O4: perturbation sets come out in ascending total-cost order, never
+    move the same hash function twice, and start with the cheapest atom."""
+    rng = np.random.default_rng(7)
+    scores = rng.random(12)  # M=6 → 12 atoms
+    sets = pipeline._probe_atom_sets(scores, 20)
+    assert len(sets) == 20
+    costs = [sum(scores[a] for a in s) for s in sets]
+    assert costs == sorted(costs)
+    for s in sets:
+        funcs = [a >> 1 for a in s]
+        assert len(set(funcs)) == len(funcs)
+    assert sets[0] == [int(np.argmin(scores))]
+
+
+def test_second_level_bucket_range_and_determinism():
+    """Bucket ids land in [0, H) and are a pure function of the hash row."""
+    rng = np.random.default_rng(11)
+    Hu = rng.integers(0, 1 << 32, size=(50, 4, 6), dtype=np.uint64).astype(np.uint32)
+    rnd = rng.integers(1, 1 << 32, size=(4, 6), dtype=np.uint64).astype(np.uint32)
+    b1 = pipeline._second_level(Hu, rnd)
+    b2 = pipeline._second_level(Hu.copy(), rnd.copy())
+    assert (b1 == b2).all()
+    assert b1.min() >= 0 and b1.max() < pipeline.LSH_H
+
+
+def test_multiprobe_candidates_superset_of_single_probe(spark, corpus_df, queries_df):
+    """T probes per table can only ADD candidate buckets over the base
+    probe — multi-probe recall dominates single-probe recall."""
+    qr = pipeline.explode_regions(queries_df, "q")
+    cr = pipeline.explode_regions(corpus_df, "c")
+    single = {
+        (r.q_image_id, r.c_image_id)
+        for r in pipeline.candidates_lsh(qr, cr, dim=14, t_probes=0).collect()
+    }
+    multi = {
+        (r.q_image_id, r.c_image_id)
+        for r in pipeline.candidates_lsh(qr, cr, dim=14, t_probes=pipeline.LSH_T).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)
