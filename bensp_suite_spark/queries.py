@@ -930,3 +930,22 @@ def a5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden-output oracles: the deterministic non-SQL-expressible queries
+# (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
+# driver's correctness scale as DuckDB VALUES literals — upgrading them from
+# the weak rows-only check to the full value-hash check. Regenerate with
+# tools/gen_golden_oracles.py whenever one of their outputs changes
+# intentionally; tests/test_declared_queries.py replays every ORACLES entry
+# at sf0.01, so a stale golden fails locally before the driver sees it.
+# ---------------------------------------------------------------------------
+
+from .golden_oracles import GOLDEN_ORACLES  # noqa: E402
+
+for _name, _sql in GOLDEN_ORACLES.items():
+    if _name not in QUERIES:
+        raise RuntimeError(f"golden oracle for unknown query {_name!r}")
+    ORACLES.setdefault(_name, _sql)
+del _name, _sql
