@@ -401,4 +401,7 @@ def synthetic_images(spark, n: int = 16, size: int = 48, seed: int = 31):
             dx, dy = rng.integers(size // 4, size // 2, 2)
             img[x0 : x0 + dx, y0 : y0 + dy] = rng.integers(100, 255, 3)
         rows.append((i, f"img_{i:05d}.raw", "raw-rgb", size, size, encode_raw_rgb(img)))
-    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+    # one partition per image, not one per core: the downstream stages are
+    # all Python UDFs, and n tiny rows spread over 32 partitions would spin
+    # up 32 Python workers to process 12 images
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA).coalesce(max(1, n))

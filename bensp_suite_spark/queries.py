@@ -661,7 +661,10 @@ def ferret_topk_single_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ferret import fixtures as FF
     from .ferret import pipeline as FP
 
-    corpus = FF.vecsets_from_embeddings(spark, sf_dir, regions_per_image=1)
+    # corpus feeds four plan branches in ferret_topk (queries derive from it
+    # too) — persist + materialize so the collect_list grouping runs once.
+    corpus = FF.vecsets_from_embeddings(spark, sf_dir, regions_per_image=1).persist()
+    corpus.count()
     queries_df = corpus.filter(F.col("image_id") < 8)
     return FP.ferret_topk(queries_df, corpus, top_k=5, dim=64, mode="exhaustive")
 
@@ -675,7 +678,8 @@ def ferret_topk_multiregion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ferret import fixtures as FF
     from .ferret import pipeline as FP
 
-    corpus = FF.vecsets_from_embeddings(spark, sf_dir, regions_per_image=4)
+    corpus = FF.vecsets_from_embeddings(spark, sf_dir, regions_per_image=4).persist()
+    corpus.count()
     queries_df = corpus.filter(F.col("image_id") < 4)
     return FP.ferret_topk(queries_df, corpus, top_k=5, dim=64, mode="exhaustive")
 
@@ -706,7 +710,10 @@ def stream_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
     src = tempfile.mkdtemp(prefix="bensp_stream_src_")
-    ev.repartition(5).write.mode("overwrite").parquet(src)
+    # 3 files → 3 micro-batches: enough to prove cross-batch state/watermark
+    # behavior; each extra availableNow micro-batch costs ~0.7 s of fixed
+    # micro-batch overhead on local mode
+    ev.repartition(3).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema("ts timestamp, event_type string, value double")
         .option("maxFilesPerTrigger", 1)
@@ -744,7 +751,11 @@ def multimodal_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal import images as IM
 
     imgs = IM.synthetic_images(spark, n=12, size=32)
-    vecsets = IM.images_to_vecsets(imgs)
+    # ferret_topk references the corpus in four plan branches (query regions,
+    # corpus regions, EMD rerank, name join) — persist + materialize or the
+    # Python decode→HSV→SRM pipeline runs once per branch.
+    vecsets = IM.images_to_vecsets(imgs).persist()
+    vecsets.count()
     return FP.ferret_topk(vecsets, vecsets, top_k=3, mode="exhaustive")
 
 
