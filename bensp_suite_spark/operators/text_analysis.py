@@ -43,16 +43,20 @@ def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     int/int single divisions — deterministic doubles in any engine."""
     t = F.col(text)
     words = words_col(t)
-    n_chars = F.length(t)
-    n_alpha = F.length(F.regexp_replace(t, "[^a-z]", ""))
-    n_tokens = F.size(words)
-    stop = F.size(F.filter(words, lambda w: w.isin(*LANG_STOPWORDS["en"])))
-    return df.select(
+    counted = df.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
-        F.round(stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.length(t).alias("n_chars"),
+        F.length(F.regexp_replace(t, "[^a-z]", "")).alias("n_alpha"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.filter(words, _membership(LANG_STOPWORDS["en"]))).alias("stop"),
+    )
+    n_chars, n_tokens = F.col("n_chars"), F.col("n_tokens")
+    return counted.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("n_alpha").cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(F.col("stop").cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
         F.round(n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias("avg_token_len"),
     )
 
@@ -63,25 +67,31 @@ def _membership(sw: tuple[str, ...]):
     return lambda w: w.isin(*sw)
 
 
-def _lang_counts(text: Column) -> dict[str, Column]:
-    words = words_col(text)
-    return {
-        lang: F.size(F.filter(words, _membership(sw)))
-        for lang, sw in LANG_STOPWORDS.items()
-    }
-
-
 def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
     """Stopword-hit language heuristic: argmax of per-language stopword
-    counts; earlier language wins ties; 'und' when no hits at all."""
-    counts = _lang_counts(F.col(text))
+    counts; earlier language wins ties; 'und' when no hits at all.
+
+    Two chained projections on purpose: the first tokenizes once and emits
+    one count column per language; the second computes the argmax from those
+    named columns. Folding it into one projection makes every count
+    expression (split + array filter, both CodegenFallback) appear several
+    times in the nested CASE tree — ~10× slower, measured at sf0.1."""
+    words = words_col(F.col(text))
+    counted = df.select(
+        "doc_id",
+        *[
+            F.size(F.filter(words, _membership(sw))).alias(f"c_{lang}")
+            for lang, sw in LANG_STOPWORDS.items()
+        ],
+    )
+    counts = {lang: F.col(f"c_{lang}") for lang in LANG_STOPWORDS}
     best_lang, best_cnt = F.lit("und"), F.lit(-1)
     for lang in LANG_STOPWORDS:  # forward pass, strict > keeps first-wins ties
         c = counts[lang]
         best_lang = F.when(c > best_cnt, F.lit(lang)).otherwise(best_lang)
         best_cnt = F.when(c > best_cnt, c).otherwise(best_cnt)
     pred = F.when(best_cnt <= 0, F.lit("und")).otherwise(best_lang)
-    return df.select("doc_id", pred.alias("pred_lang"), best_cnt.alias("hits"))
+    return counted.select("doc_id", pred.alias("pred_lang"), best_cnt.alias("hits"))
 
 
 def lang_id_oracle_sql(table: str = "documents") -> str:
@@ -112,9 +122,11 @@ def doc_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     fold(acc*31 + codepoint) mod 2^31-1 — the relational cousin of the
     reference's Rabin fingerprint kernel (rabin.c), expressed as a pure SQL
     fold so DuckDB reproduces it exactly."""
-    t = text
+    # split('') yields one array element per codepoint in a single pass;
+    # indexing with substr(t, i, 1) instead is O(n) per lookup (UTF-8 seek
+    # from the start), i.e. quadratic per document — ~4× slower at sf0.1.
     fp = F.expr(
-        f"aggregate(transform(sequence(1, length({t})), i -> ascii(substr({t}, i, 1))), "
+        f"aggregate(transform(split({text}, ''), c -> ascii(c)), "
         f"0L, (acc, cp) -> (acc * 31 + cp) % {FINGERPRINT_MOD})"
     )
     return df.select("doc_id", fp.alias("fingerprint"))
