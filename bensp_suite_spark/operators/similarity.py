@@ -175,12 +175,13 @@ def lsh_ann_topk(
         .select("query_id", "qv", "tb.table", "tb.bucket")
     )
     cand = q.join(c, on=["table", "bucket"]).filter(F.col("query_id") != F.col("neighbor_id"))
+    # dedup (query, neighbor) BEFORE the fold-cosine: a pair found by p
+    # probes would otherwise pay the 64-dim interpreted fold p times
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     qv = F.col("qv").cast("array<double>")
     cv = F.col("cv").cast("array<double>")
     cos = F.round(_dot(qv, cv) / (_norm(qv) * _norm(cv)), 6)
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine")).dropDuplicates(
-        ["query_id", "neighbor_id"]
-    )
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -22,6 +22,22 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+#: Jar with the JVM-side fused CDC kernel (bensp.kernels.CdcFuseUdf), built
+#: by tools/build_jvm_kernel.sh. Loaded at session creation when present;
+#: sessions we did not create (the correctness driver's) simply fall back to
+#: the Python kernel.
+KERNEL_JAR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jars", "bensp-kernels.jar")
+
+
+def has_jvm_kernel(spark: SparkSession) -> bool:
+    """True iff bensp.kernels.CdcFuseUdf is loadable in this session's JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName("bensp.kernels.CdcFuseUdf")
+        return True
+    except Exception:
+        return False
+
+
 def get_spark(
     app_name: str = "bensp-spark",
     shuffle_partitions: int | None = None,
@@ -48,6 +64,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.path.exists(KERNEL_JAR):
+        # extraClassPath (not spark.jars): in local mode the driver classloader
+        # is the one resolving registerJavaFunction, and it only sees jars
+        # present at JVM launch
+        builder = builder.config("spark.driver.extraClassPath", KERNEL_JAR)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

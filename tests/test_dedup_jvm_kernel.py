@@ -1,0 +1,80 @@
+"""JVM fused-CDC kernel parity: bensp.kernels.CdcFuseUdf must emit exactly
+the chunk stream of the Python kernel (rabin.py + chunk_hash_compress),
+which is itself validated against the scalar reference recurrence in
+test_rabin.py. Skipped when the kernel jar is absent (tools/
+build_jvm_kernel.sh builds it)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bensp_suite_spark.dedup import fixtures, pipeline
+from bensp_suite_spark.session import has_jvm_kernel
+
+
+@pytest.fixture(scope="module")
+def jvm_spark(spark):
+    if not has_jvm_kernel(spark):
+        pytest.skip("bensp-kernels.jar not on driver classpath")
+    return spark
+
+
+@pytest.fixture(scope="module")
+def corpus(jvm_spark):
+    # pool-repetitive files -> real local + global dups; odd sizes -> edge
+    # chunks; includes a sub-window file via file_bytes spread
+    return fixtures.synthetic_docs(
+        jvm_spark, n_files=24, file_bytes=1 << 18, pool_size=24, seed=97
+    ).cache()
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_fused_stream_identical(jvm_spark, corpus):
+    py = pipeline.chunk_hash_compress(corpus, "gzip", with_payload=False).select(
+        "file_id", "l1", "l2", "is_last_l2", "size", "sha1", "c_len"
+    )
+    jv = pipeline.chunk_hash_compress_jvm(corpus, "gzip")
+    assert _rows(jv) == _rows(py)
+
+
+def test_fused_stream_identical_no_compress(jvm_spark, corpus):
+    py = pipeline.chunk_hash_compress(corpus, "none", with_payload=False).select(
+        "file_id", "l1", "l2", "is_last_l2", "size", "sha1", "c_len"
+    )
+    jv = pipeline.chunk_hash_compress_jvm(corpus, "none")
+    assert _rows(jv) == _rows(py)
+
+
+def test_stats_identical(jvm_spark, corpus):
+    a = pipeline.dedup_stats(corpus, "gzip").collect()
+    b = pipeline.dedup_stats_jvm(corpus, "gzip").collect()
+    assert a == b
+
+
+def test_stats_identical_per_file_scope(jvm_spark, corpus):
+    a = pipeline.dedup_stats(corpus, "gzip", scope_per_file=True).collect()
+    b = pipeline.dedup_stats_jvm(corpus, "gzip", scope_per_file=True).collect()
+    assert a == b
+
+
+def test_edge_contents(jvm_spark):
+    # empty file, sub-window file, exactly-window file, window+1
+    rows = [(0, b""), (1, b"abc"), (2, bytes(range(32))), (3, bytes(33))]
+    df = jvm_spark.createDataFrame(rows, fixtures.FILES_SCHEMA)
+    py = pipeline.chunk_hash_compress(df, "gzip", with_payload=False).select(
+        "file_id", "l1", "l2", "is_last_l2", "size", "sha1", "c_len"
+    )
+    jv = pipeline.chunk_hash_compress_jvm(df, "gzip")
+    assert _rows(jv) == _rows(py)
+
+
+def test_plan_has_no_python_stage(jvm_spark):
+    # local-relation input: the corpus fixture's own generation is a
+    # mapInPandas and would show up in the cached lineage
+    df = jvm_spark.createDataFrame([(0, b"x" * 4096)], fixtures.FILES_SCHEMA)
+    plan = pipeline.dedup_stats_jvm(df, "gzip")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
