@@ -380,8 +380,14 @@ def dedup_stats_jvm(
 
 def chunk_size_histogram(files: DataFrame) -> DataFrame:
     """A2 — 256 buckets of 128 B, top bucket open-ended
-    (CHUNK_SIZE_TO_SLOT, encoder.c:133-141)."""
-    chunks = chunk_files(files)
+    (CHUNK_SIZE_TO_SLOT, encoder.c:133-141). Sizes come from the JVM kernel
+    when its jar is loaded (identical boundaries, no Python stage)."""
+    from ..session import has_jvm_kernel
+
+    if has_jvm_kernel(files.sparkSession):
+        chunks = chunk_hash_compress_jvm(files, "none").select("size")
+    else:
+        chunks = chunk_files(files).select("size")
     slot = F.least(F.floor(F.col("size") / 128), F.lit(255)).cast("long")
     return chunks.groupBy(slot.alias("slot")).agg(F.count(F.lit(1)).alias("cnt"))
 
