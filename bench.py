@@ -82,7 +82,7 @@ def main() -> None:
     jvm_kernel = has_jvm_kernel(spark)
     stats_fn = DP.dedup_stats_jvm if jvm_kernel else DP.dedup_stats
     dedup_sec = None
-    for _rep in range(3):  # rep 0 warms JIT + page cache; then best-of-2
+    for _rep in range(4):  # rep 0 warms JIT + page cache; then best-of-3
         t0 = time.perf_counter()
         stats_fn(files, compress_type="gzip").collect()
         rep_sec = round(time.perf_counter() - t0, 4)

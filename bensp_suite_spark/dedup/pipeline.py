@@ -205,12 +205,19 @@ def encode(files: DataFrame, compress_type: str = "gzip", scope_per_file: bool =
     """Full encode pipeline → ordered ``ddp`` DataFrame (write with
     .write.parquet to materialize the archive table).
 
-    Uses the fused chunk+hash+compress stage; the global first-wins window
-    then only selects among payload-carrying (file-local-winner) rows —
-    the global winner is always its file's first occurrence, so it always
-    has a payload. Duplicates emit fingerprint records (bypass routing P4,
-    encoder.c:770-786 — here a ``when`` column, no physical routing)."""
-    fused = chunk_hash_compress(files, compress_type=compress_type)
+    Uses the fused chunk+hash+compress stage (JVM kernel when its jar is
+    loaded — identical chunk stream, no Python stage); the global
+    first-wins window then only selects among payload-carrying
+    (file-local-winner) rows — the global winner is always its file's
+    first occurrence, so it always has a payload. Duplicates emit
+    fingerprint records (bypass routing P4, encoder.c:770-786 — here a
+    ``when`` column, no physical routing)."""
+    from ..session import has_jvm_kernel
+
+    if compress_type in ("gzip", "none") and has_jvm_kernel(files.sparkSession):
+        fused = chunk_hash_compress_jvm(files, compress_type=compress_type, with_payload=True)
+    else:
+        fused = chunk_hash_compress(files, compress_type=compress_type)
     keys = ["file_id", "sha1"] if scope_per_file else ["sha1"]
     w = Window.partitionBy(*keys).orderBy("file_id", "l1", "l2")
     flagged = fused.withColumn("is_dup", F.row_number().over(w) > 1)
@@ -263,6 +270,23 @@ def decode(ddp: DataFrame, compress_type: str = "gzip") -> DataFrame:
     )
     resolved = resolved.repartition(n_parts, "file_id")
 
+    from ..session import has_jvm_kernel
+
+    if ctype in ("gzip", "none") and has_jvm_kernel(ddp.sparkSession):
+        # JVM reassembly: per-file ordered payload array (array_sort on the
+        # (l1, l2, payload) struct sorts lexicographically by field order),
+        # then one inflate+concat kernel call per file
+        _register_jvm_fuse(ddp.sparkSession)
+        arr = resolved.groupBy("file_id").agg(
+            F.array_sort(F.collect_list(F.struct("l1", "l2", "payload"))).alias("cs")
+        )
+        return arr.select(
+            "file_id",
+            F.expr(f"bensp_inflate_concat(transform(cs, x -> x.payload), '{ctype}')").alias(
+                "content"
+            ),
+        )
+
     out_schema = StructType([StructField("file_id", LongType()), StructField("content", BinaryType())])
 
     if ctype == "gzip":
@@ -297,17 +321,22 @@ def dedup_stats(
 
 FUSE_UDF_RETURN = (
     "struct<l1:array<bigint>,l2:array<bigint>,start:array<bigint>,size:array<bigint>,"
-    "is_last_l2:array<boolean>,sha1:array<string>,c_len:array<bigint>>"
+    "is_last_l2:array<boolean>,sha1:array<string>,c_len:array<bigint>,payload:array<binary>>"
 )
 
 
 def _register_jvm_fuse(spark) -> None:
     if not getattr(spark, "_bensp_cdc_fuse_registered", False):
         spark.udf.registerJavaFunction("bensp_cdc_fuse", "bensp.kernels.CdcFuseUdf", FUSE_UDF_RETURN)
+        spark.udf.registerJavaFunction(
+            "bensp_inflate_concat", "bensp.kernels.InflateConcatUdf", "binary"
+        )
         spark._bensp_cdc_fuse_registered = True
 
 
-def chunk_hash_compress_jvm(files: DataFrame, compress_type: str = "gzip") -> DataFrame:
+def chunk_hash_compress_jvm(
+    files: DataFrame, compress_type: str = "gzip", with_payload: bool = False
+) -> DataFrame:
     """JVM-side fused stage (metadata-only): same rows as
     ``chunk_hash_compress(..., with_payload=False)`` minus the payload
     column, produced by the Java kernel (jvm/src/bensp/kernels/
@@ -321,25 +350,24 @@ def chunk_hash_compress_jvm(files: DataFrame, compress_type: str = "gzip") -> Da
     callers gate on ``session.has_jvm_kernel``."""
     spark = files.sparkSession
     _register_jvm_fuse(spark)
+    emit = "true" if with_payload else "false"
     fused = files.select(
-        "file_id", F.expr(f"bensp_cdc_fuse(content, '{compress_type}')").alias("r")
+        "file_id", F.expr(f"bensp_cdc_fuse(content, '{compress_type}', {emit})").alias("r")
     )
-    z = fused.select(
-        "file_id",
-        F.explode(
-            F.arrays_zip(
-                F.col("r.l1").alias("l1"),
-                F.col("r.l2").alias("l2"),
-                F.col("r.is_last_l2").alias("is_last_l2"),
-                F.col("r.size").alias("size"),
-                F.col("r.sha1").alias("sha1"),
-                F.col("r.c_len").alias("c_len"),
-            )
-        ).alias("c"),
-    )
-    return z.select(
-        "file_id", "c.l1", "c.l2", "c.is_last_l2", "c.size", "c.sha1", "c.c_len"
-    )
+    cols = [
+        F.col("r.l1").alias("l1"),
+        F.col("r.l2").alias("l2"),
+        F.col("r.is_last_l2").alias("is_last_l2"),
+        F.col("r.size").alias("size"),
+        F.col("r.sha1").alias("sha1"),
+        F.col("r.c_len").alias("c_len"),
+    ]
+    out = ["file_id", "c.l1", "c.l2", "c.is_last_l2", "c.size", "c.sha1", "c.c_len"]
+    if with_payload:
+        cols.append(F.col("r.payload").alias("payload"))
+        out.append("c.payload")
+    z = fused.select("file_id", F.explode(F.arrays_zip(*cols)).alias("c"))
+    return z.select(*out)
 
 
 def _stats_from_fused(fused: DataFrame, scope_per_file: bool) -> DataFrame:

@@ -6,7 +6,7 @@ import java.util.zip.Deflater;
 
 import org.apache.spark.sql.Row;
 import org.apache.spark.sql.RowFactory;
-import org.apache.spark.sql.api.java.UDF2;
+import org.apache.spark.sql.api.java.UDF3;
 
 /**
  * Fused content-defined-chunking kernel: Rabin CDC + SHA-1 + local-dup-aware
@@ -23,10 +23,12 @@ import org.apache.spark.sql.api.java.UDF2;
  * of every input byte.
  *
  * Output: one struct of parallel arrays per file (l1, l2, start, size,
- * is_last_l2, sha1-hex, compressed-len). A file-local duplicate chunk gets
- * c_len = 0, mirroring the stats path of the Python pipeline.
+ * is_last_l2, sha1-hex, compressed-len, payload). A file-local duplicate
+ * chunk gets c_len = 0 and a null payload, mirroring the Python pipeline;
+ * emitPayload=false (the stats path) nulls every payload while still
+ * counting compressed lengths.
  */
-public class CdcFuseUdf implements UDF2<byte[], String, Row> {
+public class CdcFuseUdf implements UDF3<byte[], String, Boolean, Row> {
 
   static final int IRR_POLY = 0x45C2B6A1; // rabin.c:15
   static final int NWINDOW = 32;          // rabin.h:8
@@ -120,8 +122,9 @@ public class CdcFuseUdf implements UDF2<byte[], String, Row> {
   }
 
   @Override
-  public Row call(byte[] content, String compressType) throws Exception {
+  public Row call(byte[] content, String compressType, Boolean emitPayload) throws Exception {
     boolean gzip = "gzip".equals(compressType);
+    boolean emit = Boolean.TRUE.equals(emitPayload);
     if (!gzip && !"none".equals(compressType)) {
       throw new IllegalArgumentException(
           "JVM kernel supports compress_type gzip|none, got: " + compressType);
@@ -141,9 +144,27 @@ public class CdcFuseUdf implements UDF2<byte[], String, Row> {
         }
         d.end();
       }
+      byte[] emptyPayload = null;
+      if (emit) {
+        if (gzip) {
+          Deflater d2 = new Deflater(1);
+          d2.setInput(new byte[0]);
+          d2.finish();
+          byte[] b2 = new byte[32];
+          int m2 = 0;
+          while (!d2.finished()) {
+            m2 += d2.deflate(b2, m2, b2.length - m2);
+          }
+          d2.end();
+          emptyPayload = java.util.Arrays.copyOf(b2, m2);
+        } else {
+          emptyPayload = new byte[0];
+        }
+      }
       return RowFactory.create(
           new long[] {0L}, new long[] {0L}, new long[] {0L}, new long[] {0L},
-          new boolean[] {true}, new String[] {hex(md.digest())}, new long[] {clen});
+          new boolean[] {true}, new String[] {hex(md.digest())}, new long[] {clen},
+          new byte[][] {emptyPayload});
     }
 
     int[] matches = matchPositions(content);
@@ -171,6 +192,7 @@ public class CdcFuseUdf implements UDF2<byte[], String, Row> {
     boolean[] lasts = new boolean[cap];
     String[] sha1s = new String[cap];
     long[] clens = new long[cap];
+    byte[][] payloads = new byte[cap][];
     int nc = 0;
 
     MessageDigest sha1 = MessageDigest.getInstance("SHA-1");
@@ -192,16 +214,33 @@ public class CdcFuseUdf implements UDF2<byte[], String, Row> {
           sha1.update(content, start, end - start);
           String digest = hex(sha1.digest());
           long clen = 0;
+          byte[] payload = null;
           if (localSeen.add(digest)) {
             if (gzip) {
               deflater.reset();
               deflater.setInput(content, start, end - start);
               deflater.finish();
-              while (!deflater.finished()) {
-                clen += deflater.deflate(scratch);
+              if (emit) {
+                byte[] out = new byte[(end - start) + ((end - start) >> 9) + 64];
+                int m = 0;
+                while (!deflater.finished()) {
+                  if (m == out.length) {
+                    out = java.util.Arrays.copyOf(out, out.length * 2);
+                  }
+                  m += deflater.deflate(out, m, out.length - m);
+                }
+                payload = java.util.Arrays.copyOf(out, m);
+                clen = m;
+              } else {
+                while (!deflater.finished()) {
+                  clen += deflater.deflate(scratch);
+                }
               }
             } else {
               clen = end - start;
+              if (emit) {
+                payload = java.util.Arrays.copyOfRange(content, start, end);
+              }
             }
           }
           l1s[nc] = a;
@@ -210,6 +249,7 @@ public class CdcFuseUdf implements UDF2<byte[], String, Row> {
           sizes[nc] = end - start;
           sha1s[nc] = digest;
           clens[nc] = clen;
+          payloads[nc] = payload;
           nc++;
           if (end == ce) {
             break;
@@ -231,7 +271,8 @@ public class CdcFuseUdf implements UDF2<byte[], String, Row> {
         java.util.Arrays.copyOf(sizes, nc),
         java.util.Arrays.copyOf(lasts, nc),
         java.util.Arrays.copyOf(sha1s, nc),
-        java.util.Arrays.copyOf(clens, nc));
+        java.util.Arrays.copyOf(clens, nc),
+        java.util.Arrays.copyOf(payloads, nc));
   }
 
 }

@@ -72,6 +72,20 @@ def test_edge_contents(jvm_spark):
     assert _rows(jv) == _rows(py)
 
 
+def test_payload_bytes_identical(jvm_spark, corpus):
+    # Java Deflater(1) and Python zlib.compress(level=1) wrap the same zlib;
+    # the archives must match byte-for-byte, not just in length
+    py = pipeline.chunk_hash_compress(corpus, "gzip", with_payload=True).select(
+        "file_id", "l1", "l2", "payload"
+    )
+    jv = pipeline.chunk_hash_compress_jvm(corpus, "gzip", with_payload=True).select(
+        "file_id", "l1", "l2", "payload"
+    )
+    a = {(r[0], r[1], r[2]): (None if r[3] is None else bytes(r[3])) for r in py.collect()}
+    b = {(r[0], r[1], r[2]): (None if r[3] is None else bytes(r[3])) for r in jv.collect()}
+    assert a == b
+
+
 def test_plan_has_no_python_stage(jvm_spark):
     # local-relation input: the corpus fixture's own generation is a
     # mapInPandas and would show up in the cached lineage
