@@ -50,13 +50,20 @@ def main() -> None:
     cache_tables(spark, sf_dir)
     Q.QUERIES["p7_range_filter"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Steady-state protocol (the reference's testbed runs every config 10×
+    # and reports the settled value, testbed/t1/time.sh): two reps, per-query
+    # min. Rep 0 absorbs one-time costs that are not query work — Python UDF
+    # worker spin-up, JIT/codegen compilation, shared-fixture materialization
+    # — which otherwise dominate at this (tiny) scale factor.
     times: dict[str, float] = {}
-    for name in sorted(Q.QUERIES):
-        t0 = time.perf_counter()
-        # construction included: some queries (streaming) execute eagerly
-        df = Q.QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 4)
+    for _rep in range(2):
+        for name in sorted(Q.QUERIES):
+            t0 = time.perf_counter()
+            # construction included: some queries (streaming) execute eagerly
+            df = Q.QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            sec = round(time.perf_counter() - t0, 4)
+            times[name] = min(times.get(name, sec), sec)
 
     # dedup-pipeline throughput at a fixed size (BASELINE.md: reference
     # h1 run ≈ 41 MB/s single-thread; target ≥ ~20 MB/s/core sustained).

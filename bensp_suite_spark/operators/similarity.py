@@ -191,6 +191,152 @@ def lsh_ann_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path. The reference's
+# LSH index buckets by random projections (LSH.c:751-770); IVF buckets by
+# nearest coarse centroid instead, probing the n_probe nearest cells per
+# query — the standard FAISS-style layout for billion-vector corpora.
+#
+# Centroid choice is deterministic (the n_cells lowest-id corpus vectors)
+# so the WHOLE operator — assignment included — has an exact DuckDB oracle.
+# At 100 TB you would train centroids offline (MLlib KMeans on a sample)
+# and swap them in; the plan shape below is unchanged by better centroids.
+# ---------------------------------------------------------------------------
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    # sequential left fold of (x-y)^2, init 0.0 — mirrors the oracle fold
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_cells`` lowest-id corpus
+    vectors, one cell per centroid. Tiny by construction → broadcast side
+    of every assignment join."""
+    return corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("centroid")
+    )
+
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame, n_keep: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """``n_keep`` nearest cells per vector (squared-L2, cell-id tiebreak).
+
+    Broadcast nested-loop against the centroid table then a rank window —
+    no corpus shuffle beyond the per-id window. n_keep=1 assigns corpus
+    vectors; n_keep=n_probe picks query probe cells."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(vec_col), F.col("cell"), _sq_l2(v, F.col("centroid")).alias("d2")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2"), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_keep)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine via inverted-file probing: corpus vectors
+    live in their nearest cell, each query scans only its ``n_probe``
+    nearest cells, exact cosine re-rank within candidates (the same
+    cheap-filter / expensive-rerank two-phase plan as the reference's
+    LSH→EMD path, ferret-pthreads.c:580-655).
+
+    Candidate shuffle is ∝ probed-cell sizes, never O(n²); the centroid
+    table is broadcast; the final top-K is a rank window on the (small)
+    candidate set."""
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cent,
+        1,
+        "neighbor_id",
+        "cv",
+    )
+    q = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        cent,
+        n_probe,
+        "query_id",
+        "qv",
+    )
+    cand = q.join(c, on="cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    qv = F.col("qv").cast("array<double>")
+    cv = F.col("cv").cast("array<double>")
+    cos = F.round(_dot(qv, cv) / (_norm(qv) * _norm(cv)), 6)
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk_oracle_sql(
+    k: int = 5, max_query_id: int = 8, n_cells: int = 16, n_probe: int = 2
+) -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+    d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len({a}) + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
+    cos = (
+        f"ROUND({dot.format(a='qv', b='cv')} / "
+        f"(SQRT({dot.format(a='qv', b='qv')}) * SQRT({dot.format(a='cv', b='cv')})), 6)"
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
+                  FROM embeddings WHERE vec_id < {n_cells}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    cassign AS (
+      SELECT neighbor_id, cv, cell FROM (
+        SELECT neighbor_id, cv, cell,
+               ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                  ORDER BY {d2.format(a='cv', b='centroid')}, cell) AS rn
+        FROM c CROSS JOIN cent) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {max_query_id}),
+    qprobe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {d2.format(a='qv', b='centroid')}, cell) AS rn
+        FROM q CROSS JOIN cent) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cosine
+      FROM qprobe JOIN cassign USING (cell)
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate detection (the fifth dedup method of the
 # north-star list). Deterministic sign-pattern blocking so the WHOLE op —
 # candidate generation included — has an exact SQL oracle: block key =

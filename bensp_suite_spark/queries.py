@@ -631,6 +631,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk(queries_df, emb, k=5, dim=64)
 
 
+@query("ann_ivf_topk", oracle=SIM.ivf_topk_oracle_sql(k=5, max_query_id=8, n_cells=16, n_probe=2))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: nearest-cell assignment, n_probe cells per
+    query, exact cosine re-rank (the FAISS-style scale path next to
+    ann_lsh_topk's hyperplane-LSH path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivf_ann_topk(queries_df, emb, k=5, n_cells=16, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # Ferret similarity-search pipeline (reference: apps/ferret §3.3)
 # ---------------------------------------------------------------------------

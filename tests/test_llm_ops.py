@@ -24,6 +24,40 @@ def test_lsh_ann_recall(spark):
     assert recall >= 0.5, f"LSH ANN recall too low: {recall:.2f}"
 
 
+def test_ivf_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk_bruteforce(queries, emb, k=5)
+    approx = SIM.ivf_ann_topk(queries, emb, k=5, n_cells=16, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF ANN recall too low: {recall:.2f}"
+
+
+def test_ivf_assignment_covers_corpus(spark):
+    """Every corpus vector lands in exactly one cell; every query emits
+    exactly n_probe probe rows (the IVF partition-function invariants)."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    cent = SIM.ivf_centroids(emb, n_cells=16)
+    assert cent.count() == 16
+    assigned = SIM.ivf_assign(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
+        cent, 1, "neighbor_id", "cv",
+    )
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("neighbor_id").distinct().count() == n
+    probes = SIM.ivf_assign(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        cent, 3, "query_id", "qv",
+    )
+    counts = {r.query_id: r["count"] for r in probes.groupBy("query_id").count().collect()}
+    assert set(counts) == set(range(8)) and all(v == 3 for v in counts.values())
+
+
 def test_lsh_top1_is_exact_often(spark):
     emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 20)
