@@ -41,6 +41,16 @@ SHINGLE_N = 3
 SIMHASH_BITS = 48  # 48 of 63 safe BIGINT bits; 32 was far too collision-prone
 
 
+def _wide_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition a fan-out stage onto every core before its
+    groupBy/distinct. Inverted-index self-joins emit far more rows than the
+    input tables, so suite-level shuffle sizing (∝ input bytes) leaves most
+    cores idle exactly where the work is; the aggregation that follows
+    reuses this hash distribution, so it is one exchange, not two."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
 # ---------------------------------------------------------------------------
 # corpus + shingles
 # ---------------------------------------------------------------------------
@@ -193,9 +203,13 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     ).select("doc_id", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(b, on=["band", "key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _wide_by(
+            a.join(b, on=["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")),
+            "doc_a",
+            "doc_b",
+        )
         .distinct()
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(MINHASH_K)])
@@ -274,10 +288,14 @@ def ngram_jaccard_pairs(
         sh = sh.join(keep, on="sid", how="left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
-    shared = (
+    pair_rows = (
         a.join(b, on="sid")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    shared = (
+        _wide_by(pair_rows, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
