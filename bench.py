@@ -97,6 +97,32 @@ def main() -> None:
             dedup_sec = rep_sec if dedup_sec is None else min(dedup_sec, rep_sec)
     files.unpersist()
 
+    # ferret-pipeline throughput (BASELINE.md: reference query time 2.409 s
+    # for its test batch, corel-class corpus, LSH probe + EMD rerank, top-50).
+    # Same protocol: warm rep then best-of-2 on a fixed synthetic workload
+    # (1000-image corpus, 50 queries, 14-dim regions, E2LSH probe, exact-EMD
+    # rerank, top-50).
+    from bensp_suite_spark.ferret import fixtures as FER_F
+    from bensp_suite_spark.ferret import pipeline as FER_P
+
+    fer_corpus = FER_F.synthetic_corpus(spark, m=1000).persist(StorageLevel.MEMORY_ONLY)
+    fer_corpus.count()
+    fer_queries = FER_F.synthetic_queries(spark, fer_corpus, q=50).persist(
+        StorageLevel.MEMORY_ONLY
+    )
+    fer_queries.count()
+    ferret_sec = None
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        FER_P.ferret_topk(fer_queries, fer_corpus, top_k=50, dim=14, mode="lsh").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        rep_sec = round(time.perf_counter() - t0, 4)
+        if _rep > 0:
+            ferret_sec = rep_sec if ferret_sec is None else min(ferret_sec, rep_sec)
+    fer_corpus.unpersist()
+    fer_queries.unpersist()
+
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
@@ -112,6 +138,10 @@ def main() -> None:
                     "dedup_throughput_mbps": round(dedup_mb / dedup_sec, 2),
                     "dedup_jvm_kernel": jvm_kernel,
                     "dedup_throughput_mbps_per_core": round(dedup_mb / dedup_sec / cpus, 2),
+                    "ferret_corpus_images": 1000,
+                    "ferret_batch_queries": 50,
+                    "ferret_batch_sec": ferret_sec,
+                    "ferret_queries_per_sec": round(50 / ferret_sec, 2),
                 },
             }
         )

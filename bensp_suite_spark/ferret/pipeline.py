@@ -246,6 +246,13 @@ def emd_rerank(candidates: DataFrame, queries: DataFrame, corpus: DataFrame) -> 
         F.col("image_id").alias("c_image_id"), F.col("regions").alias("c_regions")
     )
     joined = candidates.join(F.broadcast(q), "q_image_id").join(c, "c_image_id")
+    # Pin rank-stage parallelism (the reference's RANK thread-pool
+    # replication, T3). AQE sizes the upstream candidate exchange by BYTES,
+    # and a candidate set is only a few MB — it happily coalesces to one
+    # partition, serializing a stage whose real cost is per-row CPU (the
+    # O(r^3) transportation simplex), a 10x+ slowdown at bench scale. An
+    # explicit numPartitions is exempt from AQE coalescing.
+    joined = joined.repartition(joined.sparkSession.sparkContext.defaultParallelism)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
