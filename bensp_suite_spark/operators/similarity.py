@@ -174,7 +174,12 @@ def lsh_ann_topk(
         .withColumn("tb", F.explode(_probe_entries(F.col("ba"), n_planes, n_tables, n_probes)))
         .select("query_id", "qv", "tb.table", "tb.bucket")
     )
-    cand = q.join(c, on=["table", "bucket"]).filter(F.col("query_id") != F.col("neighbor_id"))
+    # query batch ≪ corpus by contract: broadcast it explicitly rather than
+    # relying on AQE's size estimate (bucket cardinality is n_tables ×
+    # 2^n_planes — a shuffled join on it skews on hot buckets at scale)
+    cand = F.broadcast(q).join(c, on=["table", "bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     # dedup (query, neighbor) BEFORE the fold-cosine: a pair found by p
     # probes would otherwise pay the 64-dim interpreted fold p times
     cand = cand.dropDuplicates(["query_id", "neighbor_id"])
@@ -226,18 +231,26 @@ def ivf_assign(
 ) -> DataFrame:
     """``n_keep`` nearest cells per vector (squared-L2, cell-id tiebreak).
 
-    Broadcast nested-loop against the centroid table then a rank window —
-    no corpus shuffle beyond the per-id window. n_keep=1 assigns corpus
-    vectors; n_keep=n_probe picks query probe cells."""
+    The centroid table is tiny by construction, so it is collected into a
+    literal expression: per-row nearest-cell is then a pure JVM projection
+    — array_sort over (d2, cell) structs — with ZERO shuffle. The previous
+    crossJoin + rank-window shape re-shuffled the whole corpus by id just
+    to pick a minimum, which is the scan-dominating exchange at 100 TB.
+    n_keep=1 assigns corpus vectors; n_keep=n_probe picks query probe cells."""
+    cents = centroids.select("cell", "centroid").collect()
     v = F.col(vec_col).cast("array<double>")
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col), F.col(vec_col), F.col("cell"), _sq_l2(v, F.col("centroid")).alias("d2")
+    scored = F.array(
+        *[
+            F.struct(
+                _sq_l2(v, F.array(*[F.lit(float(x)) for x in row["centroid"]])).alias("d2"),
+                F.lit(row["cell"]).cast("long").alias("cell"),
+            )
+            for row in cents
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("d2"), F.col("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_keep)
-        .select(id_col, vec_col, "cell")
+    nearest = F.slice(F.array_sort(scored), 1, n_keep)
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(nearest.getField("cell")).alias("cell")
     )
 
 
@@ -274,7 +287,10 @@ def ivf_ann_topk(
         "query_id",
         "qv",
     )
-    cand = q.join(c, on="cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    # probed queries ≪ corpus: broadcast them so the corpus side never
+    # shuffles on `cell` (16 distinct cells = 16-way max parallelism if
+    # sort-merged — a skew cliff at scale)
+    cand = F.broadcast(q).join(c, on="cell").filter(F.col("query_id") != F.col("neighbor_id"))
     qv = F.col("qv").cast("array<double>")
     cv = F.col("cv").cast("array<double>")
     cos = F.round(_dot(qv, cv) / (_norm(qv) * _norm(cv)), 6)

@@ -91,7 +91,11 @@ def test_relational_queries_have_no_python_udfs(spark):
         # text ops are deliberately JVM-side too
         "text_token_count", "text_quality_score", "text_lang_id",
         "text_doc_fingerprint", "dedup_exact_text", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+        # grouping-set / window aggs and the expression-only ANN paths
+        "agg_rollup", "agg_cube_events", "agg_pivot_status",
+        "a5_session_windows", "ann_cosine_topk", "ann_range_search",
+        "ann_ivf_topk", "dedup_embedding_cosine",
     ]
     for name in relational:
         plan = _plan(spark, name)
@@ -109,6 +113,34 @@ def test_whole_stage_codegen_on_hot_path(spark):
     assert "isFinalPlan=true" in plan
     # AQE final plans mark whole-stage-codegen stages with "*(n)" prefixes
     assert "*(1)" in plan, f"no codegen stage markers in:\n{plan[:800]}"
+
+
+def test_ivf_topk_no_corpus_shuffle(spark):
+    """IVF cell assignment must be a pure projection (collected-centroid
+    literal) and the candidate join must broadcast the probed queries.
+    A sort-merge join on `cell` (16 distinct values) caps parallelism at
+    16 tasks regardless of cluster size — the canonical skew cliff."""
+    plan = _plan(spark, "ann_ivf_topk")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly two exchanges: broadcast of probed queries + final rank window
+    assert plan.count("Exchange") <= 2, plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_embedding_near_dup_is_broadcast(spark):
+    # sign-pattern blocking join: blocks table broadcasts, corpus streams
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_grouping_set_aggs_are_partial(spark):
+    # rollup/cube/pivot/session-window aggs must all map-side combine
+    for name in ("agg_rollup", "agg_cube_events", "agg_pivot_status",
+                 "a5_session_windows"):
+        plan = _plan(spark, name)
+        assert plan.count("HashAggregate") >= 2, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
 
 
 def test_cdc_shuffle_is_metadata_only(spark):
