@@ -181,8 +181,9 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     # sig feeds four plan branches (both band join sides + both signature
     # re-joins); persist AND materialize, else the branches race to fill the
     # cache and the shingle+minhash aggregation still runs 4×.
-    sig = minhash_signatures(corpus).persist()
-    sig.count()
+    from ..session import pooled_persist
+
+    sig = pooled_persist(minhash_signatures(corpus), "dedup_text.minhash.sig")
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -278,10 +279,12 @@ def ngram_jaccard_pairs(
     # string keys at sf0.1, and a 64-bit collision between two of the
     # corpus's distinct shingles (p ≈ d²/2⁶⁵) is negligible even at 10¹⁰
     # distinct shingles. Semantics are unchanged absent a collision.
-    sh = shingles(corpus).select(
-        "doc_id", F.xxhash64("shingle").alias("sid")
-    ).persist()
-    sh.count()
+    from ..session import pooled_persist
+
+    sh = pooled_persist(
+        shingles(corpus).select("doc_id", F.xxhash64("shingle").alias("sid")),
+        "dedup_text.jaccard.sh",
+    )
     if max_shingle_doc_freq is not None:
         freq = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
         keep = freq.filter(F.col("df") <= max_shingle_doc_freq).select("sid")
@@ -398,8 +401,9 @@ def simhash_near_dup_pairs(corpus: DataFrame, max_hamming: int = 2) -> DataFrame
     blocks (pigeonhole candidate generation — an exact-match join per band,
     never O(n²)), then filter on true Hamming distance. The signature table
     is persisted so the banded self-join computes the 48 vote-sums once."""
-    sig = simhash(corpus).persist()
-    sig.count()
+    from ..session import pooled_persist
+
+    sig = pooled_persist(simhash(corpus), "dedup_text.simhash.sig")
     bands = sig.select(
         "doc_id",
         "simhash",

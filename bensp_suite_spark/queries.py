@@ -510,8 +510,9 @@ def cdc_round_trip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compare, so persist + materialize eagerly — otherwise sibling stages of
     # the final job race to fill the same cache and encode runs per branch.
     files = fixtures.docs_from_documents(spark, sf_dir)
-    ddp = pipeline.encode(files, compress_type="gzip").persist()
-    ddp.count()
+    from .session import pooled_persist
+
+    ddp = pooled_persist(pipeline.encode(files, compress_type="gzip"), "q.cdc_round_trip.ddp")
     decoded = pipeline.decode(ddp, compress_type="gzip").withColumnRenamed(
         "content", "decoded_content"
     )
@@ -679,8 +680,11 @@ def ferret_topk_single_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # corpus feeds four plan branches in ferret_topk (queries derive from it
     # too) — persist + materialize so the collect_list grouping runs once.
-    corpus = FF.vecsets_from_embeddings(spark, sf_dir, regions_per_image=1).persist()
-    corpus.count()
+    from .session import pooled_persist
+
+    corpus = pooled_persist(
+        FF.vecsets_from_embeddings(spark, sf_dir, regions_per_image=1), "q.ferret_single.corpus"
+    )
     queries_df = corpus.filter(F.col("image_id") < 8)
     return FP.ferret_topk(queries_df, corpus, top_k=5, dim=64, mode="exhaustive")
 
@@ -694,8 +698,11 @@ def ferret_topk_multiregion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ferret import fixtures as FF
     from .ferret import pipeline as FP
 
-    corpus = FF.vecsets_from_embeddings(spark, sf_dir, regions_per_image=4).persist()
-    corpus.count()
+    from .session import pooled_persist
+
+    corpus = pooled_persist(
+        FF.vecsets_from_embeddings(spark, sf_dir, regions_per_image=4), "q.ferret_multi.corpus"
+    )
     queries_df = corpus.filter(F.col("image_id") < 4)
     return FP.ferret_topk(queries_df, corpus, top_k=5, dim=64, mode="exhaustive")
 
@@ -770,8 +777,9 @@ def multimodal_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ferret_topk references the corpus in four plan branches (query regions,
     # corpus regions, EMD rerank, name join) — persist + materialize or the
     # Python decode→HSV→SRM pipeline runs once per branch.
-    vecsets = IM.images_to_vecsets(imgs).persist()
-    vecsets.count()
+    from .session import pooled_persist
+
+    vecsets = pooled_persist(IM.images_to_vecsets(imgs), "q.multimodal_search.vecsets")
     return FP.ferret_topk(vecsets, vecsets, top_k=3, mode="exhaustive")
 
 

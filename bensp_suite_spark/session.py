@@ -118,6 +118,35 @@ def ensure_worker_imports(spark: SparkSession) -> None:
         sc._bensp_pyfile_added = True
 
 
+#: One live cache generation per call site — see :func:`pooled_persist`.
+_PERSIST_POOL: dict[str, object] = {}
+
+
+def pooled_persist(df, key: str):
+    """Persist + materialize ``df``, releasing the cache a *previous* call
+    with the same ``key`` left behind.
+
+    Query callables persist intermediates that feed several plan branches
+    (LSH signatures, ferret corpora, encode output). The callable returns a
+    DataFrame, so it can never unpersist its own cache — but run 46 such
+    queries twice in a bench sweep and dozens of dead generations pile up in
+    unified memory, squeezing execution memory (spills) and evicting the
+    caches that ARE live. Keeping exactly one generation per call site keeps
+    the benefit (branches share one materialization) without the leak. An
+    unpersisted previous generation silently recomputes if re-executed —
+    slower, never wrong."""
+    old = _PERSIST_POOL.get(key)
+    if old is not None:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # e.g. its SparkSession is already stopped
+    out = df.persist()
+    out.count()
+    _PERSIST_POOL[key] = out
+    return out
+
+
 def align_session(spark: SparkSession) -> SparkSession:
     """Runtime-settable conf alignment for a session we did not create.
 
