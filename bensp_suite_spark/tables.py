@@ -60,14 +60,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
-        # vectorized reader rejects; read nanos as long and truncate to
-        # micros (same floor DuckDB applies converting ns → its µs TIMESTAMP).
+        # events.parquet has stored ts either as TIMESTAMP(MICROS) (read
+        # natively) or TIMESTAMP(NANOS), which the Spark vectorized reader
+        # rejects; for nanos, read as long and truncate to micros (same
+        # floor DuckDB applies converting ns → its µs TIMESTAMP).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 
