@@ -89,11 +89,14 @@ def main() -> None:
     jvm_kernel = has_jvm_kernel(spark)
     stats_fn = DP.dedup_stats_jvm if jvm_kernel else DP.dedup_stats
     dedup_sec = None
-    for _rep in range(4):  # rep 0 warms JIT + page cache; then best-of-3
+    # Two warm reps: C2 compilation of the fused kernel settles on the
+    # second pass (isolated profile: 43 s → 6.5 s → 1.9 s → steady ~1.5 s),
+    # so a single warm rep reports a half-JITed time. Then best-of-3.
+    for _rep in range(5):
         t0 = time.perf_counter()
         stats_fn(files, compress_type="gzip").collect()
         rep_sec = round(time.perf_counter() - t0, 4)
-        if _rep > 0:
+        if _rep > 1:
             dedup_sec = rep_sec if dedup_sec is None else min(dedup_sec, rep_sec)
     files.unpersist()
 

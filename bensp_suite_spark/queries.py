@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import relational as R
+from .operators import temporal as T
 from .session import align_session
 from .tables import load_table
 
@@ -213,6 +214,145 @@ def j8_dim_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+_ASOF_CTES = """
+    clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    views AS (SELECT event_id AS view_id, user_id, ts AS view_ts, value AS view_value
+              FROM events WHERE event_type = 'view')
+"""
+
+
+def _asof_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    # column order matters: view_ts leads the as-of payload struct, and the
+    # unique view_id right after it makes the equal-ts tiebreak total
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    return clicks, views
+
+
+def _asof_project(joined: DataFrame) -> DataFrame:
+    # unmatched left rows carry sentinels, not NULLs: the driver's value
+    # compare must never see NULL-vs-NULL in a hashed column (NaT != NaT
+    # under numpy equality), and the sentinel keeps the left-join semantics
+    # visible in the output
+    gap = T.ts_micros(F.col("click_ts")) - T.ts_micros(F.col("view_ts"))
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return joined.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        F.coalesce(F.col("view_id"), F.lit(-1)).alias("view_id"),
+        F.coalesce(F.col("view_ts").cast("timestamp_ntz"), epoch).alias("view_ts"),
+        F.coalesce(F.col("view_value"), F.lit(-1.0)).alias("view_value"),
+        F.coalesce(gap, F.lit(-1)).alias("gap_us"),
+    )
+
+
+@query(
+    "j9_asof_click_attribution",
+    oracle=f"""
+    WITH {_ASOF_CTES}
+    SELECT c.click_id, c.user_id, c.click_ts,
+           COALESCE(v.view_id, -1) AS view_id,
+           COALESCE(v.view_ts, TIMESTAMP '1970-01-01 00:00:00') AS view_ts,
+           COALESCE(v.view_value, -1.0) AS view_value,
+           COALESCE(date_diff('microseconds', v.view_ts, c.click_ts), -1) AS gap_us
+    FROM clicks c LEFT JOIN LATERAL (
+      SELECT view_id, view_ts, view_value FROM views v
+      WHERE v.user_id = c.user_id AND v.view_ts <= c.click_ts
+      ORDER BY v.view_ts DESC, v.view_id DESC LIMIT 1
+    ) v ON TRUE
+    """,
+)
+def j9_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (kdb ``aj`` / pandas ``merge_asof`` semantics,
+    absent in both the reference and vanilla Spark SQL): attribute each
+    click to the user's most recent prior-or-equal view. Single shuffle on
+    user_id, running-window scan — no non-equi join node (see
+    operators/temporal.py for the 100 TB rationale)."""
+    clicks, views = _asof_inputs(spark, sf_dir)
+    return _asof_project(
+        T.asof_join(clicks, views, left_on="click_ts", right_on="view_ts", by="user_id")
+    )
+
+
+@query(
+    "j9_asof_tolerance",
+    oracle=f"""
+    WITH {_ASOF_CTES}
+    SELECT c.click_id, c.user_id, c.click_ts,
+           COALESCE(v.view_id, -1) AS view_id,
+           COALESCE(v.view_ts, TIMESTAMP '1970-01-01 00:00:00') AS view_ts,
+           COALESCE(v.view_value, -1.0) AS view_value,
+           COALESCE(date_diff('microseconds', v.view_ts, c.click_ts), -1) AS gap_us
+    FROM clicks c LEFT JOIN LATERAL (
+      SELECT view_id, view_ts, view_value FROM views v
+      WHERE v.user_id = c.user_id AND v.view_ts <= c.click_ts
+        AND v.view_ts >= c.click_ts - INTERVAL '15 minutes'
+      ORDER BY v.view_ts DESC, v.view_id DESC LIMIT 1
+    ) v ON TRUE
+    """,
+)
+def j9_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 15-minute lookback tolerance: matches older than
+    the bound are nulled, left rows kept (merge_asof ``tolerance``). The
+    unbounded match IS the bounded match when in range — the newest view
+    ≤ click is in-window iff any view is — so tolerance is a post-filter,
+    not a different join."""
+    clicks, views = _asof_inputs(spark, sf_dir)
+    return _asof_project(
+        T.asof_join(
+            clicks, views, left_on="click_ts", right_on="view_ts", by="user_id",
+            tolerance_micros=15 * 60 * 1_000_000,
+        )
+    )
+
+
+@query(
+    "j10_range_join_attribution",
+    oracle="""
+    WITH purchases AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+                       FROM events WHERE event_type = 'purchase'),
+    clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id, p.user_id, c.click_ts, p.purchase_ts
+    FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+      AND c.click_ts >= p.purchase_ts - INTERVAL '30 minutes'
+      AND c.click_ts <= p.purchase_ts
+    """,
+)
+def j10_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time range join via bucket quantization (Databricks range-join
+    bin optimization rebuilt from public primitives): every click inside the
+    30-minute window before a same-user purchase. The interval side explodes
+    to ≤2 half-hour buckets, the join is a plain equi-join on
+    (user_id, bucket) — no BroadcastNestedLoopJoin anywhere in the plan."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        (F.col("ts") - F.expr("INTERVAL 30 minutes")).alias("win_start"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = T.range_join_interval(
+        clicks, purchases,
+        point_ts="click_ts", start_ts="win_start", end_ts="purchase_ts",
+        by="user_id", bucket_micros=30 * 60 * 1_000_000,
+    )
+    return joined.select("purchase_id", "click_id", "user_id", "click_ts", "purchase_ts")
 
 
 @query(
