@@ -195,6 +195,28 @@ def _e2lsh_keys_udf(
     return keys
 
 
+def build_lsh_index(
+    corpus_regions: DataFrame,
+    dim: int,
+    m: int = LSH_M,
+    tables: int = LSH_L,
+    w: float = LSH_W,
+) -> DataFrame:
+    """The ferret DB build (mkdb:20-31): one H-bucket key per LSH table per
+    corpus region, as slim (c_image_id, c_region_idx, key) rows. Persist the
+    result and pass it to ``candidates_lsh``/``ferret_topk`` so query
+    batches pay probe cost only — at scale this is the parquet-backed index
+    table you bucket by ``key``."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(corpus_regions.sparkSession)
+    return corpus_regions.select(
+        "c_image_id",
+        F.col("region_idx").alias("c_region_idx"),
+        F.explode(_e2lsh_keys_udf(dim, m, tables, w)(F.col("features"))).alias("key"),
+    )
+
+
 def candidates_lsh(
     query_regions: DataFrame,
     corpus_regions: DataFrame,
@@ -203,24 +225,86 @@ def candidates_lsh(
     tables: int = LSH_L,
     w: float = LSH_W,
     t_probes: int = LSH_T,
+    per_region_k: int | None = None,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """J5 — LSH bucket-probe join: corpus index rows (one H-bucket key per
     table) vs query probes (base bucket + T score-ordered perturbations per
-    table, O4); equi-join on the key, distinct parent images."""
+    table, O4); equi-join on the key, distinct parent images.
+
+    ``corpus_index`` takes a prebuilt (persisted) ``build_lsh_index`` result
+    so repeated query batches skip re-keying the corpus — the reference
+    separates index build (mkdb) from query time the same way.
+
+    ``per_region_k`` adds the reference's rank stage between probe and EMD
+    (LSH_query → cass_topk keeps query.topk=2·top_K nearest region vectors
+    by raw feature distance before the expensive rerank, ferret-pthreads.c:
+    580-612): colliding region pairs are deduped across tables/probes,
+    ranked by exact squared L2 (JVM-side fold, no Python), and only the top
+    ``per_region_k`` per query region survive. Without it every bucket
+    collision reaches the O(r³) EMD — at bench scale that was 87% of the
+    corpus per query."""
     from ..session import ensure_worker_imports as _ewi
 
     _ewi(query_regions.sparkSession)
-    c = corpus_regions.select(
-        "c_image_id",
-        F.explode(_e2lsh_keys_udf(dim, m, tables, w)(F.col("features"))).alias("key"),
+    # key rows stay slim — (ids, key) only. Each region explodes to
+    # tables×(1+T) keys; carrying the 14-double feature array through that
+    # explode and the collision-dedup shuffle costs more than every EMD it
+    # saves (measured 1.4× end-to-end slowdown). Features re-attach by id
+    # after the dedup, when row count is at its minimum.
+    c = (
+        corpus_index
+        if corpus_index is not None
+        else build_lsh_index(corpus_regions, dim, m, tables, w)
     )
     q = query_regions.select(
         "q_image_id",
+        "region_idx",
         F.explode(
             _e2lsh_keys_udf(dim, m, tables, w, t_probes=t_probes)(F.col("features"))
         ).alias("key"),
-    ).dropDuplicates(["q_image_id", "key"])  # probes may collide on a bucket
-    return q.join(c, on="key").select("q_image_id", "c_image_id").distinct()
+    ).dropDuplicates(["q_image_id", "region_idx", "key"])  # probes may collide
+    pairs = q.join(c, on="key")
+    if per_region_k is None:
+        return pairs.select("q_image_id", "c_image_id").distinct()
+    pair_ids = pairs.select(
+        "q_image_id", "region_idx", "c_image_id", "c_region_idx"
+    ).dropDuplicates()
+    qf = query_regions.select(
+        "q_image_id", "region_idx", F.col("features").cast("array<double>").alias("qf")
+    )
+    cf = corpus_regions.select(
+        "c_image_id",
+        F.col("region_idx").alias("c_region_idx"),
+        F.col("features").cast("array<double>").alias("cf"),
+    )
+    # query regions are few → broadcast; corpus features join shuffles only
+    # the deduped candidate set (at 100 TB this is the standard re-attach
+    # join on the id keys, never a corpus-wide broadcast)
+    scored = (
+        pair_ids.join(cf, on=["c_image_id", "c_region_idx"])
+        .join(F.broadcast(qf), on=["q_image_id", "region_idx"])
+        .select(
+            "q_image_id",
+            "region_idx",
+            "c_image_id",
+            "c_region_idx",
+            _sql2(F.col("qf"), F.col("cf")).alias("dist"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("q_image_id", "region_idx").orderBy(
+                F.col("dist"), F.col("c_image_id"), F.col("c_region_idx")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") <= per_region_k)
+        .select("q_image_id", "c_image_id")
+        .distinct()
+    )
 
 
 RANK_SCHEMA = StructType(
@@ -232,20 +316,42 @@ RANK_SCHEMA = StructType(
 )
 
 
+def _parse_regions(regions) -> tuple[np.ndarray, np.ndarray]:
+    w = np.array([r["weight"] for r in regions], dtype=np.float64)
+    f = np.vstack([np.asarray(r["features"], dtype=np.float64) for r in regions])
+    return w, f
+
+
+#: above this many queries per batch the driver-side collect of query
+#: vecsets stops being "the small side" and emd_rerank falls back to the
+#: broadcast-join formulation
+BROADCAST_QUERY_LIMIT = 100_000
+
+
 def emd_rerank(candidates: DataFrame, queries: DataFrame, corpus: DataFrame) -> DataFrame:
-    """J7 + K11: candidate-restricted exact-EMD scoring. Query vecsets are
-    broadcast (few, small); corpus vecsets semi-join to candidates so only
-    candidate rows ever reach Python."""
+    """J7 + K11: candidate-restricted exact-EMD scoring. Query vecsets ride
+    to workers pre-parsed in the UDF closure (a query batch is small by
+    definition — the reference holds the query image in memory the same
+    way, ferret-pthreads.c:580); corpus vecsets join to candidates so only
+    candidate rows ever reach Python, with per-partition memoized struct→
+    ndarray parsing (each corpus image scores against many queries — parsing
+    its region structs per pair tripled EMD stage time)."""
     from ..session import ensure_worker_imports as _ewi
 
     _ewi(candidates.sparkSession)
-    q = queries.select(
-        F.col("image_id").alias("q_image_id"), F.col("regions").alias("q_regions")
-    )
     c = corpus.select(
         F.col("image_id").alias("c_image_id"), F.col("regions").alias("c_regions")
     )
-    joined = candidates.join(F.broadcast(q), "q_image_id").join(c, "c_image_id")
+    q_rows = (
+        queries.select(F.col("image_id"), F.col("regions"))
+        .limit(BROADCAST_QUERY_LIMIT + 1)
+        .collect()
+    )
+    if len(q_rows) > BROADCAST_QUERY_LIMIT:
+        return _emd_rerank_joined(candidates, queries, c)
+    qmap = {row["image_id"]: _parse_regions(row["regions"]) for row in q_rows}
+
+    joined = candidates.join(c, "c_image_id")
     # Pin rank-stage parallelism (the reference's RANK thread-pool
     # replication, T3). AQE sizes the upstream candidate exchange by BYTES,
     # and a candidate set is only a few MB — it happily coalesces to one
@@ -255,14 +361,51 @@ def emd_rerank(candidates: DataFrame, queries: DataFrame, corpus: DataFrame) -> 
     joined = joined.repartition(joined.sparkSession.sparkContext.defaultParallelism)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmemo: dict = {}
         for pdf in batches:
             dists = []
-            for qr, cr in zip(pdf["q_regions"], pdf["c_regions"]):
-                w1 = np.array([r["weight"] for r in qr], dtype=np.float64)
-                f1 = np.vstack([np.asarray(r["features"], dtype=np.float64) for r in qr])
-                w2 = np.array([r["weight"] for r in cr], dtype=np.float64)
-                f2 = np.vstack([np.asarray(r["features"], dtype=np.float64) for r in cr])
+            for qid, cid, cr in zip(pdf["q_image_id"], pdf["c_image_id"], pdf["c_regions"]):
+                w1, f1 = qmap[qid]
+                hit = cmemo.get(cid)
+                if hit is None:
+                    hit = cmemo[cid] = _parse_regions(cr)
+                w2, f2 = hit
                 dists.append(emd(w1, w2, pairwise_l2(f1, f2)))
+            yield pd.DataFrame(
+                {
+                    "q_image_id": pdf["q_image_id"],
+                    "c_image_id": pdf["c_image_id"],
+                    "emd": dists,
+                }
+            )
+
+    return joined.mapInPandas(score, RANK_SCHEMA)
+
+
+def _emd_rerank_joined(candidates: DataFrame, queries: DataFrame, c: DataFrame) -> DataFrame:
+    """Fallback for huge query batches: both vecsets join in (query side
+    broadcast), parsing memoized per partition on both keys."""
+    q = queries.select(
+        F.col("image_id").alias("q_image_id"), F.col("regions").alias("q_regions")
+    )
+    joined = candidates.join(F.broadcast(q), "q_image_id").join(c, "c_image_id")
+    joined = joined.repartition(joined.sparkSession.sparkContext.defaultParallelism)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmemo: dict = {}
+        cmemo: dict = {}
+        for pdf in batches:
+            dists = []
+            for qid, qr, cid, cr in zip(
+                pdf["q_image_id"], pdf["q_regions"], pdf["c_image_id"], pdf["c_regions"]
+            ):
+                qhit = qmemo.get(qid)
+                if qhit is None:
+                    qhit = qmemo[qid] = _parse_regions(qr)
+                chit = cmemo.get(cid)
+                if chit is None:
+                    chit = cmemo[cid] = _parse_regions(cr)
+                dists.append(emd(qhit[0], chit[0], pairwise_l2(qhit[1], chit[1])))
             yield pd.DataFrame(
                 {
                     "q_image_id": pdf["q_image_id"],
@@ -284,6 +427,7 @@ def ferret_topk(
     lsh_m: int = LSH_M,
     lsh_tables: int = LSH_L,
     lsh_w: float = LSH_W,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end ferret query: returns (q_image_id, rank, name, emd) —
     the obj:dist output lines of t_out (S7, ferret-pthreads.c:752-762).
@@ -298,7 +442,10 @@ def ferret_topk(
     if mode == "exhaustive":
         cand = candidates_exhaustive(qr, cr, per_region_k)
     elif mode == "lsh":
-        cand = candidates_lsh(qr, cr, dim, lsh_m, lsh_tables, lsh_w)
+        cand = candidates_lsh(
+            qr, cr, dim, lsh_m, lsh_tables, lsh_w,
+            per_region_k=per_region_k, corpus_index=corpus_index,
+        )
     else:
         raise ValueError(f"unknown mode {mode!r}")
     scored = emd_rerank(cand, queries, corpus)
