@@ -272,8 +272,8 @@ def ngram_jaccard_pairs(
     DuckDB oracle); set it for web-scale corpora where a slightly lossy
     candidate set is the right trade.
     """
-    # sh feeds three plan branches (sizes + both inverted-index join sides);
-    # persist AND materialize, or the explode+distinct runs once per branch.
+    # sh feeds several plan branches; persist AND materialize, or the
+    # explode+distinct runs once per branch.
     # The join/group keys are xxhash64(shingle), not the 3-word string:
     # sorting + hashing fixed-width longs is ~30% faster end-to-end than
     # string keys at sf0.1, and a 64-bit collision between two of the
@@ -289,26 +289,66 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
         keep = freq.filter(F.col("df") <= max_shingle_doc_freq).select("sid")
         sh = sh.join(keep, on="sid", how="left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pair_rows = (
-        a.join(b, on="sid")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # --- Prefix-filtered candidate generation (the PPJoin family's prefix
+    # principle): order each doc's shingles by ascending global doc-
+    # frequency (rarest first, sid tiebreak) and index only the first
+    # n − ⌈t·n⌉ + 1 of them. Any pair with J ≥ t must share ≥ ⌈t·max(na,nb)⌉
+    # shingles, so it cannot avoid both prefixes — perfect recall, exact
+    # semantics, while hot (high-df) shingles — whose fan-out in the
+    # inverted-index join is quadratic in df — are exactly the ones pushed
+    # OUT of the prefix. This is what bounds the candidate shuffle at
+    # 100 TB; `max_shingle_doc_freq` above remains the (lossy) hard cap for
+    # adversarial corpora.
+    #
+    # Everything per-doc — the sorted verification array, the size, and the
+    # rarity-ordered prefix — comes out of ONE groupBy(doc_id) aggregation
+    # (a window-rank formulation of the prefix costs an extra full-corpus
+    # sort exchange for the same result).
+    dfreq = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    by_rarity = F.expr("transform(array_sort(collect_list(struct(df, sid))), x -> x.sid)")
+    doc_sets = pooled_persist(
+        _wide_by(sh.join(dfreq, on="sid"), "doc_id")
+        .groupBy("doc_id")
+        .agg(by_rarity.alias("rare_first"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "doc_id",
+            F.array_sort("rare_first").alias("sids"),
+            "n",
+            F.slice(
+                "rare_first", 1, (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+            ).alias("prefix"),
+        ),
+        "dedup_text.jaccard.docsets",
     )
-    shared = (
-        _wide_by(pair_rows, "doc_a", "doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    prefix = doc_sets.select("doc_id", F.explode("prefix").alias("sid"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        _wide_by(
+            a.join(b, on="sid")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")),
+            "doc_a",
+            "doc_b",
+        )
+        .distinct()
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # --- Exact verification: attach both (small) sorted sid arrays and
+    # count the intersection. One row per surviving candidate pair; the
+    # arrays join is a plain equi-join on doc_id (broadcast when the doc-set
+    # table is small, shuffle-hash at scale).
+    sa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sids").alias("sa"), F.col("n").alias("na")
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sids").alias("sb"), F.col("n").alias("nb")
+    )
+    shared = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = F.round(
-        F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+        shared.cast("double") / (F.col("na") + F.col("nb") - shared), 6
     )
     return (
-        shared.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

