@@ -64,32 +64,29 @@ def _transport(supply: np.ndarray, demand: np.ndarray, C: np.ndarray) -> np.ndar
         if len(rows) == 1 and len(cols) == 1:
             i, j = rows[0], cols[0]
         else:
-            best_pen, best = -1.0, None
-            for i in rows:
-                vals = Cw[i, cols]
-                if len(cols) >= 2:
-                    two = np.partition(vals, 1)[:2]
-                    pen = two[1] - two[0]
-                else:
-                    pen = vals[0]
-                if pen > best_pen:
-                    best_pen, best = pen, ("r", i)
-            for j in cols:
-                vals = Cw[rows, j]
-                if len(rows) >= 2:
-                    two = np.partition(vals, 1)[:2]
-                    pen = two[1] - two[0]
-                else:
-                    pen = vals[0]
-                if pen > best_pen:
-                    best_pen, best = pen, ("c", j)
-            kind, idx = best
-            if kind == "r":
-                i = idx
-                j = cols[int(np.argmin(Cw[i, cols]))]
+            # penalties for ALL remaining lines in two partition calls
+            # (per-line numpy calls dominated the whole simplex before);
+            # first-max argmax + strict col-beats-row comparison reproduce
+            # the scalar loop's tie-breaks exactly, so flows are unchanged
+            sub = Cw[np.ix_(rows, cols)]
+            if len(cols) >= 2:
+                two = np.partition(sub, 1, axis=1)
+                rpen = two[:, 1] - two[:, 0]
             else:
-                j = idx
-                i = rows[int(np.argmin(Cw[rows, j]))]
+                rpen = sub[:, 0]
+            if len(rows) >= 2:
+                twoc = np.partition(sub, 1, axis=0)
+                cpen = twoc[1, :] - twoc[0, :]
+            else:
+                cpen = sub[0, :]
+            ri = int(np.argmax(rpen))
+            ci = int(np.argmax(cpen))
+            if cpen[ci] > rpen[ri]:
+                j = cols[ci]
+                i = rows[int(np.argmin(sub[:, ci]))]
+            else:
+                i = rows[ri]
+                j = cols[int(np.argmin(sub[ri, :]))]
         q = min(srem[i], drem[j])
         flow[i, j] += q
         basis.add((i, j))
@@ -161,30 +158,34 @@ def _complete_basis(basis: set[tuple[int, int]], n: int, m: int) -> None:
 
 
 def _potentials(basis: set[tuple[int, int]], C: np.ndarray, n: int, m: int):
-    u = np.full(n, np.nan)
-    v = np.full(m, np.nan)
+    # plain lists + None sentinels: at signature sizes (n,m ≲ 16) per-element
+    # numpy scalar ops cost more than the whole traversal
+    u: list = [None] * n
+    v: list = [None] * m
     u[0] = 0.0
     by_row: dict[int, list[int]] = {}
     by_col: dict[int, list[int]] = {}
     for i, j in basis:
         by_row.setdefault(i, []).append(j)
         by_col.setdefault(j, []).append(i)
-    stack = [("r", 0)]
+    stack = [(True, 0)]
     while stack:
-        kind, idx = stack.pop()
-        if kind == "r":
-            for j in by_row.get(idx, []):
-                if np.isnan(v[j]):
-                    v[j] = C[idx, j] - u[idx]
-                    stack.append(("c", j))
+        isrow, idx = stack.pop()
+        if isrow:
+            ui = u[idx]
+            for j in by_row.get(idx, ()):
+                if v[j] is None:
+                    v[j] = C[idx, j] - ui
+                    stack.append((False, j))
         else:
-            for i in by_col.get(idx, []):
-                if np.isnan(u[i]):
-                    u[i] = C[i, idx] - v[idx]
-                    stack.append(("r", i))
-    u = np.nan_to_num(u)
-    v = np.nan_to_num(v)
-    return u, v
+            vj = v[idx]
+            for i in by_col.get(idx, ()):
+                if u[i] is None:
+                    u[i] = C[i, idx] - vj
+                    stack.append((True, i))
+    ua = np.array([0.0 if x is None else x for x in u])
+    va = np.array([0.0 if x is None else x for x in v])
+    return ua, va
 
 
 def _find_cycle(basis: set[tuple[int, int]], enter: tuple[int, int], n: int, m: int):
