@@ -49,16 +49,17 @@ def serialize_ddp(ddp: DataFrame, compress_type: str = "gzip") -> bytes:
     return b"".join(out)
 
 
-def parse_ddp(spark: SparkSession, blob: bytes) -> tuple[str, DataFrame]:
-    """.ddp byte stream → (compress_type, DataFrame of sequential records).
-    Sequence numbers are re-derived from record order (the stream is the
-    order, decoder.c:173-264 relies on exactly that)."""
+def iter_ddp_records(blob: bytes):
+    """Validate the header and yield ``(seq, rtype, sha1_hex, payload)``
+    per record, plus the archive compress_type via StopIteration-free
+    protocol: first yielded item is ``("__header__", compress_type)``.
+    Shared by the driver-side parser and the distributed data source."""
     (checkbit,) = struct.unpack_from("<i", blob, 0)
     if checkbit != CHECKBIT:
         raise ValueError(f"format error: bad CHECKBIT {checkbit}")
     (ctype,) = struct.unpack_from("<B", blob, 4)
+    yield ("__header__", _CNAME[ctype])
     pos = 5
-    rows = []
     seq = 0
     while pos < len(blob):
         rtype, length = struct.unpack_from("<BQ", blob, pos)
@@ -70,14 +71,23 @@ def parse_ddp(spark: SparkSession, blob: bytes) -> tuple[str, DataFrame]:
         if rtype == TYPE_FINGERPRINT:
             if length != SHA1_LEN:
                 raise ValueError("incorrect size of SHA1 sum")
-            rows.append((seq, rtype, payload.hex(), None))
+            yield (seq, rtype, payload.hex(), None)
         elif rtype in (TYPE_COMPRESS, TYPE_ORIGINAL):
             if length <= 0:
                 raise ValueError("illegal size of data chunk")
-            rows.append((seq, rtype, None, payload))
+            yield (seq, rtype, None, payload)
         else:
             raise ValueError(f"unknown chunk type {rtype}")
         seq += 1
-    return _CNAME[ctype], spark.createDataFrame(
+
+
+def parse_ddp(spark: SparkSession, blob: bytes) -> tuple[str, DataFrame]:
+    """.ddp byte stream → (compress_type, DataFrame of sequential records).
+    Sequence numbers are re-derived from record order (the stream is the
+    order, decoder.c:173-264 relies on exactly that)."""
+    it = iter_ddp_records(blob)
+    _, ctype_name = next(it)
+    rows = list(it)
+    return ctype_name, spark.createDataFrame(
         rows, "seq long, rtype int, sha1 string, payload binary"
     )

@@ -1,0 +1,109 @@
+"""``spark.read.format("ddp")`` — the .ddp archive as a first-class Spark
+connector (S6, SURVEY §2.1; reference reader: apps/dedup/src/decoder.c:60-98).
+
+Built on the PySpark 4 Python DataSource API. One input partition per
+archive file: records inside an archive are strictly sequential (the byte
+stream IS the order the decoder depends on, decoder.c:173-264), so the
+parallel unit is the archive, exactly like the reference's one-decoder-per-
+file batch tool (tools/all_Dedup_udecoder.c:46-96). A directory of N
+archives scans N-wide; at 100 TB this is the same files-parallel scan
+pattern as ``binaryFile``, with no shuffle introduced by the source.
+
+Schema:
+  path string          — archive the record came from
+  seq bigint           — record index within its archive (total order key)
+  rtype int            — 0 fingerprint / 1 compressed / 2 original
+  sha1 string          — hex SHA1 (fingerprint records, else null)
+  payload binary       — chunk bytes (data records, else null)
+  compress_type string — archive-level compression (gzip/bzip2/none)
+
+Usage::
+
+    register_ddp_source(spark)                     # once per session
+    df = spark.read.format("ddp").load("/archives/dir-or-file")
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DDP_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("seq", LongType()),
+        StructField("rtype", IntegerType()),
+        StructField("sha1", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("compress_type", StringType()),
+    ]
+)
+
+
+class _DdpPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class DdpReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("ddp source requires a path: .load('<file-or-dir>')")
+        self.root = path
+
+    def partitions(self):
+        if os.path.isdir(self.root):
+            files = sorted(
+                os.path.join(self.root, f)
+                for f in os.listdir(self.root)
+                if not f.startswith(".") and os.path.isfile(os.path.join(self.root, f))
+            )
+        else:
+            files = [self.root]
+        if not files:
+            raise ValueError(f"no archive files under {self.root}")
+        return [_DdpPartition(p) for p in files]
+
+    def read(self, partition: _DdpPartition):
+        # local import: runs on executors
+        from bensp_suite_spark.sources.ddp import iter_ddp_records
+
+        with open(partition.path, "rb") as fh:
+            blob = fh.read()
+        it = iter_ddp_records(blob)
+        _, ctype = next(it)
+        for seq, rtype, sha1, payload in it:
+            yield (partition.path, seq, rtype, sha1, payload, ctype)
+
+
+class DdpDataSource(DataSource):
+    """Register with :func:`register_ddp_source`; then
+    ``spark.read.format("ddp").load(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ddp"
+
+    def schema(self):
+        return DDP_SCHEMA
+
+    def reader(self, schema):
+        return DdpReader(self.options)
+
+
+def register_ddp_source(spark) -> None:
+    """Idempotently register the ``ddp`` format on this session."""
+    from ..session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    spark.dataSource.register(DdpDataSource)

@@ -172,3 +172,57 @@ def test_dedup_sweep_harness(spark):
     assert len({r.n_chunks for r in rows}) == 1
     summary = summarize(metrics).collect()
     assert len(summary) == 4
+
+
+def test_ddp_datasource_reads_archives_in_parallel(spark, tmpdir):
+    """spark.read.format('ddp') — one partition per archive, records and
+    header metadata identical to the driver-side parser."""
+    from bensp_suite_spark.sources.ddp_datasource import register_ddp_source
+
+    arch_dir = os.path.join(tmpdir, "archives")
+    os.makedirs(arch_dir)
+    blobs = {}
+    for i, ct in enumerate(["gzip", "none"]):
+        files = fixtures.synthetic_docs(spark, n_files=3, file_bytes=8192, seed=10 + i)
+        ddp_df = pipeline.encode(files, compress_type=ct)
+        blob = ddpfmt.serialize_ddp(ddp_df, compress_type=ct)
+        p = os.path.join(arch_dir, f"a{i}.ddp")
+        with open(p, "wb") as fh:
+            fh.write(blob)
+        blobs[p] = (ct, blob)
+    # a dotfile must be skipped, as in the reference's directory scan (P1)
+    with open(os.path.join(arch_dir, ".hidden"), "wb") as fh:
+        fh.write(b"junk")
+
+    register_ddp_source(spark)
+    df = spark.read.format("ddp").load(arch_dir)
+    assert df.rdd.getNumPartitions() == 2  # one per archive
+    got = df.collect()
+    assert {r.path for r in got} == set(blobs)
+    for path, (ct, blob) in blobs.items():
+        want_ct, want = ddpfmt.parse_ddp(spark, blob)
+        assert want_ct == ct
+        sub = sorted(
+            ((r.seq, r.rtype, r.sha1, None if r.payload is None else bytes(r.payload))
+             for r in got if r.path == path)
+        )
+        exp = sorted(
+            (r.seq, r.rtype, r.sha1, None if r.payload is None else bytes(r.payload))
+            for r in want.collect()
+        )
+        assert sub == exp
+        assert all(r.compress_type == ct for r in got if r.path == path)
+
+
+def test_ddp_datasource_single_file_and_missing_path(spark, tmpdir):
+    from bensp_suite_spark.sources.ddp_datasource import register_ddp_source
+
+    files = fixtures.synthetic_docs(spark, n_files=2, file_bytes=4096, seed=20)
+    blob = ddpfmt.serialize_ddp(pipeline.encode(files, "bzip2"), "bzip2")
+    p = os.path.join(tmpdir, "one.ddp")
+    with open(p, "wb") as fh:
+        fh.write(blob)
+    register_ddp_source(spark)
+    df = spark.read.format("ddp").load(p)
+    assert df.count() == ddpfmt.parse_ddp(spark, blob)[1].count()
+    assert df.select("compress_type").distinct().collect()[0][0] == "bzip2"
