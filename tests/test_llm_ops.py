@@ -146,3 +146,55 @@ def test_ngram_jaccard_skew_guard(spark):
     planted_c = {p for p in c if p[1] - p[0] == DT.AUG_OFFSET}
     # capped keeps ~all planted pairs (their shingles are rare)
     assert len(planted_c) >= 0.9 * len(planted_e)
+
+
+def test_ngram_jaccard_prefix_filter_equals_bruteforce(spark):
+    """The df-ordered prefix filter must have PERFECT recall at the
+    threshold (set-similarity prefix principle): compare the full operator
+    against a pure-Python all-pairs computation on random corpora with
+    varied overlap structure and thresholds."""
+    import random
+
+    for seed, thr in [(1, 0.5), (2, 0.3), (3, 0.7)]:
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = {}
+        for d in range(60):
+            texts[d] = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+        # mutated copies: drop/append a few words
+        for d in range(60, 80):
+            base = texts[d - 60].split()
+            cut = max(1, len(base) - rng.randint(0, 4))
+            texts[d] = " ".join(base[:cut] + [rng.choice(vocab)] * rng.randint(0, 2))
+        corpus = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in DT.ngram_jaccard_pairs(corpus, threshold=thr).collect()
+        }
+
+        def sset(t):
+            ws = t.strip().split()
+            if len(ws) >= DT.SHINGLE_N:
+                return {
+                    " ".join(ws[i : i + DT.SHINGLE_N])
+                    for i in range(len(ws) - DT.SHINGLE_N + 1)
+                }
+            return {t.strip()}
+
+        sets = {d: sset(t) for d, t in texts.items()}
+        want = {}
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    continue
+                j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+                if j >= thr:
+                    want[(a, b)] = j
+        assert set(got) == set(want), (
+            f"seed={seed} thr={thr}: missing={set(want)-set(got)} "
+            f"extra={set(got)-set(want)}"
+        )
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9
