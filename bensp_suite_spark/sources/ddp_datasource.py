@@ -107,3 +107,38 @@ def register_ddp_source(spark) -> None:
 
     ensure_worker_imports(spark)
     spark.dataSource.register(DdpDataSource)
+
+
+def stream_ddp_records(spark, path: str, max_files_per_trigger: int | None = None):
+    """Streaming archive reader: watch ``path`` for .ddp files and emit
+    their records as they arrive (same schema as the batch source).
+
+    Built on the binaryFile file stream — Spark's file-source tracking
+    (exactly-once per file, T1 backpressure via ``maxFilesPerTrigger``)
+    plus the shared record parser in a narrow Arrow stage. The archive is
+    again the parallel unit; no shuffle is introduced by the source."""
+    from ..session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    raw = reader.load(path).select("path", "content")
+
+    def parse(batches):
+        from bensp_suite_spark.sources.ddp import iter_ddp_records
+
+        import pandas as pd
+
+        for pdf in batches:
+            for path_, blob in zip(pdf["path"], pdf["content"]):
+                it = iter_ddp_records(bytes(blob))
+                _, ctype = next(it)
+                rows = [(path_, seq, rtype, sha1, payload, ctype)
+                        for seq, rtype, sha1, payload in it]
+                if rows:
+                    yield pd.DataFrame(rows, columns=DDP_SCHEMA.fieldNames())
+
+    return raw.mapInPandas(parse, DDP_SCHEMA)

@@ -226,3 +226,44 @@ def test_ddp_datasource_single_file_and_missing_path(spark, tmpdir):
     df = spark.read.format("ddp").load(p)
     assert df.count() == ddpfmt.parse_ddp(spark, blob)[1].count()
     assert df.select("compress_type").distinct().collect()[0][0] == "bzip2"
+
+
+def test_ddp_stream_matches_batch_source(spark, tmpdir):
+    """stream_ddp_records over a directory (availableNow, 1 file/trigger)
+    must produce exactly the batch source's rows."""
+    from bensp_suite_spark.sources.ddp_datasource import (
+        register_ddp_source,
+        stream_ddp_records,
+    )
+
+    arch_dir = os.path.join(tmpdir, "arch")
+    os.makedirs(arch_dir)
+    for i in range(3):
+        files = fixtures.synthetic_docs(spark, n_files=2, file_bytes=4096, seed=30 + i)
+        blob = ddpfmt.serialize_ddp(pipeline.encode(files, "gzip"), "gzip")
+        with open(os.path.join(arch_dir, f"s{i}.ddp"), "wb") as fh:
+            fh.write(blob)
+
+    out = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    q = (
+        stream_ddp_records(spark, arch_dir, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    register_ddp_source(spark)
+    batch = spark.read.format("ddp").load(arch_dir)
+    streamed = spark.read.parquet(out)
+    key = lambda r: (os.path.basename(r.path), r.seq)
+    bs = sorted(((os.path.basename(r.path), r.seq, r.rtype, r.sha1,
+                  None if r.payload is None else bytes(r.payload), r.compress_type)
+                 for r in batch.collect()))
+    ss = sorted(((os.path.basename(r.path), r.seq, r.rtype, r.sha1,
+                  None if r.payload is None else bytes(r.payload), r.compress_type)
+                 for r in streamed.collect()))
+    assert bs == ss and len(bs) > 0
