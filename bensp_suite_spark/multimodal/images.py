@@ -389,6 +389,48 @@ def images_to_vecsets(images: DataFrame, q_value: float = Q_VALUE, size_factor: 
     return images.mapInPandas(gen, EXTRACT_SCHEMA)
 
 
+def resize_kernel(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pure numpy index maps — the
+    pixel chosen for output (y, x) is in[floor(y*H/out_h), floor(x*W/out_w)]).
+    Bilinear/Lanczos belong to a real codec library; the kernel is the
+    placeholder with exactly reproducible output."""
+    h, w, _ = rgb.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return rgb[np.ix_(ys, xs)]
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Multimodal resize operator: (image_id, name, format, width, height,
+    image) → same schema at (out_w, out_h). A narrow mapInPandas stage —
+    rows are independent, no shuffle; at 100 TB this is scan-bound exactly
+    like decode/extract (SURVEY §3.3 one-fused-map design)."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(images.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "name", "format", "width", "height", "image")}
+            for iid, name, fmt, payload in zip(
+                pdf["image_id"], pdf["name"], pdf["format"], pdf["image"]
+            ):
+                rgb = decode_image(bytes(payload), fmt)
+                small = resize_kernel(rgb, out_w, out_h)
+                out["image_id"].append(iid)
+                out["name"].append(name)
+                out["format"].append("raw-rgb")
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["image"].append(encode_raw_rgb(small))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen,
+        "image_id long, name string, format string, width int, height int, image binary",
+    )
+
+
 def synthetic_images(spark, n: int = 16, size: int = 48, seed: int = 31):
     """Deterministic synthetic raw-rgb images (colored rectangles on a
     background — FIXTURES.md §4) as a multimodal image table."""

@@ -161,3 +161,28 @@ def test_av_codecs_stubbed(spark):
         AV.decode_audio(b"ID3", "mp3")
     with pytest.raises(NotImplementedError, match="STUB"):
         AV.decode_video(b"\x00", "mp4")
+
+
+def test_resize_images_shape_and_determinism(spark):
+    from bensp_suite_spark.multimodal import images as IM
+
+    imgs = IM.synthetic_images(spark, n=4, size=40)
+    small = IM.resize_images(imgs, 16, 12)
+    rows = {r.image_id: r for r in small.collect()}
+    assert len(rows) == 4
+    for iid, r in rows.items():
+        assert (r.width, r.height) == (16, 12)
+        arr = IM.decode_image(bytes(r.image), "raw-rgb")
+        assert arr.shape == (12, 16, 3)
+    # kernel semantics: output pixel = nearest (floor) source pixel
+    src = {r.image_id: IM.decode_image(bytes(r.image), "raw-rgb") for r in imgs.collect()}
+    import numpy as np
+
+    for iid, r in rows.items():
+        got = IM.decode_image(bytes(r.image), "raw-rgb")
+        expect = IM.resize_kernel(src[iid], 16, 12)
+        assert np.array_equal(got, expect)
+    # identity resize is a byte round-trip
+    same = IM.resize_images(imgs, 40, 40)
+    for r in same.collect():
+        assert IM.decode_image(bytes(r.image), "raw-rgb").tobytes() == src[r.image_id].tobytes()
