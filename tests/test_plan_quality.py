@@ -11,47 +11,40 @@ from __future__ import annotations
 
 import pytest
 
+from bensp_suite_spark import plans as PL
 from bensp_suite_spark import queries as Q
 
 from .conftest import SF_CORRECT
 
 
+def _df(spark, name: str):
+    return Q.QUERIES[name](spark, SF_CORRECT)
+
+
 def _plan(spark, name: str) -> str:
-    df = Q.QUERIES[name](spark, SF_CORRECT)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return PL.executed_plan(_df(spark, name))
 
 
 def _formatted(spark, name: str) -> str:
-    import contextlib
-    import io
-
-    df = Q.QUERIES[name](spark, SF_CORRECT)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return PL.formatted_plan(_df(spark, name))
 
 
 def test_range_filter_pushed_to_scan(spark):
-    plan = _formatted(spark, "p7_range_filter")
-    assert "PushedFilters" in plan
-    assert "LessThan(l_extendedprice,1500.0)" in plan.replace(" ", "")
+    PL.assert_pushed_filter(_df(spark, "p7_range_filter"), "LessThan(l_extendedprice,1500.0)")
 
 
 def test_projection_pruned_at_scan(spark):
     # o1 selects 3 of 11 lineitem columns; the scan must read only those
-    plan = _formatted(spark, "o1_ordered_emit")
-    start = plan.index("ReadSchema")
-    read_schema = plan[start : plan.index("\n", start)]
-    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
-    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+    PL.assert_read_schema(
+        _df(spark, "o1_ordered_emit"),
+        must=["l_orderkey", "l_quantity"],
+        must_not=["l_extendedprice", "l_comment"],
+    )
 
 
 def test_dim_join_is_broadcast(spark):
-    plan = _plan(spark, "j8_dim_join_revenue")
-    assert "BroadcastHashJoin" in plan
     # the fact side must NOT sort-merge (no full-table exchange for the join)
-    assert "SortMergeJoin" not in plan
+    PL.assert_broadcast_join(_df(spark, "j8_dim_join_revenue"))
 
 
 def test_semi_join_is_broadcast_semi(spark):
@@ -73,8 +66,7 @@ def test_global_topk_is_take_ordered(spark):
 
 def test_q1_partial_aggregation(spark):
     # hash aggregate must run partial (map-side combine) then final
-    plan = _plan(spark, "q1_pricing_summary")
-    assert plan.count("HashAggregate") >= 2
+    PL.assert_partial_aggregation(_df(spark, "q1_pricing_summary"))
 
 
 def test_relational_queries_have_no_python_udfs(spark):
@@ -100,10 +92,7 @@ def test_relational_queries_have_no_python_udfs(spark):
         "dedup_embedding_cosine",
     ]
     for name in relational:
-        plan = _plan(spark, name)
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
-            f"{name} has a Python UDF in its plan"
-        )
+        PL.assert_no_python_udf(_df(spark, name), what=name)
 
 
 def test_whole_stage_codegen_on_hot_path(spark):
