@@ -61,6 +61,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode: the driver JVM is the executor. 16g measured FASTER
+        # than 48g at the bench's 1 GB cached workload (2.6 s vs 3.4 s
+        # best-of-3 — G1 behaves better on the smaller heap), but a 4 GB
+        # cached input thrashes 16g's unified memory (6.8 s ↔ 60 s swings
+        # from eviction); raise SPARK_GRAFT_DRIVER_MEM when caching ≳2 GB.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
