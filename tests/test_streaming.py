@@ -194,3 +194,52 @@ def test_streaming_ferret_matches_batch(spark, tmpdir):
     assert got == want
     # multiple triggers actually ran
     assert spark.read.parquet(out).select("batch_id").distinct().count() > 1
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmpdir):
+    """T8 durability: fingerprint state must recover from the checkpoint
+    when the query restarts. Files added between two runs whose chunks
+    duplicate run-1 content must come out flagged dup, referencing RUN-1
+    canonicals (the reference's unbounded hashtable has no such durability
+    — process death loses it; the engine's state store upgrade is exactly
+    this)."""
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+
+    run1 = fixtures.synthetic_docs(spark, n_files=8, file_bytes=16384, seed=77)
+    run1.repartition(3).write.mode("overwrite").parquet(src)
+    schema = "file_id long, content binary"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+    dedup_stream.stream_encode(spark, stream, out, ckpt)
+    first = spark.read.parquet(out)
+    first_rows = first.count()
+    run1_file_ids = {r.file_id for r in first.select("file_id").distinct().collect()}
+
+    # second run, same checkpoint: new file_ids, same content pool (same
+    # seed) → every chunk digest already lives in run-1 state
+    run2 = fixtures.synthetic_docs(spark, n_files=4, file_bytes=16384, seed=77).select(
+        (F.col("file_id") + 1000).alias("file_id"), "content"
+    )
+    run2.repartition(2).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+    dedup_stream.stream_encode(spark, stream2, out, ckpt)
+
+    all_rows = spark.read.parquet(out)
+    second = all_rows.filter(F.col("file_id") >= 1000)
+    assert second.count() > 0
+    # exactly-once on the source side: run-1 rows were not re-emitted
+    assert all_rows.filter(F.col("file_id") < 1000).count() == first_rows
+    # every run-2 chunk is a duplicate of recovered run-1 state...
+    assert second.filter(~F.col("is_dup")).count() == 0
+    # ...and references a canonical chunk from run 1 with the same digest
+    canon = all_rows.filter(~F.col("is_dup")).alias("c")
+    dups2 = second.alias("d")
+    resolved = dups2.join(
+        canon,
+        (F.col("d.canonical_file_id") == F.col("c.file_id"))
+        & (F.col("d.canonical_l1") == F.col("c.l1"))
+        & (F.col("d.canonical_l2") == F.col("c.l2"))
+        & (F.col("d.sha1") == F.col("c.sha1")),
+        "left_semi",
+    )
+    assert resolved.count() == second.count()
+    assert {r.canonical_file_id for r in second.select("canonical_file_id").collect()} <= run1_file_ids
