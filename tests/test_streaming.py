@@ -243,3 +243,41 @@ def test_streaming_dedup_state_survives_restart(spark, tmpdir):
     )
     assert resolved.count() == second.count()
     assert {r.canonical_file_id for r in second.select("canonical_file_id").collect()} <= run1_file_ids
+
+
+def test_streaming_dedup_on_rocksdb_state_store(spark, tmpdir):
+    """The 100 TB state path (SCALING.md): the same stateful dedup runs on
+    the RocksDB state store provider (off-heap, disk-backed) with identical
+    semantics to the default HDFS-backed provider."""
+    provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+        files = fixtures.synthetic_docs(spark, n_files=10, file_bytes=16384, seed=55)
+        files.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("file_id long, content binary")
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+        )
+        dedup_stream.stream_encode(spark, stream, out, ckpt)
+        got = spark.read.parquet(out)
+        assert got.select("batch_id").distinct().count() > 1  # state crossed batches
+        batch = pipeline.deduplicate(pipeline.chunk_files(spark.read.parquet(src)))
+        got_g = got.groupBy("sha1").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dups"),
+        )
+        want_g = batch.groupBy("sha1").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dups"),
+        )
+        assert got_g.exceptAll(want_g).count() == 0
+        assert want_g.exceptAll(got_g).count() == 0
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
