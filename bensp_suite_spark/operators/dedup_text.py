@@ -487,3 +487,117 @@ def simhash_near_dup_oracle_sql(max_hamming: int = 2) -> str:
     FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
     WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup resolution: pairs → transitive clusters → one kept doc per cluster
+# ---------------------------------------------------------------------------
+
+def near_dup_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Connected components over a candidate-pair graph by hash-to-min
+    label propagation: every node repeatedly takes the min label among
+    itself and its neighbors until fixpoint. Converges in O(graph diameter)
+    rounds — near-dup clusters are shallow (dups of a common source), so in
+    practice 2-3 rounds; each round is one join + one aggregation, the
+    standard large-scale CC formulation (no driver-side graph).
+
+    Returns (node, rep) for every node that appears in ``pairs``; rep is
+    the component's minimum doc_id (first-wins, J1 semantics lifted from
+    exact-digest groups to transitive near-dup clusters)."""
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    # localCheckpoint (NOT just persist): every round's DataFrame otherwise
+    # nests the previous round's full logical plan — and the pointer-jump
+    # self-join doubles the references — so Catalyst analysis grows
+    # exponentially with rounds (measured: round-1 actions on 10k cached
+    # rows took 20+ s of pure planning). Truncating lineage each round is
+    # the standard iterative-algorithm pattern; swap for checkpoint(dir) on
+    # a real cluster if executor loss during the loop must be survivable.
+    edges = (
+        e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("rep", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(df: DataFrame):
+        # labels are monotone non-increasing under min-propagation, so the
+        # exact sum is a fixpoint detector: equal sum ⇔ no label changed —
+        # one cheap scan instead of a join-and-count convergence check.
+        return df.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = _checksum(labels)
+    while True:
+        nbr = edges.join(
+            labels.select(F.col("node").alias("y"), F.col("rep").alias("nrep")), on="y"
+        ).select(F.col("x").alias("node"), F.col("nrep").alias("rep"))
+        # checkpointed: it feeds BOTH sides of the pointer-jump self-join
+        stepped = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("rep").alias("rep"))
+        ).localCheckpoint(eager=True)
+        # pointer jump: also adopt the current label OF the label — min
+        # labels propagate exponentially, O(log diameter) rounds instead of
+        # O(diameter) (a rep value is always itself a node id)
+        new = (
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("rep"), F.col("rep").alias("rep2")
+                ),
+                on="rep",
+                how="left",
+            )
+            .select("node", F.least(F.col("rep"), F.col("rep2")).alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(new)
+        labels = new
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def near_dup_resolution(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Full-corpus dedup decision table: (doc_id, rep_id, is_kept). Docs in
+    a near-dup cluster resolve to the cluster's min doc_id; singletons keep
+    themselves. This is the deletions list a training-data pipeline feeds
+    downstream (keep WHERE is_kept)."""
+    comp = near_dup_components(pairs)
+    return (
+        corpus.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep_id"),
+            (F.coalesce(F.col("rep"), F.col("doc_id")) == F.col("doc_id")).alias("is_kept"),
+        )
+    )
+
+
+def near_dup_resolution_oracle_sql(threshold: float = 0.5) -> str:
+    """Recursive-CTE oracle: min label reachable from each node over the
+    (bidirectional) minhash-LSH pair graph."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({minhash_lsh_pairs_oracle_sql(threshold)}),
+    edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs
+    ),
+    comp(node, rep) AS (
+      SELECT x, x FROM edges
+      UNION
+      SELECT e.x, c.rep FROM comp c JOIN edges e ON e.y = c.node
+    ),
+    resolved AS (SELECT node, MIN(rep) AS rep FROM comp GROUP BY node),
+    corpus AS ({AUGMENTED_CORPUS_SQL})
+    SELECT c.doc_id,
+           COALESCE(r.rep, c.doc_id) AS rep_id,
+           COALESCE(r.rep, c.doc_id) = c.doc_id AS is_kept
+    FROM corpus c LEFT JOIN resolved r ON r.node = c.doc_id
+    """

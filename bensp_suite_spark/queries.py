@@ -754,6 +754,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DT.simhash_near_dup_pairs(corpus, max_hamming=2)
 
 
+@query("dedup_near_dup_resolution", oracle=DT.near_dup_resolution_oracle_sql(0.5))
+def dedup_near_dup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → transitive clusters → keep-list: connected components over
+    the minhash-LSH pair graph (hash-to-min label propagation), first-wins
+    representative per cluster, every corpus doc decided. Oracle: recursive
+    CTE computing min reachable label."""
+    corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
+    pairs = DT.minhash_lsh_pairs(corpus, threshold=0.5)
+    return DT.near_dup_resolution(corpus, pairs)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -198,3 +198,25 @@ def test_ngram_jaccard_prefix_filter_equals_bruteforce(spark):
         )
         for k in want:
             assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_near_dup_components_chain_and_islands(spark):
+    """Hand-built graph: chain 1-2-3 plus island {7,9}; singleton 5 only in
+    corpus. Components take the min id; singletons keep themselves."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 9)], "doc_a long, doc_b long"
+    )
+    comp = {r.node: r.rep for r in DT.near_dup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    corpus = spark.createDataFrame([(i, "x") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string")
+    res = {r.doc_id: (r.rep_id, r.is_kept) for r in DT.near_dup_resolution(corpus, pairs).collect()}
+    assert res == {1: (1, True), 2: (1, False), 3: (1, False),
+                   5: (5, True), 7: (7, True), 9: (7, False)}
+
+
+def test_near_dup_components_long_chain_converges(spark):
+    # diameter > 2 forces multiple propagation rounds
+    edges = [(i, i + 1) for i in range(10, 20)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    comp = {r.node: r.rep for r in DT.near_dup_components(pairs).collect()}
+    assert set(comp.values()) == {10} and len(comp) == 11
