@@ -390,11 +390,21 @@ def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     # so bit i is set iff 2*SUM((h>>i)&1) > COUNT(*). 48 SUM(CASE WHEN ...)
     # aggregates generate a much larger codegen method whose JIT compilation
     # alone cost seconds on a cold session; plain bit-extract sums are stable.
+    #
+    # Two-level: term frequencies first — repartitioning by doc_id up front
+    # lets BOTH groupBys run exchange-free on that distribution (doc_id ⊆
+    # each key set), so the 48-sum pass reads distinct (doc, h) terms (tf-
+    # weighted, identical votes) instead of every token instance.
+    tf = (
+        tok.repartition(tok.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * F.col("tf")).alias(f"s{i}")
         for i in range(bits)
     ]
-    agg = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"), *sums)
+    agg = tf.groupBy("doc_id").agg(F.sum("tf").alias("cnt"), *sums)
     sim = sum(
         F.when(2 * F.col(f"s{i}") > F.col("cnt"), F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(bits)
