@@ -69,3 +69,46 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
     )
     assert plain.collect() == bkt.collect()
+
+
+def test_bucketed_lsh_index_probe_join_shuffles_only_queries(spark):
+    """The SCALING.md billion-vector pattern: the corpus LSH index written
+    bucketed on (table, bucket) joins probe batches with the index side
+    exchange-free — only the (much smaller) query side shuffles."""
+    from bensp_suite_spark.operators import bucketing as B
+    from bensp_suite_spark.operators import similarity as SIM
+    from bensp_suite_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    dim = len(emb.first()["embedding"])
+    idx = SIM.lsh_index(
+        emb.select("vec_id", "embedding"), "embedding", dim, n_planes=8, n_tables=4
+    ).select("vec_id", "table", "bucket")
+    B.write_bucketed(idx, "lsh_idx_bkt", 8, "table", "bucket")
+    try:
+        probes = SIM.lsh_index(
+            emb.filter("vec_id < 16").select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            "embedding", dim, n_planes=8, n_tables=4,
+        ).select("query_id", "table", "bucket")
+        with_bkt = spark.table("lsh_idx_bkt")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = with_bkt.join(probes, on=["table", "bucket"]).select(
+                "query_id", "vec_id"
+            )
+            joined.collect()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # count only the executed plan — AQE's toString appends the Initial
+        # Plan section, which would double-count the probe exchange
+        final = plan.split("== Initial Plan ==")[0]
+        # exactly one hash exchange — the probe side; the bucketed index
+        # reads its layout from table metadata
+        assert final.count("Exchange hashpartitioning") == 1, final
+        assert "Bucketed: true" in final
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_bkt")
