@@ -281,3 +281,39 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, tmpdir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_streaming_exact_text_dedup_first_wins_across_batches(spark, tmpdir):
+    """Document-level streaming dedup: one winner per content hash across
+    micro-batches; winner sets match the batch operator's hash domain."""
+    from bensp_suite_spark.operators import dedup_text as DT
+    from bensp_suite_spark.streaming import text_dedup_stream as TDS
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").limit(400)
+    # plant exact duplicates with later doc_ids
+    dups = docs.limit(120).select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    corpus.repartition(5).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    TDS.stream_exact_dedup(spark, stream, out, ckpt)
+
+    got = spark.read.parquet(out)
+    # exactly one winner per hash
+    assert got.groupBy("content_hash").count().filter("count > 1").count() == 0
+    # hash domain identical to the batch operator's
+    batch_hashes = {
+        r.content_hash for r in DT.exact_dedup(corpus).select("content_hash").collect()
+    }
+    got_hashes = {r.content_hash for r in got.select("content_hash").collect()}
+    assert got_hashes == batch_hashes
+    # nothing survived twice: planted duplicate hashes have ONE winner
+    n_distinct_texts = corpus.select(
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    ).distinct().count()
+    assert got.count() == n_distinct_texts
