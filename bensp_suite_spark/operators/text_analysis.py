@@ -38,6 +38,34 @@ def token_count(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to the regex subset that
+#: Java regex and RE2 (DuckDB) evaluate identically: contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs. The real BPE
+#: pattern's trailing-whitespace lookahead is dropped (RE2 has no
+#: lookahead); counts differ from tiktoken only on runs of blanks.
+BPE_ISH_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(df: DataFrame, text: str = "text") -> DataFrame:
+    """Sub-word-ish token counts: the BPE *pre-tokenization* granularity
+    (the unit LLM data pipelines budget by), next to the whitespace count
+    for comparison."""
+    t = F.col(text)
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
+        F.size(words_col(t)).alias("n_ws_tokens"),
+    )
+
+
+BPE_TOKEN_COUNT_SQL = f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens
+    FROM documents
+"""
+
+
 def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     """Length / alpha-ratio / stopword-ratio quality signals. Ratios are
     int/int single divisions — deterministic doubles in any engine."""

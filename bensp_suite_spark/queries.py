@@ -689,6 +689,24 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pre-tokenizer-granularity counts (the unit LLM pipelines budget
+    by) vs whitespace tokens; Java-regex/RE2-common pattern so the DuckDB
+    oracle is exact."""
+    return TA.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "text_quality_score",
     oracle="""
     SELECT doc_id,

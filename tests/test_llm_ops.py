@@ -220,3 +220,17 @@ def test_near_dup_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     comp = {r.node: r.rep for r in DT.near_dup_components(pairs).collect()}
     assert set(comp.values()) == {10} and len(comp) == 11
+
+
+def test_bpe_token_count_differs_from_whitespace_on_real_text(spark):
+    from bensp_suite_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [(1, "don't stop-believing, it's 2024!"), (2, "plain words only")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.n_bpe_tokens, r.n_ws_tokens) for r in TA.bpe_token_count(docs).collect()}
+    # "don" "'t" " stop" "-" "believing" "," " it" "'s" " " "2024" "!" → the
+    # pre-tokenizer splits contractions/punct/digits that whitespace lumps
+    assert rows[1][0] > rows[1][1]
+    assert rows[2] == (3, 3)

@@ -81,7 +81,7 @@ def test_relational_queries_have_no_python_udfs(spark):
         "p7_range_filter", "p1_prefix_filter", "a5_windowed_throughput",
         "a6_windowed_latency_by_type",
         # text ops are deliberately JVM-side too
-        "text_token_count", "text_quality_score", "text_lang_id",
+        "text_token_count", "text_bpe_token_count", "text_quality_score", "text_lang_id",
         "text_doc_fingerprint", "dedup_exact_text", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
         # grouping-set / window aggs and the expression-only ANN paths
