@@ -317,3 +317,28 @@ def test_streaming_exact_text_dedup_first_wins_across_batches(spark, tmpdir):
         F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
     ).distinct().count()
     assert got.count() == n_distinct_texts
+
+
+def test_streaming_ann_matches_batch(spark, tmpdir):
+    """Queries arriving over multiple micro-batches rank identically to
+    the batch ANN operator."""
+    from bensp_suite_spark.operators import similarity as SIM
+    from bensp_suite_spark.streaming import ann_stream
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    queries = emb.filter("vec_id < 12")
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    queries.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ann_stream.stream_ann_topk(spark, stream, emb, out, ckpt, k=5)
+
+    got = spark.read.parquet(out)
+    want = SIM.cosine_topk_bruteforce(queries, emb, k=5)
+    key = ["query_id", "neighbor_id", "rank", "cosine"]
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+    assert want.select(*key).exceptAll(got.select(*key)).count() == 0
