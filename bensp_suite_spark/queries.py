@@ -1137,6 +1137,237 @@ def a5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth: multi-way join chains, subquery decorrelation shapes,
+# window analytics, exact percentiles, distinct aggregation, semi-structured
+# (JSON) columns. These go beyond the reference's two pipelines — they are
+# the relational surface a user of a general analytics engine expects, and
+# each is a distinct Catalyst plan shape (join reorder + broadcast, semi/
+# anti decorrelation, window exchange reuse, expand for distinct-agg).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 3) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join chain (local-supplier revenue by
+    nation). Scale shape: the three big tables hash-join on their keys;
+    ``nation`` and ``region`` are broadcast (no shuffle), and the region
+    filter prunes before the join via Catalyst's join reordering. One
+    final single-exchange aggregation on a 25-value key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(nr, s.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4))).cast("double"),
+                3,
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS decorrelation: correlated exists becomes a
+    left-semi hash join on the order key (the non-equi shipdate predicate
+    rides along as a join residual — no nested loop), then a one-exchange
+    count by priority."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q17_below_avg_quantity",
+    oracle="""
+    SELECT p_brand,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 3) AS small_qty_revenue,
+           COUNT(*) AS n_small
+    FROM lineitem
+    JOIN (SELECT l_partkey AS pk,
+                 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS threshold
+          FROM lineitem GROUP BY l_partkey) t ON l_partkey = pk
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < threshold
+    GROUP BY p_brand
+    """,
+)
+def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar-aggregate subquery, decorrelated
+    into a self-join against a per-part aggregate. The threshold is a
+    decimal-exact sum divided once in double, so both engines compare
+    against bit-identical thresholds. Scale shape: the per-part aggregate
+    is tiny relative to lineitem (map-side partial agg first), and the
+    part dimension broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    thresh = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (
+                F.lit(0.2) * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            ).alias("threshold")
+        )
+    )
+    return (
+        li.join(thresh, li.l_partkey == thresh.pk)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 3).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "w_running_totals",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running_value,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def w_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum + lag/lead — the time-series window-analytics
+    surface (event logs at scale). All three window functions share one
+    (partition, order) spec, so Catalyst plans a single sort + single
+    exchange; the running sum is decimal-exact (order-independent across
+    partial evaluation). The unique event_id tiebreaker makes every frame
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(_dec("value", 4)).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(
+                "double"
+            ),
+            4,
+        ).alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "a_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 3) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 3) AS p90,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). Exact percentile is a
+    sort-based aggregate; at 100 TB swap in ``approx_percentile``
+    (t-digest sketch, mergeable map-side) — tested as the same shape in
+    tests/test_declared_queries.py."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 3).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 3).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "a_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation alongside plain aggregates — Catalyst's Expand
+    + two-phase plan (partial distinct map-side). At 100 TB the same query
+    swaps COUNT(DISTINCT) for ``approx_count_distinct`` (HLL++, constant
+    memory, single exchange) — both shapes smoke-tested."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(_dec("value", 4)).cast("double"), 3).alias("sum_value"),
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type, k_bucket, COUNT(*) AS n, MAX(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+                 CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS k_bucket
+          FROM events)
+    GROUP BY event_type, k_bucket
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: JSON property extraction from a
+    string column, bucketed aggregation. ``get_json_object`` is JVM-side
+    (Jackson) — no Python in the plan. At scale prefer ``from_json`` with
+    an explicit schema once per row over repeated path extraction."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"), F.floor(k / 10).cast("int").alias("k_bucket"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("max_k"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
 # driver's correctness scale as DuckDB VALUES literals — upgrading them from

@@ -156,3 +156,97 @@ def test_cdc_shuffle_is_metadata_only(spark):
         pipeline.encode(files)._jdf.queryExecution().executedPlan().toString()
     )
     assert ddp_plan.count("Exchange hashpartitioning(sha1") == 1
+
+
+# ---------------------------------------------------------------------------
+# Relational-breadth queries (multi-join, subqueries, windows, percentiles,
+# distinct-agg, JSON) — added with their own 100 TB plan contracts.
+# ---------------------------------------------------------------------------
+
+
+def test_q5_join_chain_broadcasts_dims_no_nested_loop(spark):
+    # nation⨝region must broadcast; nothing may fall back to a nested loop
+    plan = _plan(spark, "q5_regional_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    PL.assert_no_python_udf(Q.QUERIES["q5_regional_revenue"](spark, SF_CORRECT))
+
+
+def test_q4_exists_is_semi_hash_join(spark):
+    # correlated EXISTS decorrelates to a LeftSemi HASH join; the non-equi
+    # shipdate predicate must ride as a residual, not force a nested loop
+    plan = _plan(spark, "q4_priority_exists")
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    PL.assert_partial_aggregation(Q.QUERIES["q4_priority_exists"](spark, SF_CORRECT))
+
+
+def test_q17_threshold_agg_is_partial_and_part_broadcasts(spark):
+    df = Q.QUERIES["q17_below_avg_quantity"](spark, SF_CORRECT)
+    PL.assert_partial_aggregation(df)
+    plan = PL.executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_running_totals_single_window_pass(spark):
+    # three window functions over one (partition, order) spec must share a
+    # single Window node: one exchange + one sort total, or at scale the
+    # events table shuffles and sorts three times instead of once
+    plan = _plan(spark, "w_running_totals")
+    assert plan.count("Window ") + plan.count("Window\n") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+def test_percentiles_aggregate_partially(spark):
+    # exact percentile is an ObjectHashAggregate; it must still run
+    # partial (map-side sketch of the sorted buffer) + final
+    plan = _plan(spark, "a_exact_percentiles")
+    assert plan.count("ObjectHashAggregate") == 2, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_distinct_agg_two_phase(spark):
+    # COUNT(DISTINCT) alongside plain aggs: two-exchange two-phase plan
+    # (re-key on (group, distinct) then on group), all phases partial
+    df = Q.QUERIES["a_distinct_users"](spark, SF_CORRECT)
+    PL.assert_partial_aggregation(df)
+    assert PL.count_exchanges(df) == 2
+
+
+def test_json_extract_stays_on_jvm(spark):
+    # get_json_object is Jackson on the JVM — no Python stage allowed
+    df = Q.QUERIES["json_props_extract"](spark, SF_CORRECT)
+    PL.assert_no_python_udf(df)
+    PL.assert_partial_aggregation(df)
+
+
+def test_scale_swap_approx_variants(spark):
+    """The 100 TB swap-ins the percentile/distinct docstrings promise:
+    approx_percentile (t-digest) and approx_count_distinct (HLL++) run the
+    same group-by shapes as single-pass mergeable sketches."""
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.tables import load_table
+
+    o = load_table(spark, SF_CORRECT, "orders")
+    apq = o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_cust"),
+    )
+    plan = PL.executed_plan(apq)
+    assert plan.count("Exchange") == 1  # single pass, no distinct expand
+    rows = {r["o_orderpriority"]: r for r in apq.collect()}
+    exact = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.count_distinct("o_custkey").alias("n_cust"),
+        )
+        .collect()
+    }
+    for k, r in rows.items():
+        assert abs(r["p50"] - exact[k]["p50"]) / exact[k]["p50"] < 0.05
+        assert abs(r["n_cust"] - exact[k]["n_cust"]) / exact[k]["n_cust"] < 0.05
