@@ -187,3 +187,37 @@ def range_filter(df: DataFrame, value: Column, upper: float) -> DataFrame:
 def prefix_filter(df: DataFrame, name: Column, prefix: str = ".") -> DataFrame:
     """P1 — dotfile filter (new_dedup.c:963-973)."""
     return df.filter(~name.startswith(prefix))
+
+
+# ---------------------------------------------------------------------------
+# Upsert / merge (beyond the reference: mutable-table semantics on
+# immutable storage — the batch analog of the streaming canonical state)
+# ---------------------------------------------------------------------------
+
+def upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str] | str,
+    version: str,
+) -> DataFrame:
+    """Key-based last-wins merge: rows from ``changes`` replace same-key
+    rows in ``base``; higher ``version`` wins, ``changes`` wins ties.
+
+    Copy-on-write MERGE as a pure dataflow: union both sides tagged with a
+    precedence bit, keep the top row per key by (version, precedence).
+    One hash exchange on the keys; WindowGroupLimit keeps the per-key
+    top-1 partial map-side, so the shuffle carries ~1 row per key per
+    side, not every historical version. At 100 TB pair this with
+    partition pruning (operators/layout.py): read only the partitions the
+    change-set touches, merge, write those partitions back.
+    """
+    ks = _cols(keys)
+    tagged = base.withColumn("_prec", F.lit(0)).unionByName(
+        changes.withColumn("_prec", F.lit(1))
+    )
+    w = Window.partitionBy(*ks).orderBy(F.col(version).desc(), F.col("_prec").desc())
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_prec")
+    )

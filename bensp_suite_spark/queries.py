@@ -1367,6 +1367,82 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(2,1)) AS o_totalprice,
+             2 AS version
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'N',
+             CAST(o_totalprice AS DECIMAL(18,4)) * CAST(0.5 AS DECIMAL(2,1)), 2
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    tagged AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.0 AS DECIMAL(2,1)) AS o_totalprice,
+             1 AS version, 0 AS prec
+      FROM orders
+      UNION ALL
+      SELECT *, 1 AS prec FROM changes
+    ),
+    merged AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC, prec DESC) AS rn
+        FROM tagged
+      ) WHERE rn = 1
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 3) AS sum_price,
+           CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE (upsert) semantics on immutable parquet: a
+    change-set of updates (every 7th order repriced) and inserts (new
+    keys) merged last-wins into the base table by key+version
+    (operators/relational.upsert), then checksummed per status. The merge
+    itself is one hash exchange on the key with map-side WindowGroupLimit
+    — the shuffle carries one candidate row per key per side."""
+    dec11 = F.lit("1.1").cast("decimal(2,1)")
+    dec05 = F.lit("0.5").cast("decimal(2,1)")
+    dec10 = F.lit("1.0").cast("decimal(2,1)")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (_dec("o_totalprice", 4) * dec11).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        (_dec("o_totalprice", 4) * dec05).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    merged = R.upsert(
+        o.withColumn("o_totalprice", _dec("o_totalprice", 4) * dec10).withColumn(
+            "version", F.lit(1)
+        ),
+        updates.unionByName(inserts),
+        keys="o_orderkey",
+        version="version",
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice").cast("double"), 3).alias("sum_price"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).alias("n_changed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the

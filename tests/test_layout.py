@@ -1,0 +1,72 @@
+"""Data-layout management: partitioned writes, partition pruning, and the
+copy-on-write upsert that builds on them (operators/layout.py, relational
+upsert). The plan contract: a filter on the partition column must become a
+PartitionFilter (directory pruning at planning time), never a row filter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bensp_suite_spark import plans as PL
+from bensp_suite_spark.operators import layout as L
+from bensp_suite_spark.operators import relational as R
+from bensp_suite_spark.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_partitioned_write_prunes_directories(spark, tmpdir):
+    ev = load_table(spark, SF_CORRECT, "events")
+    path = os.path.join(tmpdir, "events_by_type")
+    L.write_partitioned(ev, path, ["event_type"], sort_cols=["ts"])
+
+    back = L.read_partitioned(spark, path)
+    clicks = back.filter(F.col("event_type") == "click")
+
+    plan = PL.formatted_plan(clicks)
+    start = plan.index("PartitionFilters")
+    pf_line = plan[start : plan.index("\n", start)]
+    assert "event_type" in pf_line and "click" in pf_line
+    # pruning is planning-time: the scan must list only the one directory
+    files = clicks.select(F.input_file_name()).distinct().collect()
+    assert all("event_type=click" in r[0] for r in files)
+    # correctness: same rows as filtering the unpartitioned table
+    assert clicks.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_partitioned_write_bounds_file_counts(spark, tmpdir):
+    # repartition-before-write: each partition value lands in exactly one
+    # file, regardless of upstream parallelism (the small-file guard)
+    ev = load_table(spark, SF_CORRECT, "events").repartition(16)
+    path = os.path.join(tmpdir, "events_files")
+    L.write_partitioned(ev, path, ["event_type"])
+    for d in os.listdir(path):
+        if d.startswith("event_type="):
+            parquets = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+            assert len(parquets) == 1, (d, parquets)
+
+
+def test_upsert_last_wins_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, version int"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 2), (4, "d", 2), (3, "c2", 1)], "k int, v string, version int"
+    )
+    got = {r.k: (r.v, r.version) for r in R.upsert(base, changes, "k", "version").collect()}
+    # update wins on higher version, insert lands, tie goes to changes
+    assert got == {1: ("a", 1), 2: ("B", 2), 3: ("c2", 1), 4: ("d", 2)}
+
+
+def test_upsert_plan_has_group_limit(spark):
+    # the per-key top-1 must push a WindowGroupLimit (map-side partial
+    # top-K) so the merge shuffle carries candidates, not history
+    o = load_table(spark, SF_CORRECT, "orders").withColumn("version", F.lit(1))
+    ch = o.limit(100).withColumn("version", F.lit(2))
+    merged = R.upsert(o, ch, "o_orderkey", "version")
+    plan = PL.executed_plan(merged)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -342,3 +342,87 @@ def test_streaming_ann_matches_batch(spark, tmpdir):
     key = ["query_id", "neighbor_id", "rank", "cosine"]
     assert got.select(*key).exceptAll(want.select(*key)).count() == 0
     assert want.select(*key).exceptAll(got.select(*key)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join + streaming session windows
+# (streaming/event_streams.py)
+# ---------------------------------------------------------------------------
+
+_EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _events(spark):
+    from bensp_suite_spark.tables import load_table
+
+    return load_table(spark, SF_CORRECT, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
+    """Clicks and views arriving as two independent streams over several
+    micro-batches pair exactly like the batch interval join."""
+    from bensp_suite_spark.streaming import event_streams as ES
+
+    ev = _events(spark)
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    views_b = ev.filter(F.col("event_type") == "view")
+
+    c_src, v_src, out, ckpt = (os.path.join(tmpdir, d) for d in ("c", "v", "out", "ck"))
+    # each micro-batch must be a time slice (range-partitioned on ts, file
+    # order == part order == time order): a file source replaying events
+    # out of time order would drop them as late once the watermark passed —
+    # exactly what the watermark contract says, but not what a live,
+    # roughly-ordered event stream looks like
+    clicks_b.repartitionByRange(4, "ts").write.parquet(c_src)
+    views_b.repartitionByRange(4, "ts").write.parquet(v_src)
+
+    c_s = spark.readStream.schema(_EV_SCHEMA).option("maxFilesPerTrigger", 1).parquet(c_src)
+    v_s = spark.readStream.schema(_EV_SCHEMA).option("maxFilesPerTrigger", 1).parquet(v_src)
+    ES.run_to_parquet(ES.interval_join(c_s, v_s), out, ckpt)
+
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.read.parquet(out).select("click_id", "view_id").collect()
+    }
+    want = {
+        (r.click_id, r.view_id)
+        for r in ES.interval_join(clicks_b, views_b).select("click_id", "view_id").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_session_windows_match_batch(spark, tmpdir):
+    """Append-mode session_window: every session whose close the final
+    watermark passed is emitted exactly once and equals the batch
+    sessionization. A far-future sentinel event advances the watermark so
+    all real sessions finalize under availableNow."""
+    from bensp_suite_spark.streaming import event_streams as ES
+
+    ev = _events(spark)
+    sentinel = ev.limit(1).select(
+        F.lit(999_999_999).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 3650 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ck"))
+    # sentinel rides in the same source; watermark is computed per batch
+    # from the max event time seen, so by the final batch all real
+    # sessions are closed
+    ev.unionByName(sentinel).repartition(5).write.parquet(src)
+
+    stream = spark.readStream.schema(_EV_SCHEMA).parquet(src)
+    ES.run_to_parquet(ES.session_counts(stream), out, ckpt)
+
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.read.parquet(out).filter("user_id >= 0").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in ES.session_counts(ev).collect()
+    }
+    assert got == want and len(want) > 0
