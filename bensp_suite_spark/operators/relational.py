@@ -221,3 +221,62 @@ def upsert(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_prec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew remedies (100 TB): explicit salting for hot group keys
+# ---------------------------------------------------------------------------
+
+#: aggregate name -> (phase-1 partial fn, phase-2 merge fn)
+_SALTABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+    "collect_set": (
+        F.collect_set,
+        lambda c: F.array_distinct(F.flatten(F.collect_list(c))),
+    ),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    aggs: Sequence[tuple[str, str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt on the group key:
+    ``groupBy(keys + salt)`` partials, then ``groupBy(keys)`` merge.
+
+    ``aggs`` is ``[(out_name, agg, col), ...]`` with ``agg`` one of
+    ``sum count min max collect_set``.
+
+    When to use: Spark's native partial aggregation already collapses
+    skewed SUM/COUNT-style keys map-side, so plain ``groupBy`` is right
+    for those. Salting pays off when the aggregation STATE is heavy —
+    collect_set/collect_list, exact large distincts — because every
+    occurrence of a hot key then ships to one reducer regardless of
+    map-side combine. The salt fans a hot key across ``n_salts``
+    reducers; the merge exchange carries one pre-shrunk row per
+    (key, salt). Results are identical for any commutative-mergeable
+    aggregate (tests/test_layout.py::test_salted_agg_*).
+
+    The salt is ``pmod(hash(whole row), n_salts)`` — deterministic per
+    row content, uniform, and independent of partitioning."""
+    ks = _cols(keys)
+    for _, agg, _c in aggs:
+        if agg not in _SALTABLE:
+            raise KeyError(f"unsaltable aggregate {agg!r}; have {sorted(_SALTABLE)}")
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*ks, "_salt")
+        .agg(*[_SALTABLE[agg][0](F.col(c)).alias(f"_p_{name}") for name, agg, c in aggs])
+    )
+    return partial.groupBy(*ks).agg(
+        *[
+            _SALTABLE[agg][1](F.col(f"_p_{name}")).alias(name)
+            for name, agg, _c in aggs
+        ]
+    )

@@ -78,3 +78,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register every test table as a temp view so plain ``spark.sql``
+    works over the schema — the drop-in SQL surface (a reference user's
+    queries keep running, but through Catalyst). Honors cache_tables()
+    transparently: registered views point at the persisted DataFrames
+    when present."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name + suffix)

@@ -70,3 +70,35 @@ def test_upsert_plan_has_group_limit(spark):
     plan = PL.executed_plan(merged)
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_table(spark, SF_CORRECT, "events")
+    salted = R.salted_agg(
+        ev,
+        "event_type",
+        [
+            ("n", "count", "event_id"),
+            ("max_v", "max", "value"),
+            ("users", "collect_set", "user_id"),
+        ],
+        n_salts=8,
+    ).select("event_type", "n", "max_v", F.array_sort("users").alias("users"))
+    plain = ev.groupBy("event_type").agg(
+        F.count("event_id").alias("n"),
+        F.max("value").alias("max_v"),
+        F.array_sort(F.collect_set("user_id")).alias("users"),
+    )
+    got = {r.event_type: (r.n, r.max_v, r.users) for r in salted.collect()}
+    want = {r.event_type: (r.n, r.max_v, r.users) for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_agg_two_exchanges_finer_first(spark):
+    # phase 1 keys on (key, salt) — a hot key spreads over n_salts
+    # reducers; phase 2 merges one shrunk row per (key, salt)
+    ev = load_table(spark, SF_CORRECT, "events")
+    df = R.salted_agg(ev, "event_type", [("n", "count", "event_id")], n_salts=8)
+    plan = PL.executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "_salt" in plan.split("Exchange hashpartitioning")[1]

@@ -377,6 +377,13 @@ def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
     # roughly-ordered event stream looks like
     clicks_b.repartitionByRange(4, "ts").write.parquet(c_src)
     views_b.repartitionByRange(4, "ts").write.parquet(v_src)
+    # the file source replays in MODIFICATION-TIME order, and parallel part
+    # writes finish in arbitrary order — pin mtimes to part order (which IS
+    # ts order under repartitionByRange) so the replay is the time order
+    for src in (c_src, v_src):
+        parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+        for i, p in enumerate(parts):
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
 
     c_s = spark.readStream.schema(_EV_SCHEMA).option("maxFilesPerTrigger", 1).parquet(c_src)
     v_s = spark.readStream.schema(_EV_SCHEMA).option("maxFilesPerTrigger", 1).parquet(v_src)
