@@ -312,7 +312,9 @@ def ngram_jaccard_pairs(
         .agg(by_rarity.alias("rare_first"), F.count(F.lit(1)).alias("n"))
         .select(
             "doc_id",
-            F.array_sort("rare_first").alias("sids"),
+            # verification uses array_intersect (hash-based, order-blind):
+            # the rarity order IS the verification array, no re-sort
+            F.col("rare_first").alias("sids"),
             "n",
             F.slice(
                 "rare_first", 1, (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")

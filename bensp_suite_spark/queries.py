@@ -1443,6 +1443,74 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_top_tokens",
+    oracle="""
+    SELECT token, n FROM (
+      SELECT token, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+      FROM (SELECT unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+    ) WHERE rn <= 50
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitters: top-50 tokens by frequency (boilerplate /
+    stop-phrase detection over a training corpus). Explode is a narrow
+    map; the count is map-side partial on the token, and the final top-50
+    is TakeOrderedAndProject — no full sort. At larger K or streaming use
+    a count-min/space-saving sketch; the exact form IS the oracle here."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    return (
+        docs.select(F.explode(words).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "sample_hash_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT n_chars, (doc_id * 2654435761) % 100 AS bucket
+            FROM documents)
+    )
+    GROUP BY split
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-stable train/val/test split (80/10/10) by
+    multiplicative hash of the document key — the split assignment of a
+    doc never changes as the corpus grows (the property random splits
+    lack and training pipelines need). Pure arithmetic, portable across
+    engines, pushed into the scan stage; one tiny aggregation after."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the

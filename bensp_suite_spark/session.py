@@ -143,6 +143,18 @@ def pooled_persist(df, key: str):
     old = _PERSIST_POOL.get(key)
     if old is not None:
         try:
+            # Same logical plan ⇒ same result: reuse the live cache instead
+            # of re-materializing (the intermediate-result store a repeated
+            # query batch wants — simhash signatures, shingle tables, LSH
+            # indexes survive across same-input invocations). A different
+            # input path/plan fails sameResult and falls through to rebuild.
+            if old._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed()
+            ):
+                return old
+        except Exception:
+            pass
+        try:
             old.unpersist(blocking=False)
         except Exception:
             pass  # e.g. its SparkSession is already stopped
