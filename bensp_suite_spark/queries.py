@@ -1511,6 +1511,52 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+           WHERE token <> '' GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+           WHERE token <> '' GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df,
+           ROUND(tf * LN((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE doc_id % 50 = 0
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting over the corpus (the classic text-analytics
+    aggregation pipeline: per-doc term frequency ⨝ global document
+    frequency ⨝ corpus size). The df table is tokens-sized (small); it
+    broadcasts into the tf table, and the doc_id sampling predicate
+    prunes before the join. Scores are rounded at 4 decimals so libm ulp
+    differences between engines can't flip the value hash."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    toks = docs.select("doc_id", F.explode(words).alias("token")).filter(
+        F.col("token") != ""
+    )
+    from .session import pooled_persist
+
+    toks = pooled_persist(toks, "queries.tfidf.toks")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    score = F.round(
+        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 4
+    )
+    return (
+        tf.filter(F.col("doc_id") % 50 == 0)
+        .join(F.broadcast(dfreq), "token")
+        .select("doc_id", "token", "tf", "df", score.alias("tfidf"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the

@@ -250,3 +250,40 @@ def test_scale_swap_approx_variants(spark):
     for k, r in rows.items():
         assert abs(r["p50"] - exact[k]["p50"]) / exact[k]["p50"] < 0.05
         assert abs(r["n_cust"] - exact[k]["n_cust"]) / exact[k]["n_cust"] < 0.05
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The 100 TB skew story for JOINS: AQE detects a hot key's oversized
+    shuffle partition at runtime and splits it across tasks (skew=true in
+    the final adaptive plan) — no manual salting needed on the join path
+    (salting is reserved for heavy aggregation state, relational.salted_agg).
+    Mirrors session.py's skewJoin.enabled=true default."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(100_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+        cold = spark.range(20_000).select(
+            (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(101).select(F.col("id").alias("k"), F.lit("d").alias("name"))
+        j = hot.union(cold).join(dim, "k")
+        rows = j.collect()  # executes THIS QueryExecution (adaptive final plan)
+        plan = PL.executed_plan(j)
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1, plan[:1500]
+        assert len(rows) == 120_000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
