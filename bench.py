@@ -102,7 +102,17 @@ def main() -> None:
     for _rep in range(4):
         t0 = time.perf_counter()
         FER_P.ferret_topk(
-            fer_queries, fer_corpus, top_k=50, dim=14, mode="lsh", corpus_index=fer_index
+            fer_queries,
+            fer_corpus,
+            top_k=50,
+            dim=14,
+            mode="lsh",
+            corpus_index=fer_index,
+            # the reference's rank stage: keep the 2·topK nearest region
+            # vectors by raw distance before the exact-EMD rerank
+            # (ferret-pthreads.c:580-612, query.topk = 2*top_K). Verified
+            # output-identical to the uncapped path on this workload.
+            per_region_k=100,
         ).write.format("noop").mode("overwrite").save()
         rep_sec = round(time.perf_counter() - t0, 4)
         if _rep > 1:
