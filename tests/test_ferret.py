@@ -134,3 +134,24 @@ def test_multiprobe_candidates_superset_of_single_probe(spark, corpus_df, querie
     }
     assert single <= multi
     assert len(multi) > len(single)
+
+
+def test_pruned_rerank_matches_full(spark):
+    """emd_rerank_topk (centroid-lower-bound-filtered exact EMD) must be
+    result-identical to the full rerank through the whole query path."""
+    from bensp_suite_spark.ferret import fixtures as FF
+    from bensp_suite_spark.ferret import pipeline as FP
+
+    corpus = FF.synthetic_corpus(spark, m=120).persist()
+    corpus.count()
+    queries = FF.synthetic_queries(spark, corpus, q=8).persist()
+    queries.count()
+    try:
+        full = FP.ferret_topk(queries, corpus, top_k=10, dim=14, mode="exhaustive")
+        pruned = FP.ferret_topk(
+            queries, corpus, top_k=10, dim=14, mode="exhaustive", prune=True
+        )
+        assert sorted(map(tuple, full.collect())) == sorted(map(tuple, pruned.collect()))
+    finally:
+        corpus.unpersist()
+        queries.unpersist()
