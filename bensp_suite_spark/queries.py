@@ -1557,6 +1557,36 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "json_variant_agg",
+    oracle="""
+    SELECT k, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_value
+    FROM (SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k, value FROM events)
+    WHERE k >= 90
+    GROUP BY k
+    """,
+)
+def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema semi-structured columns via VariantType (Spark 4):
+    parse once into the binary variant encoding, then typed path
+    extraction — the shredded-JSON storage model for schemaless event
+    payloads at scale (vs per-path string re-parsing in
+    json_props_extract). The extraction predicate still prunes before
+    the aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .filter(F.col("k") >= 90)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value", 4)).cast("double"), 3).alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the

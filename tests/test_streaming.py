@@ -433,3 +433,87 @@ def test_streaming_session_windows_match_batch(spark, tmpdir):
         for r in ES.session_counts(ev).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_interval_join_drops_late_rows_past_watermark(spark, tmpdir):
+    """The other half of the watermark contract: rows replayed AFTER the
+    watermark passed them are dropped (bounded state, not unbounded
+    buffering). Clicks feed in time order except the earliest time-slice
+    arrives LAST — those clicks must be late-dropped, and every join row
+    that does emit must come from on-time slices."""
+    from bensp_suite_spark.streaming import event_streams as ES
+
+    ev = _events(spark)
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    views_b = ev.filter(F.col("event_type") == "view")
+    c_src, v_src, out, ckpt = (os.path.join(tmpdir, d) for d in ("c", "v", "out", "ck"))
+    clicks_b.repartitionByRange(4, "ts").write.parquet(c_src)
+    views_b.repartitionByRange(4, "ts").write.parquet(v_src)
+    c_parts = sorted(glob.glob(os.path.join(c_src, "part-*.parquet")))
+    v_parts = sorted(glob.glob(os.path.join(v_src, "part-*.parquet")))
+    # views in time order; clicks: slices 2,3,4 first, slice 1 LAST
+    for i, p in enumerate(v_parts):
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    late_first = c_parts[1:] + [c_parts[0]]
+    for i, p in enumerate(late_first):
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    c_s = spark.readStream.schema(_EV_SCHEMA).option("maxFilesPerTrigger", 1).parquet(c_src)
+    v_s = spark.readStream.schema(_EV_SCHEMA).option("maxFilesPerTrigger", 1).parquet(v_src)
+    ES.run_to_parquet(ES.interval_join(c_s, v_s), out, ckpt)
+
+    got_click_ids = {r.click_id for r in spark.read.parquet(out).collect()}
+    late_click_ids = {r.event_id for r in spark.read.parquet(c_parts[0]).collect()}
+    on_time_with_matches = {
+        r.click_id
+        for r in ES.interval_join(clicks_b, views_b).collect()
+        if r.click_id not in late_click_ids
+    }
+    # late slice contributed nothing; on-time slices all joined
+    assert not (got_click_ids & late_click_ids)
+    assert got_click_ids == on_time_with_matches
+
+
+def test_interval_join_restart_is_exactly_once(spark, tmpdir):
+    """Restart semantics: re-running the drained query on the same
+    checkpoint emits nothing new; NEWER source files appended after
+    restart emit exactly their matches once (file-source offsets + sink
+    commit log + retained join state across the restart)."""
+    from bensp_suite_spark.streaming import event_streams as ES
+
+    ev = _events(spark)
+    clicks_b = ev.filter(F.col("event_type") == "click").persist()
+    views_b = ev.filter(F.col("event_type") == "view").persist()
+    epoch = F.unix_seconds(F.col("ts").cast("timestamp"))
+    med = clicks_b.select(F.percentile(epoch, F.lit(0.5)).alias("m")).collect()[0]["m"]
+    early = clicks_b.filter(epoch <= med).persist()
+    late = clicks_b.filter(epoch > med).persist()
+    c_src, v_src, out, ckpt = (os.path.join(tmpdir, d) for d in ("c", "v", "out", "ck"))
+    early.repartitionByRange(2, "ts").write.parquet(c_src)
+    views_b.repartitionByRange(2, "ts").write.parquet(v_src)
+
+    # wide interval for a dense match set; watermark >> half the time range
+    # so the first drain's watermark can't late-drop the appended newer half
+    join_args = dict(interval="12 hours", watermark="10 days")
+
+    def drain():
+        c_s = spark.readStream.schema(_EV_SCHEMA).parquet(c_src)
+        v_s = spark.readStream.schema(_EV_SCHEMA).parquet(v_src)
+        ES.run_to_parquet(ES.interval_join(c_s, v_s, **join_args), out, ckpt)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    drain()  # restart, no new data -> no new rows (sink commit log)
+    assert spark.read.parquet(out).count() == n1
+    # append the NEWER half of the clicks, restart again
+    late.repartitionByRange(2, "ts").write.mode("append").parquet(c_src)
+    drain()
+    got = spark.read.parquet(out)
+    # exactly-once: no pair duplicated across the three runs, and the
+    # total equals the batch join over all clicks
+    assert got.groupBy("click_id", "view_id").count().filter("count > 1").count() == 0
+    want = ES.interval_join(clicks_b, views_b, **join_args).count()
+    assert got.count() == want > n1
+    for df in (clicks_b, views_b, early, late):
+        df.unpersist()
