@@ -432,3 +432,193 @@ def embedding_near_dup_oracle_sql(threshold: float = 0.99) -> str:
       FROM sided a JOIN sided b ON a.blk = b.blk AND a.vec_id < b.vec_id
     ) WHERE cosine >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — compressed-domain scan + exact re-rank
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 8,
+    train_sample: int = 2048,
+) -> np.ndarray:
+    """Deterministic PQ codebooks, shape (n_subspaces, n_centroids, d_sub).
+
+    Init: the sub-vectors of the ``n_centroids`` lowest-id corpus vectors
+    (same seed-free determinism as ivf_centroids). Refinement:
+    ``train_iters`` Lloyd iterations per subspace over the ``train_sample``
+    lowest-id vectors — argmin ties to the lowest centroid id, empty
+    clusters keep their previous centroid, double accumulation in fixed
+    index order, so the codebooks are bit-stable across runs (what the
+    golden oracle needs). At 100 TB the sample cap IS the design: k-means
+    on a bounded driver-side sample, codebooks broadcast."""
+    rows = (
+        corpus.filter(F.col(id_col) < train_sample)
+        .orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)  # (N, D)
+    d = mat.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    ds = d // n_subspaces
+    sub = mat.reshape(mat.shape[0], n_subspaces, ds)  # (N, S, ds)
+    books = sub[:n_centroids].transpose(1, 0, 2).copy()  # (S, C, ds)
+    for _ in range(train_iters):
+        for s_i in range(n_subspaces):
+            x = sub[:, s_i, :]  # (N, ds)
+            d2 = ((x[:, None, :] - books[s_i][None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)  # ties -> lowest centroid id
+            for c_i in range(n_centroids):
+                members = x[assign == c_i]
+                if len(members):
+                    books[s_i, c_i] = members.mean(0)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — each vector compressed to one centroid id per
+    subspace (D doubles → S small ints; 64-dim → 8 bytes at 16 centroids).
+    Codebooks ride in the UDF closure (broadcast); the encode is a narrow
+    vectorized Arrow pass, zero shuffle — the corpus compresses in place
+    exactly like the IVF cell assignment."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(corpus.sparkSession)
+    S, C, ds = books.shape
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        v = np.array(vecs.tolist(), dtype=np.float64)
+        sub = v.reshape(v.shape[0], S, ds)  # (N, S, ds)
+        # (N, S, C) squared L2 per subspace; argmin ties -> lowest id
+        d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+        return pd.Series(list(d2.argmin(-1)))
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        encode(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine via product quantization: compressed-domain
+    asymmetric-distance scan (each query precomputes an S×C lookup table;
+    scoring a corpus vector is S table lookups instead of D multiplies),
+    per-partition top-(refine·k) pruning inside the scan, then an exact
+    cosine re-rank of the surviving candidates — the third
+    cheap-filter/exact-rerank ANN shape next to LSH and IVF
+    (ferret-pthreads.c:580-655 is the same two-phase design).
+
+    Scale shape: the corpus is scanned once in compressed form (8 bytes/
+    vector here vs 512 raw), candidates shuffle at refine·k per query per
+    partition max, and the exact re-rank touches only candidates. The
+    scan emits nothing for partitions whose best approx distance can't
+    beat the candidate cut."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(queries.sparkSession)
+    books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
+    S, C, ds = books.shape
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qsub = qmat.reshape(qmat.shape[0], S, ds)
+    # ADC tables: (Q, S, C) squared-L2 from each query subvector to every centroid
+    qtab = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+    m = refine * k
+
+    from pyspark.sql.types import LongType as _L
+    from pyspark.sql.types import DoubleType as _D
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("query_id", _L()),
+            StructField("neighbor_id", _L()),
+            StructField("adist", _D()),
+        ]
+    )
+
+    def scan(batches):
+        srange = np.arange(S)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cds = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (N, S)
+            nids = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids)):
+                ad = qtab[qi][srange[None, :], cds].sum(1)  # (N,)
+                mask = nids != qids[qi]
+                idx = np.nonzero(mask)[0]
+                # deterministic per-partition cut: (adist, neighbor_id) order
+                top = idx[np.lexsort((nids[idx], ad[idx]))[:m]]
+                out_q.append(np.full(len(top), qids[qi]))
+                out_n.append(nids[top])
+                out_d.append(ad[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adist": np.concatenate(out_d),
+                }
+            )
+
+    cand = codes.mapInPandas(scan, out_schema)
+    wa = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    cand = (
+        cand.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= m)
+        .select("query_id", "neighbor_id")
+    )
+    # exact cosine re-rank of candidates only (same rounded formula and
+    # tiebreaks as the brute-force oracle)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

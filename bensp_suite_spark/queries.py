@@ -801,6 +801,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk(queries_df, emb, k=5, dim=64)
 
 
+@query("ann_pq_topk", oracle=None)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (third ANN family next to LSH and IVF):
+    compressed-domain asymmetric-distance scan (8-byte codes for 64-dim
+    vectors), deterministic Lloyd-trained codebooks, exact cosine re-rank
+    of refine·k candidates. Golden-pinned oracle (codebook training is a
+    driver-side numpy loop, not SQL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.pq_ann_topk(queries_df, emb, k=5, refine=10)
+
+
 @query("ann_ivf_topk", oracle=SIM.ivf_topk_oracle_sql(k=5, max_query_id=8, n_cells=16, n_probe=2))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN: nearest-cell assignment, n_probe cells per
@@ -1585,6 +1597,53 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("value", 4)).cast("double"), 3).alias("sum_value"),
         )
     )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           COUNT(*) AS n,
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS n_null,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           ROUND(MIN(o_totalprice), 3) AS min_v,
+           ROUND(MAX(o_totalprice), 3) AS max_v,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS mean_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           COUNT(DISTINCT o_custkey),
+           ROUND(CAST(MIN(o_custkey) AS DOUBLE), 3),
+           ROUND(CAST(MAX(o_custkey) AS DOUBLE), 3),
+           ROUND(CAST(SUM(CAST(o_custkey AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (training-pipeline data validation): per-column
+    row/null/distinct counts + min/max/mean in ONE scan of the table —
+    the per-column aggregates all ride the same partial-aggregation pass
+    (no per-column jobs, unlike df.describe-style loops). At 100 TB swap
+    distinct counts for approx_count_distinct and this stays a single
+    map-side-combined pass."""
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(col: str):
+        c = F.col(col)
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.count_distinct(c).alias("n_distinct"),
+            F.round(F.min(c).cast("double"), 3).alias("min_v"),
+            F.round(F.max(c).cast("double"), 3).alias("max_v"),
+            F.round(
+                F.sum(c.cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_v"),
+        )
+
+    return prof("o_totalprice").unionByName(prof("o_custkey"))
 
 
 # ---------------------------------------------------------------------------

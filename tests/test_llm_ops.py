@@ -234,3 +234,40 @@ def test_bpe_token_count_differs_from_whitespace_on_real_text(spark):
     # pre-tokenizer splits contractions/punct/digits that whitespace lumps
     assert rows[1][0] > rows[1][1]
     assert rows[2] == (3, 3)
+
+
+def test_pq_ann_exact_at_full_refine(spark):
+    """With refine covering the corpus, PQ candidates are everything and
+    the exact re-rank must reproduce brute force bit-for-bit."""
+    from bensp_suite_spark.operators import similarity as SIM
+    from bensp_suite_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = sorted(map(tuple, SIM.cosine_topk_bruteforce(q, emb, k=5).collect()))
+    pq = sorted(map(tuple, SIM.pq_ann_topk(q, emb, k=5, refine=100).collect()))
+    assert pq == bf
+
+
+def test_pq_ann_recall_and_determinism(spark):
+    from bensp_suite_spark.operators import similarity as SIM
+    from bensp_suite_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = {}
+    for r in SIM.cosine_topk_bruteforce(q, emb, k=5).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    run1 = SIM.pq_ann_topk(q, emb, k=5, refine=10).collect()
+    pq = {}
+    for r in run1:
+        pq.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(bf[i] & pq.get(i, set())) / len(bf[i]) for i in bf) / len(bf)
+    assert recall >= 0.6, recall  # 10% compressed-domain scan of the corpus
+    # bit-stable across runs (golden-oracle prerequisite)
+    run2 = SIM.pq_ann_topk(q, emb, k=5, refine=10).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))

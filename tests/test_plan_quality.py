@@ -287,3 +287,39 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """Runtime semi-join reduction: a selective dim predicate injects a
+    bloom filter (might_contain) into the FACT side's scan stage, so
+    non-matching fact rows die at the scan instead of crossing the join
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the matching fraction. Needs real file
+    scans (not cached relations); the scan-size threshold is floored at
+    toy scale only to trigger what a 100 TB scan triggers naturally."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        rows = j.collect()
+        plan = PL.executed_plan(j)
+        assert "might_contain" in plan, plan[:1500]
+        assert rows[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
