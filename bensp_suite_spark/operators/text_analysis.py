@@ -170,3 +170,53 @@ def doc_fingerprint_oracle_sql(table: str = "documents") -> str:
              (acc, cp) -> (acc * 31 + cp) % {FINGERPRINT_MOD}) AS fingerprint
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus preparation: fixed-window chunking, PII scrubbing
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 500,
+    overlap: int = 50,
+    text: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size character windows with overlap
+    (the context-window packing step of a training pipeline). All JVM-side:
+    sequence → explode → substring is a narrow per-row expansion, no
+    shuffle, output rows ∝ total characters / stride. Short docs yield one
+    (possibly truncated) chunk; every character lands in ≥1 chunk."""
+    stride = chunk_chars - overlap
+    t = F.col(text)
+    n_chunks = F.ceil(
+        F.greatest(F.length(t) - F.lit(overlap), F.lit(1)) / F.lit(float(stride))
+    ).cast("int")
+    return (
+        df.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn(
+            "chunk_text", F.substring(t, F.col("chunk_idx") * stride + 1, chunk_chars)
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+#: simple email shape, identical semantics in Java regex and RE2
+EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+
+
+def redact_pii(
+    df: DataFrame,
+    patterns: dict[str, str] | None = None,
+    text: str = "text",
+) -> DataFrame:
+    """Replace PII-shaped substrings with typed placeholder tags
+    (`{"<EMAIL>": regex, ...}`). regexp_replace is JVM-side codegen; the
+    patterns must stay in the Java∩RE2 common subset so the DuckDB oracle
+    sees identical semantics (same constraint the BPE pre-tokenizer
+    documents). Adds `redacted` next to the original column."""
+    patterns = patterns if patterns is not None else {"<EMAIL>": EMAIL_RE}
+    out = F.col(text)
+    for tag, regex in sorted(patterns.items()):
+        out = F.regexp_replace(out, regex, tag)
+    return df.withColumn("redacted", out)

@@ -1646,6 +1646,63 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof("o_totalprice").unionByName(prof("o_custkey"))
 
 
+@query(
+    "text_chunking",
+    oracle="""
+    SELECT doc_id, i AS chunk_idx,
+           md5(substring(text, i*450 + 1, 500)) AS chunk_md5,
+           CAST(length(substring(text, i*450 + 1, 500)) AS INTEGER) AS chunk_len
+    FROM documents,
+         unnest(range(0, CAST(ceil(greatest(length(text) - 50, 1) / 450.0) AS INTEGER))) AS t(i)
+    WHERE doc_id % 20 = 0
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: 500-char chunks, 50-char overlap
+    (operators/text_analysis.chunk_documents). Chunks are value-checked
+    by md5 so the oracle compares content without shipping text blobs."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return TA.chunk_documents(docs, chunk_chars=500, overlap=50).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"),
+        F.col("chunk_len").cast("int").alias("chunk_len"),
+    )
+
+
+@query(
+    "text_pii_redaction",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(text || ' reach me: user_' || doc_id || '@example.com',
+                              '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g')) AS redacted_md5,
+           CAST(length(text || ' reach me: user_' || doc_id || '@example.com')
+                - length(regexp_replace(text || ' reach me: user_' || doc_id || '@example.com',
+                                        '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'))
+                AS BIGINT) AS chars_removed
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text_analysis.redact_pii): plant a
+    deterministic email per sampled doc, redact with the Java∩RE2-common
+    email pattern, value-check the scrubbed text by md5 + removed-char
+    count (>0 proves the redaction fired on every row)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" reach me: user_"), F.col("doc_id"), F.lit("@example.com")
+        ),
+    )
+    red = TA.redact_pii(planted)
+    return red.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_md5"),
+        (F.length("text") - F.length("redacted")).cast("bigint").alias("chars_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
