@@ -1703,6 +1703,142 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w_rank_functions",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-function family over one shared window spec (ntile /
+    percent_rank / cume_dist / dense_rank): Catalyst plans a single sort +
+    single exchange for all four. Unique (acctbal, custkey) ordering makes
+    every rank deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+    )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+             CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+      FROM events
+    ),
+    grid AS (
+      SELECT u.user_id, CAST(t.d AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 25 = 0) u,
+           bounds, unnest(generate_series(bounds.d0, bounds.d1, INTERVAL 1 DAY)) AS t(d)
+    ),
+    actual AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2
+    )
+    SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN actual a ON g.user_id = a.user_id AND g.day = a.day
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: a complete (user × day) grid with
+    zero-filled gaps — resampling for downstream models. The grid is a
+    broadcast-sized sequence explode (days × sampled users), never a
+    range join; the actual counts aggregate map-side first."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    bounds = _t(spark, sf_dir, "events").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("d1"),
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    actual = ev.groupBy("user_id", day.alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        grid.join(actual, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 60 AND b.c_custkey < 60
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: near-identical names within a
+    bounded block (the blocked-comparison shape — at scale the block key
+    comes from a cheap canopy like sorted-neighborhood or phonetic code,
+    never an unblocked n² cross join). levenshtein is JVM-side."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 60)
+    a = c.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 2)
+        .select("key_a", "key_b", dist.cast("int").alias("dist"))
+    )
+
+
+@query(
+    "vector_stats",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')), 4) AS norm,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_c,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+)
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column (transform /
+    aggregate / filter) — all JVM-side codegen, zero Python: the
+    expression surface vector pipelines build on. Both engines fold the
+    sum sequentially in index order, so the double accumulation is
+    bit-identical."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    v = F.col("embedding")
+    vd = F.transform(v, lambda x: x.cast("double") * x)
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x)), 4
+        ).alias("norm"),
+        F.round(F.array_max(v).cast("double"), 4).alias("max_c"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the

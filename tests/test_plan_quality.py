@@ -323,3 +323,12 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rank_family_single_window_pass(spark):
+    # all four rank functions share one window spec → one Window node,
+    # one exchange, one sort (same contract as w_running_totals)
+    plan = _plan(spark, "w_rank_functions")
+    assert plan.count("Window ") + plan.count("Window\n") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") == 1, plan
