@@ -1840,6 +1840,365 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth II — outer-join distributions, HAVING semi joins,
+# NOT-EXISTS anti joins with scalar thresholds, correlated-min lookups
+# (TPC-H Q13/Q18/Q22/Q10/Q2 shapes adapted to the driver schema)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: left OUTER join
+    with a residual non-key predicate (NULL-preserving), then two stacked
+    aggregations. Scale shape: the outer join hashes on the customer key
+    (orders side is partially aggregated only after the join because the
+    residual predicate must see order rows); the second aggregation's key
+    domain is tiny (count-of-counts), so it collapses to near-nothing
+    map-side."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c_name, o_orderkey,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: an IN-subquery with a HAVING
+    aggregate becomes aggregate → filter → left-semi hash join back to
+    lineitem, then the customer dim joins on the order's custkey. The
+    HAVING compare is decimal-exact so both engines admit the same order
+    set. Scale shape: the per-order aggregate partial-aggregates map-side
+    before its one shuffle; the qualifying-key set is small and
+    broadcast-joins back to the fact."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    return (
+        li.join(F.broadcast(big), li.l_orderkey == F.col("big_okey"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "q22_high_balance_inactive",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_high_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: a scalar-aggregate subquery threshold plus a
+    NOT EXISTS that decorrelates to a left-anti hash join. The threshold
+    is a decimal-exact sum divided once in double (bit-identical across
+    engines). Scale shape: the scalar subquery reduces to one tiny
+    broadcast value; the anti join hashes on the customer key with the
+    urgent-orders side pre-filtered at its scan."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("t"))
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, revenue FROM (
+      SELECT c_custkey, c_name, n_name,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 3) AS revenue
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, n_name
+    ) QUALIFY ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) <= 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item revenue ranking: fact filter at the
+    scan (returnflag = 'R' pushed down), two hash joins, broadcast nation
+    dim, group on the customer grain, global top-20. The rank key is the
+    ROUNDed revenue with the unique custkey tiebreaker, so both engines
+    pick an identical top set. Scale shape: TakeOrderedAndProject — each
+    partition keeps 20 rows, no full sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4))).cast("double"),
+                3,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@query(
+    "q2_min_price_supplier",
+    oracle="""
+    SELECT DISTINCT l_partkey, s_name, l_extendedprice AS min_price
+    FROM lineitem
+    JOIN (SELECT l_partkey AS pk, MIN(l_extendedprice) AS mn
+          FROM lineitem GROUP BY l_partkey) ON l_partkey = pk AND l_extendedprice = mn
+    JOIN supplier ON s_suppkey = l_suppkey
+    """,
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-minimum lookup: for every part, the
+    supplier(s) quoting its minimum price. The correlated
+    ``= (SELECT MIN ...)`` decorrelates to a per-key MIN aggregate joined
+    back on (key, value); MIN over doubles is exact (no accumulation), so
+    the equality admits identical rows in both engines. Scale shape: the
+    per-part MIN partial-aggregates map-side; both sides of the
+    attaining-row join share the part-key partitioning, and the supplier
+    dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    mins = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("l_extendedprice").alias("mn")
+    )
+    return (
+        li.join(mins, (li.l_partkey == mins.pk) & (li.l_extendedprice == mins.mn))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("l_partkey", "s_name", F.col("l_extendedprice").alias("min_price"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops II — benchmark decontamination, quality-rule filtering,
+# intra-document repetition (the Gopher/C4-style curation surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH t AS (SELECT doc_id, source,
+                      string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+               FROM documents),
+    g AS (SELECT doc_id, source,
+                 array_to_string(w[CAST(i AS BIGINT):CAST(i + 3 AS BIGINT)], ' ') AS gram
+          FROM t, UNNEST(range(1, len(w) - 2)) AS r(i)),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+    SELECT doc_id, COUNT(DISTINCT gram) AS n_shared
+    FROM g JOIN bench USING (gram)
+    WHERE source <> 'src0'
+    GROUP BY doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    4-gram with the held-out benchmark slice (source 'src0') and count
+    the distinct shared grams — the standard n-gram-overlap scrub before
+    LLM training. Scale shape: grams explode narrowly (no shuffle until
+    the join); the benchmark gram set is tiny relative to the corpus and
+    broadcasts, so the full training side never shuffles; the per-doc
+    distinct count is one hash exchange on doc_id. At 100 TB the
+    benchmark side stays broadcast-sized (benchmarks are MBs) while the
+    training side streams through."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    grams = (
+        docs.select("doc_id", "source", w.alias("w"))
+        .filter(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 4),
+                    lambda i: F.array_join(F.slice("w", i + 1, 4), " "),
+                )
+            ).alias("gram"),
+        )
+    )
+    bench = (
+        grams.filter(F.col("source") == "src0").select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared"))
+    )
+
+
+@query(
+    "text_gopher_quality",
+    oracle="""
+    SELECT doc_id, n_words, mean_word_len, unique_ratio, top_token_frac,
+           CAST(n_words >= 30 AND unique_ratio >= 0.5 AND top_token_frac <= 0.15
+                AS BOOLEAN) AS keep
+    FROM (
+      SELECT doc_id, COUNT(*) AS n_words,
+             ROUND(CAST(SUM(LENGTH(token)) AS DOUBLE) / COUNT(*), 4) AS mean_word_len,
+             ROUND(CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*), 4) AS unique_ratio,
+             ROUND(CAST(MAX(cnt) AS DOUBLE) / COUNT(*), 4) AS top_token_frac
+      FROM (SELECT doc_id, token, COUNT(*) OVER (PARTITION BY doc_id, token) AS cnt
+            FROM (SELECT doc_id,
+                         unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS token
+                  FROM documents))
+      GROUP BY doc_id
+    )
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filtering: per-document word count, mean
+    word length, type-token (unique-word) ratio, and most-frequent-token
+    fraction, combined into a keep/drop flag. Every ratio is an
+    int-over-int division done once in double — bit-identical across
+    engines. Scale shape: tokens explode narrowly, the (doc, token)
+    count partial-aggregates map-side before one exchange on doc_id (the
+    window in the oracle is expressed as a two-level aggregate here —
+    same result, no sort), and the doc-level reduction rides the same
+    partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    tok = docs.select("doc_id", F.explode(w).alias("token"))
+    per_token = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_token.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.round(
+            (F.sum(F.length("token") * F.col("cnt")).cast("double") / F.sum("cnt")), 4
+        ).alias("mean_word_len"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("cnt"), 4).alias("unique_ratio"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 4).alias("top_token_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= 30)
+        & (F.col("unique_ratio") >= 0.5)
+        & (F.col("top_token_frac") <= 0.15)
+    )
+    return stats.select(
+        "doc_id", "n_words", "mean_word_len", "unique_ratio", "top_token_frac",
+        keep.alias("keep"),
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(total_bigrams AS BIGINT) AS total_bigrams,
+           ROUND(1.0 - CAST(distinct_bigrams AS DOUBLE) / total_bigrams, 4) AS dup_bigram_frac,
+           ROUND(CAST(top_bigram_n AS DOUBLE) / total_bigrams, 4) AS top_bigram_frac
+    FROM (
+      SELECT doc_id, COUNT(*) AS total_bigrams,
+             COUNT(DISTINCT gram) AS distinct_bigrams, MAX(cnt) AS top_bigram_n
+      FROM (SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY doc_id, gram) AS cnt
+            FROM (SELECT doc_id,
+                         array_to_string(w[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' ') AS gram
+                  FROM (SELECT doc_id,
+                               string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+                        FROM documents),
+                       UNNEST(range(1, len(w))) AS r(i)))
+      GROUP BY doc_id
+    )
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (Gopher's duplicate-n-gram
+    family): fraction of duplicated word bigrams and the share of the
+    single most frequent bigram, per document. Ratios are int/int in
+    double, deterministic across engines. Scale shape: same two-level
+    aggregation as the quality query — one exchange on doc_id total."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    grams = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.array_join(F.slice("w", i + 1, 2), " "),
+                )
+            ).alias("gram"),
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total_bigrams"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("cnt"), 4
+        ).alias("dup_bigram_frac"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 4).alias("top_bigram_frac"),
+    ).select(
+        "doc_id", "total_bigrams", "dup_bigram_frac", "top_bigram_frac"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
 # driver's correctness scale as DuckDB VALUES literals — upgrading them from
