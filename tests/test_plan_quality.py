@@ -90,6 +90,11 @@ def test_relational_queries_have_no_python_udfs(spark):
         "agg_rollup", "agg_cube_events", "agg_pivot_status",
         "a5_session_windows", "ann_cosine_topk", "ann_range_search",
         "dedup_embedding_cosine",
+        # relational breadth II + curation ops — all JVM-side expressions
+        "q13_order_count_distribution", "q18_large_volume_orders",
+        "q22_high_balance_inactive", "q10_returned_revenue",
+        "q2_min_price_supplier", "text_decontaminate",
+        "text_gopher_quality", "text_repetition_ratio",
     ]
     for name in relational:
         PL.assert_no_python_udf(_df(spark, name), what=name)
@@ -332,3 +337,57 @@ def test_rank_family_single_window_pass(spark):
     assert plan.count("Window ") + plan.count("Window\n") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Sort ") == 1, plan
+
+
+def test_q13_outer_join_hashes_no_nested_loop(spark):
+    # residual non-key predicate must ride the hash join, not force a
+    # nested loop; the count-of-counts agg partial-aggregates map-side
+    plan = _plan(spark, "q13_order_count_distribution")
+    assert "NestedLoop" not in plan, plan
+    assert "Join LeftOuter" in plan or "LeftOuter" in plan, plan
+    PL.assert_partial_aggregation(_df(spark, "q13_order_count_distribution"))
+
+
+def test_q18_having_set_joins_back_as_broadcast_semi(spark):
+    plan = _plan(spark, "q18_large_volume_orders")
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    PL.assert_partial_aggregation(_df(spark, "q18_large_volume_orders"))
+
+
+def test_q22_not_exists_is_anti_hash_join(spark):
+    plan = _plan(spark, "q22_high_balance_inactive")
+    # the NOT EXISTS must be a HASH anti join (a nested-loop anti join
+    # over the fact would be O(n·m) at scale)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the scalar threshold becomes a 1-row IdentityBroadcast (fine as a
+    # nested loop: build side is a single row), never a per-row subquery
+    assert "IdentityBroadcastMode" in plan, plan
+
+
+def test_q10_topn_is_take_ordered_with_pushed_flag(spark):
+    df = _df(spark, "q10_returned_revenue")
+    plan = PL.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    PL.assert_pushed_filter(df, "EqualTo(l_returnflag,R)")
+
+
+def test_q2_min_lookup_partial_agg_and_broadcast_dim(spark):
+    plan = _plan(spark, "q2_min_price_supplier")
+    assert "BroadcastHashJoin" in plan, plan
+    PL.assert_partial_aggregation(_df(spark, "q2_min_price_supplier"))
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    # the training-side gram stream must not shuffle for the overlap
+    # join — the benchmark gram set broadcasts (it is MB-scale at 100 TB)
+    plan = _plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    PL.assert_no_python_udf(_df(spark, "text_decontaminate"), what="text_decontaminate")
+
+
+def test_curation_queries_jvm_side_partial_agg(spark):
+    for name in ("text_gopher_quality", "text_repetition_ratio"):
+        df = _df(spark, name)
+        PL.assert_no_python_udf(df, what=name)
+        PL.assert_partial_aggregation(df)
