@@ -42,3 +42,47 @@ def stream_exact_dedup(
         .start()
         .awaitTermination()
     )
+
+
+def stream_exact_dedup_ttl(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    event_time_col: str = "ts",
+    horizon: str = "10 minutes",
+) -> None:
+    """Bounded-state streaming dedup: first occurrence wins while the key
+    is inside the event-time ``horizon``; state for keys older than the
+    watermark is evicted, so a duplicate arriving after the horizon is
+    admitted again as a fresh document.
+
+    This is the 100 TB knob the unbounded variant lacks: exact-forever
+    dedup state grows with the distinct-key count (every fingerprint ever
+    seen — the reference's hashtable, encoder.c:1520, which only survives
+    because its corpus fits one machine). ``dropDuplicatesWithinWatermark``
+    keeps the per-key state RocksDB-resident only until the watermark
+    passes it, making state size proportional to the horizon's key arrival
+    rate, not corpus lifetime. Use the unbounded form when global
+    exactness is required and the key space is budgeted; use this form
+    for continuous ingestion where near-in-time duplicates dominate
+    (crawl re-fetches, retry storms, mirror bursts)."""
+    hashed = docs_stream.select(
+        "doc_id",
+        F.col(event_time_col).alias("event_ts"),
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias(
+            "content_hash"
+        ),
+    )
+    winners = hashed.withWatermark("event_ts", horizon).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+    (
+        winners.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

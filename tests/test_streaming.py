@@ -517,3 +517,40 @@ def test_interval_join_restart_is_exactly_once(spark, tmpdir):
     assert got.count() == want > n1
     for df in (clicks_b, views_b, early, late):
         df.unpersist()
+
+
+def test_streaming_dedup_ttl_evicts_state_after_horizon(spark, tmpdir):
+    """Bounded-state dedup (dropDuplicatesWithinWatermark): a duplicate
+    inside the event-time horizon is dropped; once the watermark passes
+    the key, its state is evicted and a later re-arrival is admitted as a
+    fresh document — state is O(horizon arrival rate), not O(corpus)."""
+    import time as _time
+
+    from bensp_suite_spark.streaming import text_dedup_stream as TDS
+
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    t0 = "2024-01-01 00:00:00"
+    batches = [
+        [(1, "alpha body", t0)],                      # first occurrence: wins
+        [(2, "alpha body", "2024-01-01 00:01:00")],   # dup inside horizon: dropped
+        [(3, "other body", "2024-01-01 02:00:00")],   # advances watermark past key
+        # eviction applies the advanced watermark at the END of this batch
+        [(4, "filler body", "2024-01-01 02:00:10")],
+        [(5, "alpha body", "2024-01-01 02:00:30")],   # state evicted: admitted again
+    ]
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id long, text string, ts string").select(
+            "doc_id", "text", F.col("ts").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes → deterministic 1-file-per-trigger order
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    TDS.stream_exact_dedup_ttl(spark, stream, out, ckpt, horizon="10 minutes")
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3, 4, 5}, got
