@@ -431,6 +431,124 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (training-data generalization of ferret's
+# image-similarity pipeline: find near-duplicate IMAGES, not top-K lookups)
+# ---------------------------------------------------------------------------
+
+def dhash_kernel(rgb: np.ndarray) -> int:
+    """64-bit difference hash: grayscale → nearest-neighbor 9×8 → bit i =
+    gray[y, x] > gray[y, x+1]. All-integer (no float DCT, no BLAS), so the
+    hash is bit-identical on any host — the property a distributed dedup
+    key must have. Robust to uniform brightness/contrast shifts (gradients
+    preserved); sensitive to content edits."""
+    # integer luma (ITU-R 601-ish, scaled by 1024 to stay integral)
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    gray = (306 * r + 601 * g + 117 * b) >> 10
+    small = resize_kernel(np.stack([gray, gray, gray], axis=-1).astype(np.uint8), 9, 8)[..., 0]
+    bits = (small[:, :-1] > small[:, 1:]).astype(np.uint64).ravel()
+    h = np.uint64(0)
+    for bit in bits:
+        h = (h << np.uint64(1)) | bit
+    return int(h.astype(np.int64))  # two's-complement into a Spark LongType
+
+
+def image_dhash(images: DataFrame) -> DataFrame:
+    """(image_id, name, dhash) — narrow mapInPandas stage, no shuffle."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(images.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, hashes = [], [], []
+            for iid, name, fmt, payload in zip(
+                pdf["image_id"], pdf["name"], pdf["format"], pdf["image"]
+            ):
+                ids.append(iid)
+                names.append(name)
+                hashes.append(dhash_kernel(decode_image(bytes(payload), fmt)))
+            yield pd.DataFrame({"image_id": ids, "name": names, "dhash": hashes})
+
+    return images.mapInPandas(gen, "image_id long, name string, dhash long")
+
+
+def image_near_dup_pairs(images: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by dHash: band the 64-bit hash into four
+    16-bit bands and equi-join on (band_idx, band_value) — by pigeonhole,
+    any pair within hamming distance 3 agrees on at least one band, so
+    recall at the threshold is exact. Exact hamming (bit_count of XOR,
+    JVM-side) then filters candidates. Scale shape: identical to the
+    SimHash banding (operators/dedup_text.py) — the hash is 8 bytes/image
+    regardless of image size, the band join shuffles only hash metadata,
+    and band keys are near-uniform for non-identical images; exact dups
+    all land in one band group per band but AQE skew-split covers that."""
+    import pyspark.sql.functions as F
+
+    hashes = image_dhash(images)
+    bands = hashes.select(
+        "image_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("dhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("image_id", "dhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            F.col("a.dhash").alias("h_a"),
+            F.col("b.dhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def synthetic_textured_images(spark, n: int = 12, size: int = 32, seed: int = 17,
+                              dup_of: dict[int, int] | None = None):
+    """Per-pixel noise images in [0, 200) — mutually far apart in dHash
+    space (the rectangle fixtures are not: they share block structure).
+    ``dup_of`` plants near-duplicates: {new_id: source_index} rows are the
+    source image with +10 brightness (dHash-invariant because no pixel
+    saturates), modeling re-encoded/re-exposed copies in a crawl."""
+    rows = []
+    imgs = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        img = rng.integers(0, 200, (size, size, 3)).astype(np.uint8)
+        imgs.append(img)
+        rows.append((i, f"img_{i:05d}.raw", "raw-rgb", size, size, encode_raw_rgb(img)))
+    for new_id, src in (dup_of or {}).items():
+        dup = np.clip(imgs[src].astype(np.int32) + 10, 0, 255).astype(np.uint8)
+        rows.append((new_id, f"dup_{new_id:05d}.raw", "raw-rgb", size, size,
+                     encode_raw_rgb(dup)))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA).coalesce(max(1, len(rows)))
+
+
 def synthetic_images(spark, n: int = 16, size: int = 48, seed: int = 31):
     """Deterministic synthetic raw-rgb images (colored rectangles on a
     background — FIXTURES.md §4) as a multimodal image table."""

@@ -964,6 +964,21 @@ def multimodal_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FP.ferret_topk(vecsets, vecsets, top_k=3, mode="exhaustive")
 
 
+@query("multimodal_image_dedup")
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) image near-dup detection: 12 textured
+    images + 4 planted brightness-shifted copies; band-joined candidates,
+    exact hamming ≤ 3. The hash is 8 bytes/image regardless of pixel
+    count, so the dedup join shuffles metadata only — the image-corpus
+    analog of the text SimHash pipeline. Deterministic (integer kernel)."""
+    from .multimodal import images as IM
+
+    imgs = IM.synthetic_textured_images(
+        spark, n=12, size=32, dup_of={100: 0, 101: 1, 102: 2, 103: 3}
+    )
+    return IM.image_near_dup_pairs(imgs, max_hamming=3)
+
+
 @query("multimodal_image_stats")
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image segmentation/extraction statistics (region counts, weight

@@ -186,3 +186,33 @@ def test_resize_images_shape_and_determinism(spark):
     same = IM.resize_images(imgs, 40, 40)
     for r in same.collect():
         assert IM.decode_image(bytes(r.image), "raw-rgb").tobytes() == src[r.image_id].tobytes()
+
+
+def test_dhash_kernel_properties():
+    """Brightness-invariant (no saturation), content-sensitive, codec-stable."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 200, (32, 32, 3)).astype(np.uint8)
+    h0 = IM.dhash_kernel(img)
+    bright = np.clip(img.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+    assert IM.dhash_kernel(bright) == h0
+    other = rng.integers(0, 200, (32, 32, 3)).astype(np.uint8)
+    pop = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert pop(h0, IM.dhash_kernel(other)) > 10
+    # codec round trip
+    assert IM.dhash_kernel(IM.decode_image(IM.encode_raw_rgb(img), "raw-rgb")) == h0
+
+
+def test_image_near_dup_pairs_finds_planted_dups(spark):
+    """Banded dHash join: every planted brightness-shifted copy pairs with
+    its source at hamming 0; no cross-pairs between distinct images."""
+    imgs = IM.synthetic_textured_images(
+        spark, n=12, size=32, dup_of={100: 0, 101: 1, 102: 2, 103: 3}
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in IM.image_near_dup_pairs(imgs, 3).collect()}
+    assert pairs == {(0, 100): 0, (1, 101): 0, (2, 102): 0, (3, 103): 0}
+    # hamming column equals a python popcount over the dhash pair
+    hs = {r.image_id: r.dhash for r in IM.image_dhash(imgs).collect()}
+    for (a, b), d in pairs.items():
+        assert bin((hs[a] ^ hs[b]) & (2**64 - 1)).count("1") == d
