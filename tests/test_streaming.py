@@ -554,3 +554,54 @@ def test_streaming_dedup_ttl_evicts_state_after_horizon(spark, tmpdir):
 
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 3, 4, 5}, got
+
+
+def test_streaming_per_key_quota_caps_across_batches(spark, tmpdir):
+    """transformWithStateInPandas domain balancing: at most `quota` docs
+    per source survive the stream, with the counter carried across
+    micro-batches in keyed state."""
+    import time as _time
+
+    from bensp_suite_spark.streaming import quota_stream as QS
+
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    # batch 1: 6 rows each for srcA/srcB; batch 2: 6 more for srcA, 2 for srcC
+    b1 = [(i, "srcA") for i in range(6)] + [(100 + i, "srcB") for i in range(6)]
+    b2 = [(10 + i, "srcA") for i in range(6)] + [(200 + i, "srcC") for i in range(2)]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, "doc_id long, source string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    QS.stream_per_key_quota(spark, stream, out, ckpt, key="source", quota=10)
+
+    got = spark.read.parquet(out)
+    counts = {r.source: r.n for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # srcA arrived 12 times → capped at 10; srcB/srcC under quota → all kept
+    assert counts == {"srcA": 10, "srcB": 6, "srcC": 2}, counts
+    # admitted rows are a subset of the input (no duplication/fabrication)
+    all_ids = {r.doc_id for r in spark.read.parquet(src).collect()}
+    got_ids = [r.doc_id for r in got.collect()]
+    assert len(got_ids) == len(set(got_ids)) and set(got_ids) <= all_ids
+
+
+def test_quota_tws_variant_gated_on_protobuf(spark):
+    """The transformWithStateInPandas form is a clearly-marked stub when
+    protobuf is absent (this container); on clusters with protobuf it is
+    the preferred API and shares the processor logic."""
+    from bensp_suite_spark.streaming import quota_stream as QS
+
+    stream = spark.readStream.format("rate").load()
+    if QS.tws_available():
+        df = QS.per_key_quota_tws(stream.selectExpr("value as doc_id", "'s' as source"),
+                                  "source", 5, "doc_id long, source string")
+        assert df.isStreaming
+    else:
+        with pytest.raises(NotImplementedError, match="STUB"):
+            QS.per_key_quota_tws(stream, "source", 5, "doc_id long, source string")
