@@ -2213,6 +2213,104 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_context_windows",
+    oracle="""
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / 8192) AS BIGINT) AS window_id,
+           CAST(FLOOR((start_offset + n_tokens - 1) / 8192)
+                - FLOOR(start_offset / 8192) AS BIGINT) AS extra_windows
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM (SELECT doc_id, source,
+                   len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS n_tokens
+            FROM documents)
+    )
+    """,
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concatenate documents per
+    source shard in doc_id order and chunk the token stream into 8192-token
+    context windows; each doc reports its start offset, its window, and how
+    many extra windows it straddles. All-integer (token counts + running
+    sum), bit-identical across engines. Scale shape: one window spec =
+    one exchange on source + one sort on the shard key; at 100 TB the
+    per-source token streams pack independently (shard = partition), and
+    the assignment itself is arithmetic on the running sum — no second
+    shuffle, no collect."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    toks = docs.select("doc_id", "source", F.size(w).cast("long").alias("n_tokens"))
+    win = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(win) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / 8192).cast("bigint").alias("window_id"),
+        (
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / 8192)
+            - F.floor(F.col("start_offset") / 8192)
+        ).cast("bigint").alias("extra_windows"),
+    )
+
+
+@query(
+    "mixture_downsample",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY (o_orderkey * 2654435761) % 1000000007, o_orderkey) AS rn
+      FROM orders
+    ),
+    target AS (SELECT MIN(cnt) AS m FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority))
+    SELECT o_orderpriority, COUNT(*) AS n_kept,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS kept_totalprice
+    FROM ranked, target
+    WHERE rn <= m
+    GROUP BY o_orderpriority
+    """,
+)
+def mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample every stratum to the size of the
+    smallest one (uniform mixture), choosing survivors by a deterministic
+    multiplicative hash of the row key — the content-stable analog of
+    ``sampleBy`` that training pipelines need (the same rows survive on
+    every run and on any engine; kept_totalprice proves identical row
+    SELECTION, not just identical counts). Scale shape: one exchange on
+    the stratum key for the rank window; the min-count scalar broadcasts;
+    the hash order is computed in the scan stage."""
+    o = _t(spark, sf_dir, "orders")
+    rn_w = Window.partitionBy("o_orderpriority").orderBy(
+        (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(1000000007), "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice", F.row_number().over(rn_w).alias("rn")
+    )
+    target = (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("m"))
+    )
+    return (
+        ranked.join(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("m"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("kept_totalprice"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
