@@ -2311,6 +2311,59 @@ def mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curation_pipeline",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents),
+    per_token AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY doc_id, token),
+    qual AS (
+      SELECT doc_id, SUM(cnt) AS n_tokens
+      FROM per_token GROUP BY doc_id
+      HAVING SUM(cnt) >= 30
+         AND CAST(COUNT(*) AS DOUBLE) / SUM(cnt) >= 0.5
+         AND CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) <= 0.15),
+    winners AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1),
+    t AS (SELECT doc_id, source,
+                 string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents),
+    g AS (SELECT doc_id, source,
+                 array_to_string(w[CAST(i AS BIGINT):CAST(i + 3 AS BIGINT)], ' ') AS gram
+          FROM t, UNNEST(range(1, len(w) - 2)) AS r(i)),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    dirty AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram) WHERE source <> 'src0'),
+    surv AS (
+      SELECT d.doc_id, d.source, q.n_tokens
+      FROM documents d JOIN qual q ON d.doc_id = q.doc_id
+      WHERE d.source <> 'src0'
+        AND d.doc_id IN (SELECT doc_id FROM winners)
+        AND d.doc_id NOT IN (SELECT doc_id FROM dirty))
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / 8192) AS BIGINT) AS window_id
+    FROM (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+          FROM surv)
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline (quality filter → exact dedup →
+    benchmark decontamination → context-window packing) as ONE logical
+    plan — the flagship composition proving the stage operators stack
+    without intermediate materialization (pipelines/curation.py)."""
+    from .pipelines import curation as CUR
+
+    return CUR.curate_corpus(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the

@@ -271,3 +271,39 @@ def test_pq_ann_recall_and_determinism(spark):
     # bit-stable across runs (golden-oracle prerequisite)
     run2 = SIM.pq_ann_topk(q, emb, k=5, refine=10).collect()
     assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+
+def test_curation_pipeline_composes_stage_semantics(spark):
+    """Pipeline survivors are exactly: quality-kept ∩ dedup-winners ∖
+    contaminated ∖ benchmark-slice — and packing offsets are gapless
+    per-source running sums over survivors."""
+    from bensp_suite_spark.pipelines import curation as CUR
+    from bensp_suite_spark.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = CUR.curate_corpus(docs).collect()
+    got_ids = {r.doc_id for r in out}
+
+    kept = {r.doc_id for r in CUR.quality_keep(docs).collect()}
+    winners = {r.doc_id for r in CUR.dedup_winners(docs).collect()}
+    dirty = {r.doc_id for r in CUR.contaminated(docs, "src0").collect()}
+    non_bench = {r.doc_id for r in docs.filter("source <> 'src0'").select("doc_id").collect()}
+    assert got_ids == (kept & winners & non_bench) - dirty
+
+    # offsets: contiguous running sum per source in doc_id order
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        expect = by_src.get(r.source, 0)
+        assert r.start_offset == expect, (r.doc_id, r.start_offset, expect)
+        assert r.window_id == expect // 8192
+        by_src[r.source] = expect + r.n_tokens
+
+
+def test_curation_pipeline_plan_quality(spark):
+    """One logical plan, zero Python UDFs, benchmark grams broadcast."""
+    from bensp_suite_spark import plans as PL
+    from bensp_suite_spark import queries as Q
+
+    df = Q.QUERIES["curation_pipeline"](spark, SF_CORRECT)
+    PL.assert_no_python_udf(df, what="curation_pipeline")
+    assert "BroadcastHashJoin" in PL.executed_plan(df)
