@@ -605,3 +605,45 @@ def test_quota_tws_variant_gated_on_protobuf(spark):
     else:
         with pytest.raises(NotImplementedError, match="STUB"):
             QS.per_key_quota_tws(stream, "source", 5, "doc_id long, source string")
+
+
+def test_streaming_curation_matches_batch_front_half(spark, tmpdir):
+    """Streaming quality-filter + dedup admits exactly the docs the batch
+    pipeline's quality ∩ dedup-winner stages admit (decontamination and
+    packing are batch-side by design — see curation_stream docstring)."""
+    from bensp_suite_spark.pipelines import curation as CUR
+    from bensp_suite_spark.streaming import curation_stream as CS
+    from bensp_suite_spark.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "source", "text")
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    docs.repartition(5).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    CS.stream_curate(spark, stream, out, ckpt)
+
+    got = spark.read.parquet(out)
+    kept = {r.doc_id for r in CUR.quality_keep(docs).collect()}
+    # arrival order differs from doc_id order, so compare the HASH domain
+    # (one winner per hash among quality-kept docs), like the batch test
+    import pyspark.sql.functions as SF
+
+    want_hashes = {
+        r.h
+        for r in docs.join(CUR.quality_keep(docs), "doc_id", "left_semi")
+        .select(SF.md5(SF.lower(SF.regexp_replace(SF.trim("text"), r"\s+", " "))).alias("h"))
+        .distinct()
+        .collect()
+    }
+    got_rows = got.collect()
+    assert {r.content_hash for r in got_rows} == want_hashes
+    assert len(got_rows) == len(want_hashes)  # one winner per hash
+    assert {r.doc_id for r in got_rows} <= kept  # every winner passed quality
+    # per-row JVM quality metrics agree with the batch aggregation path
+    batch_stats = {r.doc_id: r.n_tokens for r in CUR.quality_keep(docs).collect()}
+    for r in got_rows:
+        assert batch_stats[r.doc_id] == r.n_tokens
