@@ -50,3 +50,47 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     directory structure; filters on them become PartitionFilters (pruned
     at planning time, visible in `.explain("formatted")`)."""
     return spark.read.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory so each file is
+    ~``target_file_mb``. Returns (files_before, files_after).
+
+    The operational fix for the small-file problem streaming sinks and
+    over-parallel writers create: a 100 TB table written by thousands of
+    micro-batches accumulates millions of KB-scale files, and scan cost
+    becomes dominated by open/footer overhead and driver listing instead
+    of bytes. Compaction is one read + one write: partition count is
+    computed from the directory's actual byte size (not row counts, which
+    mispredict after compression), an optional task-local sort restores
+    row-group skipping, and the rewrite goes through a temp directory so a
+    crash mid-compact never leaves the table truncated. On real clusters
+    prefer table formats with transactional compaction (OPTIMIZE); this is
+    the plain-parquet equivalent with the same sizing rule."""
+    import glob
+    import os
+    import shutil
+
+    data_files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)]
+    files_before = len(data_files)
+    total_bytes = sum(os.path.getsize(f) for f in data_files)
+    n_out = max(1, round(total_bytes / (target_file_mb << 20)))
+
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: replace only after the full rewrite committed
+    bak = path.rstrip("/") + "._compact_old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    files_after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return files_before, files_after

@@ -102,3 +102,21 @@ def test_salted_agg_two_exchanges_finer_first(spark):
     plan = PL.executed_plan(df)
     assert plan.count("Exchange hashpartitioning") == 2
     assert "_salt" in plan.split("Exchange hashpartitioning")[1]
+
+
+def test_compact_small_files_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Many tiny files → few right-sized files, content identical."""
+    import glob as _glob
+
+    from bensp_suite_spark.operators import layout as L
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 20000).selectExpr("id", "id % 7 AS k", "CAST(id AS STRING) AS s")
+    df.repartition(64).write.mode("overwrite").parquet(path)  # 64 tiny files
+    before, after = L.compact_small_files(spark, path, target_file_mb=128, sort_cols=["id"])
+    assert before == 64
+    assert after < 8  # tiny table compacts to ~1 file at a 128 MB target
+    got = spark.read.parquet(path)
+    assert got.count() == 20000
+    assert got.selectExpr("sum(id) AS t").collect()[0].t == sum(range(20000))
+    assert len(_glob.glob(path + "/*.parquet")) == after
