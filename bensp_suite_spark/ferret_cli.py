@@ -1,0 +1,72 @@
+"""CLI mirroring the reference's ``ferret-pthreads`` binary
+(apps/ferret/src/benchmark/ferret-pthreads.c:828-855 usage:
+``ferret <db_dir> <table> <query_dir> <top_K> <depth> <n> <out>``):
+
+  python -m bensp_suite_spark.ferret_cli CORPUS QUERIES TOP_K OUT \
+      [--mode lsh|exhaustive] [-t N] [--per-region-k K]
+
+CORPUS / QUERIES are vecset parquet tables (image_id, name,
+regions: array<struct<weight, features>>) — the engine's equivalent of the
+CASS database directory + query image directory (build them from raw
+images with multimodal.images.images_to_vecsets, or from embeddings with
+ferret.fixtures.vecsets_from_embeddings). OUT receives the reference's
+``name:dist`` tab-separated lines per query (S7). ``--mode lsh`` probes
+the E2LSH index exactly like the reference's lsh table; ``exhaustive``
+scans raw (its ``-R``-free raw table path). ``-t`` is the stage-thread
+knob → shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="bensp-ferret", description=__doc__)
+    ap.add_argument("corpus", help="corpus vecset parquet path")
+    ap.add_argument("queries", help="query vecset parquet path")
+    ap.add_argument("top_k", type=int)
+    ap.add_argument("output", help="output path for name:dist lines")
+    ap.add_argument("--mode", default="lsh", choices=["lsh", "exhaustive"])
+    ap.add_argument("--per-region-k", type=int, default=None,
+                    help="rank-stage candidate cap (reference: 2*top_K)")
+    ap.add_argument("-t", "--threads", type=int, default=None, help="parallelism")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    for p in (args.corpus, args.queries):
+        if not os.path.exists(p):
+            print(f"error: input not found: {p}", file=sys.stderr)
+            return 2
+
+    from .ferret import pipeline as FP
+    from .session import get_spark
+
+    spark = get_spark("bensp-ferret-cli", shuffle_partitions=args.threads)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+
+    corpus = spark.read.parquet(args.corpus)
+    queries = spark.read.parquet(args.queries)
+    per_region_k = args.per_region_k or 2 * args.top_k
+    topk = FP.ferret_topk(
+        queries,
+        corpus,
+        top_k=args.top_k,
+        mode=args.mode,
+        per_region_k=per_region_k if args.mode == "lsh" else None,
+    )
+    FP.write_results(topk, args.output)
+    if args.verbose:
+        n_q = queries.count()
+        print(f"ranked {n_q} queries (top-{args.top_k}, {args.mode}) "
+              f"in {time.perf_counter() - t0:.2f}s → {args.output}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import struct
@@ -267,3 +268,51 @@ def test_ddp_stream_matches_batch_source(spark, tmpdir):
                   None if r.payload is None else bytes(r.payload), r.compress_type)
                  for r in streamed.collect()))
     assert bs == ss and len(bs) > 0
+
+
+def test_ferret_cli_end_to_end(tmpdir, spark):
+    """ferret_cli over vecset parquet: output file holds one name:dist
+    line per query; exhaustive mode top-1 of a corpus-member query is
+    itself at distance 0."""
+    import subprocess
+
+    from bensp_suite_spark.ferret import fixtures as FF
+
+    corpus_p = os.path.join(tmpdir, "corpus")
+    queries_p = os.path.join(tmpdir, "queries")
+    out_p = os.path.join(tmpdir, "out")
+    corpus = FF.synthetic_corpus(spark, m=30, n_clusters=5)
+    corpus.write.mode("overwrite").parquet(corpus_p)
+    # queries = 4 corpus members verbatim → top-1 must be self at dist 0
+    corpus.limit(4).write.mode("overwrite").parquet(queries_p)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.ferret_cli",
+         corpus_p, queries_p, "3", out_p, "--mode", "exhaustive", "-v"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = []
+    for f in glob.glob(os.path.join(out_p, "part-*")):
+        with open(f) as fh:
+            lines += [ln.strip() for ln in fh if ln.strip()]
+    assert len(lines) == 4
+    names = {r_.name for r_ in corpus.limit(4).select("name").collect()}
+    for ln in lines:
+        fields = ln.split("\t")
+        qid, ranked = fields[0], fields[1:]
+        assert len(ranked) == 3
+        top1_name, top1_dist = ranked[0].rsplit(":", 1)
+        assert top1_name in names
+        assert float(top1_dist) == 0.0
+
+
+def test_ferret_cli_missing_input():
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.ferret_cli",
+         "/nonexistent", "/nonexistent2", "3", "/tmp/x"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2
