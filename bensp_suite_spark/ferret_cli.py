@@ -2,8 +2,9 @@
 (apps/ferret/src/benchmark/ferret-pthreads.c:828-855 usage:
 ``ferret <db_dir> <table> <query_dir> <top_K> <depth> <n> <out>``):
 
-  python -m bensp_suite_spark.ferret_cli CORPUS QUERIES TOP_K OUT \
-      [--mode lsh|exhaustive] [-t N] [--per-region-k K]
+  python -m bensp_suite_spark.ferret_cli mkdb CORPUS INDEX_OUT [--dim D]
+  python -m bensp_suite_spark.ferret_cli query CORPUS QUERIES TOP_K OUT \
+      [--mode lsh|exhaustive] [--index INDEX] [-t N] [--per-region-k K]
 
 CORPUS / QUERIES are vecset parquet tables (image_id, name,
 regions: array<struct<weight, features>>) — the engine's equivalent of the
@@ -26,18 +27,35 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="bensp-ferret", description=__doc__)
-    ap.add_argument("corpus", help="corpus vecset parquet path")
-    ap.add_argument("queries", help="query vecset parquet path")
-    ap.add_argument("top_k", type=int)
-    ap.add_argument("output", help="output path for name:dist lines")
-    ap.add_argument("--mode", default="lsh", choices=["lsh", "exhaustive"])
-    ap.add_argument("--per-region-k", type=int, default=None,
-                    help="rank-stage candidate cap (reference: 2*top_K)")
-    ap.add_argument("-t", "--threads", type=int, default=None, help="parallelism")
-    ap.add_argument("-v", "--verbose", action="store_true")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="rank queries against a corpus (the ferret binary)")
+    q.add_argument("corpus", help="corpus vecset parquet path")
+    q.add_argument("queries", help="query vecset parquet path")
+    q.add_argument("top_k", type=int)
+    q.add_argument("output", help="output path for name:dist lines")
+    q.add_argument("--mode", default="lsh", choices=["lsh", "exhaustive"])
+    q.add_argument("--index", default=None,
+                   help="pre-built LSH index parquet (from `mkdb`); lsh mode only")
+    q.add_argument("--per-region-k", type=int, default=None,
+                   help="rank-stage candidate cap (reference: 2*top_K)")
+    q.add_argument("-t", "--threads", type=int, default=None, help="parallelism")
+    q.add_argument("-v", "--verbose", action="store_true")
+
+    mk = sub.add_parser("mkdb", help="build the E2LSH index offline "
+                        "(benchmark/mkdb: cass_build index lsh)")
+    mk.add_argument("corpus", help="corpus vecset parquet path")
+    mk.add_argument("index_out", help="index parquet output path")
+    mk.add_argument("--dim", type=int, default=14)
+    mk.add_argument("-t", "--threads", type=int, default=None)
+    mk.add_argument("-v", "--verbose", action="store_true")
+
     args = ap.parse_args(argv)
 
-    for p in (args.corpus, args.queries):
+    inputs = [args.corpus] if args.cmd == "mkdb" else [args.corpus, args.queries]
+    if args.cmd == "query" and args.index:
+        inputs.append(args.index)
+    for p in inputs:
         if not os.path.exists(p):
             print(f"error: input not found: {p}", file=sys.stderr)
             return 2
@@ -50,7 +68,19 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
 
     corpus = spark.read.parquet(args.corpus)
+
+    if args.cmd == "mkdb":
+        index = FP.build_lsh_index(FP.explode_regions(corpus, "c"), dim=args.dim)
+        index.write.mode("overwrite").parquet(args.index_out)
+        if args.verbose:
+            n = spark.read.parquet(args.index_out).count()
+            print(f"built LSH index: {n} bucket entries "
+                  f"in {time.perf_counter() - t0:.2f}s → {args.index_out}")
+        spark.stop()
+        return 0
+
     queries = spark.read.parquet(args.queries)
+    corpus_index = spark.read.parquet(args.index) if args.index else None
     per_region_k = args.per_region_k or 2 * args.top_k
     topk = FP.ferret_topk(
         queries,
@@ -58,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
         top_k=args.top_k,
         mode=args.mode,
         per_region_k=per_region_k if args.mode == "lsh" else None,
+        corpus_index=corpus_index,
     )
     FP.write_results(topk, args.output)
     if args.verbose:

@@ -287,7 +287,7 @@ def test_ferret_cli_end_to_end(tmpdir, spark):
     corpus.limit(4).write.mode("overwrite").parquet(queries_p)
 
     r = subprocess.run(
-        [sys.executable, "-m", "bensp_suite_spark.ferret_cli",
+        [sys.executable, "-m", "bensp_suite_spark.ferret_cli", "query",
          corpus_p, queries_p, "3", out_p, "--mode", "exhaustive", "-v"],
         capture_output=True, text=True, cwd="/root/repo",
     )
@@ -311,8 +311,49 @@ def test_ferret_cli_missing_input():
     import subprocess
 
     r = subprocess.run(
-        [sys.executable, "-m", "bensp_suite_spark.ferret_cli",
+        [sys.executable, "-m", "bensp_suite_spark.ferret_cli", "query",
          "/nonexistent", "/nonexistent2", "3", "/tmp/x"],
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode == 2
+
+
+def test_ferret_cli_mkdb_and_prebuilt_index(tmpdir, spark):
+    """mkdb builds the LSH index offline; query --index produces the same
+    ranking as building the index inline (deterministic E2LSH draws)."""
+    import subprocess
+
+    from bensp_suite_spark.ferret import fixtures as FF
+
+    corpus_p = os.path.join(tmpdir, "corpus")
+    queries_p = os.path.join(tmpdir, "queries")
+    index_p = os.path.join(tmpdir, "index")
+    out_a = os.path.join(tmpdir, "out_a")
+    out_b = os.path.join(tmpdir, "out_b")
+    corpus = FF.synthetic_corpus(spark, m=30, n_clusters=5)
+    corpus.write.mode("overwrite").parquet(corpus_p)
+    corpus.limit(3).write.mode("overwrite").parquet(queries_p)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.ferret_cli", "mkdb",
+         corpus_p, index_p, "-v"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert glob.glob(os.path.join(index_p, "*.parquet"))
+
+    def lines_of(out_p):
+        ls = []
+        for f in glob.glob(os.path.join(out_p, "part-*")):
+            with open(f) as fh:
+                ls += [ln.strip() for ln in fh if ln.strip()]
+        return sorted(ls)
+
+    for out_p, extra in ((out_a, ["--index", index_p]), (out_b, [])):
+        r = subprocess.run(
+            [sys.executable, "-m", "bensp_suite_spark.ferret_cli", "query",
+             corpus_p, queries_p, "3", out_p, "--mode", "lsh", *extra],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    assert lines_of(out_a) == lines_of(out_b) and len(lines_of(out_a)) == 3
