@@ -2364,6 +2364,51 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.curate_corpus(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "w_trailing_hour_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(1) OVER w AS BIGINT) AS n_events_trailing_1h,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
+             AS value_trailing_1h
+    FROM (SELECT event_id, user_id, value,
+                 CAST(epoch(ts) AS BIGINT) AS ts_s
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_trailing_hour_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-one-hour sliding aggregate via a RANGE window
+    frame — the value-based frame (all rows within 3600 s of the current
+    row's event time), distinct from the ROWS frames elsewhere in the
+    suite. The frame is keyed on epoch seconds so both engines bound it
+    with identical integer arithmetic, and rows sharing a timestamp are
+    frame-peers in both. Scale shape: one exchange on user_id + one sort
+    on the epoch key; the frame bound evaluation is a two-pointer scan
+    within the sorted partition — no self-join, no explode of the
+    interval (the naive formulation is an O(n·w) range self-join)."""
+    # ts is TIMESTAMP_NTZ; align_session pins the session to UTC, so the
+    # NTZ→timestamp→epoch cast equals DuckDB's naive-as-UTC epoch(ts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.lit(1)).over(w).cast("bigint").alias("n_events_trailing_1h"),
+        F.round(F.sum(_dec("value", 4)).over(w).cast("double"), 4).alias(
+            "value_trailing_1h"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
