@@ -85,3 +85,40 @@ def test_emd_metric_properties(n, m, seed):
     # convexity this holds for L2 ground distance)
     bary = np.linalg.norm((w1[:, None] * f1).sum(0) - (w2[:, None] * f2).sum(0))
     assert d >= bary - 1e-8
+
+
+@given(
+    h=st.integers(min_value=0, max_value=2**64 - 1),
+    flip_bits=st.lists(st.integers(min_value=0, max_value=63), min_size=0, max_size=3, unique=True),
+)
+@settings(max_examples=200, deadline=None)
+def test_dhash_banding_recall_guarantee(h, flip_bits):
+    """Pigeonhole contract of image_near_dup_pairs: any pair within
+    hamming distance 3 of a 64-bit hash agrees on at least one of the
+    four 16-bit bands (so the band join cannot miss it)."""
+    h2 = h
+    for b in flip_bits:
+        h2 ^= 1 << b
+    bands_a = [(h >> (16 * i)) & 0xFFFF for i in range(4)]
+    bands_b = [(h2 >> (16 * i)) & 0xFFFF for i in range(4)]
+    assert any(a == b for a, b in zip(bands_a, bands_b))
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+    window=st.integers(min_value=8, max_value=4096),
+)
+@settings(max_examples=100, deadline=None)
+def test_packing_offsets_gapless_and_windows_monotone(tokens, window):
+    """The packing rule (running sum − own length) yields gapless offsets
+    and non-decreasing window ids for any token-count sequence."""
+    offset = 0
+    prev_win = 0
+    for n in tokens:
+        win = offset // window
+        assert win >= prev_win
+        extra = (offset + n - 1) // window - win
+        assert extra >= 0
+        prev_win = win
+        offset += n
+    assert offset == sum(tokens)
