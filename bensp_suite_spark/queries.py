@@ -2409,6 +2409,45 @@ def w_trailing_hour_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i AS BIGINT)] AS DOUBLE)
+                                          * 1000000) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS centroid_micro
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS g(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the cluster-quality /
+    class-prototype analytics a labeled vector corpus needs (and the
+    build step of the IVF coarse quantizer, here as a declared query).
+    Float components are scaled to integer micro-units (floor of
+    double×1e6 — IEEE multiply + floor are bit-identical across engines,
+    unlike float→decimal casts and half-way ROUNDs, both of which differ
+    at the last digit between engines) so the whole computation stays in
+    order-independent integer arithmetic; the centroid is reported in
+    micro-units. Scale shape: posexplode is
+    narrow; the (label, dim) partial aggregate collapses 64×|labels|
+    cells map-side, so the exchange carries centroids, not vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    scaled = F.floor(F.col("v").cast("double") * 1000000).cast("long")
+    return exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum(scaled).cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("centroid_micro"),
+    ).select(
+        "label", F.col("dim").cast("int").alias("dim"), "n", "centroid_micro"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
