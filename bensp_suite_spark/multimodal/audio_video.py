@@ -165,3 +165,58 @@ def sample_video_frames(video: DataFrame, every_n: int = 5) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return video.mapInPandas(gen, VIDEO_FRAMES_SCHEMA)
+
+
+# --- audio fingerprint dedup ------------------------------------------------
+
+def audio_fingerprint_kernel(samples: np.ndarray, nbits: int = 64) -> int:
+    """64-bit energy-envelope difference hash: split |samples| into
+    nbits+1 equal segments, integer-sum each, bit i = seg[i] > seg[i+1].
+    All-integer (int64 sums of int16 magnitudes), so bit-identical on any
+    host; invariant to exact gain scaling (monotone integer transforms
+    preserve the comparisons); sensitive to content. The audio analog of
+    the image dHash — a cheap envelope fingerprint, not a spectral
+    landmark scheme (that needs an FFT pipeline and a codec layer).
+
+    Accepts raw int16 samples or decode_audio's float output — the
+    normalization divides by 32768 (a power of two, exact in IEEE), so
+    multiplying back restores the original integers losslessly."""
+    if np.issubdtype(samples.dtype, np.floating):
+        samples = np.floor(samples * 32768.0)
+    mag = np.abs(samples.astype(np.int64))
+    nseg = nbits + 1
+    n = len(mag) - (len(mag) % nseg)
+    if n == 0:
+        return 0
+    seg = mag[:n].reshape(nseg, -1).sum(axis=1)
+    h = np.uint64(0)
+    for i in range(nbits):
+        h = (h << np.uint64(1)) | np.uint64(1 if seg[i] > seg[i + 1] else 0)
+    return int(h.astype(np.int64))
+
+
+def audio_fingerprints(audio: DataFrame) -> DataFrame:
+    """(media_id, fingerprint) — narrow mapInPandas, no shuffle."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(audio.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, fmt, payload in zip(pdf["media_id"], pdf["format"], pdf["audio"]):
+                ids.append(mid)
+                fps.append(audio_fingerprint_kernel(decode_audio(bytes(payload), fmt)))
+            yield pd.DataFrame({"media_id": ids, "fingerprint": fps})
+
+    return audio.mapInPandas(gen, "media_id long, fingerprint long")
+
+
+def audio_near_dup_pairs(audio: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate audio pairs via the shared 64-bit banded hamming
+    join — same scale shape as image/text: 8 bytes shuffle per clip."""
+    from ..operators.similarity import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        audio_fingerprints(audio), "media_id", "fingerprint", max_hamming=max_hamming
+    )

@@ -476,55 +476,14 @@ def image_dhash(images: DataFrame) -> DataFrame:
 
 
 def image_near_dup_pairs(images: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate image pairs by dHash: band the 64-bit hash into four
-    16-bit bands and equi-join on (band_idx, band_value) — by pigeonhole,
-    any pair within hamming distance 3 agrees on at least one band, so
-    recall at the threshold is exact. Exact hamming (bit_count of XOR,
-    JVM-side) then filters candidates. Scale shape: identical to the
-    SimHash banding (operators/dedup_text.py) — the hash is 8 bytes/image
-    regardless of image size, the band join shuffles only hash metadata,
-    and band keys are near-uniform for non-identical images; exact dups
-    all land in one band group per band but AQE skew-split covers that."""
-    import pyspark.sql.functions as F
+    """Near-duplicate image pairs by dHash, via the shared 64-bit banded
+    hamming join (operators/similarity.banded_hamming_pairs — exact
+    recall at hamming ≤ 3 with 4 bands; the shuffle carries 8 bytes per
+    image regardless of pixel count)."""
+    from ..operators.similarity import banded_hamming_pairs
 
-    hashes = image_dhash(images)
-    bands = hashes.select(
-        "image_id",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("dhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("image_id", "dhash", "band.band_idx", "band.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.image_id") < F.col("b.image_id")),
-        )
-        .select(
-            F.col("a.image_id").alias("id_a"),
-            F.col("b.image_id").alias("id_b"),
-            F.col("a.dhash").alias("h_a"),
-            F.col("b.dhash").alias("h_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return banded_hamming_pairs(
+        image_dhash(images), "image_id", "dhash", max_hamming=max_hamming
     )
 
 

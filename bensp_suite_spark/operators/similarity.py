@@ -622,3 +622,64 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs over a 64-bit integer hash column: band the hash
+    into ``n_bands`` equal slices, equi-join on (band_idx, band_value) —
+    pigeonhole guarantees exact recall for pairs within hamming distance
+    ``n_bands − 1`` — then refine with an exact JVM-side
+    ``bit_count(a XOR b)``. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    The shared shape behind SimHash text dedup, dHash image dedup, and
+    audio-fingerprint dedup: the shuffle carries 8-byte hashes + band
+    keys regardless of the media size that produced them; band keys are
+    near-uniform for non-identical content and AQE skew-split covers
+    exact-duplicate band groups."""
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col(hash_col), width * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_h", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("h_a"),
+            F.col("b._h").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

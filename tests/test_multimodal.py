@@ -216,3 +216,35 @@ def test_image_near_dup_pairs_finds_planted_dups(spark):
     hs = {r.image_id: r.dhash for r in IM.image_dhash(imgs).collect()}
     for (a, b), d in pairs.items():
         assert bin((hs[a] ^ hs[b]) & (2**64 - 1)).count("1") == d
+
+
+def test_audio_fingerprint_near_dup(spark):
+    """Energy-envelope fingerprint: gain-scaled copies pair at hamming 0;
+    distinct noise clips stay apart; kernel is gain-invariant and
+    content-sensitive."""
+    import numpy as np
+
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    rows = []
+    sigs = []
+    for i in range(8):
+        rng = np.random.default_rng(90 + i)
+        # amplitude-modulated noise → structured envelope (distinct shapes)
+        env = rng.uniform(0.1, 1.0, 65).repeat(130)[:8192]
+        sig = (rng.uniform(-1, 1, 8192) * env * 12000).astype(np.int16)
+        sigs.append(sig)
+        rows.append((i, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(sig)))
+    # planted dups: exact half-gain copies (monotone integer scaling)
+    for i in range(3):
+        rows.append((100 + i, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(sigs[i] // 2)))
+
+    # kernel invariants first (no Spark needed)
+    h0 = AV.audio_fingerprint_kernel(sigs[0])
+    assert AV.audio_fingerprint_kernel(sigs[0] // 2) == h0
+    pop = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert pop(h0, AV.audio_fingerprint_kernel(sigs[1])) > 10
+
+    audio = spark.createDataFrame(rows, AV.AUDIO_TABLE_SCHEMA)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in AV.audio_near_dup_pairs(audio, 3).collect()}
+    assert pairs == {(0, 100): 0, (1, 101): 0, (2, 102): 0}
