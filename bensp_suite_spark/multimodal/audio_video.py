@@ -220,3 +220,70 @@ def audio_near_dup_pairs(audio: DataFrame, max_hamming: int = 3) -> DataFrame:
     return banded_hamming_pairs(
         audio_fingerprints(audio), "media_id", "fingerprint", max_hamming=max_hamming
     )
+
+
+# --- video frame-level near-dup ---------------------------------------------
+
+def video_frame_dhashes(video: DataFrame, every_n: int = 5) -> DataFrame:
+    """(media_id, frame_idx, dhash) — dHash of every Nth frame, one
+    narrow mapInPandas pass (decode + sample + hash fused, frames never
+    leave the task)."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(video.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .images import dhash_kernel
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_idx", "dhash")}
+            for mid, fmt, payload in zip(pdf["media_id"], pdf["format"], pdf["video"]):
+                frames = decode_video(bytes(payload), fmt)
+                for idx in range(0, frames.shape[0], every_n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["dhash"].append(dhash_kernel(frames[idx]))
+            yield pd.DataFrame(rows)
+
+    return video.mapInPandas(gen, "media_id long, frame_idx int, dhash long")
+
+
+def video_near_dup_pairs(
+    video: DataFrame,
+    every_n: int = 5,
+    max_hamming: int = 3,
+    min_matching_frames: int = 3,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs by frame-level evidence: dHash the
+    sampled frames, find near-identical frame pairs across videos with
+    the shared banded hamming join, then keep video pairs supported by at
+    least ``min_matching_frames`` distinct matching sampled frames (the
+    re-encoded / re-rendered copy case; a single coincidental frame match
+    does not pair two videos). Scale shape: the per-frame hash stream is
+    8 bytes × sampled frames; the band join and the per-pair count are
+    both metadata-sized — pixels never shuffle."""
+    from ..operators.similarity import banded_hamming_pairs
+
+    hashes = video_frame_dhashes(video, every_n=every_n)
+    # unique surrogate id per sampled frame: media_id ⊗ frame_idx
+    frames = hashes.select(
+        (F.col("media_id") * F.lit(1_000_000) + F.col("frame_idx")).alias("fid"),
+        "dhash",
+    )
+    pairs = banded_hamming_pairs(frames, "fid", "dhash", max_hamming=max_hamming)
+    # map frame-pair evidence back to video pairs (exclude same-video hits)
+    with_vids = pairs.select(
+        (F.col("id_a") / 1_000_000).cast("long").alias("vid_a"),
+        (F.col("id_b") / 1_000_000).cast("long").alias("vid_b"),
+        "id_a",
+        "id_b",
+    ).filter(F.col("vid_a") != F.col("vid_b"))
+    # canonical order after dropping frame ids
+    lo = F.least("vid_a", "vid_b")
+    hi = F.greatest("vid_a", "vid_b")
+    return (
+        with_vids.select(lo.alias("vid_a"), hi.alias("vid_b"), "id_a", "id_b")
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count_distinct("id_a", "id_b").alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
+    )

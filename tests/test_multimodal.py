@@ -248,3 +248,29 @@ def test_audio_fingerprint_near_dup(spark):
     audio = spark.createDataFrame(rows, AV.AUDIO_TABLE_SCHEMA)
     pairs = {(r.id_a, r.id_b): r.hamming for r in AV.audio_near_dup_pairs(audio, 3).collect()}
     assert pairs == {(0, 100): 0, (1, 101): 0, (2, 102): 0}
+
+
+def test_video_near_dup_pairs(spark):
+    """Frame-level video dedup: a brightness-shifted re-render pairs with
+    its source (all sampled frames match); distinct videos don't pair."""
+    import numpy as np
+
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    rows = []
+    vids = []
+    for i in range(5):
+        rng = np.random.default_rng(70 + i)
+        frames = rng.integers(0, 200, (20, 24, 24, 3)).astype(np.uint8)
+        vids.append(frames)
+        rows.append((i, "raw-frames", 24, 24, 20, AV.encode_raw_video(frames)))
+    for i in range(2):  # planted re-renders (no saturation → dhash-identical)
+        bright = np.clip(vids[i].astype(np.int32) + 10, 0, 255).astype(np.uint8)
+        rows.append((100 + i, "raw-frames", 24, 24, 20, AV.encode_raw_video(bright)))
+
+    video = spark.createDataFrame(rows, AV.VIDEO_TABLE_SCHEMA)
+    pairs = {
+        (r.vid_a, r.vid_b): r.n_matching_frames
+        for r in AV.video_near_dup_pairs(video, every_n=5, min_matching_frames=3).collect()
+    }
+    assert pairs == {(0, 100): 4, (1, 101): 4}, pairs
