@@ -979,6 +979,53 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IM.image_near_dup_pairs(imgs, max_hamming=3)
 
 
+@query("multimodal_audio_dedup")
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection: 8 amplitude-modulated noise clips + 3
+    planted half-gain copies; integer energy-envelope fingerprints matched
+    through the shared banded hamming join. Deterministic (integer
+    kernel)."""
+    import numpy as np
+
+    from .multimodal import audio_video as AV
+
+    rows = []
+    sigs = []
+    for i in range(8):
+        rng = np.random.default_rng(90 + i)
+        env = rng.uniform(0.1, 1.0, 65).repeat(130)[:8192]
+        sig = (rng.uniform(-1, 1, 8192) * env * 12000).astype(np.int16)
+        sigs.append(sig)
+        rows.append((i, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(sig)))
+    for i in range(3):
+        rows.append((100 + i, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(sigs[i] // 2)))
+    audio = spark.createDataFrame(rows, AV.AUDIO_TABLE_SCHEMA).coalesce(4)
+    return AV.audio_near_dup_pairs(audio, max_hamming=3)
+
+
+@query("multimodal_video_dedup")
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection: 5 noise-frame videos + 2 planted
+    brightness-shifted re-renders; frame-sampled dHashes, ≥3 matching
+    sampled frames per pair. Deterministic (integer kernel)."""
+    import numpy as np
+
+    from .multimodal import audio_video as AV
+
+    rows = []
+    vids = []
+    for i in range(5):
+        rng = np.random.default_rng(70 + i)
+        frames = rng.integers(0, 200, (20, 24, 24, 3)).astype(np.uint8)
+        vids.append(frames)
+        rows.append((i, "raw-frames", 24, 24, 20, AV.encode_raw_video(frames)))
+    for i in range(2):
+        bright = np.clip(vids[i].astype(np.int32) + 10, 0, 255).astype(np.uint8)
+        rows.append((100 + i, "raw-frames", 24, 24, 20, AV.encode_raw_video(bright)))
+    video = spark.createDataFrame(rows, AV.VIDEO_TABLE_SCHEMA).coalesce(4)
+    return AV.video_near_dup_pairs(video, every_n=5, min_matching_frames=3)
+
+
 @query("multimodal_image_stats")
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image segmentation/extraction statistics (region counts, weight
