@@ -155,6 +155,41 @@ def main() -> None:
             dedup_sec = rep_sec if dedup_sec is None else min(dedup_sec, rep_sec)
     files.unpersist()
 
+    # streaming dedup throughput (the reference's headline metric IS
+    # stream throughput — throughput.dat, testbed/t1). 256 MB through the
+    # merge-sink streaming encoder (stream_encode_merge: fused JVM
+    # chunk+sha1+compress per micro-batch, parquet winners-table state,
+    # exactly-once batch commits), 4-file triggers → multiple batches with
+    # real cross-batch state. One warm run then best-of-2 (fresh
+    # checkpoint each run — the protocol measures steady-state pipeline
+    # rate, not checkpoint reuse).
+    import shutil
+    import tempfile
+
+    from bensp_suite_spark.streaming import dedup_stream as DSTR
+
+    stream_mb = 256
+    sdir = tempfile.mkdtemp(prefix="bensp_bench_stream_")
+    s_src = os.path.join(sdir, "src")
+    DF.synthetic_docs(
+        spark, n_files=stream_mb, file_bytes=1 << 20, pool_size=64, seed=11
+    ).repartition(8).write.mode("overwrite").parquet(s_src)
+    stream_sec = None
+    for _rep in range(3):
+        s_out = os.path.join(sdir, f"out{_rep}")
+        s_ckpt = os.path.join(sdir, f"ckpt{_rep}")
+        s_stream = (
+            spark.readStream.schema("file_id long, content binary")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(s_src)
+        )
+        t0 = time.perf_counter()
+        DSTR.stream_encode_merge(spark, s_stream, s_out, s_ckpt)
+        rep_sec = round(time.perf_counter() - t0, 4)
+        if _rep > 0:
+            stream_sec = rep_sec if stream_sec is None else min(stream_sec, rep_sec)
+    shutil.rmtree(sdir, ignore_errors=True)
+
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
@@ -174,6 +209,9 @@ def main() -> None:
                     "ferret_batch_queries": 50,
                     "ferret_batch_sec": ferret_sec,
                     "ferret_queries_per_sec": round(50 / ferret_sec, 2),
+                    "streaming_dedup_input_mb": stream_mb,
+                    "streaming_dedup_sec": stream_sec,
+                    "streaming_dedup_mbps": round(stream_mb / stream_sec, 2),
                 },
             }
         )

@@ -647,3 +647,59 @@ def test_streaming_curation_matches_batch_front_half(spark, tmpdir):
     batch_stats = {r.doc_id: r.n_tokens for r in CUR.quality_keep(docs).collect()}
     for r in got_rows:
         assert batch_stats[r.doc_id] == r.n_tokens
+
+
+def test_stream_encode_merge_matches_batch_and_is_idempotent(spark, tmpdir):
+    """The throughput-oriented merge sink (all-JVM, parquet winners table)
+    produces the same digest multiset + dup counts as the batch pipeline,
+    resolves every dup to a live canonical chunk, and replaying a
+    committed batch directory is a no-op (commit markers)."""
+    import os as _os
+
+    files = fixtures.synthetic_docs(spark, n_files=24, file_bytes=16384, seed=31)
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    files.repartition(5).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("file_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dedup_stream.stream_encode_merge(spark, stream, out, ckpt)
+
+    got = spark.read.parquet(out)
+    assert got.select("batch_id").distinct().count() > 1
+    batch = pipeline.deduplicate(pipeline.chunk_files(spark.read.parquet(src)))
+    gg = got.groupBy("sha1").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dups"),
+    )
+    wg = batch.groupBy("sha1").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dups"),
+    )
+    assert gg.exceptAll(wg).count() == 0 and wg.exceptAll(gg).count() == 0
+
+    dups = got.filter("is_dup").alias("d")
+    canon = got.filter("NOT is_dup").alias("c")
+    resolved = dups.join(
+        canon,
+        (F.col("d.canonical_file_id") == F.col("c.file_id"))
+        & (F.col("d.canonical_l1") == F.col("c.l1"))
+        & (F.col("d.canonical_l2") == F.col("c.l2"))
+        & (F.col("d.sha1") == F.col("c.sha1")),
+        "left_semi",
+    )
+    assert resolved.count() == dups.count()
+
+    # idempotency: a replayed committed batch leaves output untouched
+    before = got.count()
+    markers = sorted(_os.listdir(os.path.join(ckpt, "merge_commits")))
+    assert markers, "no commit markers written"
+    # re-running the whole stream from the same checkpoint is a no-op
+    stream2 = (
+        spark.readStream.schema("file_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dedup_stream.stream_encode_merge(spark, stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == before
