@@ -68,13 +68,25 @@ def _sql2(a, b):
 
 
 def candidates_exhaustive(
-    query_regions: DataFrame, corpus_regions: DataFrame, per_region_k: int
+    query_regions: DataFrame, corpus_regions: DataFrame, per_region_k: int,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
     """Per query region: exact squared-L2 top-(per_region_k) corpus regions
-    (the raw-table full scan path, raw.c:195-204), then parent-image merge."""
+    (the raw-table full scan path, raw.c:195-204), then parent-image merge.
+
+    ``sample_fraction`` < 1 is the reference's ``-R`` random-probe knob
+    (raw.c:119,198: skip a corpus vector with probability 1 − R/MAX_PROB)
+    — here a DETERMINISTIC hash sample of corpus regions (content-stable:
+    the same regions are skipped on every run and every engine), trading
+    recall for scan cost before the expensive rerank."""
     q = query_regions.select(
         F.col("q_image_id"), F.col("region_idx"), F.col("features").cast("array<double>").alias("qf")
     )
+    if sample_fraction < 1.0:
+        keep = F.pmod(
+            F.xxhash64("c_image_id", "region_idx"), F.lit(1_000_000)
+        ) < F.lit(int(sample_fraction * 1_000_000))
+        corpus_regions = corpus_regions.filter(keep)
     c = corpus_regions.select(
         F.col("c_image_id"), F.col("features").cast("array<double>").alias("cf")
     )
@@ -511,6 +523,7 @@ def ferret_topk(
     lsh_w: float = LSH_W,
     corpus_index: DataFrame | None = None,
     prune: bool = False,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
     """End-to-end ferret query: returns (q_image_id, rank, name, emd) —
     the obj:dist output lines of t_out (S7, ferret-pthreads.c:752-762).
@@ -526,7 +539,7 @@ def ferret_topk(
     qr = explode_regions(queries, "q")
     cr = explode_regions(corpus, "c")
     if mode == "exhaustive":
-        cand = candidates_exhaustive(qr, cr, per_region_k)
+        cand = candidates_exhaustive(qr, cr, per_region_k, sample_fraction=sample_fraction)
     elif mode == "lsh":
         cand = candidates_lsh(
             qr, cr, dim, lsh_m, lsh_tables, lsh_w,

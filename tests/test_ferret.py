@@ -155,3 +155,30 @@ def test_pruned_rerank_matches_full(spark):
     finally:
         corpus.unpersist()
         queries.unpersist()
+
+
+def test_exhaustive_sampling_knob(spark):
+    """The -R random-probe analog (raw.c:119,198): sample_fraction=1 is
+    exactly the full scan; a fractional sample is deterministic across
+    runs and only scans retained corpus regions."""
+    from bensp_suite_spark.ferret import fixtures as FF
+    from bensp_suite_spark.ferret import pipeline as FP
+
+    corpus = FF.synthetic_corpus(spark, m=30, n_clusters=5).cache()
+    queries = FF.synthetic_queries(spark, corpus, q=4, jitter=0.02)
+
+    full = FP.ferret_topk(queries, corpus, top_k=3, mode="exhaustive")
+    full_again = FP.ferret_topk(
+        queries, corpus, top_k=3, mode="exhaustive", sample_fraction=1.0
+    )
+    key = lambda df: sorted((r.q_image_id, r.rank, r.name) for r in df.collect())
+    assert key(full) == key(full_again)
+
+    half_a = FP.ferret_topk(
+        queries, corpus, top_k=3, mode="exhaustive", sample_fraction=0.5
+    )
+    half_b = FP.ferret_topk(
+        queries, corpus, top_k=3, mode="exhaustive", sample_fraction=0.5
+    )
+    assert key(half_a) == key(half_b)  # deterministic, unlike rand()
+    assert len(key(half_a)) > 0
