@@ -2495,6 +2495,65 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    conv AS (
+      SELECT c.user_id,
+             CASE WHEN EXISTS (SELECT 1 FROM events p
+                               WHERE p.event_type = 'purchase'
+                                 AND p.user_id = c.user_id
+                                 AND p.ts > c.ts
+                                 AND p.ts <= c.ts + INTERVAL 1 HOUR)
+                  THEN 1 ELSE 0 END AS converted
+      FROM clicks c)
+    SELECT user_id, COUNT(*) AS n_clicks,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) > 0 AS BOOLEAN) AS user_converted
+    FROM conv GROUP BY user_id
+    """,
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (click → purchase within 1 hour, per user) — the
+    sequential-pattern event-analytics shape. The oracle states it as a
+    correlated EXISTS range self-join (O(n·m) per user); the engine form
+    is ONE window pass: per user in time order, the minimum FOLLOWING
+    purchase timestamp annotates every event, and a click converts iff
+    that next-purchase lands inside the hour. Epoch-microsecond integers
+    make the interval bound exact in both engines. Scale shape: one
+    exchange on user_id + one sort — no self-join, no candidate blowup on
+    high-activity users."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+    ).over(w)
+    annotated = ev.withColumn("next_purchase_us", next_p)
+    clicks = annotated.filter(F.col("event_type") == "click").select(
+        "user_id",
+        (
+            F.col("next_purchase_us").isNotNull()
+            & (F.col("next_purchase_us") > F.col("ts_us"))
+            & (F.col("next_purchase_us") <= F.col("ts_us") + F.lit(3_600_000_000))
+        ).cast("int").alias("converted"),
+    )
+    return clicks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted") > 0).alias("user_converted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
