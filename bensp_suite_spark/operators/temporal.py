@@ -148,3 +148,72 @@ def range_join_interval(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
     return joined.drop("__rb")
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """N-step funnel: per user, how many of ``steps`` completed in order,
+    each step within ``within_seconds`` of the previous one.
+
+    Semantics: GREEDY FIRST-OCCURRENCE chaining — step 1 anchors at the
+    user's earliest step-1 event; step k+1 is the earliest step-(k+1)
+    event strictly after step k and within the window of it. Greedy is
+    deterministic and identical across engines (the oracle states it as
+    nested correlated MINs); it is not maximal matching — a user who
+    fails the greedy chain but would succeed anchored at a later step-1
+    event counts as not converted, exactly like the nested-MIN SQL.
+
+    Scale shape: ONE exchange on the user key. Events collect into a
+    per-user time-sorted array (sort_array on (ts, type) structs — no
+    window sort) and a single JVM ``aggregate`` fold walks the timeline
+    carrying (next_step_idx, last_ts); no per-step self-joins, no Python.
+    A user's whole (filtered) timeline must fit a task — filter to the
+    funnel's event types first (done here), which bounds the array to the
+    steps' event counts, and segment pathological users by date bucket if
+    one user alone exceeds a task (same knob as the as-of join above)."""
+    n = len(steps)
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        step_idx[F.col(type_col)].alias("step"),
+    )
+    timeline = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts_us", "step"))).alias("tl")
+    )
+    within_us = within_seconds * 1_000_000
+    init = F.struct(
+        F.lit(0).cast("int").alias("next_step"),
+        F.lit(None).cast("long").alias("last_ts"),
+    )
+    fold = F.aggregate(
+        "tl",
+        init,
+        lambda acc, e: F.when(
+            (e["step"] == acc["next_step"])
+            & (
+                (acc["next_step"] == 0)
+                | (
+                    (e["ts_us"] > acc["last_ts"])
+                    & (e["ts_us"] <= acc["last_ts"] + F.lit(within_us))
+                )
+            ),
+            F.struct(
+                (acc["next_step"] + 1).cast("int").alias("next_step"),
+                e["ts_us"].cast("long").alias("last_ts"),
+            ),
+        ).otherwise(acc),
+    )
+    return timeline.select(
+        "user_id",
+        fold["next_step"].alias("steps_completed"),
+        (fold["next_step"] >= n).alias("completed"),
+    )

@@ -2554,6 +2554,43 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "funnel_three_step",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     WHEN s1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS steps_completed,
+           CAST(s3.user_id IS NOT NULL AS BOOLEAN) AS completed
+    FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    """,
+)
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step funnel (view → click → purchase, each step within 24 h of
+    the previous) via the generic N-step funnel operator
+    (operators/temporal.funnel): greedy first-occurrence chaining as ONE
+    exchange on the user key and a single JVM ``aggregate`` fold over the
+    per-user sorted timeline — the oracle states the same semantics as
+    nested correlated MINs with three joins."""
+    return T.funnel(
+        _t(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        within_seconds=86400,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the

@@ -187,3 +187,39 @@ def test_asof_join_against_pandas_merge_asof(spark):
     exp_rid = expected["rid"].astype("float64").reset_index(drop=True)
     got_rid = out["rid"].astype("float64").reset_index(drop=True)
     pd.testing.assert_series_equal(exp_rid, got_rid, check_names=False)
+
+
+def test_funnel_greedy_semantics(spark):
+    """Greedy first-occurrence chaining edge cases: anchors at earliest
+    step-1, strict after + inclusive window bound, out-of-order events
+    skipped, a missed greedy chain does NOT re-anchor."""
+    from bensp_suite_spark.operators.temporal import funnel
+
+    t0 = "2024-01-01 00:00:00"
+    rows = [
+        # u1: A@0, B@+30m, C@+60m → 3 steps
+        (1, "A", "2024-01-01 00:00:00"),
+        (1, "B", "2024-01-01 00:30:00"),
+        (1, "C", "2024-01-01 01:00:00"),
+        # u2: B before A, then A; no B after → 1 step
+        (2, "B", "2024-01-01 00:00:00"),
+        (2, "A", "2024-01-01 00:10:00"),
+        # u3: A@0, B exactly at +window (inclusive) → 2 steps
+        (3, "A", t0),
+        (3, "B", "2024-01-01 01:00:00"),
+        # u4: A@0 (anchor), B@+2h (beyond window from FIRST A), A@+1h30
+        #     — greedy stays anchored at first A: 1 step, no re-anchor
+        (4, "A", t0),
+        (4, "A", "2024-01-01 01:30:00"),
+        (4, "B", "2024-01-01 02:00:00"),
+        # u5: only C → 0 steps
+        (5, "C", t0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts string").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        r.user_id: (r.steps_completed, r.completed)
+        for r in funnel(ev, ["A", "B", "C"], within_seconds=3600).collect()
+    }
+    assert got == {1: (3, True), 2: (1, False), 3: (2, False), 4: (1, False), 5: (0, False)}
