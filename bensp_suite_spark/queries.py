@@ -2591,6 +2591,47 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firstw AS (SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+                    FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+    SELECT cohort_week,
+           CAST((epoch(active_week) - epoch(cohort_week)) / 604800 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM act JOIN firstw USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, and
+    for each later week the count still active — the standard retention
+    triangle. Week truncation is ISO-Monday in both engines and the
+    offset is integer arithmetic on truncated epochs, so the matrix is
+    engine-exact. Scale shape: two aggregations sharing the user_id
+    exchange (the per-user MIN and the distinct-week set both
+    partial-aggregate map-side), then a broadcast-sized cohort join and a
+    tiny final group on (cohort, offset)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("timestamp")).alias("w")
+    )
+    firstw = ev.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    act = ev.distinct().withColumnRenamed("w", "active_week")
+    return (
+        act.join(firstw, "user_id")
+        .select(
+            "cohort_week",
+            (
+                (F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
+                / 604800
+            ).cast("bigint").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
