@@ -357,3 +357,30 @@ def test_ferret_cli_mkdb_and_prebuilt_index(tmpdir, spark):
         )
         assert r.returncode == 0, r.stderr[-2000:]
     assert lines_of(out_a) == lines_of(out_b) and len(lines_of(out_a)) == 3
+
+
+def test_curate_cli_end_to_end(tmpdir, spark):
+    """curate_cli over the documents table: output equals the library
+    pipeline's survivors, benchmark slice excluded."""
+    import subprocess
+
+    from bensp_suite_spark.pipelines import curation as CUR
+    from bensp_suite_spark.tables import load_table
+
+    docs_p = os.path.join(tmpdir, "docs")
+    out_p = os.path.join(tmpdir, "curated")
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "source", "text"
+    )
+    docs.write.mode("overwrite").parquet(docs_p)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.curate_cli", docs_p, out_p, "-v"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "survivors" in r.stdout
+    got = spark.read.parquet(out_p)
+    want = CUR.curate_corpus(docs)
+    assert {tuple(x) for x in got.collect()} == {tuple(x) for x in want.collect()}
+    assert got.filter("source = 'src0'").count() == 0
