@@ -2679,6 +2679,53 @@ def a_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "copurchase_pairs",
+    oracle="""
+    SELECT part_a, part_b, n_orders FROM (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(DISTINCT a.l_orderkey) AS n_orders,
+             ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT a.l_orderkey) DESC,
+                                a.l_partkey, b.l_partkey) AS rn
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ) WHERE rn <= 20
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top-20 part pairs by co-occurring
+    order count. The oracle is the naive self-join; the engine groups
+    each order's (distinct, sorted) part set once and explodes only the
+    intra-order pairs — shuffle is one exchange on the order key plus the
+    pair counts, and the per-order pair fan-out is (basket size choose 2),
+    bounded by basket size, never corpus size. Top-20 is
+    TakeOrderedAndProject with a full (count, part_a, part_b) tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("parts"), i + 2, F.size("parts")),
+                        lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
