@@ -2726,6 +2726,46 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'not_null(l_orderkey)' AS check, CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           COUNT(*) AS total, SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed FROM lineitem
+    UNION ALL
+    SELECT 'in_range(l_discount,0,1)', CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*), SUM(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) = 0 FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values(l_returnflag)', CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*), SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL THEN 1 ELSE 0 END) = 0 FROM lineitem
+    UNION ALL
+    SELECT 'positive_quantity', CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*), SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) = 0 FROM lineitem
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)', CAST(SUM(n - 1) AS BIGINT), CAST(SUM(n) AS BIGINT), SUM(n - 1) = 0
+    FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/quality_checks):
+    the dbt-test / DLT-expectations surface a corpus build runs before
+    shipping. All row-level checks compile into ONE conditional
+    aggregation over one scan (N checks, one job); the uniqueness check
+    adds a single key-grouped aggregation. The report is a DataFrame."""
+    from .operators import quality_checks as QC
+
+    li = _t(spark, sf_dir, "lineitem")
+    return QC.run_checks(
+        li,
+        checks=[
+            QC.not_null("l_orderkey"),
+            QC.in_range("l_discount", 0, 1),
+            QC.accepted_values("l_returnflag", ["A", "N", "R"]),
+            QC.expression("positive_quantity", F.col("l_quantity") <= 0),
+        ],
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the

@@ -307,3 +307,38 @@ def test_curation_pipeline_plan_quality(spark):
     df = Q.QUERIES["curation_pipeline"](spark, SF_CORRECT)
     PL.assert_no_python_udf(df, what="curation_pipeline")
     assert "BroadcastHashJoin" in PL.executed_plan(df)
+
+
+def test_quality_checks_counts_planted_violations(spark):
+    """Exact violation counts for planted bad rows, all check kinds."""
+    from bensp_suite_spark.operators import quality_checks as QC
+
+    rows = [
+        (1, "a@x.com", 5.0, "A"),
+        (2, None, 5.0, "A"),          # not_null email
+        (3, "b@x.com", -1.0, "N"),    # range
+        (4, "bad", 5.0, "R"),         # pattern
+        (5, "c@x.com", 5.0, "Z"),     # accepted_values
+        (5, "d@x.com", 5.0, "A"),     # duplicate id
+    ]
+    df = spark.createDataFrame(rows, "id long, email string, score double, flag string")
+    rep = {
+        r.check: (r.violations, r.total, r.passed)
+        for r in QC.run_checks(
+            df,
+            checks=[
+                QC.not_null("email"),
+                QC.in_range("score", 0, 10),
+                QC.matches("email", r"^[^@]+@[^@]+$", name="email_format"),
+                QC.accepted_values("flag", ["A", "N", "R"]),
+            ],
+            unique_keys=[["id"]],
+        ).collect()
+    }
+    assert rep["not_null(email)"] == (1, 6, False)
+    assert rep["in_range(score,0,10)"] == (1, 6, False)
+    # pattern check: None rlike → null → ~null → null → not counted by
+    # sum(when) unless true; planted 'bad' counts, the NULL email does not
+    assert rep["email_format"] == (1, 6, False)
+    assert rep["accepted_values(flag)"] == (1, 6, False)
+    assert rep["unique(id)"] == (1, 6, False)

@@ -391,3 +391,10 @@ def test_curation_queries_jvm_side_partial_agg(spark):
         df = _df(spark, name)
         PL.assert_no_python_udf(df, what=name)
         PL.assert_partial_aggregation(df)
+
+
+def test_quality_checks_row_level_single_scan(spark):
+    """All row-level expectations share one scan + one aggregation; only
+    the uniqueness check adds a second scan (its key grouping)."""
+    plan = _plan(spark, "data_quality_report")
+    assert plan.count("Scan parquet") == 2, plan
