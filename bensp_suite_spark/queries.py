@@ -2766,6 +2766,84 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form behind ROLLUP/CUBE, both
+    already covered) with GROUPING() indicator columns disambiguating the
+    NULL-as-total rows. One expand + one hash exchange; each set
+    partial-aggregates map-side like any group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+        li=li,
+    )
+
+
+@query(
+    "null_semantics_join",
+    oracle="""
+    WITH o2 AS (SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS prio,
+                       o_totalprice
+                FROM orders),
+    dim AS (SELECT * FROM (VALUES ('1-URGENT', 1), ('2-HIGH', 2), (NULL, 99))
+            AS t(prio, prio_rank))
+    SELECT COALESCE(o2.prio, '(none)') AS prio_label,
+           CAST(COALESCE(dim.prio_rank, 0) AS INTEGER) AS prio_rank,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM o2 JOIN dim ON o2.prio IS NOT DISTINCT FROM dim.prio
+    GROUP BY prio_label, prio_rank
+    """,
+)
+def null_semantics_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics surface: NULLIF planting NULLs, a NULL-SAFE equality
+    join (`<=>` / IS NOT DISTINCT FROM — NULL matches NULL, unlike `=`),
+    and COALESCE labeling. Scale note: null-safe equality still hash-joins
+    (the null bucket is a regular key), but a null-heavy column makes that
+    bucket THE skew key — AQE skew-split or pre-filtering nulls to a
+    union branch is the standard treatment."""
+    o2 = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("prio"),
+        "o_totalprice",
+    )
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2), (None, 99)], "prio string, prio_rank int"
+    )
+    return (
+        o2.join(F.broadcast(dim), o2.prio.eqNullSafe(dim.prio))
+        .select(
+            F.coalesce(o2.prio, F.lit("(none)")).alias("prio_label"),
+            F.coalesce(dim.prio_rank, F.lit(0)).cast("int").alias("prio_rank"),
+            "o_totalprice",
+        )
+        .groupBy("prio_label", "prio_rank")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("total"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
