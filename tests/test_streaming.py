@@ -703,3 +703,42 @@ def test_stream_encode_merge_matches_batch_and_is_idempotent(spark, tmpdir):
     )
     dedup_stream.stream_encode_merge(spark, stream2, out, ckpt)
     assert spark.read.parquet(out).count() == before
+
+
+def test_streaming_quality_reports_per_batch(spark, tmpdir):
+    """Per-micro-batch expectation reports: planted violations land in
+    the right batch's rows, and every batch reports every check."""
+    import time as _time
+
+    from bensp_suite_spark.operators import quality_checks as QC
+    from bensp_suite_spark.streaming import quality_stream as QS
+
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    batches = [
+        [(1, 5.0), (2, 5.0)],            # clean
+        [(3, -1.0), (4, None), (5, 2.0)],  # one range + one null violation
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "id long, score double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("id long, score double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    QS.stream_quality_reports(
+        spark, stream,
+        [QC.not_null("score"), QC.in_range("score", 0, 10)],
+        out, ckpt,
+    )
+    rep = {
+        (r.batch_id, r.check): (r.violations, r.total, r.passed)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rep[(0, "not_null(score)")] == (0, 2, True)
+    assert rep[(0, "in_range(score,0,10)")] == (0, 2, True)
+    assert rep[(1, "not_null(score)")] == (1, 3, False)
+    assert rep[(1, "in_range(score,0,10)")] == (2, 3, False)  # null counts too
