@@ -2844,6 +2844,39 @@ def null_semantics_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_ordered_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_acctbal DESC, c_custkey) AS top_customers
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 5
+    GROUP BY c_nationkey
+    """,
+)
+def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP): the top-5
+    customers per nation by balance, concatenated in rank order — the
+    report-formatting shape. Determinism comes from the explicit
+    (balance DESC, custkey) order with a unique tiebreaker; the top-5
+    pre-filter keeps the aggregated string bounded (an unbounded LISTAGG
+    is a memory hazard at scale — always cap the group first). One rank
+    window + one exchange."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    top = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return top.groupBy("c_nationkey").agg(
+        F.expr(
+            "listagg(cast(c_custkey as string), ',') "
+            "within group (order by c_acctbal desc, c_custkey)"
+        ).alias("top_customers")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
