@@ -184,6 +184,7 @@ def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 complement — LEFT ANTI join (keys with no match), the NOT-EXISTS physical form."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     have = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
     return R.anti_join(cust, have, on="c_custkey")
@@ -436,6 +437,7 @@ def o2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def o6_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — global top-K without a full sort (TakeOrderedAndProject keeps K rows per partition)."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     return R.global_topk(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 100)
 
@@ -500,6 +502,7 @@ def a3_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — UNION then DISTINCT of two key sets (candidate-list union, util.c:258-288)."""
     a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     return R.union_distinct(a, b)
@@ -514,6 +517,7 @@ def e2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two key sets (free in Spark, absent in the reference)."""
     a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     return a.intersect(b)
@@ -528,6 +532,7 @@ def e_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set difference (free in Spark, absent in the reference)."""
     a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     return a.exceptAll(b).distinct()
@@ -578,6 +583,7 @@ def p1_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a5_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — 1-second tumbling-window throughput (bytes and rows per window), the throughput.dat batch analog."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start")).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -685,6 +691,7 @@ from .operators import text_analysis as TA  # noqa: E402
     """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts per document (the baseline next to the BPE-pre-tokenizer variant)."""
     return TA.token_count(_t(spark, sf_dir, "documents"))
 
 
@@ -726,16 +733,19 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality ratios (length, punctuation, stopword share) — the C4-style filter signals."""
     return TA.quality_score(_t(spark, sf_dir, "documents"))
 
 
 @query("text_lang_id", oracle=TA.lang_id_oracle_sql())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language identification per document (n-gram-free heuristic, JVM-side expressions)."""
     return TA.lang_id(_t(spark, sf_dir, "documents"))
 
 
 @query("text_doc_fingerprint", oracle=TA.doc_fingerprint_oracle_sql())
 def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (content-stable 64-bit id per document), JVM-side."""
     return TA.doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
@@ -745,29 +755,34 @@ def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_exact_text", oracle=DT.EXACT_DEDUP_SQL)
 def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document dedup: first-wins winners per normalized md5 content hash (J1 over the documents table)."""
     return DT.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
 @query("dedup_minhash_lsh", oracle=DT.minhash_lsh_pairs_oracle_sql(0.5))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + banded-LSH near-dup candidate pairs over document shingles, verified by exact Jaccard."""
     corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
     return DT.minhash_lsh_pairs(corpus, threshold=0.5)
 
 
 @query("dedup_ngram_jaccard", oracle=DT.ngram_jaccard_oracle_sql(0.5))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (df-ordered prefix filter, perfect recall at the threshold)."""
     corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
     return DT.ngram_jaccard_pairs(corpus, threshold=0.5)
 
 
 @query("dedup_simhash", oracle=DT.simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from term frequencies (the per-doc fingerprint the banded pair join consumes)."""
     corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
     return DT.simhash(corpus)
 
 
 @query("dedup_simhash_pairs", oracle=DT.simhash_near_dup_oracle_sql(2))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs with exact hamming refine (the text analog of the image/audio band join)."""
     corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
     return DT.simhash_near_dup_pairs(corpus, max_hamming=2)
 
@@ -789,6 +804,7 @@ def dedup_near_dup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_cosine_topk", oracle=SIM.cosine_topk_oracle_sql(k=5, max_query_id=8))
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k per query vector — the ANN recall baseline (K10 distance family)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return SIM.cosine_topk_bruteforce(queries_df, emb, k=5)
@@ -796,6 +812,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_topk", oracle=None)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multi-probe hyperplane-LSH ANN top-k (J5 bucket probe over embeddings), golden-pinned."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return SIM.lsh_ann_topk(queries_df, emb, k=5, dim=64)
@@ -1123,6 +1140,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): every grouping combination in one pass — a grouping-set form the reference lacks."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.cube(F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day_ts"))
