@@ -2895,6 +2895,46 @@ def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ts_locf_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CAST(raw_value AS DOUBLE), 4) AS raw_value,
+           ROUND(CAST(last_value(raw_value IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS filled_value
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN value < 2.0 THEN NULL ELSE value END AS raw_value
+          FROM events)
+    """,
+)
+def ts_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap filling (sensor dropouts,
+    sparse telemetry): readings below a validity threshold become NULL
+    and are filled with the user's most recent valid reading via
+    ``last_value IGNORE NULLS`` over a running frame — complementing the
+    grid-based `ts_gap_fill` (which fills missing ROWS; this fills
+    missing VALUES). One exchange + one sort; the running frame streams,
+    no whole-partition buffering."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("value") < 2.0, None).otherwise(F.col("value")).alias("raw_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("raw_value").cast("double"), 4).alias("raw_value"),
+        F.round(
+            F.last("raw_value", ignorenulls=True).over(w).cast("double"), 4
+        ).alias("filled_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
