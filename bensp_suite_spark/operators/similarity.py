@@ -641,7 +641,14 @@ def banded_hamming_pairs(
     audio-fingerprint dedup: the shuffle carries 8-byte hashes + band
     keys regardless of the media size that produced them; band keys are
     near-uniform for non-identical content and AQE skew-split covers
-    exact-duplicate band groups."""
+    exact-duplicate band groups.
+
+    Scale caveat: a cluster of d EXACT duplicates emits d·(d−1)/2
+    candidate pairs — quadratic in the cluster, which AQE can spread but
+    not shrink. The contract at corpus scale is exact-dedup FIRST (group
+    by the full hash, keep one representative per identical hash), then
+    run this join on representatives; near-dup clusters are small, exact
+    clusters are the big ones."""
     assert 64 % n_bands == 0
     width = 64 // n_bands
     mask = (1 << width) - 1
