@@ -10,6 +10,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from bensp_suite_spark.dedup import fixtures, pipeline
@@ -742,3 +743,42 @@ def test_streaming_quality_reports_per_batch(spark, tmpdir):
     assert rep[(0, "in_range(score,0,10)")] == (0, 2, True)
     assert rep[(1, "not_null(score)")] == (1, 3, False)
     assert rep[(1, "in_range(score,0,10)")] == (2, 3, False)  # null counts too
+
+
+def test_streaming_topk_per_key_matches_batch(spark, tmpdir):
+    """The bounded top-K heap as keyed state (O2 streaming analog): after
+    draining, each key's latest-batch rows equal the batch top-K over all
+    data, ranks and tiebreaks included."""
+    from bensp_suite_spark.streaming import topk_stream as TS
+    from bensp_suite_spark.tables import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        "event_type", "event_id", "value"
+    )
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, event_id long, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    TS.stream_topk_per_key(
+        spark, stream, out, ckpt, key="event_type", item_col="event_id",
+        order_col="value", k=5,
+    )
+
+    got_all = spark.read.parquet(out)
+    assert got_all.select("batch_id").distinct().count() > 1
+    # latest refresh per key = current standings
+    latest = got_all.join(
+        got_all.groupBy("key").agg(F.max("batch_id").alias("batch_id")),
+        ["key", "batch_id"],
+    )
+    got = {(r.key, r.rank): (r.item_id, r.order_value) for r in latest.collect()}
+
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    want = {
+        (r.event_type, r.rn): (r.event_id, r.value)
+        for r in ev.withColumn("rn", F.row_number().over(w)).filter("rn <= 5").collect()
+    }
+    assert got == want
