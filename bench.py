@@ -155,6 +155,28 @@ def main() -> None:
             dedup_sec = rep_sec if dedup_sec is None else min(dedup_sec, rep_sec)
     files.unpersist()
 
+    # duplicate-saturated encode: every file identical, so ONE digest owns
+    # the whole corpus — the first-wins window's worst case. Times the
+    # skew-safe (min-reduce + join) encode path against it; the window
+    # path on the same input is the anti-benchmark this entry guards.
+    sat_mb = 128
+    sat = DF.synthetic_docs(spark, n_files=1, file_bytes=1 << 20, pool_size=1, seed=7)
+    one = sat.limit(1).collect()[0]["content"]
+    sat_files = spark.createDataFrame(
+        [(i, bytes(one)) for i in range(sat_mb)], "file_id long, content binary"
+    ).persist(StorageLevel.MEMORY_ONLY)
+    sat_files.count()
+    sat_sec = None
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        DP.encode(sat_files, compress_type="gzip", skew_safe=True).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        rep_sec = round(time.perf_counter() - t0, 4)
+        if _rep > 0:
+            sat_sec = rep_sec if sat_sec is None else min(sat_sec, rep_sec)
+    sat_files.unpersist()
+
     # streaming dedup throughput (the reference's headline metric IS
     # stream throughput — throughput.dat, testbed/t1). 256 MB through the
     # merge-sink streaming encoder (stream_encode_merge: fused JVM
@@ -169,6 +191,8 @@ def main() -> None:
     from bensp_suite_spark.streaming import dedup_stream as DSTR
 
     stream_mb = 256
+    listener = DSTR.ThroughputListener()
+    handle = listener.attach(spark)
     sdir = tempfile.mkdtemp(prefix="bensp_bench_stream_")
     s_src = os.path.join(sdir, "src")
     DF.synthetic_docs(
@@ -189,11 +213,14 @@ def main() -> None:
         if _rep > 0:
             stream_sec = rep_sec if stream_sec is None else min(stream_sec, rep_sec)
     shutil.rmtree(sdir, ignore_errors=True)
+    spark.streams.removeListener(handle)
+    # UPL memory analog (new_dedup.c:97-242; BASELINE.md reference point
+    # 1.55 GB): peak JVM heap observed across the streaming triggers. In
+    # local mode driver==executor, so this is the per-executor figure.
+    peak_heap_mb = round(listener.peak_heap_bytes / (1 << 20), 1)
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "declared_query_suite_time",
                 "value": total,
                 "unit": "sec",
@@ -212,10 +239,26 @@ def main() -> None:
                     "streaming_dedup_input_mb": stream_mb,
                     "streaming_dedup_sec": stream_sec,
                     "streaming_dedup_mbps": round(stream_mb / stream_sec, 2),
+                    "streaming_peak_heap_mb": peak_heap_mb,
+                    "saturated_encode_input_mb": sat_mb,
+                    "saturated_encode_sec": sat_sec,
+                    "saturated_encode_mbps": round(sat_mb / sat_sec, 2),
                 },
             }
-        )
-    )
+    # Full per-query payload goes to a FILE; the stdout line stays short.
+    # The driver's stdout tail capture is ~2 KB — round 1's single line
+    # with all ~100 per-query times overflowed it and parsed as null, so
+    # the printed line carries the totals/extras plus only the slowest
+    # queries, with a pointer to the complete payload on disk.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json")
+    with open(full_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:12])
+    line = dict(payload)
+    line["queries"] = slowest
+    line["n_queries_total"] = len(times)
+    line["queries_file"] = full_path
+    print(json.dumps(line))
     spark.stop()
 
 

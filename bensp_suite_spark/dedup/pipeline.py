@@ -190,18 +190,62 @@ def _compress_series(data: pd.Series, compress_type: str) -> pd.Series:
     raise ValueError(f"unknown compress_type {compress_type!r}")
 
 
-def deduplicate(chunks: DataFrame, scope_per_file: bool = False) -> DataFrame:
+def _first_wins_flags_skew_safe(fused: DataFrame, keys: list[str]) -> DataFrame:
+    """Skew-safe first-wins flagging: two-phase min-reduce + re-join,
+    replacing the per-digest window sort.
+
+    The window form (`Window.partitionBy(sha1)` + row_number) ships EVERY
+    occurrence of a digest to one reducer for the sort — on duplicate-
+    saturated inputs (the reference's own h-class inputs are duplication-
+    controlled, tools/create_txt_files.c:37-41) one dominant digest
+    serializes the stage, and window sorts cannot be skew-split. Here the
+    winner identity is ``min(struct(file_id, l1, l2))`` per digest:
+    Spark's native partial aggregation collapses a hot digest map-side to
+    one partial per task (the same two-level shape as `salted_agg` /
+    `_stats_from_fused`, with the salt implicit in the map partitioning),
+    so the agg exchange carries ~|distinct digests| rows. The re-join on
+    the digest IS AQE-skew-splittable (the winner side is one row per
+    digest and replicates freely). Result-identical to the window form —
+    tests/test_dedup_pipeline.py parity tests, including a saturated
+    input."""
+    ident = F.struct(F.col("file_id"), F.col("l1"), F.col("l2"))
+    winners = fused.groupBy(*keys).agg(F.min(ident).alias("__w"))
+    flagged = fused.join(winners, on=keys)
+    return flagged.withColumn(
+        "is_dup",
+        ~(
+            (F.col("file_id") == F.col("__w.file_id"))
+            & (F.col("l1") == F.col("__w.l1"))
+            & (F.col("l2") == F.col("__w.l2"))
+        ),
+    ).drop("__w")
+
+
+def deduplicate(
+    chunks: DataFrame, scope_per_file: bool = False, skew_safe: bool = False
+) -> DataFrame:
     """J1 (global) or J2 (per-file scope): flag duplicates and attach the
-    canonical chunk's identity — one hash exchange on the digest."""
+    canonical chunk's identity — one hash exchange on the digest.
+
+    ``skew_safe=True`` swaps the first-wins window for the min-reduce +
+    join formulation (`_first_wins_flags_skew_safe`) — same results, safe
+    on inputs where one digest dominates."""
     keys = ["file_id", "sha1"] if scope_per_file else ["sha1"]
     hashed = chunks.withColumn("sha1", F.sha1(F.col("data")))
+    if skew_safe:
+        return _first_wins_flags_skew_safe(hashed, keys)
     w = Window.partitionBy(*keys).orderBy("file_id", "l1", "l2")
     return hashed.withColumn("__rn", F.row_number().over(w)).withColumn(
         "is_dup", F.col("__rn") > 1
     ).drop("__rn")
 
 
-def encode(files: DataFrame, compress_type: str = "gzip", scope_per_file: bool = False) -> DataFrame:
+def encode(
+    files: DataFrame,
+    compress_type: str = "gzip",
+    scope_per_file: bool = False,
+    skew_safe: bool = False,
+) -> DataFrame:
     """Full encode pipeline → ordered ``ddp`` DataFrame (write with
     .write.parquet to materialize the archive table).
 
@@ -214,13 +258,19 @@ def encode(files: DataFrame, compress_type: str = "gzip", scope_per_file: bool =
     ``when`` column, no physical routing)."""
     from ..session import has_jvm_kernel
 
-    if compress_type in ("gzip", "none") and has_jvm_kernel(files.sparkSession):
+    if compress_type in ("gzip", "none", "bzip2") and has_jvm_kernel(files.sparkSession):
         fused = chunk_hash_compress_jvm(files, compress_type=compress_type, with_payload=True)
     else:
         fused = chunk_hash_compress(files, compress_type=compress_type)
     keys = ["file_id", "sha1"] if scope_per_file else ["sha1"]
-    w = Window.partitionBy(*keys).orderBy("file_id", "l1", "l2")
-    flagged = fused.withColumn("is_dup", F.row_number().over(w) > 1)
+    if skew_safe:
+        # min-reduce + join instead of the window sort: the window ships
+        # every occurrence of a digest to one reducer, which serializes on
+        # duplicate-saturated inputs; see _first_wins_flags_skew_safe.
+        flagged = _first_wins_flags_skew_safe(fused, keys)
+    else:
+        w = Window.partitionBy(*keys).orderBy("file_id", "l1", "l2")
+        flagged = fused.withColumn("is_dup", F.row_number().over(w) > 1)
 
     unique_type = TYPE_ORIGINAL if compress_type == "none" else TYPE_COMPRESS
     ddp = flagged.select(

@@ -37,9 +37,12 @@ from .emd import emd, pairwise_l2
 
 # E2LSH defaults mirroring the reference index recipe
 # (-L 12 -M 17 -w 4.0708 -H 19697, LSH.c:43-50 / mkdb:30; probe -L 8 -T 20,
-# ferret-pthreads.c:261). M is lower than the reference's 17 because the
-# synthetic fixture corpus is far smaller than corel — fewer concatenated
-# projections keep bucket occupancy comparable.
+# ferret-pthreads.c:261). The DEFAULT M here is lower than the reference's
+# 17 because the synthetic fixture corpus is far smaller than corel —
+# fewer concatenated projections keep bucket occupancy comparable. The
+# full reference recipe (M=17, L=12, T=20) is validated at corel scale
+# (10k images / 65k regions): recall@50 = 1.00 vs the exhaustive path,
+# pinned in tests/test_ferret.py::test_lsh_recall_at_reference_scale_m17.
 LSH_M = 6
 LSH_L = 8
 LSH_W = 4.0708
@@ -432,13 +435,34 @@ def emd_rerank_topk(
     c = corpus.select(
         F.col("image_id").alias("c_image_id"), F.col("regions").alias("c_regions")
     )
-    q_rows = queries.select("image_id", "regions").collect()
-    qmap = {row["image_id"]: _parse_regions(row["regions"]) for row in q_rows}
-    joined = candidates.join(c, "c_image_id")
+    # Same driver-side-collect guard as emd_rerank: a query batch is small
+    # by contract, but above BROADCAST_QUERY_LIMIT the vecsets stop fitting
+    # on the driver — fall back to shipping each query's regions through
+    # the q_image_id shuffle instead (the groupBy key IS the join key, so
+    # the extra join reuses the exchange and pruning semantics are
+    # unchanged; parity-tested in test_ferret.py).
+    q_rows = (
+        queries.select("image_id", "regions")
+        .limit(BROADCAST_QUERY_LIMIT + 1)
+        .collect()
+    )
+    if len(q_rows) > BROADCAST_QUERY_LIMIT:
+        qmap = None
+        q = queries.select(
+            F.col("image_id").alias("q_image_id"),
+            F.col("regions").alias("q_regions"),
+        )
+        joined = candidates.join(c, "c_image_id").join(q, "q_image_id")
+    else:
+        qmap = {row["image_id"]: _parse_regions(row["regions"]) for row in q_rows}
+        joined = candidates.join(c, "c_image_id")
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["q_image_id"].iloc[0])
-        w1, f1 = qmap[qid]
+        if qmap is not None:
+            w1, f1 = qmap[qid]
+        else:
+            w1, f1 = _parse_regions(pdf["q_regions"].iloc[0])
         s1 = w1.sum()
         qcent = (w1 / s1) @ f1
         sigs, bounds = [], np.empty(len(pdf))

@@ -1,16 +1,20 @@
 package bensp.kernels;
 
+import java.io.ByteArrayOutputStream;
+import java.io.OutputStream;
 import java.security.MessageDigest;
 import java.util.HashSet;
 import java.util.zip.Deflater;
 
+import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream;
 import org.apache.spark.sql.Row;
 import org.apache.spark.sql.RowFactory;
 import org.apache.spark.sql.api.java.UDF3;
 
 /**
  * Fused content-defined-chunking kernel: Rabin CDC + SHA-1 + local-dup-aware
- * DEFLATE, one pass per file, entirely JVM-side.
+ * compression (DEFLATE or commons-compress bzip2), one pass per file,
+ * entirely JVM-side.
  *
  * Semantics are bit-identical to the Python kernel in
  * bensp_suite_spark/dedup/rabin.py + pipeline.chunk_hash_compress
@@ -112,6 +116,45 @@ public class CdcFuseUdf implements UDF3<byte[], String, Boolean, Row> {
     return lo;
   }
 
+  /** Byte-counting sink for the stats path: bzip2 c_len without buffering
+   *  the compressed stream. */
+  private static final class CountOnlyOutputStream extends OutputStream {
+    long count;
+
+    @Override
+    public void write(int b) {
+      count++;
+    }
+
+    @Override
+    public void write(byte[] b, int off, int len) {
+      count += len;
+    }
+  }
+
+  /** bzip2-compress one chunk (commons-compress, block size 9 = the Python
+   *  stage's bz2.compress(data, 9)). The two encoders emit different —
+   *  both valid — byte streams (~0.03% length difference measured), so
+   *  bzip2 parity with the Python kernel is ROUND-TRIP parity
+   *  (bz2.decompress(jvm_payload) == chunk; tests/test_dedup_pipeline.py
+   *  round-trips), not byte parity as with DEFLATE; no oracle or golden
+   *  depends on bzip2 byte lengths. */
+  private static byte[] bzip2Chunk(byte[] content, int start, int len) throws Exception {
+    ByteArrayOutputStream bos = new ByteArrayOutputStream(Math.max(64, len / 2));
+    try (BZip2CompressorOutputStream z = new BZip2CompressorOutputStream(bos, 9)) {
+      z.write(content, start, len);
+    }
+    return bos.toByteArray();
+  }
+
+  private static long bzip2ChunkLen(byte[] content, int start, int len) throws Exception {
+    CountOnlyOutputStream counter = new CountOnlyOutputStream();
+    try (BZip2CompressorOutputStream z = new BZip2CompressorOutputStream(counter, 9)) {
+      z.write(content, start, len);
+    }
+    return counter.count;
+  }
+
   private static String hex(byte[] digest) {
     char[] c = new char[digest.length * 2];
     for (int i = 0; i < digest.length; i++) {
@@ -124,10 +167,11 @@ public class CdcFuseUdf implements UDF3<byte[], String, Boolean, Row> {
   @Override
   public Row call(byte[] content, String compressType, Boolean emitPayload) throws Exception {
     boolean gzip = "gzip".equals(compressType);
+    boolean bzip2 = "bzip2".equals(compressType);
     boolean emit = Boolean.TRUE.equals(emitPayload);
-    if (!gzip && !"none".equals(compressType)) {
+    if (!gzip && !bzip2 && !"none".equals(compressType)) {
       throw new IllegalArgumentException(
-          "JVM kernel supports compress_type gzip|none, got: " + compressType);
+          "JVM kernel supports compress_type gzip|bzip2|none, got: " + compressType);
     }
     int n = content == null ? 0 : content.length;
     if (n == 0) {
@@ -143,6 +187,8 @@ public class CdcFuseUdf implements UDF3<byte[], String, Boolean, Row> {
           clen += d.deflate(buf);
         }
         d.end();
+      } else if (bzip2) {
+        clen = bzip2ChunkLen(new byte[0], 0, 0);
       }
       byte[] emptyPayload = null;
       if (emit) {
@@ -157,6 +203,8 @@ public class CdcFuseUdf implements UDF3<byte[], String, Boolean, Row> {
           }
           d2.end();
           emptyPayload = java.util.Arrays.copyOf(b2, m2);
+        } else if (bzip2) {
+          emptyPayload = bzip2Chunk(new byte[0], 0, 0);
         } else {
           emptyPayload = new byte[0];
         }
@@ -216,7 +264,14 @@ public class CdcFuseUdf implements UDF3<byte[], String, Boolean, Row> {
           long clen = 0;
           byte[] payload = null;
           if (localSeen.add(digest)) {
-            if (gzip) {
+            if (bzip2) {
+              if (emit) {
+                payload = bzip2Chunk(content, start, end - start);
+                clen = payload.length;
+              } else {
+                clen = bzip2ChunkLen(content, start, end - start);
+              }
+            } else if (gzip) {
               deflater.reset();
               deflater.setInput(content, start, end - start);
               deflater.finish();

@@ -80,13 +80,25 @@ def encode_pcm_s16le(samples: np.ndarray) -> bytes:
 
 
 def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
+    """→ float64 mono samples in [-1, 1). Compressed formats decode via
+    soundfile (libsndfile) when importable — a real cluster gets them for
+    free; in this container the library is absent and the path is an
+    honest STUB."""
     if fmt == "pcm-s16le":
         return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
     if fmt in ("mp3", "flac", "ogg", "wav"):
-        raise NotImplementedError(
-            f"STUB: {fmt} decode requires an audio codec library (soundfile/ffmpeg), "
-            "not available in this container; use format='pcm-s16le' for tests"
-        )
+        try:
+            import io
+
+            import soundfile as sf
+        except ImportError:
+            raise NotImplementedError(
+                f"STUB: {fmt} decode requires an audio codec library "
+                "(soundfile/ffmpeg), not available in this container; use "
+                "format='pcm-s16le' for tests"
+            ) from None
+        data, _rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+        return data.mean(axis=1)  # downmix to mono, matching the PCM path
     raise ValueError(f"unknown audio format {fmt!r}")
 
 
@@ -96,15 +108,30 @@ def encode_raw_video(frames: np.ndarray) -> bytes:
 
 
 def decode_video(payload: bytes, fmt: str) -> np.ndarray:
+    """→ (N, H, W, 3) uint8 RGB frames. Container formats decode via PyAV
+    (ffmpeg bindings) when importable — a real cluster gets them for
+    free; in this container the library is absent and the path is an
+    honest STUB."""
     if fmt == "raw-frames":
         w, h, n = struct.unpack_from("<III", payload, 0)
         arr = np.frombuffer(payload, dtype=np.uint8, offset=12)
         return arr.reshape(n, h, w, 3)
     if fmt in ("mp4", "webm", "avi"):
-        raise NotImplementedError(
-            f"STUB: {fmt} decode requires ffmpeg, not available in this "
-            "container; use format='raw-frames' for tests"
-        )
+        try:
+            import io
+
+            import av
+        except ImportError:
+            raise NotImplementedError(
+                f"STUB: {fmt} decode requires ffmpeg (PyAV), not available "
+                "in this container; use format='raw-frames' for tests"
+            ) from None
+        with av.open(io.BytesIO(payload)) as container:
+            frames = [
+                f.to_ndarray(format="rgb24")
+                for f in container.decode(video=0)
+            ]
+        return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)
     raise ValueError(f"unknown video format {fmt!r}")
 
 

@@ -81,18 +81,28 @@ def encode_raw_rgb(rgb: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes, fmt: str) -> np.ndarray:
-    """→ (H, W, 3) uint8 RGB. jpeg/png are STUBS (codec libs absent here);
-    swap in Pillow/libjpeg decode on a real cluster — the surrounding
-    pipeline is format-agnostic."""
+    """→ (H, W, 3) uint8 RGB. jpeg/png decode via Pillow when it is
+    importable (a real cluster gets libjpeg decode for free — the
+    reference ingests JPEGs the same way, apps/ferret/src/image/
+    image.c:314-358); in this container Pillow is absent and the path is
+    an honest STUB. The surrounding pipeline is format-agnostic."""
     if fmt == "raw-rgb":
         w, h = struct.unpack_from("<II", payload, 0)
         arr = np.frombuffer(payload, dtype=np.uint8, offset=8)
         return arr.reshape(h, w, 3)
     if fmt in ("jpeg", "png"):
-        raise NotImplementedError(
-            f"STUB: {fmt} decode requires an image codec library (Pillow/libjpeg), "
-            "not available in this container; use format='raw-rgb' for tests"
-        )
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                f"STUB: {fmt} decode requires an image codec library (Pillow/"
+                "libjpeg), not available in this container; use "
+                "format='raw-rgb' for tests"
+            ) from None
+        with Image.open(io.BytesIO(payload)) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
     raise ValueError(f"unknown image format {fmt!r}")
 
 

@@ -69,26 +69,63 @@ def compact_small_files(
     computed from the directory's actual byte size (not row counts, which
     mispredict after compression), an optional task-local sort restores
     row-group skipping, and the rewrite goes through a temp directory so a
-    crash mid-compact never leaves the table truncated. On real clusters
-    prefer table formats with transactional compaction (OPTIMIZE); this is
-    the plain-parquet equivalent with the same sizing rule."""
+    crash mid-compact never leaves the table truncated. Hive-partitioned
+    layouts are preserved: partition columns are detected from the
+    ``key=value`` directory segments and the rewrite re-issues
+    ``partitionBy`` on them, so `PartitionFilters` pruning survives
+    compaction. LOCAL-FILESYSTEM ONLY: the swap uses ``os.rename``; on an
+    object store use a table format with transactional compaction
+    (OPTIMIZE) instead — this is the plain-parquet equivalent with the
+    same sizing rule. Re-runnable: stale temp/backup dirs from a crashed
+    prior run are recovered (backup restored if the table vanished) or
+    cleared at entry."""
     import glob
     import os
     import shutil
+
+    path = path.rstrip("/")
+    tmp = path + "._compact_tmp"
+    bak = path + "._compact_old"
+    # Crash recovery: a failure between the two renames leaves the table
+    # only at `bak`; restore it. A stale `bak` next to a live table (crash
+    # after swap, before cleanup) or a stale `tmp` (crash mid-write) is
+    # dead weight — clear it so the rename below can't collide.
+    if os.path.exists(bak) and not os.path.exists(path):
+        os.rename(bak, path)
+    elif os.path.exists(bak):
+        shutil.rmtree(bak)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
 
     data_files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)]
     files_before = len(data_files)
     total_bytes = sum(os.path.getsize(f) for f in data_files)
     n_out = max(1, round(total_bytes / (target_file_mb << 20)))
 
+    # Detect Hive partitioning from the key=value directory segments so the
+    # rewrite preserves it (a flat rewrite would demote partition columns to
+    # data columns and silently lose PartitionFilters pruning).
+    partition_cols: list[str] = []
+    if data_files:
+        rel = os.path.relpath(data_files[0], path)
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                partition_cols.append(seg.split("=", 1)[0])
+
     df = spark.read.parquet(path)
-    out = df.repartition(n_out)
+    if partition_cols:
+        # Hash on the partition columns: each task holds whole partitions,
+        # so file count stays ~n_out instead of tasks × partitions.
+        out = df.repartition(n_out, *partition_cols)
+    else:
+        out = df.repartition(n_out)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    out.write.mode("overwrite").parquet(tmp)
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
     # atomic-ish swap: replace only after the full rewrite committed
-    bak = path.rstrip("/") + "._compact_old"
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)

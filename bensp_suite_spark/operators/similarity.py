@@ -27,6 +27,12 @@ from pyspark.sql.types import ArrayType, LongType
 
 ANN_SEED = 77
 
+#: above this many queries per batch, driver-side collects of the query
+#: set (pq_ann_topk's ADC-table closure) stop being "the small side" —
+#: the scan falls back to hash-chunked query batches with a bounded
+#: closure each, and re-rank joins drop the forced query broadcast
+QUERY_BATCH_LIMIT = 100_000
+
 
 def _dot(a: Column, b: Column) -> Column:
     # sequential left fold, init 0.0 — same float op order as the oracle's
@@ -543,19 +549,6 @@ def pq_ann_topk(
     books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
     S, C, ds = books.shape
     codes = pq_encode(corpus, books, id_col, vec_col)
-
-    q_rows = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-        )
-        .orderBy("query_id")
-        .collect()
-    )
-    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-    qmat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    qsub = qmat.reshape(qmat.shape[0], S, ds)
-    # ADC tables: (Q, S, C) squared-L2 from each query subvector to every centroid
-    qtab = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
     m = refine * k
 
     from pyspark.sql.types import LongType as _L
@@ -570,32 +563,78 @@ def pq_ann_topk(
         ]
     )
 
-    def scan(batches):
-        srange = np.arange(S)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cds = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (N, S)
-            nids = pdf["neighbor_id"].to_numpy()
-            out_q, out_n, out_d = [], [], []
-            for qi in range(len(qids)):
-                ad = qtab[qi][srange[None, :], cds].sum(1)  # (N,)
-                mask = nids != qids[qi]
-                idx = np.nonzero(mask)[0]
-                # deterministic per-partition cut: (adist, neighbor_id) order
-                top = idx[np.lexsort((nids[idx], ad[idx]))[:m]]
-                out_q.append(np.full(len(top), qids[qi]))
-                out_n.append(nids[top])
-                out_d.append(ad[top])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "adist": np.concatenate(out_d),
-                }
-            )
+    def _make_scan(qids: np.ndarray, qtab: np.ndarray):
+        """Compressed-domain ADC scan over corpus codes for ONE bounded
+        query batch (qids/qtab ride the closure)."""
 
-    cand = codes.mapInPandas(scan, out_schema)
+        def scan(batches):
+            srange = np.arange(S)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cds = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (N, S)
+                nids = pdf["neighbor_id"].to_numpy()
+                out_q, out_n, out_d = [], [], []
+                for qi in range(len(qids)):
+                    ad = qtab[qi][srange[None, :], cds].sum(1)  # (N,)
+                    mask = nids != qids[qi]
+                    idx = np.nonzero(mask)[0]
+                    # deterministic per-partition cut: (adist, neighbor_id) order
+                    top = idx[np.lexsort((nids[idx], ad[idx]))[:m]]
+                    out_q.append(np.full(len(top), qids[qi]))
+                    out_n.append(nids[top])
+                    out_d.append(ad[top])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adist": np.concatenate(out_d),
+                    }
+                )
+
+        return scan
+
+    def _adc_tables(rows) -> tuple[np.ndarray, np.ndarray]:
+        qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+        qmat = np.array([r["qv"] for r in rows], dtype=np.float64)
+        qsub = qmat.reshape(qmat.shape[0], S, ds)
+        # ADC tables: (Q, S, C) squared-L2 from each query subvector to
+        # every centroid
+        qtab = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+        return qids, qtab
+
+    q_sel = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    # Driver-side-collect guard: the ADC closure holds the whole query
+    # batch, so above QUERY_BATCH_LIMIT fall back to hash-chunked batches —
+    # each chunk's collect and closure stay bounded, the corpus codes are
+    # computed once (persisted) and scanned once per chunk, and candidates
+    # union into ONE re-rank. Parity with the single-closure path is exact
+    # (the per-query scan never looks across queries); tested above the
+    # limit in tests/test_llm_ops.py.
+    q_head = q_sel.limit(QUERY_BATCH_LIMIT + 1).collect()
+    if len(q_head) <= QUERY_BATCH_LIMIT:
+        big_batch = False
+        qids, qtab = _adc_tables(sorted(q_head, key=lambda r: r["query_id"]))
+        cand = codes.mapInPandas(_make_scan(qids, qtab), out_schema)
+    else:
+        big_batch = True
+        n_q = q_sel.count()
+        n_chunks = -(-n_q // QUERY_BATCH_LIMIT)
+        codes = codes.persist()
+        chunk_key = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))
+        parts = []
+        for i in range(n_chunks):
+            rows = q_sel.filter(chunk_key == i).collect()
+            if not rows:
+                continue
+            qids, qtab = _adc_tables(sorted(rows, key=lambda r: r["query_id"]))
+            parts.append(codes.mapInPandas(_make_scan(qids, qtab), out_schema))
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+
     wa = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
     cand = (
         cand.withColumn("arn", F.row_number().over(wa))
@@ -603,7 +642,8 @@ def pq_ann_topk(
         .select("query_id", "neighbor_id")
     )
     # exact cosine re-rank of candidates only (same rounded formula and
-    # tiebreaks as the brute-force oracle)
+    # tiebreaks as the brute-force oracle); query side broadcast only when
+    # it is provably the small side
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
@@ -613,7 +653,7 @@ def pq_ann_topk(
     cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
     scored = (
         cand.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        .join(q if big_batch else F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

@@ -2437,7 +2437,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
              AS value_trailing_1h
     FROM (SELECT event_id, user_id, value,
-                 CAST(epoch(ts) AS BIGINT) AS ts_s
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
           FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -2449,7 +2449,10 @@ def w_trailing_hour_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     row's event time), distinct from the ROWS frames elsewhere in the
     suite. The frame is keyed on epoch seconds so both engines bound it
     with identical integer arithmetic, and rows sharing a timestamp are
-    frame-peers in both. Scale shape: one exchange on user_id + one sort
+    frame-peers in both. Sub-second parts are TRUNCATED toward zero on
+    both sides (Spark ``cast(timestamp as long)`` truncates; the oracle
+    matches with ``FLOOR(epoch(ts))`` — DuckDB's bare ``CAST(epoch(..))``
+    would round-to-nearest and shift near-boundary rows across frames). Scale shape: one exchange on user_id + one sort
     on the epoch key; the frame bound evaluation is a two-pointer scan
     within the sorted partition — no self-join, no explode of the
     interval (the naive formulation is an O(n·w) range self-join)."""
@@ -2536,9 +2539,9 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-step funnel (click → purchase within 1 hour, per user) — the
     sequential-pattern event-analytics shape. The oracle states it as a
     correlated EXISTS range self-join (O(n·m) per user); the engine form
-    is ONE window pass: per user in time order, the minimum FOLLOWING
-    purchase timestamp annotates every event, and a click converts iff
-    that next-purchase lands inside the hour. Epoch-microsecond integers
+    is ONE window pass: per user in time order, the minimum STRICTLY-LATER
+    purchase timestamp (RANGE frame from +1 µs) annotates every event, and
+    a click converts iff that next-purchase lands inside the hour. Epoch-microsecond integers
     make the interval bound exact in both engines. Scale shape: one
     exchange on user_id + one sort — no self-join, no candidate blowup on
     high-activity users."""
@@ -2548,10 +2551,16 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
+    # RANGE frame starting at +1 µs: only purchases STRICTLY later than the
+    # current row are frame members, so a purchase sharing the click's
+    # timestamp can neither satisfy nor mask the oracle's `p.ts > c.ts`
+    # EXISTS — a same-ts purchase under a ROWS frame would become the frame
+    # minimum, fail the strict bound, and hide a genuinely-later in-window
+    # purchase.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy("ts_us")
+        .rangeBetween(1, Window.unboundedFollowing)
     )
     next_p = F.min(
         F.when(F.col("event_type") == "purchase", F.col("ts_us"))
@@ -2561,7 +2570,6 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (
             F.col("next_purchase_us").isNotNull()
-            & (F.col("next_purchase_us") > F.col("ts_us"))
             & (F.col("next_purchase_us") <= F.col("ts_us") + F.lit(3_600_000_000))
         ).cast("int").alias("converted"),
     )

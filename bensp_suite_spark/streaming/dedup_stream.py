@@ -207,17 +207,30 @@ def windowed_event_metrics(
 
 
 class ThroughputListener:
-    """StreamingQueryListener capturing per-trigger rows/s — the
-    throughput.dat analog (S9, new_dedup.c:142-242). Collected rows land in
-    a plain list; tests/bench turn them into a metrics DataFrame."""
+    """StreamingQueryListener capturing per-trigger rows/s and JVM heap —
+    the throughput.dat + memory-tracking analog (S9/UPL,
+    new_dedup.c:97-242). Collected rows land in a plain list;
+    ``to_df(spark)`` turns them into a metrics DataFrame.
+
+    Memory capture: heap-used from the JVM's MemoryMXBean at each trigger,
+    with the running peak on ``peak_heap_bytes``. In local mode the driver
+    JVM IS the executor, so this is the per-executor number the reference's
+    UPL tracker reports (BASELINE.md's 1.55 GB point); on a multi-executor
+    cluster read the same figure per executor from the ExecutorMetrics
+    ("JVMHeapMemory") stream or the /api/v1 executors endpoint — the
+    column and protocol stay the same."""
 
     def __init__(self) -> None:
         self.progress: list[dict[str, Any]] = []
+        self.peak_heap_bytes: int = 0
 
     def attach(self, spark: SparkSession):
         from pyspark.sql.streaming import StreamingQueryListener
 
         outer = self
+        mem_bean = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory.getMemoryMXBean()
+        )
 
         class _L(StreamingQueryListener):
             def onQueryStarted(self, event):
@@ -233,6 +246,13 @@ class ThroughputListener:
                     "duration_ms": p.durationMs.get("triggerExecution"),
                 }
                 try:
+                    heap = int(mem_bean.getHeapMemoryUsage().getUsed())
+                except Exception:
+                    heap = None
+                entry["heap_used_bytes"] = heap
+                if heap is not None and heap > outer.peak_heap_bytes:
+                    outer.peak_heap_bytes = heap
+                try:
                     entry["observed"] = dict(p.observedMetrics.get("dedup_metrics").asDict())
                 except Exception:
                     entry["observed"] = None
@@ -247,6 +267,26 @@ class ThroughputListener:
         listener = _L()
         spark.streams.addListener(listener)
         return listener
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """Metrics table: one row per trigger (batch_id, rows, rates,
+        duration, heap) — the S9 metrics sink as a queryable DataFrame."""
+        rows = [
+            (
+                int(p["batch_id"]),
+                int(p["num_input_rows"]),
+                float(p["input_rows_per_second"] or 0.0),
+                float(p["processed_rows_per_second"] or 0.0),
+                int(p["duration_ms"] or 0),
+                int(p["heap_used_bytes"]) if p.get("heap_used_bytes") is not None else None,
+            )
+            for p in self.progress
+        ]
+        return spark.createDataFrame(
+            rows,
+            "batch_id long, num_input_rows long, input_rows_per_second double, "
+            "processed_rows_per_second double, duration_ms long, heap_used_bytes long",
+        )
 
 
 def stream_encode_merge(
@@ -293,7 +333,7 @@ def stream_encode_merge(
     winners_dir = _os.path.join(checkpoint_dir, "winners")
     commits_dir = _os.path.join(checkpoint_dir, "merge_commits")
     _os.makedirs(commits_dir, exist_ok=True)
-    use_jvm = compress_type in ("gzip", "none") and has_jvm_kernel(spark)
+    use_jvm = compress_type in ("gzip", "none", "bzip2") and has_jvm_kernel(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         marker = _os.path.join(commits_dir, str(batch_id))
@@ -307,15 +347,21 @@ def stream_encode_merge(
             fused = chunk_hash_compress(batch_df, compress_type=compress_type)
         fused = fused.persist()
         try:
-            try:
+            # First batch only: no winners table yet. Probe the directory
+            # explicitly rather than catching read errors — a corrupt or
+            # transiently unreadable winners table must FAIL the batch, not
+            # silently re-elect canonical winners and re-emit payloads for
+            # digests already deduplicated (first-wins would be broken with
+            # no error surfaced).
+            have_prev = _os.path.isdir(winners_dir) and any(
+                e.startswith("batch_id=") for e in _os.listdir(winners_dir)
+            )
+            if have_prev:
                 prev = (
                     spark.read.parquet(winners_dir)
                     .filter(F.col("batch_id") < batch_id)
                     .drop("batch_id")
                 )
-                have_prev = True
-            except Exception:
-                have_prev = False
 
             w = Window.partitionBy("sha1").orderBy("file_id", "l1", "l2")
             flagged = fused.withColumn("rn", F.row_number().over(w)).withColumn(

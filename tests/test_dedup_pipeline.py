@@ -59,3 +59,38 @@ def test_histogram_sums_to_chunks(spark, files_df):
     total = hist.agg(F.sum("cnt")).collect()[0][0]
     n_chunks = pipeline.chunk_files(files_df).count()
     assert total == n_chunks
+
+
+def test_skew_safe_dedup_matches_window_path(spark, files_df):
+    """The min-reduce+join first-wins variant must flag exactly the rows
+    the window variant flags (global and per-file scope)."""
+    chunks = pipeline.chunk_files(files_df)
+    cols = ["file_id", "l1", "l2", "sha1", "is_dup"]
+    for scope in (False, True):
+        base = pipeline.deduplicate(chunks, scope_per_file=scope)
+        safe = pipeline.deduplicate(chunks, scope_per_file=scope, skew_safe=True)
+        key = lambda df: sorted(
+            (int(r.file_id), int(r.l1), int(r.l2), r.sha1, bool(r.is_dup))
+            for r in df.select(*cols).collect()
+        )
+        assert key(safe) == key(base)
+
+
+def test_skew_safe_encode_on_saturated_input(spark):
+    """Duplicate-saturated input — every file identical, so ONE digest
+    dominates the whole corpus (the window path's worst case). The
+    skew-safe encode must be record-identical to the window encode and
+    round-trip byte-exact."""
+    payload = bytes(range(256)) * 256  # 64 KiB, identical for all files
+    rows = [(i, payload) for i in range(12)]
+    files = spark.createDataFrame(rows, "file_id long, content binary")
+
+    base = pipeline.encode(files, compress_type="gzip")
+    safe = pipeline.encode(files, compress_type="gzip", skew_safe=True)
+    cols = ["file_id", "l1", "l2", "is_last_l2", "rtype", "sha1"]
+    key = lambda df: [tuple(r) for r in df.select(*cols).orderBy("file_id", "l1", "l2").collect()]
+    assert key(safe) == key(base)
+
+    decoded = pipeline.decode(safe, compress_type="gzip")
+    got = {int(r["file_id"]): bytes(r["content"]) for r in decoded.collect()}
+    assert got == {i: payload for i in range(12)}

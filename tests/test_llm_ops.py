@@ -342,3 +342,18 @@ def test_quality_checks_counts_planted_violations(spark):
     assert rep["email_format"] == (1, 6, False)
     assert rep["accepted_values(flag)"] == (1, 6, False)
     assert rep["unique(id)"] == (1, 6, False)
+
+
+def test_pq_ann_chunked_fallback_parity(spark, monkeypatch):
+    """Above QUERY_BATCH_LIMIT pq_ann_topk hash-chunks the query batch so
+    no driver collect/closure ever exceeds the limit; the chunked path
+    must be result-identical to the single-closure collect path (the scan
+    never looks across queries, so the union is exact)."""
+    from bensp_suite_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    base = sorted(map(tuple, SIM.pq_ann_topk(q, emb, k=5, refine=10).collect()))
+    monkeypatch.setattr(SIM, "QUERY_BATCH_LIMIT", 3)
+    chunked = sorted(map(tuple, SIM.pq_ann_topk(q, emb, k=5, refine=10).collect()))
+    assert chunked == base

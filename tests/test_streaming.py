@@ -26,6 +26,28 @@ def tmpdir():
     shutil.rmtree(d, ignore_errors=True)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture(params=["default", "rocksdb"])
+def state_provider(request, spark):
+    """Runs the decorated stateful-streaming test under both state store
+    providers. RocksDB is the 100 TB contract (SURVEY T8: the reference's
+    unbounded in-heap hashtable, encoder.c:1520, becomes off-heap disk-
+    backed keyed state) — semantics must be provider-independent."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    if request.param == "rocksdb":
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+    yield request.param
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
 def _write_files_as_stream_source(spark, files_df, src_dir, n_splits=6):
     files_df.repartition(n_splits).write.mode("overwrite").parquet(src_dir)
 
@@ -160,7 +182,17 @@ def test_throughput_listener_captures_progress(spark, tmpdir):
         while not listener.progress and time.time() < deadline:
             time.sleep(0.5)
         assert listener.progress, "listener captured no progress events"
-        assert sum(p["num_input_rows"] for p in listener.progress) > 0
+        # snapshot: listener events arrive asynchronously even after the
+        # availableNow drain returns
+        snap = list(listener.progress)
+        assert sum(p["num_input_rows"] for p in snap) > 0
+        # UPL memory analog: per-trigger heap samples + running peak
+        heaps = [p["heap_used_bytes"] for p in snap]
+        assert all(h is not None and h > 0 for h in heaps)
+        assert listener.peak_heap_bytes >= max(heaps)
+        mdf = listener.to_df(spark)
+        assert "heap_used_bytes" in mdf.columns
+        assert mdf.count() >= len(snap)
     finally:
         spark.streams.removeListener(handle)
 
@@ -557,10 +589,10 @@ def test_streaming_dedup_ttl_evicts_state_after_horizon(spark, tmpdir):
     assert got == {1, 3, 4, 5}, got
 
 
-def test_streaming_per_key_quota_caps_across_batches(spark, tmpdir):
+def test_streaming_per_key_quota_caps_across_batches(spark, tmpdir, state_provider):
     """transformWithStateInPandas domain balancing: at most `quota` docs
     per source survive the stream, with the counter carried across
-    micro-batches in keyed state."""
+    micro-batches in keyed state (both state store providers)."""
     import time as _time
 
     from bensp_suite_spark.streaming import quota_stream as QS
@@ -745,10 +777,10 @@ def test_streaming_quality_reports_per_batch(spark, tmpdir):
     assert rep[(1, "in_range(score,0,10)")] == (2, 3, False)  # null counts too
 
 
-def test_streaming_topk_per_key_matches_batch(spark, tmpdir):
+def test_streaming_topk_per_key_matches_batch(spark, tmpdir, state_provider):
     """The bounded top-K heap as keyed state (O2 streaming analog): after
     draining, each key's latest-batch rows equal the batch top-K over all
-    data, ranks and tiebreaks included."""
+    data, ranks and tiebreaks included (both state store providers)."""
     from bensp_suite_spark.streaming import topk_stream as TS
     from bensp_suite_spark.tables import load_table
 
