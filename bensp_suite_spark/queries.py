@@ -2960,3 +2960,9 @@ for _name, _sql in GOLDEN_ORACLES.items():
         raise RuntimeError(f"golden oracle for unknown query {_name!r}")
     ORACLES.setdefault(_name, _sql)
 del _name, _sql
+
+
+# TPC-H breadth shapes (round 2) register themselves on import; placed after
+# the golden-oracle overlay because every one of them carries an inline
+# ANSI oracle of its own.
+from . import queries_tpch  # noqa: E402,F401

@@ -398,3 +398,48 @@ def test_quality_checks_row_level_single_scan(spark):
     the uniqueness check adds a second scan (its key grouping)."""
     plan = _plan(spark, "data_quality_report")
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_q6_filters_reach_scan_and_prune_columns(spark):
+    """Q6 is pure scan: the date/discount/quantity predicates must push to
+    the parquet reader and the projection must prune to the 4 used
+    columns — at 100 TB this query's entire cost is post-skip bytes."""
+    df = _df(spark, "q6_forecast_revenue")
+    PL.assert_pushed_filter(df, "LessThan(l_quantity,24.0)")
+    PL.assert_pushed_filter(df, "GreaterThanOrEqual(l_discount,0.02)")
+    PL.assert_read_schema(
+        df,
+        must=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        must_not=["l_orderkey", "l_returnflag", "l_tax"],
+    )
+    PL.assert_partial_aggregation(df)
+
+
+def test_q19_disjunction_prunes_both_scans(spark):
+    """Q19's OR-of-conjuncts straddles the join; Catalyst must extract the
+    single-table factors so BOTH scans prune before the join (part stays a
+    broadcast build side)."""
+    df = _df(spark, "q19_disjunctive_revenue")
+    plan = PL.executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the extracted lineitem-only factor of the disjunction reaches the scan
+    fmt = PL.formatted_plan(df)
+    assert "l_quantity" in fmt.split("PushedFilters")[1].splitlines()[0] or (
+        "Or(" in fmt
+    ), fmt[:500]
+
+
+def test_new_tpch_shapes_no_python_udfs_and_broadcast_dims(spark):
+    """Round-2 TPC-H breadth must hold the same plan discipline: fully
+    JVM-side, dimension joins broadcast."""
+    names = [
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q11_value_share", "q12_ship_delay_priority",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_cnt",
+        "q19_disjunctive_revenue", "q20_red_part_suppliers",
+        "q21_sole_returned_supplier",
+    ]
+    for name in names:
+        PL.assert_no_python_udf(_df(spark, name), what=name)
+    for name in ["q7_volume_shipping", "q9_product_profit", "q14_promo_revenue"]:
+        PL.assert_broadcast_join(_df(spark, name))
