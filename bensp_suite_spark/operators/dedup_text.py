@@ -613,3 +613,103 @@ def near_dup_resolution_oracle_sql(threshold: float = 0.5) -> str:
            COALESCE(r.rep, c.doc_id) = c.doc_id AS is_kept
     FROM corpus c LEFT JOIN resolved r ON r.node = c.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup + boilerplate detection (C4/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+PASSAGE_WORDS = 20
+
+
+def passages(corpus: DataFrame, words_per_passage: int = PASSAGE_WORDS) -> DataFrame:
+    """(doc_id, passage_idx, passage_md5): fixed-width word windows per
+    document — the unit of sub-document dedup (C4 dedups three-sentence
+    spans; with no sentence structure in the synthetic corpus the span is
+    a fixed word count). The explode is narrow (no shuffle); passages are
+    value-addressed by md5 so downstream ops never move text."""
+    P = words_per_passage
+    t = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    w = corpus.select("doc_id", F.split(t, " ").alias("ws"))
+    n_pass = F.greatest(F.ceil(F.size("ws") / F.lit(float(P))).cast("int"), F.lit(1))
+    idx = F.explode(F.sequence(F.lit(0), n_pass - 1)).alias("passage_idx")
+    exploded = w.select("doc_id", "ws", idx)
+    text = F.array_join(
+        F.slice(F.col("ws"), F.col("passage_idx") * P + 1, P), " "
+    )
+    return exploded.select(
+        "doc_id", "passage_idx", F.md5(text).alias("passage_md5")
+    )
+
+
+def _passages_sql(src: str, words_per_passage: int = PASSAGE_WORDS) -> str:
+    P = words_per_passage
+    return f"""
+    SELECT doc_id, CAST(i AS INTEGER) AS passage_idx,
+           md5(array_to_string(ws[CAST(i * {P} + 1 AS BIGINT):CAST(i * {P} + {P} AS BIGINT)], ' ')) AS passage_md5
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
+          FROM ({src})),
+         UNNEST(range(0, GREATEST(CAST(ceil(len(ws) / {P}.0) AS BIGINT), 1))) AS t(i)
+    """
+
+
+def passage_dedup(
+    corpus: DataFrame, words_per_passage: int = PASSAGE_WORDS
+) -> DataFrame:
+    """Sub-document dedup: one surviving copy per distinct passage across
+    the whole corpus, first-wins in (doc_id, passage_idx) order — an exact
+    duplicate document contributes ZERO passages beyond its original.
+    Returns (doc_id, passage_idx, passage_md5) survivors.
+
+    Scale shape: one hash exchange on the passage digest (same J1 skeleton
+    as chunk-level CDC dedup — the digest is uniform, no salting), window
+    rank, filter. At 100 TB the exchange carries 16-byte digests plus
+    position ints, never text."""
+    p = passages(corpus, words_per_passage)
+    w = Window.partitionBy("passage_md5").orderBy("doc_id", "passage_idx")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "passage_idx", "passage_md5")
+    )
+
+
+def passage_dedup_oracle_sql(words_per_passage: int = PASSAGE_WORDS) -> str:
+    return f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    p AS ({_passages_sql("SELECT * FROM corpus", words_per_passage)})
+    SELECT doc_id, passage_idx, passage_md5 FROM (
+      SELECT doc_id, passage_idx, passage_md5,
+             ROW_NUMBER() OVER (PARTITION BY passage_md5
+                                ORDER BY doc_id, passage_idx) AS rn
+      FROM p) WHERE rn = 1
+    """
+
+
+def boilerplate_passages(
+    corpus: DataFrame, min_docs: int = 3, words_per_passage: int = PASSAGE_WORDS
+) -> DataFrame:
+    """Boilerplate detection: passages occurring in ≥ ``min_docs`` DISTINCT
+    documents (headers, footers, licence blocks in a real crawl). Returns
+    (passage_md5, doc_freq) — join it back anti-style to strip boilerplate
+    from every document. One digest-keyed aggregate; the distinct-doc
+    count collapses map-side per digest."""
+    p = passages(corpus, words_per_passage)
+    return (
+        p.groupBy("passage_md5")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )
+
+
+def boilerplate_oracle_sql(
+    min_docs: int = 3, words_per_passage: int = PASSAGE_WORDS
+) -> str:
+    return f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    p AS ({_passages_sql("SELECT * FROM corpus", words_per_passage)})
+    SELECT passage_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM p GROUP BY passage_md5
+    HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    """

@@ -2966,3 +2966,23 @@ del _name, _sql
 # the golden-oracle overlay because every one of them carries an inline
 # ANSI oracle of its own.
 from . import queries_tpch  # noqa: E402,F401
+
+
+@query("dedup_passages", oracle=DT.passage_dedup_oracle_sql())
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (passage-level) dedup, C4-style: fixed 20-word
+    passages value-addressed by md5, one surviving copy per distinct
+    passage corpus-wide (planted exact-duplicate docs contribute zero new
+    passages). One digest-keyed exchange — positions and 16-byte hashes
+    shuffle, text never does."""
+    corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
+    return DT.passage_dedup(corpus)
+
+
+@query("dedup_boilerplate_passages", oracle=DT.boilerplate_oracle_sql(3))
+def dedup_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: passages present in ≥3 distinct documents
+    (the crawl header/footer/licence-block filter). A digest-keyed
+    distinct-count aggregate over the same passage table the dedup uses."""
+    corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
+    return DT.boilerplate_passages(corpus, min_docs=3)

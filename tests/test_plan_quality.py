@@ -438,6 +438,8 @@ def test_new_tpch_shapes_no_python_udfs_and_broadcast_dims(spark):
         "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_cnt",
         "q19_disjunctive_revenue", "q20_red_part_suppliers",
         "q21_sole_returned_supplier",
+        # passage-level dedup family: md5-addressed, expression-only
+        "dedup_passages", "dedup_boilerplate_passages",
     ]
     for name in names:
         PL.assert_no_python_udf(_df(spark, name), what=name)
