@@ -2986,3 +2986,127 @@ def dedup_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count aggregate over the same passage table the dedup uses."""
     corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
     return DT.boilerplate_passages(corpus, min_docs=3)
+
+
+@query(
+    "text_bm25_rank",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks WHERE token <> '' GROUP BY doc_id),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     COUNT(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+           WHERE token IN ('table', 'query', 'spark') GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+           WHERE token IN ('table', 'query', 'spark') GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(MAX(CASE WHEN token = 'table' THEN s END), 0.0)
+                 + COALESCE(MAX(CASE WHEN token = 'query' THEN s END), 0.0)
+                 + COALESCE(MAX(CASE WHEN token = 'spark' THEN s END), 0.0), 4) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scoring against a fixed term set (k1=1.2, b=0.75) —
+    the retrieval-ranking aggregation pipeline (tf ⨝ df ⨝ doc-length ⨝
+    corpus stats). Float discipline: every per-term score is computed in
+    ONE identical double expression in both engines, the three terms sum
+    in a FIXED order (conditional-max pivot, not a float SUM whose
+    addend order varies by partition), and the result rounds at 4
+    decimals to absorb libm ulp differences in LN. Scale shape: df and
+    corpus stats are tiny and broadcast; tf and dl join on doc_id; the
+    term filter prunes the explode before any exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["table", "query", "spark"]
+    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    toks = docs.select("doc_id", F.explode(words).alias("token")).filter(
+        F.col("token") != ""
+    )
+    from .session import pooled_persist
+
+    toks = pooled_persist(toks, "queries.bm25.toks")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    srow = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    s = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(srow))
+        .select("doc_id", "token", s.alias("s"))
+    )
+    term_s = lambda t: F.coalesce(
+        F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(term_s("table") + term_s("query") + term_s("spark"), 4).alias("bm25")
+    )
+
+
+@query(
+    "text_strip_boilerplate",
+    oracle=f"""
+    WITH corpus AS ({DT.AUGMENTED_CORPUS_SQL}),
+    p AS ({DT._passages_sql("SELECT * FROM corpus")}),
+    bp AS (SELECT passage_md5 FROM p GROUP BY passage_md5
+           HAVING COUNT(DISTINCT doc_id) >= 3),
+    kept AS (SELECT doc_id, passage_idx, passage_md5 FROM p
+             WHERE passage_md5 NOT IN (SELECT passage_md5 FROM bp))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           md5(string_agg(passage_md5, '' ORDER BY passage_idx)) AS content_sig
+    FROM kept GROUP BY doc_id
+    """,
+)
+def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping composition: passages → doc-frequency
+    boilerplate set → anti join → per-doc surviving-passage signature
+    (md5 over the position-ordered passage digests, so content is
+    value-checked without shipping text). Docs that are pure boilerplate
+    drop out entirely — same in both engines. Scale shape: the
+    boilerplate set is small and broadcast-anti-joins; the per-doc
+    regroup sorts WITHIN the aggregation buffer (array_sort on structs),
+    no extra exchange."""
+    corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
+    p = DT.passages(corpus)
+    bp = DT.boilerplate_passages(corpus, min_docs=3).select("passage_md5")
+    kept = p.join(F.broadcast(bp), "passage_md5", "left_anti")
+    sig = F.md5(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("passage_idx", "passage_md5"))
+                ),
+                lambda x: x["passage_md5"],
+            ),
+        )
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"), sig.alias("content_sig")
+    )

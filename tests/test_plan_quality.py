@@ -440,6 +440,7 @@ def test_new_tpch_shapes_no_python_udfs_and_broadcast_dims(spark):
         "q21_sole_returned_supplier",
         # passage-level dedup family: md5-addressed, expression-only
         "dedup_passages", "dedup_boilerplate_passages",
+        "text_bm25_rank", "text_strip_boilerplate",
     ]
     for name in names:
         PL.assert_no_python_udf(_df(spark, name), what=name)
