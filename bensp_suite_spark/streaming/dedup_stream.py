@@ -295,6 +295,7 @@ def stream_encode_merge(
     out_dir: str,
     checkpoint_dir: str,
     compress_type: str = "gzip",
+    chunk_parallelism: int | None = None,
 ) -> None:
     """Streaming encode built for THROUGHPUT: no Python stateful operator.
 
@@ -334,11 +335,22 @@ def stream_encode_merge(
     commits_dir = _os.path.join(checkpoint_dir, "merge_commits")
     _os.makedirs(commits_dir, exist_ok=True)
     use_jvm = compress_type in ("gzip", "none", "bzip2") and has_jvm_kernel(spark)
+    if chunk_parallelism is None:
+        chunk_parallelism = spark.sparkContext.defaultParallelism
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         marker = _os.path.join(commits_dir, str(batch_id))
         if _os.path.exists(marker):
             return
+        # Same fix as stream_encode's chunk_parallelism: a micro-batch's
+        # task count equals its SOURCE FILE count, so a 2-file trigger
+        # would run the CPU-bound fused kernel on 2 cores. One raw-byte
+        # shuffle fans the batch across the executor before the kernel —
+        # only when the source is actually under-parallel (measured a
+        # wash when the batch already splits near the target, so don't
+        # pay the shuffle then).
+        if batch_df.rdd.getNumPartitions() < max(2, chunk_parallelism // 2):
+            batch_df = batch_df.repartition(chunk_parallelism)
         if use_jvm:
             fused = chunk_hash_compress_jvm(
                 batch_df, compress_type=compress_type, with_payload=True
