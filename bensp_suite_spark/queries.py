@@ -3110,3 +3110,77 @@ def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"), sig.alias("content_sig")
     )
+
+
+@query(
+    "layout_partition_pruning",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Hive-partitioned layout: write events partitioned by
+    event_type (one exchange, bounded file counts, task-local ts sort for
+    row-group skipping), read back through partition discovery, aggregate
+    under a partition filter — the filter prunes whole directories at
+    planning time (PartitionFilters, asserted in tests/test_layout.py).
+    Results must equal the straight-SQL aggregation over the unpartitioned
+    table, proving the layout round-trip is lossless."""
+    import tempfile as _tf
+
+    from .operators import layout as L
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    path = _tf.mkdtemp(prefix="bensp_layout_q_") + "/events_parted"
+    L.write_partitioned(ev, path, ["event_type"], sort_cols=["ts"])
+    back = L.read_partitioned(spark, path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec("value", 4)).cast("double"), 3).alias("sum_value"),
+    )
+
+
+@query(
+    "layout_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 3) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end bucketed co-located join: both sides written bucketed on
+    the join key (the shuffle paid ONCE at write time), then joined
+    exchange-free on the bucket layout (zero-exchange plan asserted in
+    tests/test_bucketing.py) and aggregated. Results must equal the
+    straight shuffle join — the layout is a physical optimization with no
+    semantic surface."""
+    import uuid as _uuid
+
+    from .operators import bucketing as B
+
+    # Re-runnable: clear tables left by prior invocations (each run writes
+    # fresh uuid-tagged tables; the previous run's DataFrame has been
+    # consumed by the time this query runs again).
+    for t in spark.catalog.listTables():
+        if t.name.startswith("bensp_q_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    tag = _uuid.uuid4().hex[:8]
+    t_o, t_c = f"bensp_q_orders_{tag}", f"bensp_q_customer_{tag}"
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    B.write_bucketed(o, t_o, 8, "o_custkey")
+    B.write_bucketed(c, t_c, 8, "c_custkey")
+    joined = spark.table(t_o).join(
+        spark.table(t_c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 3).alias("revenue"),
+    )
