@@ -278,6 +278,7 @@ def ivf_ann_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via inverted-file probing: corpus vectors
     live in their nearest cell, each query scans only its ``n_probe``
@@ -288,14 +289,19 @@ def ivf_ann_topk(
     Candidate shuffle is ∝ probed-cell sizes, never O(n²); the centroid
     table is broadcast; the final top-K is a rank window on the (small)
     candidate set."""
-    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
-    c = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        cent,
-        1,
-        "neighbor_id",
-        "cv",
-    )
+    if index is not None:
+        # prebuilt index (save_ivf_index/load_ivf_index): corpus cell
+        # assignment was paid at build time; queries still probe live
+        cent, c = index
+    else:
+        cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+        c = ivf_assign(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            cent,
+            1,
+            "neighbor_id",
+            "cv",
+        )
     q = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         cent,
@@ -529,6 +535,7 @@ def pq_ann_topk(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[np.ndarray, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via product quantization: compressed-domain
     asymmetric-distance scan (each query precomputes an S×C lookup table;
@@ -546,9 +553,14 @@ def pq_ann_topk(
     from ..session import ensure_worker_imports as _ewi
 
     _ewi(queries.sparkSession)
-    books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
+    if index is not None:
+        # prebuilt index (save_pq_index/load_pq_index): the Lloyd training
+        # and the encode scan were paid at build time
+        books, codes = index
+    else:
+        books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
+        codes = pq_encode(corpus, books, id_col, vec_col)
     S, C, ds = books.shape
-    codes = pq_encode(corpus, books, id_col, vec_col)
     m = refine * k
 
     from pyspark.sql.types import LongType as _L
@@ -729,4 +741,86 @@ def banded_hamming_pairs(
         cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persistent ANN indexes — the embedding-table analog of ferret's mkdb
+# (S8: build once, pay the encode/assignment cost at WRITE time, serve
+# query batches against the parquet-backed index). Each index round-trips
+# bit-exactly (codebooks/centroids are doubles, parquet stores doubles
+# exactly), so a prebuilt query is result-identical to the inline build —
+# parity-tested and driver-verified against the same oracles.
+# ---------------------------------------------------------------------------
+
+
+def save_pq_index(
+    corpus: DataFrame,
+    path: str,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + persist a PQ index: codebooks (S·C rows of sub-centroid
+    vectors) and the compressed corpus codes (8 bytes/vector at the
+    defaults). The expensive parts — Lloyd training and the encode scan —
+    happen HERE, once."""
+    spark = corpus.sparkSession
+    books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
+    S, C, _ds = books.shape
+    rows = [
+        (int(s), int(c), [float(x) for x in books[s, c]])
+        for s in range(S)
+        for c in range(C)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, centroid int, features array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    pq_encode(corpus, books, id_col, vec_col).write.mode("overwrite").parquet(
+        path + "/codes"
+    )
+
+
+def load_pq_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """→ (codebooks ndarray, codes DataFrame) for ``pq_ann_topk(index=…)``.
+    The codebook table is S·C rows — a bounded driver fetch by design."""
+    rows = spark.read.parquet(path + "/codebooks").collect()
+    S = max(r["subspace"] for r in rows) + 1
+    C = max(r["centroid"] for r in rows) + 1
+    ds = len(rows[0]["features"])
+    books = np.zeros((S, C, ds), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["centroid"]] = r["features"]
+    return books, spark.read.parquet(path + "/codes")
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + persist an IVF index: the coarse centroids and the corpus
+    cell assignments (vector + cell, ready for the probe join). At 100 TB
+    the assignments table is what you'd bucket by `cell`."""
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cent,
+        1,
+        "neighbor_id",
+        "cv",
+    )
+    c.write.mode("overwrite").parquet(path + "/cells")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """→ (centroids DataFrame, assignments DataFrame) for
+    ``ivf_ann_topk(index=…)``."""
+    return (
+        spark.read.parquet(path + "/centroids"),
+        spark.read.parquet(path + "/cells"),
     )

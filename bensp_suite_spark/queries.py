@@ -3184,3 +3184,44 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum(_dec("o_totalprice")).cast("double"), 3).alias("revenue"),
     )
+
+
+@query(
+    "ann_ivf_prebuilt_topk",
+    oracle=SIM.ivf_topk_oracle_sql(k=5, max_query_id=8, n_cells=16, n_probe=2),
+)
+def ann_ivf_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against a PERSISTED index (save_ivf_index → parquet →
+    load_ivf_index): the build cost — centroid selection + corpus cell
+    assignment — is paid at write time, the query pays only the probe
+    join and exact re-rank. Must match the inline-build oracle exactly
+    (doubles round-trip parquet bit-exactly)."""
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/ivf"
+    SIM.save_ivf_index(emb, path, n_cells=16)
+    idx = SIM.load_ivf_index(spark, path)
+    return SIM.ivf_ann_topk(q, emb, k=5, n_cells=16, n_probe=2, index=idx)
+
+
+@query("ann_pq_prebuilt_topk")
+def ann_pq_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN against a PERSISTED index (codebooks + compressed codes in
+    parquet): Lloyd training and the encode scan happen at build time.
+    Shares ann_pq_topk's golden oracle — the round-tripped index must
+    reproduce the inline build bit-for-bit."""
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/pq"
+    SIM.save_pq_index(emb, path)
+    idx = SIM.load_pq_index(spark, path)
+    return SIM.pq_ann_topk(q, emb, k=5, refine=10, index=idx)
+
+
+# the prebuilt PQ path must reproduce the inline build bit-for-bit, so it
+# shares the same golden-pinned oracle
+ORACLES["ann_pq_prebuilt_topk"] = ORACLES["ann_pq_topk"]

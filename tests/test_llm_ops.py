@@ -357,3 +357,34 @@ def test_pq_ann_chunked_fallback_parity(spark, monkeypatch):
     monkeypatch.setattr(SIM, "QUERY_BATCH_LIMIT", 3)
     chunked = sorted(map(tuple, SIM.pq_ann_topk(q, emb, k=5, refine=10).collect()))
     assert chunked == base
+
+
+def test_prebuilt_ann_indexes_match_inline(spark, tmp_path):
+    """save/load round-trip for the PQ and IVF indexes: a prebuilt query
+    must rank identically to the inline build (the --index contract the
+    ferret CLI already has, extended to the embedding ANN families)."""
+    from bensp_suite_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+
+    inline_pq = sorted(map(tuple, SIM.pq_ann_topk(q, emb, k=5, refine=10).collect()))
+    SIM.save_pq_index(emb, str(tmp_path / "pq"))
+    idx = SIM.load_pq_index(spark, str(tmp_path / "pq"))
+    prebuilt_pq = sorted(
+        map(tuple, SIM.pq_ann_topk(q, emb, k=5, refine=10, index=idx).collect())
+    )
+    assert prebuilt_pq == inline_pq
+
+    inline_ivf = sorted(
+        map(tuple, SIM.ivf_ann_topk(q, emb, k=5, n_cells=16, n_probe=2).collect())
+    )
+    SIM.save_ivf_index(emb, str(tmp_path / "ivf"), n_cells=16)
+    iidx = SIM.load_ivf_index(spark, str(tmp_path / "ivf"))
+    prebuilt_ivf = sorted(
+        map(
+            tuple,
+            SIM.ivf_ann_topk(q, emb, k=5, n_cells=16, n_probe=2, index=iidx).collect(),
+        )
+    )
+    assert prebuilt_ivf == inline_ivf
