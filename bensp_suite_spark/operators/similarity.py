@@ -158,21 +158,27 @@ def lsh_ann_topk(
     n_probes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table multi-probe bucket join then exact
     cosine re-rank within candidates — the two-phase cheap-filter /
     expensive-rerank plan of the reference (L=12 tables, -T 20 probes →
-    EMD rerank, ferret-pthreads.c:261,580-596)."""
+    EMD rerank, ferret-pthreads.c:261,580-596). Pass ``index`` (from
+    save_lsh_index/load_lsh_index) to probe a persisted signature table
+    instead of re-hashing the corpus."""
     from ..session import ensure_worker_imports as _ewi
 
     _ewi(queries.sparkSession)
-    c = lsh_index(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        "cv",
-        dim,
-        n_planes,
-        n_tables,
-    )
+    if index is not None:
+        c = index
+    else:
+        c = lsh_index(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "cv",
+            dim,
+            n_planes,
+            n_tables,
+        )
     buckets = _bucket_udf(dim, n_planes, n_tables)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -824,3 +830,32 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(path + "/centroids"),
         spark.read.parquet(path + "/cells"),
     )
+
+
+def save_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the multi-table LSH index: one (neighbor_id, cv, table,
+    bucket) row per vector per table. Hyperplanes are derived from the
+    fixed seed, so only the signatures need storing; at 100 TB bucket
+    the written table by (table, bucket) to make every probe join
+    co-located."""
+    c = lsh_index(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv",
+        dim,
+        n_planes,
+        n_tables,
+    )
+    c.write.mode("overwrite").parquet(path)
+
+
+def load_lsh_index(spark, path: str) -> DataFrame:
+    """→ signatures DataFrame for ``lsh_ann_topk(index=…)``."""
+    return spark.read.parquet(path)

@@ -388,3 +388,11 @@ def test_prebuilt_ann_indexes_match_inline(spark, tmp_path):
         )
     )
     assert prebuilt_ivf == inline_ivf
+
+    inline_lsh = sorted(map(tuple, SIM.lsh_ann_topk(q, emb, k=5, dim=64).collect()))
+    SIM.save_lsh_index(emb, str(tmp_path / "lsh"), dim=64)
+    lidx = SIM.load_lsh_index(spark, str(tmp_path / "lsh"))
+    prebuilt_lsh = sorted(
+        map(tuple, SIM.lsh_ann_topk(q, emb, k=5, dim=64, index=lidx).collect())
+    )
+    assert prebuilt_lsh == inline_lsh
