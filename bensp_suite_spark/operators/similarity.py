@@ -859,3 +859,102 @@ def save_lsh_index(
 def load_lsh_index(spark, path: str) -> DataFrame:
     """→ signatures DataFrame for ``lsh_ann_topk(index=…)``."""
     return spark.read.parquet(path)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    space with the coarse quantizer, then WITHIN each cluster drop any
+    vector that has an earlier (lower-id) neighbor at cosine ≥ threshold.
+    The greedy keep-first-seen rule is made deterministic by the id order,
+    so the whole operator — clustering included — has an exact SQL oracle.
+
+    Returns (vec_id, cell, is_kept) for every input vector.
+
+    Scale shape: the cell assignment is the IVF narrow pass (zero
+    shuffle); the near-dup check is a self-join CO-LOCATED on the cell
+    key, so candidate pairs are Σ|cell|², never corpus² — the cluster
+    count is the knob that bounds it (SemDeDup uses ~10⁵ clusters at
+    billion-doc scale for exactly this reason). The drop rule needs only
+    an EXISTS, so the join is left-semi: no pair materialization survives
+    the stage."""
+    cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    assigned = ivf_assign(
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
+        cent,
+        1,
+        "vid",
+        "v",
+    )
+    a = assigned.select(
+        F.col("vid"), F.col("cell"), F.col("v").cast("array<double>").alias("va")
+    )
+    b = assigned.select(
+        F.col("vid").alias("b_vid"),
+        F.col("cell"),
+        F.col("v").cast("array<double>").alias("vb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    dropped = a.join(
+        b,
+        on=[
+            a.cell == b.cell,
+            F.col("b_vid") < F.col("vid"),
+        ],
+        how="inner",
+    ).filter(cos >= threshold).select(F.col("vid")).distinct()
+    return (
+        a.join(dropped.withColumnRenamed("vid", "d_vid"), a.vid == F.col("d_vid"), "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.col("d_vid").isNull().alias("is_kept"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(n_cells: int = 16, threshold: float = 0.99) -> str:
+    d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len({a}) + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+    cos = (
+        f"ROUND({dot.format(a='a.va', b='b.va')} / "
+        f"(SQRT({dot.format(a='a.va', b='a.va')}) * SQRT({dot.format(a='b.va', b='b.va')})), 6)"
+    )
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {AUG_VEC_OFFSET},
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01 + 0.001)
+      FROM embeddings
+    ),
+    src AS (SELECT vec_id, embedding AS va FROM aug),
+    cent AS (SELECT vec_id AS cell, embedding AS centroid
+             FROM aug WHERE vec_id < {n_cells}),
+    assigned AS (
+      SELECT vec_id, va, cell FROM (
+        SELECT vec_id, va, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {d2.format(a='va', b='centroid')}, cell) AS rn
+        FROM src CROSS JOIN cent) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell,
+           NOT EXISTS (SELECT 1 FROM assigned b
+                       WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                         AND {cos} >= {threshold}) AS is_kept
+    FROM assigned a
+    """

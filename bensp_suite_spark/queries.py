@@ -3225,3 +3225,14 @@ def ann_pq_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the prebuilt PQ path must reproduce the inline build bit-for-bit, so it
 # shares the same golden-pinned oracle
 ORACLES["ann_pq_prebuilt_topk"] = ORACLES["ann_pq_topk"]
+
+
+@query("dedup_semantic", oracle=SIM.semantic_dedup_oracle_sql(n_cells=16, threshold=0.99))
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup): coarse-quantizer clustering + greedy
+    within-cluster cosine pruning at 0.99 over the planted-near-duplicate
+    embedding corpus — the sixth dedup family (exact, MinHash, SimHash,
+    n-gram, embedding-blocked, semantic). Candidate pairs are bounded by
+    cluster sizes, never corpus²."""
+    emb = SIM.augmented_embeddings(_t(spark, sf_dir, "embeddings"))
+    return SIM.semantic_dedup(emb, n_cells=16, threshold=0.99)
