@@ -1,0 +1,114 @@
+"""CLI for embedding-table similarity search — the ferret_cli analog over
+(vec_id, embedding) parquet tables, with persistent indexes for all three
+bucketed ANN families (the reference's mkdb/query split,
+apps/ferret/src/benchmark/mkdb:20-31 → ferret-pthreads.c:828-855,
+generalized beyond image vecsets):
+
+  python -m bensp_suite_spark.ann_cli mkdb EMB INDEX_OUT \
+      --family lsh|ivf|pq [--dim D] [--n-cells N]
+  python -m bensp_suite_spark.ann_cli query EMB QUERIES TOP_K OUT \
+      --family brute|lsh|ivf|pq [--index INDEX] [-t N]
+
+EMB / QUERIES are parquet tables with (vec_id long, embedding
+array<float|double>). OUT receives a parquet table (query_id, neighbor_id,
+rank, cosine) — the ANN result contract every ann_* declared query uses.
+With --index, the query pays only probe + exact re-rank; the index build
+cost (Lloyd training, signatures, cell assignment) was paid by mkdb. A
+prebuilt query is result-identical to the inline build
+(tests/test_llm_ops.py::test_prebuilt_ann_indexes_match_inline;
+tests/test_sources_cli.py runs this CLI end-to-end).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="bensp-ann", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    mk = sub.add_parser("mkdb", help="build + persist an ANN index")
+    mk.add_argument("embeddings", help="embeddings parquet path")
+    mk.add_argument("index_out", help="index output directory")
+    mk.add_argument("--family", default="lsh", choices=["lsh", "ivf", "pq"])
+    mk.add_argument("--dim", type=int, default=64, help="vector dim (lsh)")
+    mk.add_argument("--n-cells", type=int, default=16, help="IVF cells")
+    mk.add_argument("-t", "--threads", type=int, default=None)
+    mk.add_argument("-v", "--verbose", action="store_true")
+
+    q = sub.add_parser("query", help="top-k cosine neighbors per query vector")
+    q.add_argument("embeddings", help="corpus embeddings parquet path")
+    q.add_argument("queries", help="query embeddings parquet path")
+    q.add_argument("top_k", type=int)
+    q.add_argument("output", help="output parquet path")
+    q.add_argument("--family", default="brute", choices=["brute", "lsh", "ivf", "pq"])
+    q.add_argument("--index", default=None, help="prebuilt index dir (from mkdb)")
+    q.add_argument("--dim", type=int, default=64, help="vector dim (lsh)")
+    q.add_argument("--n-cells", type=int, default=16, help="IVF cells")
+    q.add_argument("--refine", type=int, default=10, help="PQ candidate factor")
+    q.add_argument("-t", "--threads", type=int, default=None)
+    q.add_argument("-v", "--verbose", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    inputs = [args.embeddings] if args.cmd == "mkdb" else [args.embeddings, args.queries]
+    if args.cmd == "query" and args.index:
+        inputs.append(args.index)
+    for p in inputs:
+        if not os.path.exists(p):
+            print(f"error: input not found: {p}", file=sys.stderr)
+            return 2
+    if args.cmd == "query" and args.index and args.family == "brute":
+        print("error: --index requires --family lsh|ivf|pq", file=sys.stderr)
+        return 2
+
+    from .operators import similarity as SIM
+    from .session import get_spark
+
+    spark = get_spark("bensp-ann-cli", shuffle_partitions=args.threads)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    emb = spark.read.parquet(args.embeddings)
+
+    if args.cmd == "mkdb":
+        if args.family == "lsh":
+            SIM.save_lsh_index(emb, args.index_out, dim=args.dim)
+        elif args.family == "ivf":
+            SIM.save_ivf_index(emb, args.index_out, n_cells=args.n_cells)
+        else:
+            SIM.save_pq_index(emb, args.index_out)
+        if args.verbose:
+            print(f"built {args.family} index in {time.perf_counter() - t0:.2f}s "
+                  f"→ {args.index_out}")
+        spark.stop()
+        return 0
+
+    queries = spark.read.parquet(args.queries)
+    k = args.top_k
+    if args.family == "brute":
+        out = SIM.cosine_topk_bruteforce(queries, emb, k=k)
+    elif args.family == "lsh":
+        idx = SIM.load_lsh_index(spark, args.index) if args.index else None
+        out = SIM.lsh_ann_topk(queries, emb, k=k, dim=args.dim, index=idx)
+    elif args.family == "ivf":
+        idx = SIM.load_ivf_index(spark, args.index) if args.index else None
+        out = SIM.ivf_ann_topk(queries, emb, k=k, n_cells=args.n_cells, index=idx)
+    else:
+        idx = SIM.load_pq_index(spark, args.index) if args.index else None
+        out = SIM.pq_ann_topk(queries, emb, k=k, refine=args.refine, index=idx)
+    out.orderBy("query_id", "rank").write.mode("overwrite").parquet(args.output)
+    if args.verbose:
+        n_q = queries.count()
+        print(f"ranked {n_q} queries (top-{k}, {args.family}"
+              f"{', prebuilt' if args.index else ''}) "
+              f"in {time.perf_counter() - t0:.2f}s → {args.output}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

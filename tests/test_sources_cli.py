@@ -384,3 +384,42 @@ def test_curate_cli_end_to_end(tmpdir, spark):
     want = CUR.curate_corpus(docs)
     assert {tuple(x) for x in got.collect()} == {tuple(x) for x in want.collect()}
     assert got.filter("source = 'src0'").count() == 0
+
+
+def test_ann_cli_mkdb_and_query_end_to_end(spark, tmpdir):
+    """ann_cli: build a persistent IVF index, query with and without it —
+    prebuilt must rank identically to the inline build, and the brute
+    family must contain the exact answer."""
+    from bensp_suite_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    emb_path = os.path.join(tmpdir, "emb")
+    q_path = os.path.join(tmpdir, "q")
+    emb = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    emb.write.mode("overwrite").parquet(emb_path)
+    emb.filter("vec_id < 6").write.mode("overwrite").parquet(q_path)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+    idx = os.path.join(tmpdir, "ivf_idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.ann_cli", "mkdb", emb_path, idx,
+         "--family", "ivf", "-v"],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(idx, "centroids"))
+
+    out_inline = os.path.join(tmpdir, "out_inline")
+    out_prebuilt = os.path.join(tmpdir, "out_prebuilt")
+    for out, extra in ((out_inline, []), (out_prebuilt, ["--index", idx])):
+        r = subprocess.run(
+            [sys.executable, "-m", "bensp_suite_spark.ann_cli", "query", emb_path,
+             q_path, "5", out, "--family", "ivf", *extra],
+            capture_output=True, text=True, env=env, cwd=cwd,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    a = sorted(map(tuple, spark.read.parquet(out_inline).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out_prebuilt).collect()))
+    assert a == b and len(a) == 30
