@@ -86,3 +86,39 @@ def stream_exact_dedup_ttl(
         .start()
         .awaitTermination()
     )
+
+
+def stream_passage_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    words_per_passage: int = 20,
+) -> None:
+    """Streaming sub-document (passage-level) dedup: documents arrive as a
+    stream, explode into fixed-width md5-addressed passages (the batch
+    operator's exact passage table — operators/dedup_text.passages is
+    pure expressions, so it runs unchanged on a streaming DataFrame), and
+    the first arrival of each passage digest wins across micro-batches.
+
+    Winner IDENTITY is arrival-order (the streaming analog of first-wins;
+    batch first-wins is (doc_id, passage_idx)-order), but the surviving
+    passage-digest SET is identical to the batch operator's — the parity
+    the test pins. State: one entry per distinct passage digest, keyed on
+    the digest, RocksDB-backed at scale, unbounded by design (a duplicate
+    passage must be caught however late it arrives; use a
+    dropDuplicatesWithinWatermark variant like stream_exact_dedup_ttl
+    when continuous ingestion needs bounded state)."""
+    from ..operators.dedup_text import passages
+
+    winners = passages(docs_stream, words_per_passage).dropDuplicates(
+        ["passage_md5"]
+    )
+    (
+        winners.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -814,3 +814,34 @@ def test_streaming_topk_per_key_matches_batch(spark, tmpdir, state_provider):
         for r in ev.withColumn("rn", F.row_number().over(w)).filter("rn <= 5").collect()
     }
     assert got == want
+
+
+def test_streaming_passage_dedup_matches_batch_domain(spark, tmpdir, state_provider):
+    """Passage-level streaming dedup: exactly one winner per passage
+    digest across micro-batches, and the surviving digest set equals the
+    batch operator's (winner identity is arrival-order by design). Runs
+    under both state store providers."""
+    from bensp_suite_spark.operators import dedup_text as DT
+    from bensp_suite_spark.streaming import text_dedup_stream as TDS
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").limit(300)
+    dups = docs.limit(80).select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    corpus.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    TDS.stream_passage_dedup(spark, stream, out, ckpt)
+
+    got = spark.read.parquet(out)
+    assert got.groupBy("passage_md5").count().filter("count > 1").count() == 0
+    stream_set = {r.passage_md5 for r in got.select("passage_md5").collect()}
+    batch_set = {
+        r.passage_md5
+        for r in DT.passage_dedup(corpus).select("passage_md5").collect()
+    }
+    assert stream_set == batch_set
