@@ -396,3 +396,30 @@ def test_prebuilt_ann_indexes_match_inline(spark, tmp_path):
         map(tuple, SIM.lsh_ann_topk(q, emb, k=5, dim=64, index=lidx).collect())
     )
     assert prebuilt_lsh == inline_lsh
+
+
+def test_passages_tile_documents_exactly(spark):
+    """Passage invariants vs a pure-Python reference: passages tile each
+    document exactly (count = ceil(words/P), in order, md5 of the exact
+    word slices — final ragged passage included)."""
+    import hashlib
+    import math
+    import re
+
+    from bensp_suite_spark.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text").limit(60)
+    rows = DT.passages(docs).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.passage_idx, r.passage_md5))
+    P = DT.PASSAGE_WORDS
+    for r in docs.collect():
+        ws = re.sub(r"\s+", " ", r.text.strip()).split(" ")
+        n = max(math.ceil(len(ws) / P), 1)
+        want = [
+            hashlib.md5(" ".join(ws[i * P:(i + 1) * P]).encode()).hexdigest()
+            for i in range(n)
+        ]
+        got = [h for _, h in sorted(by_doc[r.doc_id])]
+        assert got == want, r.doc_id
