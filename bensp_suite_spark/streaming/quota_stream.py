@@ -73,17 +73,13 @@ def tws_available() -> bool:
         return False
 
 
-def per_key_quota_tws(
-    docs_stream: DataFrame, key: str, quota: int, output_schema: str
-) -> DataFrame:
-    """Same semantics on the Spark 4 ``transformWithStateInPandas`` API
-    (requires the RocksDB state store provider AND protobuf on workers)."""
-    if not tws_available():
-        raise NotImplementedError(
-            "STUB here: transformWithStateInPandas requires the protobuf "
-            "package, not available in this container; per_key_quota "
-            "(applyInPandasWithState) is the executable equivalent"
-        )
+def make_quota_processor(quota: int):
+    """The transformWithStateInPandas processor, built at module level so
+    its LOGIC is testable in this container: StatefulProcessor itself
+    imports fine without protobuf (only the worker protocol needs it), so
+    tests drive handleInputRows against a fake ValueState and pin the
+    same cap-across-batches semantics per_key_quota proves end-to-end
+    (tests/test_streaming.py::test_quota_processor_logic_matches_contract)."""
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -109,8 +105,24 @@ def per_key_quota_tws(
         def close(self) -> None:
             pass
 
+    return QuotaProcessor()
+
+
+def per_key_quota_tws(
+    docs_stream: DataFrame, key: str, quota: int, output_schema: str
+) -> DataFrame:
+    """Same semantics on the Spark 4 ``transformWithStateInPandas`` API
+    (requires the RocksDB state store provider AND protobuf on workers)."""
+    if not tws_available():
+        raise NotImplementedError(
+            "STUB here: transformWithStateInPandas requires the protobuf "
+            "package, not available in this container; per_key_quota "
+            "(applyInPandasWithState) is the executable equivalent "
+            "(the processor logic itself is built by make_quota_processor "
+            "and unit-tested without the protocol)"
+        )
     return docs_stream.groupBy(key).transformWithStateInPandas(
-        statefulProcessor=QuotaProcessor(),
+        statefulProcessor=make_quota_processor(quota),
         outputStructType=output_schema,
         outputMode="append",
         timeMode="none",

@@ -845,3 +845,41 @@ def test_streaming_passage_dedup_matches_batch_domain(spark, tmpdir, state_provi
         for r in DT.passage_dedup(corpus).select("passage_md5").collect()
     }
     assert stream_set == batch_set
+
+
+def test_quota_processor_logic_matches_contract(spark):
+    """The transformWithState quota processor's LOGIC, driven without the
+    protobuf worker protocol: a fake ValueState carries the admitted
+    counter across simulated micro-batches; admissions cap at the quota
+    with the same semantics per_key_quota proves end-to-end."""
+    import pandas as pd
+
+    from bensp_suite_spark.streaming import quota_stream as QS
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    proc = QS.make_quota_processor(quota=10)
+    # init() needs a real handle; wire the state directly
+    proc.count_state = FakeState()
+
+    def feed(ids):
+        pdf = pd.DataFrame({"doc_id": ids, "source": ["srcA"] * len(ids)})
+        return list(proc.handleInputRows(("srcA",), iter([pdf]), None))
+
+    b1 = feed(list(range(6)))          # 6 admitted (0..5)
+    b2 = feed(list(range(10, 16)))     # only 4 more fit (10..13)
+    b3 = feed(list(range(20, 23)))     # quota exhausted → nothing
+    admitted = [int(x) for out in (b1, b2, b3) for pdf in out for x in pdf["doc_id"]]
+    assert admitted == [0, 1, 2, 3, 4, 5, 10, 11, 12, 13]
+    assert proc.count_state.get() == (10,)
