@@ -2943,6 +2943,52 @@ def ts_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("cdc_ddp_datasource_scan")
+def cdc_ddp_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 as a first-class DataSource, driver-verified: encode the first
+    24 documents into three byte-exact .ddp archives (one per doc_id mod
+    3), scan them back through ``spark.read.format("ddp")`` (one input
+    partition per archive — the distributed udecoder), and aggregate per
+    (archive, record type): record count, payload bytes, distinct
+    digests. Deterministic end to end (Rabin boundaries + sha1 + gzip are
+    bit-stable) → golden-pinned oracle."""
+    import os as _os
+    import tempfile as _tf
+
+    from .dedup import pipeline as DP
+    from .sources.ddp import serialize_ddp
+    from .sources.ddp_datasource import register_ddp_source
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 24)
+    files = docs.select(
+        F.col("doc_id").alias("file_id"), F.encode("text", "utf-8").alias("content")
+    )
+    # plant exact duplicates (file_id+999, same bytes, same archive mod
+    # class) so the archives contain FINGERPRINT records, not just
+    # compressed uniques — the dup-bypass path is part of what this pins
+    files = files.unionByName(
+        files.filter(F.col("file_id") < 9).select(
+            (F.col("file_id") + 999).alias("file_id"), "content"
+        )
+    )
+    d = _tf.mkdtemp(prefix="bensp_ddp_q_")
+    for g in range(3):
+        part = files.filter(F.col("file_id") % 3 == g)
+        blob = serialize_ddp(DP.encode(part, "gzip"), "gzip")
+        with open(_os.path.join(d, f"a{g}.ddp"), "wb") as fh:
+            fh.write(blob)
+    register_ddp_source(spark)
+    rec = spark.read.format("ddp").load(d)
+    return rec.groupBy(
+        F.regexp_extract("path", r"(a\d+\.ddp)$", 1).alias("archive"),
+        F.col("rtype").cast("int").alias("rtype"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.length("payload")).cast("bigint").alias("payload_bytes"),
+        F.count_distinct("sha1").cast("bigint").alias("n_digests"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the
