@@ -534,3 +534,86 @@ def synthetic_images(spark, n: int = 16, size: int = 48, seed: int = 31):
     # all Python UDFs, and n tiny rows spread over 32 partitions would spin
     # up 32 Python workers to process 12 images
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA).coalesce(max(1, n))
+
+
+# ---------------------------------------------------------------------------
+# pHash — DCT-based perceptual hash (the second fingerprint family next to
+# dHash: frequency-domain, so it survives small spatial perturbations and
+# re-scaling better, and is EXACTLY invariant to uniform brightness shifts
+# because only the DC coefficient moves and the hash uses AC terms only)
+# ---------------------------------------------------------------------------
+
+PHASH_N = 32  # DCT input side
+PHASH_K = 8   # low-frequency block side
+_DCT_SCALE = 1 << 14
+
+
+def _dct_matrix_int(n: int = PHASH_N) -> np.ndarray:
+    """Fixed-point DCT-II basis, round(cos(π(2j+1)i / 2n) · 2¹⁴) as int64.
+    Integer matmuls are EXACT (associative — no float reduction-order or
+    BLAS variability), so the hash is bit-identical on any host, the same
+    distributed-dedup-key property the all-integer dHash has."""
+    j = np.arange(n)
+    i = np.arange(n)[:, None]
+    return np.round(np.cos(np.pi * (2 * j + 1) * i / (2 * n)) * _DCT_SCALE).astype(
+        np.int64
+    )
+
+
+_DCT_M = _dct_matrix_int()
+
+
+def phash_kernel(rgb: np.ndarray) -> int:
+    """63-bit perceptual hash: integer luma → nearest-neighbor 32×32 →
+    fixed-point 2-D DCT (int64 exact) → top-left 8×8 block → bit i =
+    AC coefficient i > integer median of the 63 AC terms. The DC term is
+    excluded, making the hash exactly invariant under uniform brightness
+    shifts (no clipping) — the same robustness class pHash is used for in
+    crawl dedup. Top bit always 0 (63 data bits in a signed long)."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    gray = (306 * r + 601 * g + 117 * b) >> 10
+    small = resize_kernel(
+        np.stack([gray, gray, gray], axis=-1).astype(np.uint8), PHASH_N, PHASH_N
+    )[..., 0].astype(np.int64)
+    coeffs = _DCT_M @ small @ _DCT_M.T  # exact int64
+    block = coeffs[:PHASH_K, :PHASH_K].ravel()
+    ac = block[1:]  # drop DC
+    s = np.sort(ac)
+    median = int(s[31])  # exact median of the 63 AC terms
+    bits = (ac > median).astype(np.uint64)
+    h = np.uint64(0)
+    for bit in bits:
+        h = (h << np.uint64(1)) | bit
+    return int(h.astype(np.int64))
+
+
+def image_phash(images: DataFrame) -> DataFrame:
+    """(image_id, name, phash) — narrow mapInPandas stage, no shuffle."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(images.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, hashes = [], [], []
+            for iid, name, fmt, payload in zip(
+                pdf["image_id"], pdf["name"], pdf["format"], pdf["image"]
+            ):
+                ids.append(iid)
+                names.append(name)
+                hashes.append(phash_kernel(decode_image(bytes(payload), fmt)))
+            yield pd.DataFrame({"image_id": ids, "name": names, "phash": hashes})
+
+    return images.mapInPandas(gen, "image_id long, name string, phash long")
+
+
+def image_near_dup_pairs_phash(images: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by pHash through the shared banded
+    hamming join — 8 bytes per image on the wire, same as dHash."""
+    from ..operators.similarity import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        image_phash(images), "image_id", "phash", max_hamming=max_hamming
+    )

@@ -2989,6 +2989,21 @@ def cdc_ddp_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_image_phash_dedup")
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-pHash image near-dup detection — the frequency-domain
+    fingerprint next to dHash: fixed-point integer DCT (bit-stable on any
+    host), DC excluded so uniform brightness shifts hash IDENTICALLY
+    (hamming 0 for the planted copies), same 8-bytes-per-image banded
+    hamming join. Deterministic (all-integer kernel) → golden-pinned."""
+    from .multimodal import images as IM
+
+    imgs = IM.synthetic_textured_images(
+        spark, n=12, size=32, dup_of={100: 0, 101: 1, 102: 2, 103: 3}
+    )
+    return IM.image_near_dup_pairs_phash(imgs, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Golden-output oracles: the deterministic non-SQL-expressible queries
 # (CDC kernels, seeded LSH, SRM segmentation, exact EMD) are pinned at the

@@ -323,3 +323,33 @@ def test_video_near_dup_pairs(spark):
         for r in AV.video_near_dup_pairs(video, every_n=5, min_matching_frames=3).collect()
     }
     assert pairs == {(0, 100): 4, (1, 101): 4}, pairs
+
+
+def test_phash_brightness_invariance_and_separation():
+    """pHash properties: exact invariance under uniform brightness shift
+    (DC excluded, no clipping), far hamming for unrelated noise images,
+    top bit always zero (63 data bits)."""
+    rng = np.random.default_rng(11)
+    hs = []
+    for i in range(6):
+        img = rng.integers(0, 200, (32, 32, 3)).astype(np.uint8)
+        h = IM.phash_kernel(img)
+        assert h >= 0
+        shifted = np.clip(img.astype(np.int32) + 17, 0, 255).astype(np.uint8)
+        assert IM.phash_kernel(shifted) == h
+        hs.append(h)
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            assert bin(hs[i] ^ hs[j]).count("1") > 8
+
+
+def test_phash_near_dup_pairs_find_planted(spark):
+    """Planted brightness-shifted copies pair at hamming 0 through the
+    banded join; no spurious pairs among the unrelated noise images."""
+    imgs = IM.synthetic_textured_images(
+        spark, n=10, size=32, dup_of={100: 0, 101: 4}
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             IM.image_near_dup_pairs_phash(imgs, max_hamming=3).collect()}
+    assert pairs[(0, 100)] == 0 and pairs[(4, 101)] == 0
+    assert len(pairs) == 2
