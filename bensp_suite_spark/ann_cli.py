@@ -22,9 +22,32 @@ tests/test_sources_cli.py runs this CLI end-to-end).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
+
+# Build parameters are persisted next to the index at mkdb time and read
+# back at query time — a query --dim different from the build dim would
+# hash queries into incompatible LSH buckets and silently return degraded
+# results (ivf/pq carry their parameters inside the loaded index; lsh
+# does not). The underscore prefix keeps parquet directory scans from
+# picking the file up as data.
+_META_NAME = "_bensp_index_meta.json"
+
+
+def _write_index_meta(index_dir: str, meta: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, _META_NAME), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _read_index_meta(index_dir: str) -> dict | None:
+    p = os.path.join(index_dir, _META_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -77,15 +100,37 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "mkdb":
         if args.family == "lsh":
             SIM.save_lsh_index(emb, args.index_out, dim=args.dim)
+            meta = {"family": "lsh", "dim": args.dim}
         elif args.family == "ivf":
             SIM.save_ivf_index(emb, args.index_out, n_cells=args.n_cells)
+            meta = {"family": "ivf", "n_cells": args.n_cells}
         else:
             SIM.save_pq_index(emb, args.index_out)
+            meta = {"family": "pq"}
+        _write_index_meta(args.index_out, meta)
         if args.verbose:
             print(f"built {args.family} index in {time.perf_counter() - t0:.2f}s "
                   f"→ {args.index_out}")
         spark.stop()
         return 0
+
+    if args.index:
+        meta = _read_index_meta(args.index)
+        if meta is not None:
+            if meta.get("family") != args.family:
+                print(
+                    f"error: index at {args.index} was built with "
+                    f"--family {meta.get('family')}, not {args.family}",
+                    file=sys.stderr,
+                )
+                spark.stop()
+                return 2
+            # Build-time parameters win over CLI flags: mismatched values
+            # don't error, they silently degrade recall.
+            if "dim" in meta:
+                args.dim = meta["dim"]
+            if "n_cells" in meta:
+                args.n_cells = meta["n_cells"]
 
     queries = spark.read.parquet(args.queries)
     k = args.top_k

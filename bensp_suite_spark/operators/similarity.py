@@ -652,6 +652,12 @@ def pq_ann_topk(
         cand = parts[0]
         for p in parts[1:]:
             cand = cand.unionByName(p)
+        # Materialize the bounded candidate set (≤ n_q × m rows) NOW so the
+        # cached corpus codes can be released before returning — otherwise
+        # the persist would pin the full code table in executor memory for
+        # the life of the session (the returned DataFrame is lazy).
+        cand = cand.localCheckpoint(eager=True)
+        codes.unpersist()
 
     wa = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
     cand = (
@@ -907,9 +913,10 @@ def semantic_dedup(
         on=[
             a.cell == b.cell,
             F.col("b_vid") < F.col("vid"),
+            cos >= threshold,
         ],
-        how="inner",
-    ).filter(cos >= threshold).select(F.col("vid")).distinct()
+        how="left_semi",
+    ).select(F.col("vid"))
     return (
         a.join(dropped.withColumnRenamed("vid", "d_vid"), a.vid == F.col("d_vid"), "left")
         .select(

@@ -326,21 +326,35 @@ def stream_encode_merge(
     touched partitions. Use this form when throughput matters and the
     unique-chunk metadata fits comfortably in a scan; use
     ``stream_encode`` when per-key state locality matters more."""
-    import os as _os
+    import posixpath as _pp
 
     from ..dedup.pipeline import chunk_hash_compress, chunk_hash_compress_jvm
     from ..session import has_jvm_kernel
 
-    winners_dir = _os.path.join(checkpoint_dir, "winners")
-    commits_dir = _os.path.join(checkpoint_dir, "merge_commits")
-    _os.makedirs(commits_dir, exist_ok=True)
+    # All checkpoint probes/markers go through the Hadoop FileSystem API so
+    # the sink honors the checkpoint dir's actual scheme (file://, hdfs://,
+    # s3a://...) — an os.path probe on an HDFS checkpoint would silently
+    # report "no prior winners" every batch and re-elect canonical winners,
+    # the exact first-wins breakage the have_prev comment below guards.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(p: str):
+        return _hpath(p).getFileSystem(hconf)
+
+    winners_dir = _pp.join(checkpoint_dir, "winners")
+    commits_dir = _pp.join(checkpoint_dir, "merge_commits")
+    _fs(commits_dir).mkdirs(_hpath(commits_dir))
     use_jvm = compress_type in ("gzip", "none", "bzip2") and has_jvm_kernel(spark)
     if chunk_parallelism is None:
         chunk_parallelism = spark.sparkContext.defaultParallelism
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = _os.path.join(commits_dir, str(batch_id))
-        if _os.path.exists(marker):
+        marker = _pp.join(commits_dir, str(batch_id))
+        if _fs(marker).exists(_hpath(marker)):
             return
         # Same fix as stream_encode's chunk_parallelism: a micro-batch's
         # task count equals its SOURCE FILE count, so a 2-file trigger
@@ -365,8 +379,11 @@ def stream_encode_merge(
             # silently re-elect canonical winners and re-emit payloads for
             # digests already deduplicated (first-wins would be broken with
             # no error surfaced).
-            have_prev = _os.path.isdir(winners_dir) and any(
-                e.startswith("batch_id=") for e in _os.listdir(winners_dir)
+            wfs = _fs(winners_dir)
+            wpath = _hpath(winners_dir)
+            have_prev = wfs.exists(wpath) and any(
+                st.getPath().getName().startswith("batch_id=")
+                for st in wfs.listStatus(wpath)
             )
             if have_prev:
                 prev = (
@@ -408,7 +425,7 @@ def stream_encode_merge(
                 F.lit(batch_id).alias("batch_id"),
             )
             out.orderBy("file_id", "l1", "l2").write.mode("overwrite").parquet(
-                _os.path.join(out_dir, f"batch_id={batch_id}")
+                _pp.join(out_dir, f"batch_id={batch_id}")
             )
             new_winners = (
                 flagged.filter((F.col("rn") == 1) & F.col("c_file_id").isNull())
@@ -421,10 +438,13 @@ def stream_encode_merge(
                 )
             )
             new_winners.write.mode("overwrite").parquet(
-                _os.path.join(winners_dir, f"batch_id={batch_id}")
+                _pp.join(winners_dir, f"batch_id={batch_id}")
             )
-            with open(marker, "w") as fh:
-                fh.write("committed")
+            mout = _fs(marker).create(_hpath(marker), True)
+            try:
+                mout.write(bytearray(b"committed"))
+            finally:
+                mout.close()
         finally:
             fused.unpersist()
 
