@@ -1,0 +1,686 @@
+"""Independent (non-Spark) reference implementations for the golden queries.
+
+Every query pinned by ``tools/gen_golden_oracles.py`` is recomputed here
+WITHOUT executing any Spark plan: inputs are read with DuckDB/pyarrow and
+the results are produced by scalar/numpy code. Where the repo already has
+a pure-numpy kernel that is itself independently validated (exact EMD via
+closed-form trials in tests/test_ferret.py, the SRM/extract image kernels
+validated byte-exact against scalar transcriptions in
+tests/test_multimodal.py), that kernel is reused; everything that the
+SPARK side distributes — chunk boundary scans, first-wins dedup windows,
+bucket joins, ADC scans, rank windows, record aggregation — is
+re-implemented here from the written spec (reference C file:line cited at
+each site), so a pin produced by this module verifies the distributed
+plan against an independent computation rather than against itself.
+
+The Rabin scan in particular deliberately does NOT share rabin.py's
+derivation: contribution tables here are built forward from the absorb
+recurrence definition (rabin.c:72-100) per window position, while
+rabin.py derives them by downward recurrence and scans via uint16 pair
+tables. Identical outputs from the two constructions is the point.
+
+Used by gen_golden_oracles.py (pin source) and
+tests/test_declared_queries.py::test_golden_reference_matches_pins
+(drift guard). Imports of bensp_suite_spark touch only numpy kernels —
+no SparkSession is ever created on this path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import zlib
+from decimal import ROUND_HALF_UP, Decimal
+from functools import lru_cache
+
+import duckdb
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# --------------------------------------------------------------------------
+# shared numeric semantics
+# --------------------------------------------------------------------------
+
+_U32 = 0xFFFFFFFF
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def spark_round(x: float, d: int) -> float:
+    """Spark's ROUND on DoubleType: BigDecimal.valueOf(double) — i.e. the
+    shortest decimal representation (== Python repr) — then HALF_UP."""
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP)
+    )
+
+
+def fold_dot(a: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Sequential left fold Σ a_i·B_{·,i} in index order — the exact IEEE
+    op sequence of F.aggregate(zip_with(a, b, *), 0.0, +) (similarity._dot)."""
+    acc = np.zeros(B.shape[0], dtype=np.float64)
+    for i in range(len(a)):
+        acc += a[i] * B[:, i]
+    return acc
+
+
+def fold_sql2(a: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Sequential squared-L2 fold (dist_L2_float, cass_dist.c:45-58)."""
+    acc = np.zeros(B.shape[0], dtype=np.float64)
+    for i in range(len(a)):
+        d = a[i] - B[:, i]
+        acc += d * d
+    return acc
+
+
+def cosine_rounded(q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """round(dot/(|q||c|), 6) with fold-order dots, Spark ROUND semantics."""
+    num = fold_dot(q, C)
+    qn = float(np.sqrt(fold_dot(q, q.reshape(1, -1))[0]))
+    cn = np.sqrt(np.array([fold_dot(C[i], C[i].reshape(1, -1))[0] for i in range(len(C))]))
+    raw = num / (qn * cn)
+    return np.array([spark_round(v, 6) for v in raw])
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(((a & _U64) ^ (b & _U64))).count("1")
+
+
+def _brute_hamming_pairs(hashes: list[tuple[int, int]], max_hamming: int):
+    """All (id_a < id_b, hamming ≤ max) pairs — the exact result contract of
+    similarity.banded_hamming_pairs at max_hamming ≤ n_bands−1 (pigeonhole:
+    every such pair shares at least one untouched band, so the banded join
+    surfaces it; the exact bit_count refine drops everything farther)."""
+    out = []
+    for i in range(len(hashes)):
+        ida, ha = hashes[i]
+        for j in range(i + 1, len(hashes)):
+            idb, hb = hashes[j]
+            a, b = (ida, idb) if ida < idb else (idb, ida)
+            d = hamming64(ha, hb)
+            if d <= max_hamming:
+                out.append((a, b, d))
+    return sorted(out)
+
+
+# --------------------------------------------------------------------------
+# input tables (DuckDB scan — no Spark)
+# --------------------------------------------------------------------------
+
+def _documents(sf_dir: str):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    # stored as FLOAT[] — float32 values; cast to double is exact
+    V = np.array([np.asarray(r[1], dtype=np.float32) for r in rows]).astype(np.float64)
+    return ids, V
+
+
+# --------------------------------------------------------------------------
+# Rabin CDC — independent construction (rabin.c:15,72-100; rabin.h:7-11)
+# --------------------------------------------------------------------------
+
+IRR_POLY = 0x45C2B6A1
+NWINDOW = 32
+RABIN_MASK = 0xFFF
+ANCHOR_JUMP = 2 * 1024 * 1024
+
+
+def _fpreduce_ref(x: int) -> int:
+    for _ in range(32):
+        x = ((x << 1) ^ IRR_POLY) & _U32 if (x >> 31) else (x << 1) & _U32
+    return x
+
+
+@lru_cache(maxsize=1)
+def _wintab_forward() -> np.ndarray:
+    """(32, 256) u32 contribution tables built FORWARD from the definition:
+    T[j][b] = absorb b at offset j then absorb 31−j zero bytes, where
+    absorb(h, c) = (((h << 8) | c) & u32) ^ tab[h >> 24]."""
+    tab = [_fpreduce_ref(i) for i in range(256)]
+
+    def absorb(h: int, c: int) -> int:
+        x = h >> 24
+        return (((h << 8) | c) & _U32) ^ tab[x]
+
+    T = np.zeros((NWINDOW, 256), dtype=np.uint32)
+    for j in range(NWINDOW):
+        for b in range(256):
+            h = absorb(0, b)
+            for _ in range(NWINDOW - 1 - j):
+                h = absorb(h, 0)
+            T[j, b] = h
+    return T
+
+
+def match_positions_ref(arr: np.ndarray) -> np.ndarray:
+    """Positions i (NWINDOW ≤ i ≤ n) where hash(arr[i-32:i]) & 0xfff == 0."""
+    T = _wintab_forward()
+    n = int(arr.shape[0])
+    if n < NWINDOW:
+        return np.zeros(0, dtype=np.int64)
+    m = n - NWINDOW + 1
+    H = np.zeros(m, dtype=np.uint32)
+    for j in range(NWINDOW):
+        H ^= T[j][arr[j : j + m]]
+    return np.flatnonzero((H & RABIN_MASK) == 0).astype(np.int64) + NWINDOW
+
+
+def chunk_offsets_ref(data: bytes) -> list[tuple[int, int, int, int, bool]]:
+    """Fragment (encoder.c:1140-1192) + FragmentRefine (encoder.c:885-958)
+    greedy scans, re-implemented over the forward-table match positions."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = int(arr.shape[0])
+    if n == 0:
+        return [(0, 0, 0, 0, True)]
+    matches = list(match_positions_ref(arr))
+
+    def first_match_at_least(lo: int) -> int | None:
+        import bisect
+
+        i = bisect.bisect_left(matches, lo)
+        return matches[i] if i < len(matches) else None
+
+    anchors = [0]
+    cur = 0
+    while n - cur > ANCHOR_JUMP:
+        nxt = first_match_at_least(cur + ANCHOR_JUMP + NWINDOW)
+        if nxt is None or nxt >= n:
+            break
+        cur = nxt
+        anchors.append(cur)
+    anchors.append(n)
+
+    out = []
+    for l1 in range(len(anchors) - 1):
+        cs, ce = anchors[l1], anchors[l1 + 1]
+        bounds = [cs]
+        cur = cs
+        while True:
+            nxt = first_match_at_least(cur + NWINDOW)
+            if nxt is None or nxt >= ce:
+                break
+            cur = nxt
+            bounds.append(cur)
+        bounds.append(ce)
+        last = len(bounds) - 2
+        for l2 in range(len(bounds) - 1):
+            out.append((l1, l2, bounds[l2], bounds[l2 + 1], l2 == last))
+    return out
+
+
+def _doc_fixture_contents(sf_dir: str, target_bytes: int = 16384):
+    """dedup.fixtures.docs_from_documents content rule: utf-8 text + ' ',
+    tiled to target_bytes and truncated."""
+    out = []
+    for doc_id, text in _documents(sf_dir):
+        blob = (text + " ").encode("utf-8")
+        reps = max(1, -(-target_bytes // max(1, len(blob))))
+        out.append((int(doc_id), (blob * reps)[:target_bytes]))
+    return out
+
+
+def _fused_chunks(files: list[tuple[int, bytes]]):
+    """(file_id, sha1, size, c_len) per chunk — c_len only for the chunk's
+    first FILE-LOCAL occurrence (gzip level 1), else 0, mirroring the fused
+    stage contract (dedup/pipeline.chunk_hash_compress)."""
+    rows = []
+    for fid, content in files:
+        local_seen: set[str] = set()
+        for _l1, _l2, s, e, _last in chunk_offsets_ref(content):
+            piece = content[s:e]
+            digest = hashlib.sha1(piece).hexdigest()
+            if digest in local_seen:
+                c_len = 0
+            else:
+                local_seen.add(digest)
+                c_len = len(zlib.compress(piece, 1))
+            rows.append((fid, digest, e - s, c_len))
+    return rows
+
+
+def cdc_dedup_stats(sf_dir: str):
+    chunks = _fused_chunks(_doc_fixture_contents(sf_dir))
+    per: dict[str, list[int]] = {}
+    for _fid, sha, size, c_len in chunks:
+        rec = per.setdefault(sha, [0, 0, 0])
+        rec[0] += 1
+        rec[1] = max(rec[1], size)
+        rec[2] = max(rec[2], c_len)
+    n = sum(r[0] for r in per.values())
+    n_dup = sum(r[0] - 1 for r in per.values())
+    total_input = sum(r[1] * r[0] for r in per.values())
+    total_dedup = sum(r[1] for r in per.values())
+    total_comp = sum(r[2] for r in per.values())
+    cols = [
+        ("n_chunks", "BIGINT"),
+        ("n_dup", "BIGINT"),
+        ("total_input_bytes", "BIGINT"),
+        ("total_dedup_bytes", "BIGINT"),
+        ("total_compressed_bytes", "BIGINT"),
+        ("mean_chunk_b", "DOUBLE"),
+        ("dup_ratio", "DOUBLE"),
+    ]
+    row = (
+        n,
+        n_dup,
+        total_input,
+        total_dedup,
+        total_comp,
+        spark_round(total_input / n, 2),
+        spark_round(n_dup / n, 6),
+    )
+    return cols, [row]
+
+
+def cdc_chunk_histogram(sf_dir: str):
+    hist: dict[int, int] = {}
+    for fid, content in _doc_fixture_contents(sf_dir):
+        for _l1, _l2, s, e, _last in chunk_offsets_ref(content):
+            slot = min((e - s) // 128, 255)
+            hist[slot] = hist.get(slot, 0) + 1
+    cols = [("slot", "BIGINT"), ("cnt", "BIGINT")]
+    return cols, sorted(hist.items())
+
+
+def cdc_round_trip_check(sf_dir: str):
+    """decode(encode(files)) must reproduce every file byte-for-byte
+    (decoder.c verification path) — the independent expectation is
+    n_match == n_files, computed from the input cardinality alone."""
+    n = len(_documents(sf_dir))
+    return [("n_files", "BIGINT"), ("n_match", "BIGINT")], [(n, n)]
+
+
+def cdc_ddp_datasource_scan(sf_dir: str):
+    """Per-(archive, rtype) aggregation of the serialized .ddp record
+    stream (format: sources/ddp.py; reference util.c:65-74,
+    encoder.c:396-411): FINGERPRINT records carry sha1 (payload NULL on
+    scan), COMPRESS records carry the gzip payload (sha1 NULL)."""
+    docs = [(int(d), t.encode("utf-8")) for d, t in _documents(sf_dir) if d < 24]
+    files = list(docs) + [(fid + 999, content) for fid, content in docs if fid < 9]
+    rows = []
+    for g in range(3):
+        group = sorted((f for f in files if f[0] % 3 == g), key=lambda x: x[0])
+        seen: set[str] = set()
+        agg: dict[int, list] = {}  # rtype -> [n, payload_bytes|None, digests]
+        for _fid, content in group:
+            for _l1, _l2, s, e, _last in chunk_offsets_ref(content):
+                piece = content[s:e]
+                digest = hashlib.sha1(piece).hexdigest()
+                if digest in seen:
+                    rec = agg.setdefault(0, [0, None, set()])
+                    rec[0] += 1
+                    rec[2].add(digest)
+                else:
+                    seen.add(digest)
+                    rec = agg.setdefault(1, [0, 0, set()])
+                    rec[0] += 1
+                    rec[1] += len(zlib.compress(piece, 1))
+        for rtype, (cnt, pbytes, digests) in sorted(agg.items()):
+            rows.append((f"a{g}.ddp", rtype, cnt, pbytes, len(digests)))
+    cols = [
+        ("archive", "VARCHAR"),
+        ("rtype", "INTEGER"),
+        ("n_records", "BIGINT"),
+        ("payload_bytes", "BIGINT"),
+        ("n_digests", "BIGINT"),
+    ]
+    return cols, rows
+
+
+# --------------------------------------------------------------------------
+# ANN goldens (similarity.py constants: ANN_SEED=77, hyperplane per-table
+# seed stride 7919 — the spec the Spark UDFs and this module both draw from)
+# --------------------------------------------------------------------------
+
+ANN_SEED = 77
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    cols = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(ANN_SEED + 7919 * t)
+        cols.append(rng.standard_normal((n_planes, dim)).T)
+    return np.hstack(cols)
+
+
+def _topk_rows(query_id: int, cand_ids: np.ndarray, cand_cos: np.ndarray, k: int):
+    order = sorted(range(len(cand_ids)), key=lambda i: (-cand_cos[i], cand_ids[i]))
+    return [
+        (int(query_id), int(cand_ids[i]), rank + 1, float(cand_cos[i]))
+        for rank, i in enumerate(order[:k])
+    ]
+
+
+ANN_COLS = [
+    ("query_id", "BIGINT"),
+    ("neighbor_id", "BIGINT"),
+    ("rank", "INTEGER"),
+    ("cosine", "DOUBLE"),
+]
+
+
+def ann_lsh_topk(sf_dir: str, k: int = 5, dim: int = 64, n_planes: int = 6,
+                 n_tables: int = 8, n_probes: int = 6):
+    ids, V = _embeddings(sf_dir)
+    H = _hyperplanes(dim, n_planes, n_tables)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    bits = (V @ H) > 0
+    buckets = bits.reshape(len(V), n_tables, n_planes) @ weights  # (n, T)
+    # corpus bucket index: (table, bucket) -> ids
+    index: dict[tuple[int, int], list[int]] = {}
+    for row, vid in enumerate(ids):
+        for t in range(n_tables):
+            index.setdefault((t, int(buckets[row, t])), []).append(int(vid))
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for qrow, qid in enumerate(ids):
+        if qid >= 8:
+            continue
+        cand: set[int] = set()
+        for t in range(n_tables):
+            base = int(buckets[qrow, t])
+            probes = [base] + [base ^ (1 << i) for i in range(min(n_probes - 1, n_planes))]
+            for b in probes:
+                cand.update(index.get((t, b), ()))
+        cand.discard(int(qid))
+        cids = np.array(sorted(cand), dtype=np.int64)
+        C = V[[id_to_row[c] for c in cids]]
+        rows += _topk_rows(qid, cids, cosine_rounded(V[qrow], C), k)
+    return ANN_COLS, rows
+
+
+def ann_pq_topk(sf_dir: str, k: int = 5, n_subspaces: int = 8, n_centroids: int = 16,
+                refine: int = 10, train_iters: int = 8, train_sample: int = 2048):
+    ids, V = _embeddings(sf_dir)
+    mat = V[ids < train_sample]  # ids sorted ascending already
+    d = mat.shape[1]
+    ds = d // n_subspaces
+    sub = mat.reshape(mat.shape[0], n_subspaces, ds)
+    books = sub[:n_centroids].transpose(1, 0, 2).copy()
+    for _ in range(train_iters):
+        for s_i in range(n_subspaces):
+            x = sub[:, s_i, :]
+            d2 = ((x[:, None, :] - books[s_i][None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c_i in range(n_centroids):
+                members = x[assign == c_i]
+                if len(members):
+                    books[s_i, c_i] = members.mean(0)
+    allsub = V.reshape(V.shape[0], n_subspaces, ds)
+    codes = ((allsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1).argmin(-1)
+    m = refine * k
+    srange = np.arange(n_subspaces)
+    rows = []
+    for qrow, qid in enumerate(ids):
+        if qid >= 8:
+            continue
+        qsub = V[qrow].reshape(n_subspaces, ds)
+        qtab = ((qsub[:, None, :] - books) ** 2).sum(-1)  # (S, C)
+        ad = qtab[srange[None, :], codes].sum(1)  # (N,)
+        mask = ids != qid
+        idx = np.nonzero(mask)[0]
+        top = idx[np.lexsort((ids[idx], ad[idx]))[:m]]
+        cids = ids[top]
+        order = np.argsort(cids, kind="stable")
+        cids = cids[order]
+        C = V[top][order]
+        rows += _topk_rows(qid, cids, cosine_rounded(V[qrow], C), k)
+    return ANN_COLS, rows
+
+
+# --------------------------------------------------------------------------
+# ferret goldens — exhaustive candidates + exact EMD (kernel reused from
+# ferret/emd.py: pure numpy, independently validated against closed-form
+# transport solutions in tests/test_ferret.py)
+# --------------------------------------------------------------------------
+
+FERRET_COLS = [
+    ("q_image_id", "BIGINT"),
+    ("rank", "INTEGER"),
+    ("name", "VARCHAR"),
+    ("emd", "DOUBLE"),
+]
+
+
+def _ferret_exhaustive(images: list[tuple[int, str, list[tuple[float, np.ndarray]]]],
+                       query_ids: list[int], top_k: int):
+    """(image_id, name, [(weight_f32, features_f32[dim])...]) → ferret
+    top-k rows, mirroring candidates_exhaustive (per query REGION top
+    2·top_k corpus regions by fold-squared-L2 with (dist, c_image_id)
+    order, union, distinct) then exact-EMD rerank and the
+    (round(emd,6), c_image_id) rank window."""
+    from bensp_suite_spark.ferret.emd import emd, pairwise_l2
+
+    per_region_k = 2 * top_k
+    # exploded corpus regions
+    c_img, c_feat = [], []
+    for iid, _nm, regions in images:
+        for _w, f in regions:
+            c_img.append(iid)
+            c_feat.append(np.asarray(f, dtype=np.float64))
+    c_img = np.array(c_img, dtype=np.int64)
+    C = np.vstack(c_feat)
+    by_id = {iid: (nm, regions) for iid, nm, regions in images}
+
+    rows = []
+    for qid in query_ids:
+        _qnm, qregions = by_id[qid]
+        cand: set[int] = set()
+        for _w, qf in qregions:
+            dist = fold_sql2(np.asarray(qf, dtype=np.float64), C)
+            order = sorted(range(len(dist)), key=lambda i: (dist[i], c_img[i]))
+            cand.update(int(c_img[i]) for i in order[:per_region_k])
+        w1 = np.array([w for w, _f in qregions], dtype=np.float64)
+        f1 = np.vstack([np.asarray(f, dtype=np.float64) for _w, f in qregions])
+        scored = []
+        for cid in sorted(cand):
+            cnm, cregions = by_id[cid]
+            w2 = np.array([w for w, _f in cregions], dtype=np.float64)
+            f2 = np.vstack([np.asarray(f, dtype=np.float64) for _w, f in cregions])
+            scored.append((spark_round(emd(w1, w2, pairwise_l2(f1, f2)), 6), cid, cnm))
+        scored.sort(key=lambda t: (t[0], t[1]))
+        for rank, (e, _cid, cnm) in enumerate(scored[:top_k]):
+            rows.append((int(qid), rank + 1, cnm, e))
+    return rows
+
+
+def ferret_topk_multiregion(sf_dir: str, regions_per_image: int = 4, top_k: int = 5):
+    ids, V = _embeddings(sf_dir)
+    Vf32 = V.astype(np.float32)
+    w = np.float32(1.0 / regions_per_image)
+    images = []
+    for iid in sorted(set(int(v) // regions_per_image for v in ids)):
+        members = np.nonzero(ids // regions_per_image == iid)[0]
+        regions = [(float(w), Vf32[r]) for r in sorted(members, key=lambda r: ids[r])]
+        images.append((iid, f"img_{iid:05d}.jpg", regions))
+    qids = [iid for iid, _n, _r in images if iid < 4]
+    return FERRET_COLS, _ferret_exhaustive(images, qids, top_k)
+
+
+# --------------------------------------------------------------------------
+# multimodal goldens — image/audio/video kernels reused (numpy, validated
+# byte-exact vs scalar transcriptions in tests/test_multimodal.py); the
+# fixture generation and every distributed step re-derived here
+# --------------------------------------------------------------------------
+
+def _synthetic_images(n: int = 12, size: int = 32, seed: int = 31):
+    """multimodal.images.synthetic_images generation rule."""
+    out = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        img = np.full((size, size, 3), rng.integers(0, 80, 3), dtype=np.uint8)
+        for _ in range(int(rng.integers(1, 4))):
+            x0, y0 = rng.integers(0, size // 2, 2)
+            dx, dy = rng.integers(size // 4, size // 2, 2)
+            img[x0 : x0 + dx, y0 : y0 + dy] = rng.integers(100, 255, 3)
+        out.append((i, f"img_{i:05d}.raw", img))
+    return out
+
+
+def _textured_images(n: int = 12, size: int = 32, seed: int = 17,
+                     dup_of: dict[int, int] | None = None):
+    """multimodal.images.synthetic_textured_images generation rule."""
+    out, imgs = [], []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        img = rng.integers(0, 200, (size, size, 3)).astype(np.uint8)
+        imgs.append(img)
+        out.append((i, img))
+    for new_id, src in (dup_of or {}).items():
+        dup = np.clip(imgs[src].astype(np.int32) + 10, 0, 255).astype(np.uint8)
+        out.append((new_id, dup))
+    return out
+
+
+def _image_vecsets(images):
+    from bensp_suite_spark.multimodal.images import (
+        extract_features,
+        rgb_to_hsv,
+        srm_segment,
+    )
+
+    out = []
+    for iid, name, rgb in images:
+        hsv = rgb_to_hsv(rgb)
+        mask, nrgn = srm_segment(rgb)
+        regions = [
+            (float(np.float32(wgt)), np.asarray(feats, dtype=np.float32))
+            for wgt, feats in extract_features(hsv, mask, nrgn)
+        ]
+        out.append((iid, name, regions))
+    return out
+
+
+def multimodal_image_search(sf_dir: str):
+    vecsets = _image_vecsets(_synthetic_images())
+    qids = [iid for iid, _n, _r in vecsets]
+    return FERRET_COLS, _ferret_exhaustive(vecsets, qids, top_k=3)
+
+
+def multimodal_image_stats(sf_dir: str):
+    rows = []
+    for iid, _name, regions in _image_vecsets(_synthetic_images()):
+        acc = 0.0  # sequential fold of float32 weights cast to double
+        for w, _f in regions:
+            acc += w
+        rows.append((iid, len(regions), spark_round(acc, 4)))
+    cols = [("image_id", "BIGINT"), ("n_regions", "INTEGER"), ("weight_sum", "DOUBLE")]
+    return cols, rows
+
+
+HAMMING_COLS = [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INTEGER")]
+DUP_OF = {100: 0, 101: 1, 102: 2, 103: 3}
+
+
+def multimodal_image_dedup(sf_dir: str):
+    from bensp_suite_spark.multimodal.images import dhash_kernel
+
+    hashes = [(iid, dhash_kernel(img)) for iid, img in _textured_images(dup_of=DUP_OF)]
+    return HAMMING_COLS, _brute_hamming_pairs(hashes, 3)
+
+
+def multimodal_image_phash_dedup(sf_dir: str):
+    from bensp_suite_spark.multimodal.images import phash_kernel
+
+    hashes = [(iid, phash_kernel(img)) for iid, img in _textured_images(dup_of=DUP_OF)]
+    return HAMMING_COLS, _brute_hamming_pairs(hashes, 3)
+
+
+def multimodal_audio_dedup(sf_dir: str):
+    """queries.multimodal_audio_dedup fixture rule (seeds 90+i, half-gain
+    copies of the first three) + envelope fingerprint kernel."""
+    from bensp_suite_spark.multimodal.audio_video import (
+        audio_fingerprint_kernel,
+        decode_audio,
+        encode_pcm_s16le,
+    )
+
+    hashes, sigs = [], []
+    for i in range(8):
+        rng = np.random.default_rng(90 + i)
+        env = rng.uniform(0.1, 1.0, 65).repeat(130)[:8192]
+        sig = (rng.uniform(-1, 1, 8192) * env * 12000).astype(np.int16)
+        sigs.append(sig)
+        decoded = decode_audio(encode_pcm_s16le(sig), "pcm-s16le")
+        hashes.append((i, audio_fingerprint_kernel(decoded)))
+    for i in range(3):
+        decoded = decode_audio(encode_pcm_s16le(sigs[i] // 2), "pcm-s16le")
+        hashes.append((100 + i, audio_fingerprint_kernel(decoded)))
+    return HAMMING_COLS, _brute_hamming_pairs(hashes, 3)
+
+
+def multimodal_video_dedup(sf_dir: str, every_n: int = 5, min_matching_frames: int = 3):
+    """queries.multimodal_video_dedup fixture rule (seeds 70+i, +10
+    brightness re-renders) + frame-sampled dHash pair evidence."""
+    from bensp_suite_spark.multimodal.images import dhash_kernel
+
+    frames_by_vid = {}
+    vids = []
+    for i in range(5):
+        rng = np.random.default_rng(70 + i)
+        frames = rng.integers(0, 200, (20, 24, 24, 3)).astype(np.uint8)
+        vids.append(frames)
+        frames_by_vid[i] = frames
+    for i in range(2):
+        frames_by_vid[100 + i] = np.clip(vids[i].astype(np.int32) + 10, 0, 255).astype(np.uint8)
+
+    fid_hashes = []
+    for mid, frames in sorted(frames_by_vid.items()):
+        for idx in range(0, frames.shape[0], every_n):
+            fid_hashes.append((mid * 1_000_000 + idx, dhash_kernel(frames[idx])))
+    pairs = _brute_hamming_pairs(fid_hashes, 3)
+    counts: dict[tuple[int, int], set] = {}
+    for fa, fb, _d in pairs:
+        va, vb = fa // 1_000_000, fb // 1_000_000
+        if va == vb:
+            continue
+        key = (min(va, vb), max(va, vb))
+        counts.setdefault(key, set()).add((fa, fb))
+    rows = [
+        (va, vb, len(ev))
+        for (va, vb), ev in sorted(counts.items())
+        if len(ev) >= min_matching_frames
+    ]
+    cols = [("vid_a", "BIGINT"), ("vid_b", "BIGINT"), ("n_matching_frames", "BIGINT")]
+    return cols, rows
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+REFERENCE_FNS = {
+    "cdc_dedup_stats": cdc_dedup_stats,
+    "cdc_chunk_histogram": cdc_chunk_histogram,
+    "cdc_round_trip_check": cdc_round_trip_check,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_pq_topk": ann_pq_topk,
+    "ferret_topk_multiregion": ferret_topk_multiregion,
+    "multimodal_image_search": multimodal_image_search,
+    "multimodal_image_stats": multimodal_image_stats,
+    "multimodal_image_dedup": multimodal_image_dedup,
+    "multimodal_audio_dedup": multimodal_audio_dedup,
+    "multimodal_video_dedup": multimodal_video_dedup,
+    "cdc_ddp_datasource_scan": cdc_ddp_datasource_scan,
+    "multimodal_image_phash_dedup": multimodal_image_phash_dedup,
+}
+
+
+def compute(name: str, sf_dir: str):
+    """→ (cols: [(name, duck_type)], rows: [tuple]) for a golden query."""
+    return REFERENCE_FNS[name](sf_dir)
