@@ -49,25 +49,43 @@ def serialize_ddp(ddp: DataFrame, compress_type: str = "gzip") -> bytes:
     return b"".join(out)
 
 
-def iter_ddp_records(blob: bytes):
-    """Validate the header and yield ``(seq, rtype, sha1_hex, payload)``
-    per record, plus the archive compress_type via StopIteration-free
-    protocol: first yielded item is ``("__header__", compress_type)``.
-    Shared by the driver-side parser and the distributed data source."""
-    (checkbit,) = struct.unpack_from("<i", blob, 0)
+def iter_ddp_records_from(fh):
+    """Incremental archive parser over a binary file object: validate the
+    header and yield ``(seq, rtype, sha1_hex, payload)`` per record, plus
+    the archive compress_type via StopIteration-free protocol — the first
+    yielded item is ``("__header__", compress_type)``.
+
+    Memory is O(one record): each iteration reads a 9-byte record header
+    then exactly the payload length (decoder.c:60-98 reads the stream the
+    same way), so a multi-GB archive decodes without ever materializing
+    the whole blob on an executor. Works on real files, mmaps wrapped in
+    BytesIO, or any object with ``read(n)``."""
+
+    def _read_exact(n: int) -> bytes:
+        buf = fh.read(n)
+        # loop for short reads (pipes / network file systems)
+        while len(buf) < n:
+            more = fh.read(n - len(buf))
+            if not more:
+                raise ValueError("incomplete chunk")
+            buf += more
+        return buf
+
+    head = _read_exact(5)
+    (checkbit,) = struct.unpack_from("<i", head, 0)
     if checkbit != CHECKBIT:
         raise ValueError(f"format error: bad CHECKBIT {checkbit}")
-    (ctype,) = struct.unpack_from("<B", blob, 4)
+    ctype = head[4]
     yield ("__header__", _CNAME[ctype])
-    pos = 5
     seq = 0
-    while pos < len(blob):
-        rtype, length = struct.unpack_from("<BQ", blob, pos)
-        pos += 9
-        payload = blob[pos : pos + length]
-        if len(payload) != length:
-            raise ValueError("incomplete chunk")
-        pos += length
+    while True:
+        rec = fh.read(9)
+        if not rec:
+            return
+        if len(rec) < 9:
+            rec += _read_exact(9 - len(rec))
+        rtype, length = struct.unpack("<BQ", rec)
+        payload = _read_exact(length)
         if rtype == TYPE_FINGERPRINT:
             if length != SHA1_LEN:
                 raise ValueError("incorrect size of SHA1 sum")
@@ -79,6 +97,14 @@ def iter_ddp_records(blob: bytes):
         else:
             raise ValueError(f"unknown chunk type {rtype}")
         seq += 1
+
+
+def iter_ddp_records(blob: bytes):
+    """In-memory form of :func:`iter_ddp_records_from` — same protocol,
+    for callers that already hold the archive bytes."""
+    import io
+
+    yield from iter_ddp_records_from(io.BytesIO(blob))
 
 
 def parse_ddp(spark: SparkSession, blob: bytes) -> tuple[str, DataFrame]:

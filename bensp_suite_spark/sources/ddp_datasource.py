@@ -76,14 +76,17 @@ class DdpReader(DataSourceReader):
 
     def read(self, partition: _DdpPartition):
         # local import: runs on executors
-        from bensp_suite_spark.sources.ddp import iter_ddp_records
+        from bensp_suite_spark.sources.ddp import iter_ddp_records_from
 
+        # Stream record-at-a-time from the handle (decoder.c:60-98): peak
+        # executor memory is one record + the Arrow batch under
+        # construction, never the whole archive — a multi-GB archive at
+        # 100 TB scale must not need a multi-GB task heap.
         with open(partition.path, "rb") as fh:
-            blob = fh.read()
-        it = iter_ddp_records(blob)
-        _, ctype = next(it)
-        for seq, rtype, sha1, payload in it:
-            yield (partition.path, seq, rtype, sha1, payload, ctype)
+            it = iter_ddp_records_from(fh)
+            _, ctype = next(it)
+            for seq, rtype, sha1, payload in it:
+                yield (partition.path, seq, rtype, sha1, payload, ctype)
 
 
 class DdpDataSource(DataSource):
@@ -134,6 +137,9 @@ def stream_ddp_records(spark, path: str, max_files_per_trigger: int | None = Non
 
         for pdf in batches:
             for path_, blob in zip(pdf["path"], pdf["content"]):
+                # The binaryFile source already delivered the whole blob
+                # into this task (that is its contract); the incremental
+                # parser at least avoids a second copy of the payloads.
                 it = iter_ddp_records(bytes(blob))
                 _, ctype = next(it)
                 rows = [(path_, seq, rtype, sha1, payload, ctype)

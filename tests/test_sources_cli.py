@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import glob
+import io
 import os
 import shutil
 import struct
@@ -173,6 +174,45 @@ def test_dedup_sweep_harness(spark):
     assert len({r.n_chunks for r in rows}) == 1
     summary = summarize(metrics).collect()
     assert len(summary) == 4
+
+
+def test_ddp_incremental_parser_bounded_reads(spark, tmpdir):
+    """The archive parser must consume its file object record-at-a-time —
+    never a whole-archive read() — so a multi-GB archive decodes in
+    O(record) executor memory (decoder.c:60-98 reads the same way). The
+    guard wrapper rejects argument-less reads and records the largest
+    single read, which must be bounded by the largest record payload."""
+    files = fixtures.synthetic_docs(spark, n_files=4, file_bytes=65536, seed=11)
+    ddp_df = pipeline.encode(files, compress_type="gzip")
+    blob = ddpfmt.serialize_ddp(ddp_df, compress_type="gzip")
+
+    class GuardedReader:
+        def __init__(self, raw: bytes):
+            self._buf = io.BytesIO(raw)
+            self.max_read = 0
+
+        def read(self, n=None):
+            assert n is not None and n >= 0, "whole-stream read() is forbidden"
+            self.max_read = max(self.max_read, n)
+            return self._buf.read(n)
+
+    guarded = GuardedReader(blob)
+    it = ddpfmt.iter_ddp_records_from(guarded)
+    header = next(it)
+    stream_rows = list(it)
+    assert header == ("__header__", "gzip")
+    # parity with the in-memory parser
+    it2 = ddpfmt.iter_ddp_records(blob)
+    next(it2)
+    assert stream_rows == list(it2)
+    assert len(stream_rows) > 0
+    largest_payload = max(
+        len(p) if p is not None else ddpfmt.SHA1_LEN for _s, _t, _h, p in stream_rows
+    )
+    # every read is a record header (9 B), the 5-byte archive header, or
+    # one payload — never the archive size
+    assert guarded.max_read <= max(largest_payload, 9)
+    assert guarded.max_read < len(blob)
 
 
 def test_ddp_datasource_reads_archives_in_parallel(spark, tmpdir):
