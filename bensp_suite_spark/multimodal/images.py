@@ -15,6 +15,7 @@ mapInPandas signatures — executable and tested end-to-end.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -81,16 +82,19 @@ def encode_raw_rgb(rgb: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes, fmt: str) -> np.ndarray:
-    """→ (H, W, 3) uint8 RGB. jpeg/png decode via Pillow when it is
-    importable (a real cluster gets libjpeg decode for free — the
-    reference ingests JPEGs the same way, apps/ferret/src/image/
-    image.c:314-358); in this container Pillow is absent and the path is
-    an honest STUB. The surrounding pipeline is format-agnostic."""
+    """→ (H, W, 3) uint8 RGB. PNG decodes through the pure-Python codec
+    below (zlib + the five per-row filters — real in this container, no
+    Pillow); JPEG needs libjpeg/Pillow (a real cluster gets it for free —
+    the reference ingests JPEGs the same way, apps/ferret/src/image/
+    image.c:314-358) and stays an honest STUB here. The surrounding
+    pipeline is format-agnostic."""
     if fmt == "raw-rgb":
         w, h = struct.unpack_from("<II", payload, 0)
         arr = np.frombuffer(payload, dtype=np.uint8, offset=8)
         return arr.reshape(h, w, 3)
-    if fmt in ("jpeg", "png"):
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "jpeg":
         try:
             import io
 
@@ -99,11 +103,163 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
             raise NotImplementedError(
                 f"STUB: {fmt} decode requires an image codec library (Pillow/"
                 "libjpeg), not available in this container; use "
-                "format='raw-rgb' for tests"
+                "format='raw-rgb' or 'png' for tests"
             ) from None
         with Image.open(io.BytesIO(payload)) as img:
             return np.asarray(img.convert("RGB"), dtype=np.uint8)
     raise ValueError(f"unknown image format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# PNG — pure-Python/numpy codec (RFC 2083): zlib DEFLATE + the five
+# per-row filters. 8-bit gray / RGB / RGBA, non-interlaced — the shapes a
+# crawl's thumbnails actually use; anything fancier belongs to a codec
+# library. Makes one REAL compressed image format exercisable end-to-end
+# in this container (the reference ingests compressed images,
+# image.c:314-358).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (RFC 2083 §6.6) vectorized over a row."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a16, np.where(pb <= pc, b16, c16))
+    return out.astype(np.uint8)
+
+
+def encode_png(rgb: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+    """RGB uint8 → PNG bytes (color type 2, bit depth 8). ``row_filters``
+    pins the per-row filter byte (0-4) so tests can exercise every decode
+    filter path; default is filter 0 everywhere (the encoder's job here is
+    correctness + determinism, not ratio)."""
+    h, w, ch = rgb.shape
+    assert ch == 3
+    img = rgb.astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.uint8)
+    for y in range(h):
+        row = img[y]
+        f = row_filters[y % len(row_filters)] if row_filters else 0
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        up = prev
+        ul = np.zeros_like(row)
+        ul[1:] = prev[:-1]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - up
+        elif f == 3:
+            enc = row - ((left.astype(np.uint16) + up.astype(np.uint16)) // 2).astype(np.uint8)
+        elif f == 4:
+            enc = row - _paeth(left, up, ul)
+        else:
+            raise ValueError(f"bad filter {f}")
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, 3) uint8 RGB. Pure Python/numpy: chunk walk,
+    zlib inflate of the concatenated IDATs, then per-row unfiltering
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6). 8-bit gray (0), RGB (2) and
+    RGBA (6, alpha dropped — PIL.convert('RGB') semantics); interlaced or
+    16-bit images raise (codec-library territory)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    idat = bytearray()
+    w = h = None
+    bitdepth = colortype = interlace = None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bitdepth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bitdepth} (8 only)")
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 6: 4}.get(colortype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {colortype}")
+    data = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = data[y * (stride + 1)]
+        row = np.frombuffer(
+            data, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub — sequential: each pixel needs the decoded left
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif f == 2:  # Up
+            row += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                b_ = int(prev[i])
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 4:
+        return px[..., :3].copy()
+    return px
 
 
 # ---------------------------------------------------------------------------
@@ -516,6 +672,27 @@ def synthetic_textured_images(spark, n: int = 12, size: int = 32, seed: int = 17
         rows.append((new_id, f"dup_{new_id:05d}.raw", "raw-rgb", size, size,
                      encode_raw_rgb(dup)))
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA).coalesce(max(1, len(rows)))
+
+
+def synthetic_png_images(spark, n: int = 12, size: int = 32, seed: int = 31):
+    """The ``synthetic_images`` pixel content, PNG-encoded through the
+    pure-Python codec with a rotating per-row filter (0..4) so a scan
+    exercises every unfilter path. Same image_ids and pixels as the
+    raw-rgb fixture — only the codec differs, which is exactly what the
+    PNG-variant golden pins."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        img = np.full((size, size, 3), rng.integers(0, 80, 3), dtype=np.uint8)
+        for _ in range(int(rng.integers(1, 4))):
+            x0, y0 = rng.integers(0, size // 2, 2)
+            dx, dy = rng.integers(size // 4, size // 2, 2)
+            img[x0 : x0 + dx, y0 : y0 + dy] = rng.integers(100, 255, 3)
+        rows.append(
+            (i, f"img_{i:05d}.png", "png", size, size,
+             encode_png(img, row_filters=[0, 1, 2, 3, 4]))
+        )
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA).coalesce(max(1, n))
 
 
 def synthetic_images(spark, n: int = 16, size: int = 48, seed: int = 31):

@@ -2989,6 +2989,25 @@ def cdc_ddp_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_image_search_png")
+def multimodal_image_search_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 over a REAL compressed format in-container: the same synthetic
+    corpus PNG-encoded (pure-Python zlib + per-row-filter codec,
+    multimodal/images.py decode_png) with every filter type exercised,
+    decoded inside the vecset stage, then ferret top-3. The golden oracle
+    is pinned from the CODEC-INDEPENDENT reference (vecsets computed from
+    the source pixel arrays) — a lossy or buggy decode fails the pin."""
+    from .ferret import pipeline as FP
+    from .multimodal import images as IM
+    from .session import pooled_persist
+
+    imgs = IM.synthetic_png_images(spark, n=12, size=32)
+    vecsets = pooled_persist(
+        IM.images_to_vecsets(imgs), "q.multimodal_search_png.vecsets"
+    )
+    return FP.ferret_topk(vecsets, vecsets, top_k=3, mode="exhaustive")
+
+
 @query("multimodal_image_phash_dedup")
 def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT-pHash image near-dup detection — the frequency-domain

@@ -353,3 +353,81 @@ def test_phash_near_dup_pairs_find_planted(spark):
              IM.image_near_dup_pairs_phash(imgs, max_hamming=3).collect()}
     assert pairs[(0, 100)] == 0 and pairs[(4, 101)] == 0
     assert len(pairs) == 2
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Pure-Python PNG codec: encode→decode is the identity for every
+    per-row filter type (None/Sub/Up/Average/Paeth, RFC 2083 §6), on
+    random (incompressible) and structured (filter-friendly) content."""
+    rng = np.random.default_rng(123)
+    noisy = rng.integers(0, 256, (21, 13, 3)).astype(np.uint8)
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    grad[..., 0] = np.arange(16, dtype=np.uint8)[None, :] * 16
+    grad[..., 1] = np.arange(16, dtype=np.uint8)[:, None] * 16
+    grad[..., 2] = 7
+    for img in (noisy, grad):
+        for filters in (None, [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            blob = IM.encode_png(img, row_filters=filters)
+            assert np.array_equal(IM.decode_png(blob), img)
+    # structured content must actually compress under the non-trivial filters
+    assert len(IM.encode_png(grad, row_filters=[1])) < len(
+        IM.encode_png(grad, row_filters=[0])
+    )
+
+
+def test_png_gray_and_rgba_color_types():
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(7)
+    sig = b"\x89PNG\r\n\x1a\n"
+    gray = rng.integers(0, 256, (5, 7, 1)).astype(np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(5))
+    png = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(IM.decode_png(png), np.repeat(gray, 3, axis=2))
+    rgba = rng.integers(0, 256, (5, 7, 4)).astype(np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(5))
+    png = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(IM.decode_png(png), rgba[..., :3])
+    with pytest.raises(ValueError):
+        IM.decode_png(b"nope" * 4)
+
+
+def test_png_fingerprints_match_raw_rgb(spark):
+    """A PNG-ingested corpus must produce the IDENTICAL dHash/pHash stream
+    as the same pixels ingested raw — the codec is lossless, so the
+    fingerprint dedup keys cannot depend on the container format."""
+    rng = np.random.default_rng(42)
+    rows_raw, rows_png = [], []
+    for i in range(4):
+        img = rng.integers(0, 200, (24, 24, 3)).astype(np.uint8)
+        rows_raw.append((i, f"i{i}.raw", "raw-rgb", 24, 24, IM.encode_raw_rgb(img)))
+        rows_png.append(
+            (i, f"i{i}.png", "png", 24, 24, IM.encode_png(img, row_filters=[0, 1, 2, 3, 4]))
+        )
+    raw_df = spark.createDataFrame(rows_raw, IM.IMAGE_TABLE_SCHEMA)
+    png_df = spark.createDataFrame(rows_png, IM.IMAGE_TABLE_SCHEMA)
+    raw_d = {r.image_id: r.dhash for r in IM.image_dhash(raw_df).collect()}
+    png_d = {r.image_id: r.dhash for r in IM.image_dhash(png_df).collect()}
+    assert raw_d == png_d
+    raw_p = {r.image_id: r.phash for r in IM.image_phash(raw_df).collect()}
+    png_p = {r.image_id: r.phash for r in IM.image_phash(png_df).collect()}
+    assert raw_p == png_p

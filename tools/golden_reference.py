@@ -572,6 +572,19 @@ def multimodal_image_search(sf_dir: str):
     return FERRET_COLS, _ferret_exhaustive(vecsets, qids, top_k=3)
 
 
+def multimodal_image_search_png(sf_dir: str):
+    """CODEC-INDEPENDENT pin for the PNG-ingest variant: vecsets computed
+    straight from the source pixel arrays (never touching the PNG codec),
+    names carrying the .png fixture naming. The Spark query must decode
+    its PNG-encoded copies back to these exact pixels to match."""
+    images = [
+        (iid, f"img_{iid:05d}.png", arr) for iid, _name, arr in _synthetic_images()
+    ]
+    vecsets = _image_vecsets(images)
+    qids = [iid for iid, _n, _r in vecsets]
+    return FERRET_COLS, _ferret_exhaustive(vecsets, qids, top_k=3)
+
+
 def multimodal_image_stats(sf_dir: str):
     rows = []
     for iid, _name, regions in _image_vecsets(_synthetic_images()):
@@ -672,6 +685,7 @@ REFERENCE_FNS = {
     "ann_pq_topk": ann_pq_topk,
     "ferret_topk_multiregion": ferret_topk_multiregion,
     "multimodal_image_search": multimodal_image_search,
+    "multimodal_image_search_png": multimodal_image_search_png,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_image_dedup": multimodal_image_dedup,
     "multimodal_audio_dedup": multimodal_audio_dedup,
