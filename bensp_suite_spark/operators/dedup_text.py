@@ -258,7 +258,8 @@ def minhash_lsh_pairs_oracle_sql(threshold: float = 0.5) -> str:
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
-    corpus: DataFrame, threshold: float = 0.5, max_shingle_doc_freq: int | None = None
+    corpus: DataFrame, threshold: float = 0.5, max_shingle_doc_freq: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over distinct word 3-grams via the inverted-index join:
     explode shingles → self-equi-join on shingle → per-pair intersection
@@ -322,7 +323,13 @@ def ngram_jaccard_pairs(
         ),
         "dedup_text.jaccard.docsets",
     )
-    prefix = doc_sets.select("doc_id", F.explode("prefix").alias("sid"))
+    # prefix_filter=False indexes EVERY shingle (the naive inverted-index
+    # join) — result-identical, but hot shingles re-enter the candidate
+    # join with their quadratic fan-out; kept as the bench anti-baseline
+    # that quantifies what the prefix buys on a skewed corpus.
+    prefix = doc_sets.select(
+        "doc_id", F.explode("prefix" if prefix_filter else "sids").alias("sid")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         _wide_by(

@@ -231,6 +231,105 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_trained(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 65536,
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """Production coarse quantizer: MLlib KMeans (k-means||) on a bounded
+    random sample — same (cell, centroid) contract as the deterministic
+    ``ivf_centroids``, so it drops into ``ivf_assign``/``ivf_ann_topk``
+    (via ``index=``) and ``save_ivf_index(trained=True)`` unchanged.
+
+    The deterministic lowest-id build exists for oracle-ability; on a
+    skewed real corpus its centroids inherit whatever the low ids happen
+    to be, which collapses cell balance (and with it probe recall /
+    pruning). Trained centroids track the actual density. The sample cap
+    bounds the fit cost at 100 TB — the reference trains its LSH tables
+    offline against the corpus the same way (mkdb). Recall comparison on
+    a skewed corpus: tests/test_llm_ops.py::test_trained_quantizers_beat
+    _deterministic_on_skewed_corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    samp = corpus.sample(False, frac, seed).limit(sample_cap)
+    feat = samp.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feat)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cell long, centroid array<double>")
+
+
+def pq_codebooks_trained(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 12,
+    train_sample: int = 2048,
+    seed: int = ANN_SEED,
+) -> np.ndarray:
+    """Production PQ codebooks: Lloyd per subspace over a bounded RANDOM
+    sample (vs the deterministic lowest-id sample of ``pq_codebooks``).
+    Same shape/contract — drop into ``pq_encode``/``pq_ann_topk(index=)``.
+
+    Driver-side numpy on the capped sample is the right tool here: the
+    codebooks are S·C·ds doubles (~8 KB at the defaults) and PQ training
+    quality saturates at a few thousand samples; the encode scan — the
+    part that touches the full corpus — stays distributed. kmeans++-style
+    seeded init spreads initial centroids across the sample's actual
+    range, so a skewed corpus (where the low ids all sit in one tight
+    cluster) still gets codebooks that cover the space."""
+    n = corpus.count()
+    frac = min(1.0, train_sample / max(n, 1))
+    rows = (
+        corpus.sample(False, frac, seed)
+        .limit(train_sample)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    ds = d // n_subspaces
+    sub = mat.reshape(mat.shape[0], n_subspaces, ds)
+    rng = np.random.default_rng(seed)
+    books = np.zeros((n_subspaces, n_centroids, ds), dtype=np.float64)
+    for s_i in range(n_subspaces):
+        x = sub[:, s_i, :]
+        # kmeans++ seeding on the sample
+        centers = [x[rng.integers(len(x))]]
+        for _ in range(n_centroids - 1):
+            d2 = np.min(
+                ((x[:, None, :] - np.array(centers)[None, :, :]) ** 2).sum(-1), axis=1
+            )
+            tot = d2.sum()
+            if tot <= 0:
+                centers.append(x[rng.integers(len(x))])
+                continue
+            centers.append(x[np.searchsorted(np.cumsum(d2 / tot), rng.random())])
+        books[s_i] = np.array(centers)
+        for _ in range(train_iters):
+            d2 = ((x[:, None, :] - books[s_i][None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c_i in range(n_centroids):
+                members = x[assign == c_i]
+                if len(members):
+                    books[s_i, c_i] = members.mean(0)
+    return books
+
+
 def ivf_assign(
     df: DataFrame, centroids: DataFrame, n_keep: int, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -773,13 +872,17 @@ def save_pq_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained: bool = False,
 ) -> None:
     """Build + persist a PQ index: codebooks (S·C rows of sub-centroid
     vectors) and the compressed corpus codes (8 bytes/vector at the
     defaults). The expensive parts — Lloyd training and the encode scan —
-    happen HERE, once."""
+    happen HERE, once. ``trained=True`` uses the random-sample kmeans++
+    build (``pq_codebooks_trained``) instead of the deterministic
+    lowest-id build."""
     spark = corpus.sparkSession
-    books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
+    build = pq_codebooks_trained if trained else pq_codebooks
+    books = build(corpus, n_subspaces, n_centroids, id_col, vec_col)
     S, C, _ds = books.shape
     rows = [
         (int(s), int(c), [float(x) for x in books[s, c]])
@@ -813,11 +916,16 @@ def save_ivf_index(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained: bool = False,
 ) -> None:
     """Build + persist an IVF index: the coarse centroids and the corpus
     cell assignments (vector + cell, ready for the probe join). At 100 TB
-    the assignments table is what you'd bucket by `cell`."""
-    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    the assignments table is what you'd bucket by `cell`. ``trained=True``
+    trains the centroids with MLlib KMeans on a bounded sample
+    (``ivf_centroids_trained``) instead of the deterministic lowest-id
+    pick."""
+    build = ivf_centroids_trained if trained else ivf_centroids
+    cent = build(corpus, n_cells, id_col, vec_col)
     cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),

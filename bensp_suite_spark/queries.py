@@ -3059,6 +3059,47 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DT.passage_dedup(corpus)
 
 
+@query(
+    "stream_passage_dedup",
+    oracle=f"""
+    WITH p AS ({DT._passages_sql("SELECT doc_id, text FROM documents")})
+    SELECT DISTINCT passage_md5 FROM p
+    """,
+)
+def stream_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sub-document dedup as a driver-checkable row: the
+    documents table replayed through a parquet readStream (3 files →
+    multiple micro-batches), passage explode + cross-batch first-arrival
+    dedup (streaming/text_dedup_stream.stream_passage_dedup), availableNow
+    drain to a parquet sink. Winner IDENTITY is arrival order, so the
+    deterministic — and checked — result is the surviving passage-digest
+    SET, which must equal SQL's DISTINCT over the batch passage table."""
+    import shutil
+    import tempfile
+
+    from .streaming import text_dedup_stream as TDS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="bensp_stream_passages_")
+    src = f"{base}/src"
+    out = f"{base}/out"
+    ckpt = f"{base}/ckpt"
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    TDS.stream_passage_dedup(spark, stream, out, ckpt)
+    # materialize into block-manager storage so the temp sink can go away
+    # before the driver consumes the returned DataFrame
+    result = (
+        spark.read.parquet(out).select("passage_md5").localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 @query("dedup_boilerplate_passages", oracle=DT.boilerplate_oracle_sql(3))
 def dedup_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate detection: passages present in ≥3 distinct documents

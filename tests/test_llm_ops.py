@@ -423,3 +423,123 @@ def test_passages_tile_documents_exactly(spark):
         ]
         got = [h for _, h in sorted(by_doc[r.doc_id])]
         assert got == want, r.doc_id
+
+
+def test_trained_quantizers_beat_deterministic_on_skewed_corpus(spark, tmp_path):
+    """The deterministic quantizer builds (lowest-id centroids / lowest-id
+    training sample) exist for oracle-ability; on a corpus where the low
+    ids all sit in one tight cluster they are maximally biased. The
+    trained builds (MLlib KMeans for IVF, random-sample kmeans++ Lloyd
+    for PQ) must recover: recall vs exact brute-force top-k at least as
+    good as the deterministic build on the same skewed corpus, and
+    strictly better for PQ (whose ADC ranking collapses when the
+    codebooks never saw most of the space)."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    dim, n = 16, 4096
+    rows = []
+    centers = rng.standard_normal((8, dim)) * 5.0
+    for i in range(n):
+        if i < 2300:
+            # low ids: one tight cluster — the deterministic builds train here
+            v = centers[0] + rng.standard_normal(dim) * 0.05
+        else:
+            v = centers[1 + (i % 7)] + rng.standard_normal(dim) * 0.3
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(8)
+    emb = emb.persist()
+    emb.count()
+    # queries from the region the deterministic sample never saw
+    q = emb.filter(F.col("vec_id") >= 4080)
+    k = 5
+    try:
+        exact = {}
+        for r in SIM.cosine_topk_bruteforce(q, emb, k=k).collect():
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        def recall(df):
+            got = {}
+            for r in df.collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return sum(
+                len(got.get(qid, set()) & want) / len(want)
+                for qid, want in exact.items()
+            ) / len(exact)
+
+        det_books = SIM.pq_codebooks(emb, train_sample=2048)
+        trn_books = SIM.pq_codebooks_trained(emb, train_sample=2048)
+        det_pq = recall(
+            SIM.pq_ann_topk(q, emb, k=k, refine=20,
+                            index=(det_books, SIM.pq_encode(emb, det_books)))
+        )
+        trn_pq = recall(
+            SIM.pq_ann_topk(q, emb, k=k, refine=20,
+                            index=(trn_books, SIM.pq_encode(emb, trn_books)))
+        )
+        # measured on this fixture: det 0.51, trn 0.81 (refine=20) — the
+        # biased sample must hurt by a wide margin, not a tie-break
+        assert trn_pq > det_pq + 0.15
+        assert trn_pq >= 0.75
+
+        det_cent = SIM.ivf_centroids(emb, n_cells=16)
+        trn_cent = SIM.ivf_centroids_trained(emb, n_cells=16)
+
+        def ivf_index(cent):
+            cells = SIM.ivf_assign(
+                emb.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("cv")),
+                cent, 1, "neighbor_id", "cv",
+            )
+            return cent, cells
+
+        def candidate_cost(cent, cells):
+            """Rows the probe join scans: Σ over queries of probed-cell sizes.
+            The degenerate deterministic centroids collapse the corpus into
+            a couple of cells, so 2-probe recall is trivially high — at the
+            cost of scanning nearly everything. The meaningful comparison
+            is recall AT the candidate budget the partitioning delivers."""
+            sizes = {r["cell"]: r["n"] for r in
+                     cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+            probes = SIM.ivf_assign(
+                q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")),
+                cent, 2, "qid", "qv",
+            ).collect()
+            per_q: dict = {}
+            for r in probes:
+                per_q.setdefault(r["qid"], []).append(sizes.get(r["cell"], 0))
+            return sum(sum(v) for v in per_q.values())
+
+        det_idx, trn_idx = ivf_index(det_cent), ivf_index(trn_cent)
+        det_ivf = recall(SIM.ivf_ann_topk(q, emb, k=k, n_probe=2, index=det_idx))
+        trn_ivf = recall(SIM.ivf_ann_topk(q, emb, k=k, n_probe=2, index=trn_idx))
+        assert trn_ivf >= 0.95
+        det_cost = candidate_cost(*det_idx)
+        trn_cost = candidate_cost(*trn_idx)
+        # trained partitioning must actually prune: same recall regime at
+        # a fraction of the scan (measured: det scans ~2x the rows)
+        assert trn_cost < 0.6 * det_cost, (trn_cost, det_cost, det_ivf, trn_ivf)
+    finally:
+        emb.unpersist()
+
+
+def test_ngram_jaccard_naive_matches_prefix_filtered(spark):
+    """prefix_filter=False (full inverted index) must produce the exact
+    same pair set as the PPJoin prefix path — the prefix is a candidate
+    pruning, never a semantics change. Includes a planted hot shingle so
+    the naive path's quadratic fan-out regime is the one compared."""
+    hot = "the quick brown fox jumps over the lazy dog "
+    corpus = spark.createDataFrame(
+        [(i, hot + f"unique tail {i} alpha{i} beta{i}") for i in range(40)]
+        + [(100, hot + "unique tail 7 alpha7 beta7")],  # near-dup of doc 7
+        "doc_id long, text string",
+    )
+    fast = sorted(map(tuple, DT.ngram_jaccard_pairs(corpus, threshold=0.5).collect()))
+    naive = sorted(
+        map(
+            tuple,
+            DT.ngram_jaccard_pairs(corpus, threshold=0.5, prefix_filter=False).collect(),
+        )
+    )
+    assert fast == naive
+    assert any(a == 7 and b == 100 for a, b, _j in fast)
