@@ -175,7 +175,178 @@ def main() -> None:
         rep_sec = round(time.perf_counter() - t0, 4)
         if _rep > 0:
             sat_sec = rep_sec if sat_sec is None else min(sat_sec, rep_sec)
+    # anti-baseline on the SAME input: the row_number window ships every
+    # occurrence of a digest to one reducer — the regime the skew-safe
+    # min-reduce + join exists for. One warm + one timed rep (worst case
+    # by construction; the comparison is the point, not the steady state).
+    sat_window_sec = None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        DP.encode(sat_files, compress_type="gzip", skew_safe=False).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        rep_sec = round(time.perf_counter() - t0, 4)
+        if _rep > 0:
+            sat_window_sec = rep_sec
     sat_files.unpersist()
+
+    # The window-vs-safe crossover is ROW-COUNT-dependent: at 128 MB the
+    # digest groups are metadata-sized and the window's single reducer is
+    # fine (the entry above records that honestly). The wall appears at
+    # the row counts a 100 TB corpus produces, so this entry isolates the
+    # first-wins FLAG stage on a synthetic fused stream — 16M rows, one
+    # digest owning 95% — where the row_number window ships the hot group
+    # to one task and the min-reduce + join spreads it (measured ~2.3×).
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    skew_rows = 16_000_000
+    skew_fused = (
+        spark.range(skew_rows)
+        .select(
+            (_F.col("id") % 1024).alias("file_id"),
+            (_F.col("id") / 1024).cast("long").alias("l1"),
+            _F.col("id").alias("l2"),
+            _F.lit(False).alias("is_last_l2"),
+            _F.lit(4096).alias("size"),
+            _F.when(_F.col("id") % 20 < 19, _F.lit("deadbeef" * 5))
+            .otherwise(_F.sha1(_F.col("id").cast("string")))
+            .alias("sha1"),
+            _F.lit(None).cast("binary").alias("payload"),
+            _F.lit(64).alias("c_len"),
+        )
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    skew_fused.count()
+    skew_window_sec = skew_safe_sec = None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        w = _W.partitionBy("sha1").orderBy("file_id", "l1", "l2")
+        (
+            skew_fused.withColumn("is_dup", _F.row_number().over(w) > 1)
+            .write.format("noop").mode("overwrite").save()
+        )
+        rep = round(time.perf_counter() - t0, 4)
+        skew_window_sec = rep if _rep else None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        DP._first_wins_flags_skew_safe(skew_fused, ["sha1"]).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        rep = round(time.perf_counter() - t0, 4)
+        skew_safe_sec = rep if _rep else None
+    skew_fused.unpersist()
+
+    # hot-shingle Jaccard: every doc shares one boilerplate sentence, so
+    # its shingles appear in ALL docs — the naive inverted-index join
+    # explodes into ~n²/2 candidate pairs, while the PPJoin prefix pushes
+    # exactly those shingles out of the indexed prefix. Same exact result
+    # (parity-tested); this entry records what the prefix buys.
+    from bensp_suite_spark.operators import dedup_text as DT
+
+    hot = "the quick brown fox jumps over the lazy dog again and again today "
+    jac_docs = spark.createDataFrame(
+        [(i, hot + f"unique tail {i} alpha{i} beta{i} gamma{i} delta{i} "
+          f"epsilon{i} zeta{i} eta{i} theta{i}") for i in range(3000)],
+        "doc_id long, text string",
+    ).persist(StorageLevel.MEMORY_ONLY)
+    jac_docs.count()
+    jac_prefix_sec = jac_naive_sec = None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        DT.ngram_jaccard_pairs(jac_docs, threshold=0.5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        rep = round(time.perf_counter() - t0, 4)
+        jac_prefix_sec = rep if _rep else None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        DT.ngram_jaccard_pairs(
+            jac_docs, threshold=0.5, prefix_filter=False
+        ).write.format("noop").mode("overwrite").save()
+        rep = round(time.perf_counter() - t0, 4)
+        jac_naive_sec = rep if _rep else None
+    jac_docs.unpersist()
+
+    # larger-input scaling point: 4 GiB scanned FROM PARQUET (not a cached
+    # DataFrame — at 100 TB the input never fits in memory; the OS page
+    # cache plays the warm-storage role across reps). Peak heap via the
+    # JVM memory-pool peaks, reset before the timed reps.
+    import tempfile as _tf
+
+    large_mb = int(os.environ.get("SPARK_GRAFT_BENCH_LARGE_MB", "4096"))
+    large_dir = _tf.mkdtemp(prefix="bensp_bench_large_")
+    # Wide-binary tables need BOTH knobs or the scan exhausts the JVM's
+    # 16 GB direct-buffer limit (measured OOM): 8 MB row groups keep each
+    # column-chunk reservation small (128 MB groups reserve ~110 MB per
+    # concurrent task), and a 16-row columnar batch keeps the decoded
+    # batch at 16 MiB/task instead of the default 4096-row × 1 MiB. The
+    # same two knobs a real cluster sets for binary-blob tables.
+    (
+        DF.synthetic_docs(
+            spark, n_files=large_mb, file_bytes=1 << 20, pool_size=64, seed=13
+        )
+        .repartition(max(cpus, large_mb // 8))
+        .write.option("parquet.block.size", 8 << 20)
+        .mode("overwrite")
+        .parquet(large_dir)
+    )
+    prev_batch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
+    # release pooled direct buffers accumulated by the earlier phases'
+    # shuffles before the wide-binary scan starts reserving its own
+    spark._jvm.System.gc()
+    large_files = spark.read.parquet(large_dir)
+    jmx = spark._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+    for pool in jmx:
+        pool.resetPeakUsage()
+    large_sec = None
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        stats_fn(large_files, compress_type="gzip").collect()
+        rep_sec = round(time.perf_counter() - t0, 4)
+        if _rep > 0:
+            large_sec = rep_sec if large_sec is None else min(large_sec, rep_sec)
+    large_peak_heap_mb = round(
+        sum(
+            p.getPeakUsage().getUsed()
+            for p in jmx
+            if p.getType().toString() == "Heap memory"
+        )
+        / (1 << 20),
+        1,
+    )
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prev_batch)
+    import shutil as _sh
+
+    _sh.rmtree(large_dir, ignore_errors=True)
+
+    # trained-quantizer build cost next to the deterministic build (same
+    # query path; recall comparison lives in tests — this entry records
+    # what the production build COSTS, since plan shape is unchanged)
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.operators import similarity as SIM_B
+    from bensp_suite_spark.tables import load_table as _lt
+
+    bench_emb = _lt(spark, sf_dir, "embeddings").persist(StorageLevel.MEMORY_ONLY)
+    bench_emb.count()
+    bq = bench_emb.filter(F.col("vec_id") < 64)
+    t0 = time.perf_counter()
+    trn_books = SIM_B.pq_codebooks_trained(bench_emb)
+    trn_codes = SIM_B.pq_encode(bench_emb, trn_books)
+    SIM_B.pq_ann_topk(bq, bench_emb, k=5, refine=10, index=(trn_books, trn_codes)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    pq_trained_sec = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    det_books = SIM_B.pq_codebooks(bench_emb)
+    det_codes = SIM_B.pq_encode(bench_emb, det_books)
+    SIM_B.pq_ann_topk(bq, bench_emb, k=5, refine=10, index=(det_books, det_codes)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    pq_det_sec = round(time.perf_counter() - t0, 4)
+    bench_emb.unpersist()
 
     # streaming dedup throughput (the reference's headline metric IS
     # stream throughput — throughput.dat, testbed/t1). 256 MB through the
@@ -243,6 +414,20 @@ def main() -> None:
                     "saturated_encode_input_mb": sat_mb,
                     "saturated_encode_sec": sat_sec,
                     "saturated_encode_mbps": round(sat_mb / sat_sec, 2),
+                    "saturated_encode_window_sec": sat_window_sec,
+                    "skew_flags_rows": skew_rows,
+                    "skew_flags_window_sec": skew_window_sec,
+                    "skew_flags_safe_sec": skew_safe_sec,
+                    "jaccard_hot_docs": 3000,
+                    "jaccard_hot_prefix_sec": jac_prefix_sec,
+                    "jaccard_hot_naive_sec": jac_naive_sec,
+                    "dedup_large_input_mb": large_mb,
+                    "dedup_large_sec": large_sec,
+                    "dedup_large_mbps": round(large_mb / large_sec, 2),
+                    "dedup_large_mbps_per_core": round(large_mb / large_sec / cpus, 2),
+                    "dedup_large_peak_heap_mb": large_peak_heap_mb,
+                    "ann_pq_trained_build_query_sec": pq_trained_sec,
+                    "ann_pq_deterministic_build_query_sec": pq_det_sec,
                 },
             }
     # Full per-query payload goes to a FILE; the stdout line stays short.

@@ -20,9 +20,31 @@ knob → shuffle partitions.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
+
+
+# Build parameters ride with the index (same contract as ann_cli): a
+# query probing an index built at a different --dim would hash into
+# incompatible buckets and silently degrade recall. Underscore prefix =
+# ignored by parquet directory scans.
+_META_NAME = "_bensp_index_meta.json"
+
+
+def _write_index_meta(index_dir: str, meta: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, _META_NAME), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _read_index_meta(index_dir: str) -> dict | None:
+    path = os.path.join(index_dir, _META_NAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -72,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "mkdb":
         index = FP.build_lsh_index(FP.explode_regions(corpus, "c"), dim=args.dim)
         index.write.mode("overwrite").parquet(args.index_out)
+        _write_index_meta(args.index_out, {"dim": args.dim})
         if args.verbose:
             n = spark.read.parquet(args.index_out).count()
             print(f"built LSH index: {n} bucket entries "
@@ -81,11 +104,17 @@ def main(argv: list[str] | None = None) -> int:
 
     queries = spark.read.parquet(args.queries)
     corpus_index = spark.read.parquet(args.index) if args.index else None
+    dim = 14
+    if args.index:
+        meta = _read_index_meta(args.index)
+        if meta and "dim" in meta:
+            dim = meta["dim"]  # build-time parameters win
     per_region_k = args.per_region_k or 2 * args.top_k
     topk = FP.ferret_topk(
         queries,
         corpus,
         top_k=args.top_k,
+        dim=dim,
         mode=args.mode,
         per_region_k=per_region_k if args.mode == "lsh" else None,
         corpus_index=corpus_index,
