@@ -3100,6 +3100,73 @@ def stream_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@query(
+    "stream_exact_doc_dedup",
+    oracle="""
+    SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+    FROM documents
+    """,
+)
+def stream_exact_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact document dedup as a driver row: documents replayed
+    as a 3-file stream, cross-batch first-arrival winners per normalized
+    content hash (streaming/text_dedup_stream.stream_exact_dedup). The
+    deterministic check surface is the surviving content-hash SET (winner
+    identity is arrival order), which must equal SQL's DISTINCT over the
+    batch hashes — the streaming analog of dedup_exact_text."""
+    import shutil
+    import tempfile
+
+    from .streaming import text_dedup_stream as TDS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="bensp_stream_exact_")
+    docs.repartition(3).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    TDS.stream_exact_dedup(spark, stream, f"{base}/out", f"{base}/ckpt")
+    result = (
+        spark.read.parquet(f"{base}/out")
+        .select("content_hash")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+@query("stream_ann_brute_topk", oracle=SIM.cosine_topk_oracle_sql(k=5, max_query_id=8))
+def stream_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector search as a driver row: query vectors arrive as a
+    micro-batched stream and rank against the static embeddings corpus
+    (streaming/ann_stream.stream_ann_topk, bruteforce mode). Each query
+    row's result is independent of arrival batching, so the full output
+    is deterministic and shares ann_cosine_topk's exact SQL oracle — the
+    streaming path must compute the identical ranking."""
+    import shutil
+    import tempfile
+
+    from .streaming import ann_stream as ANS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    base = tempfile.mkdtemp(prefix="bensp_stream_ann_")
+    queries_df.repartition(2).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    ANS.stream_ann_topk(
+        spark, stream, emb, f"{base}/out", f"{base}/ckpt", k=5, mode="bruteforce"
+    )
+    result = spark.read.parquet(f"{base}/out").localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 @query("dedup_boilerplate_passages", oracle=DT.boilerplate_oracle_sql(3))
 def dedup_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate detection: passages present in ≥3 distinct documents
