@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
     mk.add_argument("--family", default="lsh", choices=["lsh", "ivf", "pq"])
     mk.add_argument("--dim", type=int, default=64, help="vector dim (lsh)")
     mk.add_argument("--n-cells", type=int, default=16, help="IVF cells")
+    mk.add_argument("--trained", action="store_true",
+                    help="train the quantizer on a random sample (MLlib "
+                         "KMeans for ivf, kmeans++ Lloyd for pq) instead of "
+                         "the deterministic lowest-id build; lsh is "
+                         "seed-derived and unaffected")
     mk.add_argument("-t", "--threads", type=int, default=None)
     mk.add_argument("-v", "--verbose", action="store_true")
 
@@ -102,11 +107,13 @@ def main(argv: list[str] | None = None) -> int:
             SIM.save_lsh_index(emb, args.index_out, dim=args.dim)
             meta = {"family": "lsh", "dim": args.dim}
         elif args.family == "ivf":
-            SIM.save_ivf_index(emb, args.index_out, n_cells=args.n_cells)
-            meta = {"family": "ivf", "n_cells": args.n_cells}
+            SIM.save_ivf_index(
+                emb, args.index_out, n_cells=args.n_cells, trained=args.trained
+            )
+            meta = {"family": "ivf", "n_cells": args.n_cells, "trained": args.trained}
         else:
-            SIM.save_pq_index(emb, args.index_out)
-            meta = {"family": "pq"}
+            SIM.save_pq_index(emb, args.index_out, trained=args.trained)
+            meta = {"family": "pq", "trained": args.trained}
         _write_index_meta(args.index_out, meta)
         if args.verbose:
             print(f"built {args.family} index in {time.perf_counter() - t0:.2f}s "
