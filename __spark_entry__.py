@@ -50,10 +50,26 @@ def _previously_green() -> set[str]:
     return seen
 
 
+# Surfaces whose driver rows are the most informative this round (newly
+# added queries / previously rows-only families) — checked ahead of the
+# other never-verified names so they cannot fall outside the driver's
+# fixed-size check window.
+_PRIORITY = [
+    "stream_passage_dedup",
+    "stream_exact_doc_dedup",
+    "stream_ann_brute_topk",
+    "multimodal_image_search_png",
+    "cdc_ddp_datasource_scan",
+    "multimodal_image_phash_dedup",
+]
+
+
 def _rotated_names() -> list[str]:
     seen = _previously_green()
     names = list(Q.QUERIES)
-    return [n for n in names if n not in seen] + [n for n in names if n in seen]
+    front = [n for n in _PRIORITY if n in names and n not in seen]
+    rest_unseen = [n for n in names if n not in seen and n not in front]
+    return front + rest_unseen + [n for n in names if n in seen]
 
 
 def entry(spark: SparkSession) -> DataFrame:
