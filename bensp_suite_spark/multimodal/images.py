@@ -93,7 +93,17 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
         arr = np.frombuffer(payload, dtype=np.uint8, offset=8)
         return arr.reshape(h, w, 3)
     if fmt == "png":
-        return decode_png(payload)
+        # Prefer libpng via Pillow when importable (C-speed unfiltering);
+        # the pure-Python codec is the always-available exact fallback —
+        # both produce identical pixels (PNG is lossless).
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            return decode_png(payload)
+        with Image.open(io.BytesIO(payload)) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
     if fmt == "jpeg":
         try:
             import io
@@ -227,29 +237,44 @@ def decode_png(payload: bytes) -> np.ndarray:
     bpp = channels
     for y in range(h):
         f = data[y * (stride + 1)]
-        row = np.frombuffer(
-            data, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
+        off = y * (stride + 1) + 1
         if f == 0:
-            pass
-        elif f == 1:  # Sub — sequential: each pixel needs the decoded left
-            for i in range(bpp, stride):
-                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
-        elif f == 2:  # Up
-            row += prev
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = int(row[i - bpp]) if i >= bpp else 0
-                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(row[i - bpp]) if i >= bpp else 0
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                b_ = int(prev[i])
-                p = a + b_ - c
-                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
-                row[i] = (int(row[i]) + pred) & 0xFF
+            row = np.frombuffer(data, np.uint8, stride, off).copy()
+        elif f == 1:
+            # Sub: row[i] = raw[i] + row[i−bpp]. Addition mod 256 is
+            # associative, so each lane (byte position mod bpp) is an
+            # exact per-lane cumulative sum — fully vectorized.
+            raw = np.frombuffer(data, np.uint8, stride, off)
+            row = np.empty(stride, dtype=np.uint8)
+            for lane in range(bpp):
+                row[lane::bpp] = np.cumsum(raw[lane::bpp], dtype=np.int64) & 0xFF
+        elif f == 2:  # Up — vectorized wrap-add against the decoded row above
+            row = np.frombuffer(data, np.uint8, stride, off) + prev
+        elif f in (3, 4):
+            # Average/Paeth carry a true sequential dependency on the
+            # decoded LEFT byte (floor-half / predictor selection are not
+            # associative), so a scan is unavoidable in pure Python —
+            # bytearray indexing keeps it ~5× cheaper than numpy scalar
+            # indexing. Real clusters take the libpng path via Pillow
+            # (decode_image prefers it when importable).
+            rb = bytearray(data[off : off + stride])
+            pb_row = bytes(prev)
+            if f == 3:
+                for i in range(stride):
+                    left = rb[i - bpp] if i >= bpp else 0
+                    rb[i] = (rb[i] + ((left + pb_row[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = rb[i - bpp] if i >= bpp else 0
+                    c = pb_row[i - bpp] if i >= bpp else 0
+                    b_ = pb_row[i]
+                    p = a + b_ - c
+                    pa = p - a if p >= a else a - p
+                    pcb = p - b_ if p >= b_ else b_ - p
+                    pc = p - c if p >= c else c - p
+                    pred = a if (pa <= pcb and pa <= pc) else (b_ if pcb <= pc else c)
+                    rb[i] = (rb[i] + pred) & 0xFF
+            row = np.frombuffer(bytes(rb), dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = row

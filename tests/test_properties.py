@@ -122,3 +122,20 @@ def test_packing_offsets_gapless_and_windows_monotone(tokens, window):
         prev_win = win
         offset += n
     assert offset == sum(tokens)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=8),
+)
+def test_png_roundtrip_property(w, h, seed, filters):
+    """encode_png→decode_png is the identity for ANY image shape, pixel
+    content and per-row filter assignment (all five RFC 2083 filters)."""
+    from bensp_suite_spark.multimodal.images import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, row_filters=filters)), img)
