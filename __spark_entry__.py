@@ -59,6 +59,7 @@ _PRIORITY = [
     "stream_exact_doc_dedup",
     "stream_ann_brute_topk",
     "multimodal_image_search_png",
+    "multimodal_audio_dedup_wav",
     "cdc_ddp_datasource_scan",
     "multimodal_image_phash_dedup",
 ]

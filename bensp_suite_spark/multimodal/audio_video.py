@@ -79,14 +79,66 @@ def encode_pcm_s16le(samples: np.ndarray) -> bytes:
     return samples.astype("<i2").tobytes()
 
 
+def encode_wav(samples: np.ndarray, rate: int = 16000, channels: int = 1) -> bytes:
+    """int16 samples → RIFF/WAVE bytes (stdlib ``wave`` — pure Python, no
+    codec library). Multi-channel input is interleaved (N, channels)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE bytes → float64 mono samples, pure stdlib (the audio
+    analog of the pure-Python PNG codec: one REAL container format is
+    decodable in this container). 8/16/32-bit PCM; channels downmix by
+    mean, matching the soundfile path's normalization (int16 / 32768)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, _rate, nframes = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        raw = w.readframes(nframes)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif sw == 1:  # WAV 8-bit is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x
+
+
 def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
-    """→ float64 mono samples in [-1, 1). Compressed formats decode via
-    soundfile (libsndfile) when importable — a real cluster gets them for
-    free; in this container the library is absent and the path is an
-    honest STUB."""
+    """→ float64 mono samples in [-1, 1). WAV decodes through the pure
+    stdlib path (soundfile preferred when importable — identical values
+    for PCM, both divide by the type range); other compressed formats
+    need soundfile (libsndfile) — a real cluster gets them for free; in
+    this container the library is absent and those paths are honest
+    STUBs."""
     if fmt == "pcm-s16le":
         return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
-    if fmt in ("mp3", "flac", "ogg", "wav"):
+    if fmt == "wav":
+        try:
+            import io
+
+            import soundfile as sf
+        except ImportError:
+            return decode_wav(payload)
+        data, _rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+        return data.mean(axis=1)
+    if fmt in ("mp3", "flac", "ogg"):
         try:
             import io
 
@@ -95,7 +147,7 @@ def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
             raise NotImplementedError(
                 f"STUB: {fmt} decode requires an audio codec library "
                 "(soundfile/ffmpeg), not available in this container; use "
-                "format='pcm-s16le' for tests"
+                "format='pcm-s16le' or 'wav' for tests"
             ) from None
         data, _rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
         return data.mean(axis=1)  # downmix to mono, matching the PCM path

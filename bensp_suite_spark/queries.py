@@ -1020,6 +1020,32 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AV.audio_near_dup_pairs(audio, max_hamming=3)
 
 
+@query("multimodal_audio_dedup_wav")
+def multimodal_audio_dedup_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio near-dup pipeline over a REAL container format: the same
+    clips as multimodal_audio_dedup, RIFF/WAVE-encoded and decoded
+    through the pure-stdlib WAV path inside the fingerprint stage. The
+    golden oracle is pinned CODEC-INDEPENDENTLY (fingerprints computed
+    from the raw int16 samples), so a lossy or mis-normalized decode
+    fails the pin — the audio analog of multimodal_image_search_png."""
+    import numpy as np
+
+    from .multimodal import audio_video as AV
+
+    rows = []
+    sigs = []
+    for i in range(8):
+        rng = np.random.default_rng(90 + i)
+        env = rng.uniform(0.1, 1.0, 65).repeat(130)[:8192]
+        sig = (rng.uniform(-1, 1, 8192) * env * 12000).astype(np.int16)
+        sigs.append(sig)
+        rows.append((i, "wav", 16000, 1, AV.encode_wav(sig)))
+    for i in range(3):
+        rows.append((100 + i, "wav", 16000, 1, AV.encode_wav(sigs[i] // 2)))
+    audio = spark.createDataFrame(rows, AV.AUDIO_TABLE_SCHEMA).coalesce(4)
+    return AV.audio_near_dup_pairs(audio, max_hamming=3)
+
+
 @query("multimodal_video_dedup")
 def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup detection: 5 noise-frame videos + 2 planted

@@ -431,3 +431,53 @@ def test_png_fingerprints_match_raw_rgb(spark):
     raw_p = {r.image_id: r.phash for r in IM.image_phash(raw_df).collect()}
     png_p = {r.image_id: r.phash for r in IM.image_phash(png_df).collect()}
     assert raw_p == png_p
+
+
+def test_wav_codec_roundtrip_and_parity():
+    """Pure-stdlib WAV: encode→decode recovers the exact sample values of
+    the raw-PCM path (lossless container, same /32768 normalization);
+    8-bit and multi-channel WAVs decode with the documented downmix."""
+    import io
+    import struct as _struct
+    import wave
+
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    rng = np.random.default_rng(3)
+    sig = (rng.uniform(-1, 1, 4096) * 20000).astype(np.int16)
+    via_wav = AV.decode_audio(AV.encode_wav(sig), "wav")
+    via_pcm = AV.decode_audio(AV.encode_pcm_s16le(sig), "pcm-s16le")
+    assert np.array_equal(via_wav, via_pcm)
+    # stereo downmix = mean of channels
+    stereo = np.stack([sig, (sig // 2)], axis=1)
+    mixed = AV.decode_audio(AV.encode_wav(stereo.reshape(-1), channels=2), "wav")
+    expect = (sig / 32768.0 + (sig // 2) / 32768.0) / 2.0
+    assert np.allclose(mixed, expect, atol=0, rtol=0)
+    # 8-bit unsigned path
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 128, 255]))
+    d = AV.decode_wav(buf.getvalue())
+    assert np.allclose(d, [(0 - 128) / 128.0, 0.0, (255 - 128) / 128.0])
+
+
+def test_wav_fingerprint_matches_pcm(spark):
+    """A WAV-ingested corpus must produce the identical fingerprint
+    stream as the same samples ingested raw — container-independence of
+    the dedup key, like the PNG/raw-rgb image parity."""
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    rng = np.random.default_rng(21)
+    rows_pcm, rows_wav = [], []
+    for i in range(3):
+        sig = (rng.uniform(-1, 1, 8192) * 15000).astype(np.int16)
+        rows_pcm.append((i, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(sig)))
+        rows_wav.append((i, "wav", 16000, 1, AV.encode_wav(sig)))
+    pcm_df = spark.createDataFrame(rows_pcm, AV.AUDIO_TABLE_SCHEMA)
+    wav_df = spark.createDataFrame(rows_wav, AV.AUDIO_TABLE_SCHEMA)
+    pcm_f = {r.media_id: r.fingerprint for r in AV.audio_fingerprints(pcm_df).collect()}
+    wav_f = {r.media_id: r.fingerprint for r in AV.audio_fingerprints(wav_df).collect()}
+    assert pcm_f == wav_f

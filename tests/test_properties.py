@@ -139,3 +139,53 @@ def test_png_roundtrip_property(w, h, seed, filters):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
     assert np.array_equal(decode_png(encode_png(img, row_filters=filters)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    recs=st.lists(
+        st.one_of(
+            st.binary(min_size=1, max_size=200),        # compress payload
+            st.binary(min_size=20, max_size=20).map(lambda b: ("fp", b)),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    cut=st.integers(0, 100),
+)
+def test_ddp_incremental_parser_roundtrip_property(recs, cut):
+    """Property: any serialized record stream parses back identically
+    through the incremental file-object parser, and truncating the
+    archive mid-record raises instead of yielding garbage."""
+    import io
+    import struct as _st
+
+    from bensp_suite_spark.sources import ddp as D
+
+    out = [_st.pack("<i", D.CHECKBIT), _st.pack("<B", 0)]
+    expected = []
+    for seq, r in enumerate(recs):
+        if isinstance(r, tuple):
+            payload, rtype = r[1], D.TYPE_FINGERPRINT
+            expected.append((seq, rtype, payload.hex(), None))
+        else:
+            payload, rtype = r, D.TYPE_COMPRESS
+            expected.append((seq, rtype, None, payload))
+        out.append(_st.pack("<BQ", rtype, len(payload)))
+        out.append(payload)
+    blob = b"".join(out)
+    it = D.iter_ddp_records_from(io.BytesIO(blob))
+    assert next(it) == ("__header__", "gzip")
+    assert list(it) == expected
+    # truncation mid-record must raise, never silently succeed
+    if len(blob) > 5 and recs:
+        trunc = blob[: 5 + (cut % (len(blob) - 5))]
+        it2 = D.iter_ddp_records_from(io.BytesIO(trunc))
+        next(it2)
+        try:
+            got = list(it2)
+        except ValueError:
+            pass  # expected for mid-record cuts
+        else:
+            # a cut exactly on a record boundary is a legal shorter stream
+            assert got == expected[: len(got)]
