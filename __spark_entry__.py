@@ -60,6 +60,7 @@ _PRIORITY = [
     "stream_ann_brute_topk",
     "multimodal_image_search_png",
     "multimodal_audio_dedup_wav",
+    "multimodal_video_dedup_avi",
     "cdc_ddp_datasource_scan",
     "multimodal_image_phash_dedup",
 ]

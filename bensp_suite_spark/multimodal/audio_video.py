@@ -159,6 +159,103 @@ def encode_raw_video(frames: np.ndarray) -> bytes:
     return struct.pack("<III", w, h, n) + frames.astype(np.uint8).tobytes()
 
 
+def _avi_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _avi_list(kind: bytes, body: bytes) -> bytes:
+    return _avi_chunk(b"LIST", kind + body)
+
+
+def encode_avi_rgb(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(N, H, W, 3) uint8 RGB → uncompressed RIFF/AVI bytes (pure
+    Python). Frames are stored the way every AVI consumer expects raw
+    video: '00db' chunks of bottom-up BGR DIB rows, stride padded to 4
+    bytes, BITMAPINFOHEADER biCompression=0 (BI_RGB)."""
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    # per-frame DIB: rows bottom-up, channels BGR, rows padded
+    movi_chunks = []
+    pad = np.zeros((h, stride - w * 3), dtype=np.uint8)
+    for f in range(n):
+        bgr = frames[f][:, :, ::-1]           # RGB → BGR
+        rows = np.concatenate([bgr.reshape(h, -1), pad], axis=1)  # pad stride
+        movi_chunks.append(_avi_chunk(b"00db", rows[::-1].tobytes()))  # bottom-up
+    movi = _avi_list(b"movi", b"".join(movi_chunks))
+
+    # headers (fields the decoder needs; index omitted — players tolerate
+    # index-less AVIs, and our decoder walks the movi list directly)
+    avih = _avi_chunk(
+        b"avih",
+        struct.pack(
+            "<IIIIIIIIIIIIII",
+            1_000_000 // fps,  # dwMicroSecPerFrame
+            frame_bytes * fps,  # dwMaxBytesPerSec
+            0, 0x10, n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+        ),
+    )
+    strh = _avi_chunk(
+        b"strh",
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIIhhhh",
+            0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0, 0, 0, w, h),
+    )
+    strf = _avi_chunk(
+        b"strf",
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0),
+    )
+    hdrl = _avi_list(b"hdrl", avih + _avi_list(b"strl", strh + strf))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_rgb(payload: bytes) -> np.ndarray:
+    """Uncompressed RIFF/AVI bytes → (N, H, W, 3) uint8 RGB, pure Python:
+    RIFF chunk walk, BITMAPINFOHEADER (BI_RGB 24-bit only), '00db' DIB
+    frames un-flipped/un-padded/BGR→RGB. Compressed codecs raise — they
+    are PyAV/ffmpeg territory."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF header")
+
+    w = h = None
+    bitcount = compression = None
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal w, h, bitcount, compression
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(buf, body_start + 4, body_start + ln)
+            elif tag == b"strf" and w is None:
+                (_sz, bw, bh, _planes, bc, comp) = struct.unpack_from(
+                    "<IiiHHI", buf, body_start
+                )
+                w, h, bitcount, compression = bw, abs(bh), bc, comp
+            elif tag[2:4] in (b"db", b"dc") and tag[:2].isdigit():
+                if compression not in (0, None) or bitcount != 24:
+                    raise ValueError(
+                        "compressed/paletted AVI streams need an ffmpeg-backed "
+                        "decoder (PyAV); this pure decoder handles BI_RGB 24-bit"
+                    )
+                stride = (w * 3 + 3) & ~3
+                dib = np.frombuffer(buf, np.uint8, stride * h, body_start)
+                rows = dib.reshape(h, stride)[::-1, : w * 3]  # un-flip, un-pad
+                frames.append(rows.reshape(h, w, 3)[:, :, ::-1].copy())  # BGR→RGB
+            pos = body_start + ln + (ln & 1)
+
+    walk(payload, 12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    if w is None:
+        raise ValueError("AVI missing strf header")
+    return (
+        np.stack(frames) if frames else np.zeros((0, h or 0, w or 0, 3), np.uint8)
+    )
+
+
 def decode_video(payload: bytes, fmt: str) -> np.ndarray:
     """→ (N, H, W, 3) uint8 RGB frames. Container formats decode via PyAV
     (ffmpeg bindings) when importable — a real cluster gets them for
@@ -168,7 +265,22 @@ def decode_video(payload: bytes, fmt: str) -> np.ndarray:
         w, h, n = struct.unpack_from("<III", payload, 0)
         arr = np.frombuffer(payload, dtype=np.uint8, offset=12)
         return arr.reshape(n, h, w, 3)
-    if fmt in ("mp4", "webm", "avi"):
+    if fmt == "avi":
+        # Prefer ffmpeg via PyAV when importable (handles every codec an
+        # AVI can carry); the pure decoder is the always-available exact
+        # path for uncompressed BI_RGB streams.
+        try:
+            import io
+
+            import av
+        except ImportError:
+            return decode_avi_rgb(payload)
+        with av.open(io.BytesIO(payload)) as container:
+            frames = [
+                f.to_ndarray(format="rgb24") for f in container.decode(video=0)
+            ]
+        return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)
+    if fmt in ("mp4", "webm"):
         try:
             import io
 
@@ -176,7 +288,8 @@ def decode_video(payload: bytes, fmt: str) -> np.ndarray:
         except ImportError:
             raise NotImplementedError(
                 f"STUB: {fmt} decode requires ffmpeg (PyAV), not available "
-                "in this container; use format='raw-frames' for tests"
+                "in this container; use format='raw-frames' or an "
+                "uncompressed 'avi' for tests"
             ) from None
         with av.open(io.BytesIO(payload)) as container:
             frames = [

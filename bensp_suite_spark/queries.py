@@ -1069,6 +1069,33 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AV.video_near_dup_pairs(video, every_n=5, min_matching_frames=3)
 
 
+@query("multimodal_video_dedup_avi")
+def multimodal_video_dedup_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup over a REAL container format: the same noise-frame
+    videos as multimodal_video_dedup, packed as uncompressed RIFF/AVI
+    (pure-Python codec — bottom-up padded BGR DIB frames) and decoded
+    inside the frame-sampling stage. Golden pinned CODEC-INDEPENDENTLY
+    (frame dHashes computed from the source arrays), so any
+    flip/pad/channel-order mistake in the container handling fails the
+    pin — completing the PNG/WAV/AVI real-container trifecta."""
+    import numpy as np
+
+    from .multimodal import audio_video as AV
+
+    rows = []
+    vids = []
+    for i in range(5):
+        rng = np.random.default_rng(70 + i)
+        frames = rng.integers(0, 200, (20, 24, 24, 3)).astype(np.uint8)
+        vids.append(frames)
+        rows.append((i, "avi", 24, 24, 20, AV.encode_avi_rgb(frames)))
+    for i in range(2):
+        bright = np.clip(vids[i].astype(np.int32) + 10, 0, 255).astype(np.uint8)
+        rows.append((100 + i, "avi", 24, 24, 20, AV.encode_avi_rgb(bright)))
+    video = spark.createDataFrame(rows, AV.VIDEO_TABLE_SCHEMA).coalesce(4)
+    return AV.video_near_dup_pairs(video, every_n=5, min_matching_frames=3)
+
+
 @query("multimodal_image_stats")
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image segmentation/extraction statistics (region counts, weight

@@ -481,3 +481,40 @@ def test_wav_fingerprint_matches_pcm(spark):
     pcm_f = {r.media_id: r.fingerprint for r in AV.audio_fingerprints(pcm_df).collect()}
     wav_f = {r.media_id: r.fingerprint for r in AV.audio_fingerprints(wav_df).collect()}
     assert pcm_f == wav_f
+
+
+def test_avi_codec_roundtrip():
+    """Pure-Python uncompressed AVI: encode→decode is the identity,
+    including odd widths (4-byte row stride padding), single frames, and
+    the BGR/bottom-up DIB conventions."""
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    rng = np.random.default_rng(11)
+    for shape in [(5, 24, 24, 3), (3, 17, 13, 3), (1, 2, 2, 3), (4, 8, 7, 3)]:
+        frames = rng.integers(0, 256, shape).astype(np.uint8)
+        blob = AV.encode_avi_rgb(frames)
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+        assert np.array_equal(AV.decode_avi_rgb(blob), frames)
+        assert np.array_equal(AV.decode_video(blob, "avi"), frames)
+    with pytest.raises(ValueError):
+        AV.decode_avi_rgb(b"RIFX" + b"\x00" * 32)
+
+
+def test_avi_frame_hashes_match_raw(spark):
+    """An AVI-ingested corpus must produce the identical frame-dHash
+    stream as the same frames ingested raw — container-independence of
+    the video dedup evidence (like WAV/PCM and PNG/raw-rgb)."""
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    rng = np.random.default_rng(33)
+    rows_raw, rows_avi = [], []
+    for i in range(3):
+        frames = rng.integers(0, 200, (10, 16, 16, 3)).astype(np.uint8)
+        rows_raw.append((i, "raw-frames", 16, 16, 10, AV.encode_raw_video(frames)))
+        rows_avi.append((i, "avi", 16, 16, 10, AV.encode_avi_rgb(frames)))
+    raw_df = spark.createDataFrame(rows_raw, AV.VIDEO_TABLE_SCHEMA)
+    avi_df = spark.createDataFrame(rows_avi, AV.VIDEO_TABLE_SCHEMA)
+    key = lambda r: (r.media_id, r.frame_idx)
+    raw_h = {key(r): r.dhash for r in AV.video_frame_dhashes(raw_df, every_n=3).collect()}
+    avi_h = {key(r): r.dhash for r in AV.video_frame_dhashes(avi_df, every_n=3).collect()}
+    assert raw_h == avi_h

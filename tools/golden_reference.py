@@ -696,6 +696,15 @@ def multimodal_video_dedup(sf_dir: str, every_n: int = 5, min_matching_frames: i
 # registry
 # --------------------------------------------------------------------------
 
+def multimodal_video_dedup_avi(sf_dir: str):
+    """CODEC-INDEPENDENT pin for the AVI-ingest variant: frame dHashes
+    computed straight from the source frame arrays (never touching the
+    RIFF container). The Spark query must un-flip/un-pad/reorder its DIB
+    frames back to these exact pixels to match."""
+    cols, rows = multimodal_video_dedup(sf_dir)
+    return cols, rows
+
+
 REFERENCE_FNS = {
     "cdc_dedup_stats": cdc_dedup_stats,
     "cdc_chunk_histogram": cdc_chunk_histogram,
@@ -710,6 +719,7 @@ REFERENCE_FNS = {
     "multimodal_audio_dedup": multimodal_audio_dedup,
     "multimodal_audio_dedup_wav": multimodal_audio_dedup_wav,
     "multimodal_video_dedup": multimodal_video_dedup,
+    "multimodal_video_dedup_avi": multimodal_video_dedup_avi,
     "cdc_ddp_datasource_scan": cdc_ddp_datasource_scan,
     "multimodal_image_phash_dedup": multimodal_image_phash_dedup,
 }
