@@ -153,6 +153,19 @@ def main() -> None:
         rep_sec = round(time.perf_counter() - t0, 4)
         if _rep > 1:
             dedup_sec = rep_sec if dedup_sec is None else min(dedup_sec, rep_sec)
+    # zstd variant (JVM-kernel-only codec via Spark's bundled zstd-jni —
+    # the codec a 100 TB deployment actually picks); same input, same
+    # steady-state protocol, fewer reps (the JIT is already warm)
+    dedup_zstd_sec = None
+    if jvm_kernel:
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            DP.dedup_stats_jvm(files, compress_type="zstd").collect()
+            rep_sec = round(time.perf_counter() - t0, 4)
+            if _rep > 0:
+                dedup_zstd_sec = (
+                    rep_sec if dedup_zstd_sec is None else min(dedup_zstd_sec, rep_sec)
+                )
     files.unpersist()
 
     # duplicate-saturated encode: every file identical, so ONE digest owns
@@ -402,6 +415,10 @@ def main() -> None:
                     "dedup_stats_sec": dedup_sec,
                     "dedup_throughput_mbps": round(dedup_mb / dedup_sec, 2),
                     "dedup_jvm_kernel": jvm_kernel,
+                    "dedup_zstd_sec": dedup_zstd_sec,
+                    "dedup_zstd_mbps": (
+                        round(dedup_mb / dedup_zstd_sec, 2) if dedup_zstd_sec else None
+                    ),
                     "dedup_throughput_mbps_per_core": round(dedup_mb / dedup_sec / cpus, 2),
                     "ferret_corpus_images": 1000,
                     "ferret_batch_queries": 50,

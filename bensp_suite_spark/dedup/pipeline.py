@@ -137,6 +137,14 @@ def chunk_hash_compress(
     import zlib
     import bz2 as _bz2
 
+    if compress_type == "zstd":
+        # no zstd module in the Python stdlib — the codec lives in the JVM
+        # kernel (Spark bundles zstd-jni); callers route there via
+        # has_jvm_kernel, so reaching this path means the jar is missing
+        raise ValueError(
+            "compress_type='zstd' requires the JVM kernel "
+            "(bensp-kernels.jar on the driver classpath)"
+        )
     ctype = compress_type
     emit_payload = with_payload
 
@@ -258,7 +266,9 @@ def encode(
     ``when`` column, no physical routing)."""
     from ..session import has_jvm_kernel
 
-    if compress_type in ("gzip", "none", "bzip2") and has_jvm_kernel(files.sparkSession):
+    if compress_type in ("gzip", "none", "bzip2", "zstd") and has_jvm_kernel(
+        files.sparkSession
+    ):
         fused = chunk_hash_compress_jvm(files, compress_type=compress_type, with_payload=True)
     else:
         fused = chunk_hash_compress(files, compress_type=compress_type)
@@ -322,7 +332,7 @@ def decode(ddp: DataFrame, compress_type: str = "gzip") -> DataFrame:
 
     from ..session import has_jvm_kernel
 
-    if ctype in ("gzip", "none") and has_jvm_kernel(ddp.sparkSession):
+    if ctype in ("gzip", "none", "zstd") and has_jvm_kernel(ddp.sparkSession):
         # JVM reassembly: per-file ordered payload array (array_sort on the
         # (l1, l2, payload) struct sorts lexicographically by field order),
         # then one inflate+concat kernel call per file
@@ -343,6 +353,11 @@ def decode(ddp: DataFrame, compress_type: str = "gzip") -> DataFrame:
         inflate = lambda b: zlib.decompress(bytes(b))  # noqa: E731
     elif ctype == "bzip2":
         inflate = lambda b: bz2.decompress(bytes(b))  # noqa: E731
+    elif ctype == "zstd":
+        raise ValueError(
+            "compress_type='zstd' decode requires the JVM kernel "
+            "(bensp-kernels.jar on the driver classpath)"
+        )
     else:
         inflate = bytes
 

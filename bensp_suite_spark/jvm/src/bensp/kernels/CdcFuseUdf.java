@@ -6,6 +6,8 @@ import java.security.MessageDigest;
 import java.util.HashSet;
 import java.util.zip.Deflater;
 
+import com.github.luben.zstd.Zstd;
+
 import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream;
 import org.apache.spark.sql.Row;
 import org.apache.spark.sql.RowFactory;
@@ -13,7 +15,8 @@ import org.apache.spark.sql.api.java.UDF3;
 
 /**
  * Fused content-defined-chunking kernel: Rabin CDC + SHA-1 + local-dup-aware
- * compression (DEFLATE or commons-compress bzip2), one pass per file,
+ * compression (DEFLATE, commons-compress bzip2, or zstd via Spark's bundled
+ * zstd-jni -- the modern codec the reference lacks), one pass per file,
  * entirely JVM-side.
  *
  * Semantics are bit-identical to the Python kernel in
@@ -38,6 +41,9 @@ public class CdcFuseUdf implements UDF3<byte[], String, Boolean, Row> {
   static final int NWINDOW = 32;          // rabin.h:8
   static final int RABIN_MASK = 0xFFF;    // rabin.h:10
   static final int ANCHOR_JUMP = 2 * 1024 * 1024; // dedupdef.h:264
+  // zstd default level; deterministic for a fixed zstd-jni version, but do
+  // NOT pin golden oracles on zstd byte lengths (library-version-dependent)
+  static final int ZSTD_LEVEL = 3;
 
   private static final int[] TAB = new int[256];
   private static final int[] WIN = new int[256];
@@ -168,10 +174,11 @@ public class CdcFuseUdf implements UDF3<byte[], String, Boolean, Row> {
   public Row call(byte[] content, String compressType, Boolean emitPayload) throws Exception {
     boolean gzip = "gzip".equals(compressType);
     boolean bzip2 = "bzip2".equals(compressType);
+    boolean zstd = "zstd".equals(compressType);
     boolean emit = Boolean.TRUE.equals(emitPayload);
-    if (!gzip && !bzip2 && !"none".equals(compressType)) {
+    if (!gzip && !bzip2 && !zstd && !"none".equals(compressType)) {
       throw new IllegalArgumentException(
-          "JVM kernel supports compress_type gzip|bzip2|none, got: " + compressType);
+          "JVM kernel supports compress_type gzip|bzip2|zstd|none, got: " + compressType);
     }
     int n = content == null ? 0 : content.length;
     if (n == 0) {
@@ -189,6 +196,8 @@ public class CdcFuseUdf implements UDF3<byte[], String, Boolean, Row> {
         d.end();
       } else if (bzip2) {
         clen = bzip2ChunkLen(new byte[0], 0, 0);
+      } else if (zstd) {
+        clen = Zstd.compress(new byte[0], ZSTD_LEVEL).length;
       }
       byte[] emptyPayload = null;
       if (emit) {
@@ -205,6 +214,8 @@ public class CdcFuseUdf implements UDF3<byte[], String, Boolean, Row> {
           emptyPayload = java.util.Arrays.copyOf(b2, m2);
         } else if (bzip2) {
           emptyPayload = bzip2Chunk(new byte[0], 0, 0);
+        } else if (zstd) {
+          emptyPayload = Zstd.compress(new byte[0], ZSTD_LEVEL);
         } else {
           emptyPayload = new byte[0];
         }
@@ -264,7 +275,14 @@ public class CdcFuseUdf implements UDF3<byte[], String, Boolean, Row> {
           long clen = 0;
           byte[] payload = null;
           if (localSeen.add(digest)) {
-            if (bzip2) {
+            if (zstd) {
+              byte[] piece = java.util.Arrays.copyOfRange(content, start, end);
+              byte[] z = Zstd.compress(piece, ZSTD_LEVEL);
+              clen = z.length;
+              if (emit) {
+                payload = z;
+              }
+            } else if (bzip2) {
               if (emit) {
                 payload = bzip2Chunk(content, start, end - start);
                 clen = payload.length;

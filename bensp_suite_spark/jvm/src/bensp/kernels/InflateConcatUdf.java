@@ -3,6 +3,8 @@ package bensp.kernels;
 import java.io.ByteArrayOutputStream;
 import java.util.zip.Inflater;
 
+import com.github.luben.zstd.Zstd;
+
 import org.apache.spark.sql.api.java.UDF2;
 
 import scala.collection.Iterator;
@@ -20,9 +22,10 @@ public class InflateConcatUdf implements UDF2<Seq<byte[]>, String, byte[]> {
   @Override
   public byte[] call(Seq<byte[]> payloads, String compressType) throws Exception {
     boolean gzip = "gzip".equals(compressType);
-    if (!gzip && !"none".equals(compressType)) {
+    boolean zstd = "zstd".equals(compressType);
+    if (!gzip && !zstd && !"none".equals(compressType)) {
       throw new IllegalArgumentException(
-          "JVM decode supports compress_type gzip|none, got: " + compressType);
+          "JVM decode supports compress_type gzip|zstd|none, got: " + compressType);
     }
     ByteArrayOutputStream out = new ByteArrayOutputStream(1 << 16);
     Inflater inflater = gzip ? new Inflater() : null;
@@ -34,7 +37,13 @@ public class InflateConcatUdf implements UDF2<Seq<byte[]>, String, byte[]> {
         if (p == null) {
           throw new IllegalStateException("null payload reached decode (unresolved fingerprint)");
         }
-        if (gzip) {
+        if (zstd) {
+          long size = Zstd.getFrameContentSize(p);
+          if (size < 0) {
+            throw new IllegalStateException("zstd frame missing content size");
+          }
+          out.write(Zstd.decompress(p, (int) size), 0, (int) size);
+        } else if (gzip) {
           inflater.reset();
           inflater.setInput(p);
           while (!inflater.finished()) {

@@ -348,7 +348,7 @@ def stream_encode_merge(
     winners_dir = _pp.join(checkpoint_dir, "winners")
     commits_dir = _pp.join(checkpoint_dir, "merge_commits")
     _fs(commits_dir).mkdirs(_hpath(commits_dir))
-    use_jvm = compress_type in ("gzip", "none", "bzip2") and has_jvm_kernel(spark)
+    use_jvm = compress_type in ("gzip", "none", "bzip2", "zstd") and has_jvm_kernel(spark)
     if chunk_parallelism is None:
         chunk_parallelism = spark.sparkContext.defaultParallelism
 

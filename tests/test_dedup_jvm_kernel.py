@@ -92,3 +92,50 @@ def test_plan_has_no_python_stage(jvm_spark):
     df = jvm_spark.createDataFrame([(0, b"x" * 4096)], fixtures.FILES_SCHEMA)
     plan = pipeline.dedup_stats_jvm(df, "gzip")._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_zstd_round_trip_and_stats(spark):
+    """zstd (Spark's bundled zstd-jni, JVM-kernel-only codec — the modern
+    codec the reference lacks): encode→decode must reproduce every file
+    byte-for-byte, the chunk stream must equal gzip's exactly (chunking is
+    codec-independent), and compressed sizes must be > 0 and smaller than
+    the input on compressible data. Byte lengths are never pinned in any
+    oracle (zstd output is library-version-dependent)."""
+    from bensp_suite_spark.session import has_jvm_kernel
+
+    if not has_jvm_kernel(spark):
+        pytest.skip("JVM kernel jar not on classpath")
+    files = fixtures.synthetic_docs(spark, n_files=6, file_bytes=65536, seed=3)
+    ddp = pipeline.encode(files, compress_type="zstd")
+    decoded = pipeline.decode(ddp, compress_type="zstd")
+    orig = {r.file_id: bytes(r.content) for r in files.collect()}
+    back = {r.file_id: bytes(r.content) for r in decoded.collect()}
+    assert back == orig
+    # chunk stream identical to gzip's (boundaries/digests are codec-free)
+    key_cols = ["file_id", "l1", "l2", "sha1", "rtype"]
+    z = sorted(map(tuple, ddp.select(*key_cols).collect()))
+    g = sorted(
+        map(tuple, pipeline.encode(files, compress_type="gzip").select(*key_cols).collect())
+    )
+    assert z == g
+    stats = pipeline.dedup_stats_jvm(files, compress_type="zstd").collect()[0]
+    # fixture blocks are random bytes (incompressible) — sizes must be
+    # positive and within the zstd worst-case expansion bound
+    assert 0 < stats.total_compressed_bytes < stats.total_dedup_bytes * 1.01 + 1024
+    # compressible content must actually shrink
+    text = spark.createDataFrame(
+        [(0, (b"the quick brown fox " * 3000))], "file_id long, content binary"
+    )
+    tstats = pipeline.dedup_stats_jvm(text, compress_type="zstd").collect()[0]
+    assert tstats.total_compressed_bytes < tstats.total_dedup_bytes / 5
+    gstats = pipeline.dedup_stats_jvm(files, compress_type="gzip").collect()[0]
+    # same chunk accounting; only the codec column differs
+    assert (stats.n_chunks, stats.n_dup, stats.total_input_bytes) == (
+        gstats.n_chunks, gstats.n_dup, gstats.total_input_bytes
+    )
+
+
+def test_zstd_requires_jvm_kernel_clear_error(spark):
+    files = fixtures.synthetic_docs(spark, n_files=1, file_bytes=4096, seed=3)
+    with pytest.raises(Exception, match="zstd"):
+        pipeline.chunk_hash_compress(files, compress_type="zstd").collect()
