@@ -28,7 +28,12 @@ def main(argv: list[str] | None = None) -> int:
     mode.add_argument("--stats", action="store_true", help="encode statistics only")
     ap.add_argument("-i", "--input", required=True)
     ap.add_argument("-o", "--output", help="archive path (-c) or output dir (-u)")
-    ap.add_argument("-w", "--compress-type", default="gzip", choices=["gzip", "bzip2", "none"])
+    ap.add_argument(
+        "-w", "--compress-type", default="gzip",
+        choices=["gzip", "bzip2", "none", "zstd"],
+        help="zstd is an engine extension (archive code 3; JVM kernel "
+             "required) — reference tooling reads gzip/bzip2/none only",
+    )
     ap.add_argument("-t", "--threads", type=int, default=None, help="parallelism")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
@@ -48,7 +53,14 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         files = binaryfiles.read_files(spark, args.input).select("file_id", "content")
         if args.stats:
-            row = pipeline.dedup_stats(files, compress_type=args.compress_type).collect()[0]
+            from .session import has_jvm_kernel
+
+            stats_fn = (
+                pipeline.dedup_stats_jvm
+                if has_jvm_kernel(spark)
+                else pipeline.dedup_stats
+            )
+            row = stats_fn(files, compress_type=args.compress_type).collect()[0]
             # print_stats equivalent (encoder.c:225-388)
             print(f"Total input size:        {row.total_input_bytes} B")
             print(f"Total chunks:            {row.n_chunks}")
@@ -93,34 +105,50 @@ def main(argv: list[str] | None = None) -> int:
         "payload",
     )
     # fingerprint records need their digest resolved from record order:
-    # recompute sha1 for payload records so the J4 join has both sides
-    from pyspark.sql.types import StringType
+    # recompute sha1 for payload records so the J4 join has both sides.
+    # JVM kernel when present (required for zstd — no Python zstd in the
+    # stdlib), Arrow pandas UDF fallback for gzip/bzip2/none.
+    from .session import has_jvm_kernel
 
     dctype = ctype
+    if has_jvm_kernel(spark):
+        from .dedup.pipeline import _register_jvm_fuse
 
-    @F.pandas_udf(StringType())
-    def payload_sha1(payload: pd.Series) -> pd.Series:
-        import bz2
-        import hashlib
-        import zlib
+        _register_jvm_fuse(spark)
+        recomputed = F.expr(f"bensp_payload_sha1(payload, '{dctype}')")
+    elif dctype == "zstd":
+        print(
+            "error: zstd decode requires the JVM kernel "
+            "(bensp-kernels.jar on the driver classpath)",
+            file=sys.stderr,
+        )
+        return 2
+    else:
+        from pyspark.sql.types import StringType
 
-        def digest(b):
-            if b is None:
-                return None
-            raw = bytes(b)
-            if dctype == "gzip":
-                raw = zlib.decompress(raw)
-            elif dctype == "bzip2":
-                raw = bz2.decompress(raw)
-            return hashlib.sha1(raw).hexdigest()
+        @F.pandas_udf(StringType())
+        def payload_sha1(payload: pd.Series) -> pd.Series:
+            import bz2
+            import hashlib
+            import zlib
 
-        return payload.map(digest)
+            def digest(b):
+                if b is None:
+                    return None
+                raw = bytes(b)
+                if dctype == "gzip":
+                    raw = zlib.decompress(raw)
+                elif dctype == "bzip2":
+                    raw = bz2.decompress(raw)
+                return hashlib.sha1(raw).hexdigest()
+
+            return payload.map(digest)
+
+        recomputed = payload_sha1(F.col("payload"))
 
     ddp_df = ddp_df.withColumn(
         "sha1",
-        F.when(F.col("rtype") == TYPE_FINGERPRINT, F.col("sha1")).otherwise(
-            payload_sha1(F.col("payload"))
-        ),
+        F.when(F.col("rtype") == TYPE_FINGERPRINT, F.col("sha1")).otherwise(recomputed),
     )
     out = decode(ddp_df, compress_type=ctype)
     os.makedirs(args.output, exist_ok=True)

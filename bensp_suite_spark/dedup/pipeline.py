@@ -396,6 +396,9 @@ def _register_jvm_fuse(spark) -> None:
         spark.udf.registerJavaFunction(
             "bensp_inflate_concat", "bensp.kernels.InflateConcatUdf", "binary"
         )
+        spark.udf.registerJavaFunction(
+            "bensp_payload_sha1", "bensp.kernels.PayloadSha1Udf", "string"
+        )
         spark._bensp_cdc_fuse_registered = True
 
 

@@ -3,7 +3,9 @@ reference's on-disk layout, plus the canonical Parquet table.
 
 Reference layout (little-endian):
   header: int32 CHECKBIT=123456 + u8 compress_type       (util.c:65-74,
-          dedupdef.h:13; COMPRESS_GZIP=0 BZIP2=1 NONE=2, dedupdef.h:311-313)
+          dedupdef.h:13; COMPRESS_GZIP=0 BZIP2=1 NONE=2, dedupdef.h:311-313;
+          ZSTD=3 is OUR extension — the reference decoder does not know it,
+          so zstd archives are engine-native, not reference-interchange)
   record: u8 type + u64 len + payload                    (encoder.c:396-411)
           TYPE_FINGERPRINT=0 → 20-byte raw SHA1
           TYPE_COMPRESS=1    → compressed chunk bytes
@@ -23,10 +25,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 CHECKBIT = 123456
 COMPRESS_GZIP, COMPRESS_BZIP2, COMPRESS_NONE = 0, 1, 2
+COMPRESS_ZSTD = 3  # extension code (not in dedupdef.h)
 TYPE_FINGERPRINT, TYPE_COMPRESS, TYPE_ORIGINAL = 0, 1, 2
 SHA1_LEN = 20
 
-_CTYPE = {"gzip": COMPRESS_GZIP, "bzip2": COMPRESS_BZIP2, "none": COMPRESS_NONE}
+_CTYPE = {
+    "gzip": COMPRESS_GZIP,
+    "bzip2": COMPRESS_BZIP2,
+    "none": COMPRESS_NONE,
+    "zstd": COMPRESS_ZSTD,
+}
 _CNAME = {v: k for k, v in _CTYPE.items()}
 
 

@@ -463,3 +463,33 @@ def test_ann_cli_mkdb_and_query_end_to_end(spark, tmpdir):
     a = sorted(map(tuple, spark.read.parquet(out_inline).collect()))
     b = sorted(map(tuple, spark.read.parquet(out_prebuilt).collect()))
     assert a == b and len(a) == 30
+
+
+def test_cli_zstd_encode_decode_round_trip(tmpdir):
+    """-w zstd end to end through the CLI: engine-extension archive code 3
+    (JVM kernel codec), byte-exact round trip. The reference decoder does
+    not know this code — documented as engine-native interchange only."""
+    src, datas = _write_input_files(tmpdir, n=3, size=20000)
+    archive = os.path.join(tmpdir, "out_zstd.ddp")
+    outdir = os.path.join(tmpdir, "decoded_zstd")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    repo = os.path.dirname(os.path.dirname(__file__))
+    r1 = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.cli", "-c", "-w", "zstd",
+         "-i", src, "-o", archive],
+        capture_output=True, text=True, env=env, cwd=repo,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    with open(archive, "rb") as fh:
+        head = fh.read(5)
+    assert head[4] == ddpfmt.COMPRESS_ZSTD
+    r2 = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.cli", "-u",
+         "-i", archive, "-o", outdir],
+        capture_output=True, text=True, env=env, cwd=repo,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    decoded = b"".join(
+        open(os.path.join(outdir, f), "rb").read() for f in sorted(os.listdir(outdir))
+    )
+    assert decoded == b"".join(datas[k] for k in sorted(datas))
