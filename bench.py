@@ -240,14 +240,16 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save()
         )
         rep = round(time.perf_counter() - t0, 4)
-        skew_window_sec = rep if _rep else None
+        if _rep:
+            skew_window_sec = rep if skew_window_sec is None else min(skew_window_sec, rep)
     for _rep in range(2):
         t0 = time.perf_counter()
         DP._first_wins_flags_skew_safe(skew_fused, ["sha1"]).write.format(
             "noop"
         ).mode("overwrite").save()
         rep = round(time.perf_counter() - t0, 4)
-        skew_safe_sec = rep if _rep else None
+        if _rep:
+            skew_safe_sec = rep if skew_safe_sec is None else min(skew_safe_sec, rep)
     skew_fused.unpersist()
 
     # hot-shingle Jaccard: every doc shares one boilerplate sentence, so
@@ -265,20 +267,22 @@ def main() -> None:
     ).persist(StorageLevel.MEMORY_ONLY)
     jac_docs.count()
     jac_prefix_sec = jac_naive_sec = None
-    for _rep in range(2):
+    for _rep in range(3):
         t0 = time.perf_counter()
         DT.ngram_jaccard_pairs(jac_docs, threshold=0.5).write.format("noop").mode(
             "overwrite"
         ).save()
         rep = round(time.perf_counter() - t0, 4)
-        jac_prefix_sec = rep if _rep else None
-    for _rep in range(2):
+        if _rep:
+            jac_prefix_sec = rep if jac_prefix_sec is None else min(jac_prefix_sec, rep)
+    for _rep in range(3):
         t0 = time.perf_counter()
         DT.ngram_jaccard_pairs(
             jac_docs, threshold=0.5, prefix_filter=False
         ).write.format("noop").mode("overwrite").save()
         rep = round(time.perf_counter() - t0, 4)
-        jac_naive_sec = rep if _rep else None
+        if _rep:
+            jac_naive_sec = rep if jac_naive_sec is None else min(jac_naive_sec, rep)
     jac_docs.unpersist()
 
     # larger-input scaling point: 4 GiB scanned FROM PARQUET (not a cached
