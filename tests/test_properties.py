@@ -189,3 +189,20 @@ def test_ddp_incremental_parser_roundtrip_property(recs, cut):
         else:
             # a cut exactly on a record boundary is a legal shorter stream
             assert got == expected[: len(got)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=st.binary(min_size=0, max_size=65536))
+def test_reference_chunker_matches_pipeline_chunker(data):
+    """Cross-implementation guard for the golden-oracle independence
+    chain: the forward-derived reference chunker
+    (tools/golden_reference.chunk_offsets_ref) and the pipeline's
+    pair-table chunker (dedup/rabin.chunk_offsets) must produce the
+    identical (l1, l2, start, end, is_last) stream on arbitrary bytes."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from golden_reference import chunk_offsets_ref
+
+    assert chunk_offsets_ref(data) == rabin.chunk_offsets(data)
