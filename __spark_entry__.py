@@ -61,6 +61,7 @@ _PRIORITY = [
     "multimodal_image_search_png",
     "multimodal_audio_dedup_wav",
     "multimodal_video_dedup_avi",
+    "layout_zorder_key",
     "cdc_ddp_datasource_scan",
     "multimodal_image_phash_dedup",
 ]

@@ -131,3 +131,92 @@ def compact_small_files(
     shutil.rmtree(bak)
     files_after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     return files_before, files_after
+
+
+def zorder_key(
+    cols: list, ranges: list[tuple[int, int]], bits: int = 16
+):
+    """Z-order (Morton) key over integer columns as a pure JVM expression.
+
+    Each column is scaled into [0, 2^bits) with exact integer math —
+    ((col − lo) · (2^bits − 1)) div (hi − lo), floor division on
+    non-negative ints, so any engine computes the identical key — then the
+    bit planes interleave: bit j of column ci lands at position
+    j·n_cols + ci. Rows sorted by this key cluster *jointly* in every
+    participating dimension, which is what makes multi-column range
+    predicates prune parquet row groups/files (min/max stats are tight in
+    ALL dimensions at once — a single-column sort gives tight stats in one
+    dimension and useless stats in the rest).
+
+    ``ranges`` are the (lo, hi) bounds per column — computed once at write
+    time (one bounded aggregate); pinning them keeps the key a pure
+    deterministic expression with an exact SQL oracle.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    assert n == len(ranges) and n >= 1
+    assert bits * n <= 62, "interleaved key must fit a signed 64-bit long"
+    key = F.lit(0).cast("long")
+    m = (1 << bits) - 1
+    for ci, (col, (lo, hi)) in enumerate(zip(cols, ranges)):
+        span = max(int(hi) - int(lo), 1)
+        # exact integer floor division for non-negative ints: subtract the
+        # remainder first so the double division is of an exactly-divisible
+        # pair (numerator < 2^53 → bit-exact in any engine)
+        num = ((col.cast("long") - F.lit(int(lo))) * F.lit(m)).cast("long")
+        scaled = ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("long")
+        for j in range(bits):
+            bit = F.shiftright(scaled, j).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, j * n + ci))
+    return key
+
+
+def zorder_key_sql(cols: list[str], ranges: list[tuple[int, int]], bits: int = 16) -> str:
+    """The DuckDB-runnable mirror of :func:`zorder_key` (same integer
+    scaling and interleave — `//` is DuckDB's floor division on ints)."""
+    n = len(cols)
+    m = (1 << bits) - 1
+    terms = []
+    for ci, (col, (lo, hi)) in enumerate(zip(cols, ranges)):
+        span = max(int(hi) - int(lo), 1)
+        scaled = f"((({col} - {int(lo)}) * {m}) // {span})"
+        for j in range(bits):
+            terms.append(f"((({scaled} >> {j}) & 1) << {j * n + ci})")
+    return " | ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> list[tuple[int, int]]:
+    """Cluster ``df`` by the Morton key of ``cols`` and write parquet —
+    the lakehouse OPTIMIZE ZORDER BY analog. One bounded min/max aggregate
+    fixes the ranges, one range exchange on the key lays rows out, and
+    every file's parquet min/max stats end up tight in all ``cols`` at
+    once. Returns the ranges so readers/tests can recompute keys.
+
+    At 100 TB: ``n_files`` ≈ total_bytes / 1 GB; the range exchange is the
+    only shuffle, and it replaces the full-sort cost a naive ORDER BY over
+    all columns would pay with a single synthetic sort key."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[f(c).alias(f"{tag}_{c}") for c in cols for tag, f in (("lo", F.min), ("hi", F.max))]
+    ).collect()[0]
+    ranges = [(int(bounds[f"lo_{c}"]), int(bounds[f"hi_{c}"])) for c in cols]
+    key = zorder_key([F.col(c) for c in cols], ranges, bits)
+    out = df.withColumn("_zkey", key)
+    n_files = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        out.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return ranges

@@ -3386,6 +3386,55 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    # ranges are the exact min/max of the sf-scaled table — computed in
+    # the oracle itself so the SQL stays scale-factor-independent; the
+    # interleave terms mirror operators.layout.zorder_key_sql
+    return """
+    WITH b AS (SELECT MIN(l_orderkey) AS lo_k, MAX(l_orderkey) AS hi_k,
+                      MIN(l_partkey) AS lo_p, MAX(l_partkey) AS hi_p
+               FROM lineitem),
+    keyed AS (
+      SELECT l_orderkey, l_partkey,
+             {terms} AS zkey
+      FROM lineitem, b
+    )
+    SELECT l_orderkey, l_partkey, zkey FROM keyed
+    ORDER BY zkey, l_orderkey, l_partkey LIMIT 100
+    """.format(
+        terms=" | ".join(
+            f"((((((({col} - {lo}) * 65535) // GREATEST({hi} - {lo}, 1))) >> {j}) & 1) << {2 * j + ci})"
+            for ci, (col, lo, hi) in enumerate(
+                [("l_orderkey", "lo_k", "hi_k"), ("l_partkey", "lo_p", "hi_p")]
+            )
+            for j in range(16)
+        )
+    )
+
+
+@query("layout_zorder_key", oracle=_zorder_oracle())
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key — the OPTIMIZE ZORDER BY primitive:
+    exact-integer bit interleave of range-scaled (l_orderkey, l_partkey),
+    the key ``write_zordered`` lays files out by so multi-column range
+    predicates prune parquet stats in every dimension at once. The first
+    100 rows in key order are checked value-exact against the identical
+    integer arithmetic in SQL."""
+    from .operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).collect()[0]
+    ranges = [(int(b[0]), int(b[1])), (int(b[2]), int(b[3]))]
+    key = zorder_key([F.col("l_orderkey"), F.col("l_partkey")], ranges, bits=16)
+    return (
+        li.withColumn("zkey", key)
+        .orderBy("zkey", "l_orderkey", "l_partkey")
+        .limit(100)
+    )
+
+
 @query(
     "layout_bucketed_join",
     oracle="""

@@ -180,3 +180,59 @@ def test_compact_recovers_from_crashed_prior_run(spark, tmp_path):
     before, after = L.compact_small_files(spark, path, target_file_mb=128)
     assert spark.read.parquet(path).count() == 1000
     assert not _os.path.exists(path + "._compact_old")
+
+
+def test_zorder_layout_tightens_file_stats(spark, tmp_path):
+    """write_zordered must produce files whose parquet min/max envelopes
+    are tight in BOTH dimensions: for a 2-D range probe, fewer files
+    overlap the probe box than under a hash (unclustered) layout — the
+    data-skipping property OPTIMIZE ZORDER BY exists for. Also checks the
+    layout is lossless (same row multiset back)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.operators import layout as L
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") * 2654435761) % 128).alias("y"),
+    )
+    zpath, hpath = str(tmp_path / "z"), str(tmp_path / "h")
+    ranges = L.write_zordered(df, zpath, ["x", "y"], n_files=16)
+    assert ranges == [(0, 127), (0, 127)]
+    df.repartition(16).write.mode("overwrite").parquet(hpath)
+
+    def overlapping_files(path, probe):
+        (x0, x1), (y0, y1) = probe
+        hits = total = 0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins = {"x": None, "y": None}
+            maxs = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                for c in range(md.num_columns):
+                    col = md.row_group(rg).column(c)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        lo, hi = col.statistics.min, col.statistics.max
+                        mins[name] = lo if mins[name] is None else min(mins[name], lo)
+                        maxs[name] = hi if maxs[name] is None else max(maxs[name], hi)
+            total += 1
+            if not (maxs["x"] < x0 or mins["x"] > x1 or maxs["y"] < y0 or mins["y"] > y1):
+                hits += 1
+        return hits, total
+
+    probe = ((0, 31), (0, 31))  # one quadrant-of-a-quadrant box
+    z_hits, z_total = overlapping_files(zpath, probe)
+    h_hits, h_total = overlapping_files(hpath, probe)
+    assert h_hits == h_total  # hash layout: every file overlaps everything
+    assert z_hits < z_total / 2, (z_hits, z_total)  # z-order actually prunes
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b
