@@ -62,6 +62,7 @@ _PRIORITY = [
     "multimodal_audio_dedup_wav",
     "multimodal_video_dedup_avi",
     "layout_zorder_key",
+    "dedup_incremental_batch",
     "cdc_ddp_datasource_scan",
     "multimodal_image_phash_dedup",
 ]

@@ -720,3 +720,108 @@ def boilerplate_oracle_sql(
     FROM p GROUP BY passage_md5
     HAVING COUNT(DISTINCT doc_id) >= {min_docs}
     """
+
+
+def incremental_dedup(
+    new_docs: DataFrame, history: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Dedup a NEW batch against a HISTORICAL corpus — the daily-crawl-
+    increment pattern: a new document is dropped if it exactly matches any
+    historical document (normalized md5 anti-semantics) or is a SimHash
+    near-duplicate of one (banded equi-join against the history's
+    fingerprints, exact hamming ≤ ``max_hamming`` refine). Returns every
+    new doc with (exact_dup, near_dup, is_kept) flags.
+
+    Scale shape: the exact check is one left-semi-style join on 16-byte
+    hashes; the near check joins the new batch's bands against the
+    history's bands (pigeonhole recall exact at ≤ max_hamming with
+    max_hamming+1 bands) — the history side is the big one and arrives
+    pre-fingerprinted in practice (persist simhash(history) once per day,
+    not per batch). Nothing is ever quadratic in either corpus."""
+    t = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    new_h = new_docs.select("doc_id", F.md5(t).alias("content_hash"))
+    hist_h = history.select(F.md5(t).alias("content_hash")).distinct()
+    exact = (
+        new_h.join(hist_h.withColumnRenamed("content_hash", "hh"),
+                   new_h.content_hash == F.col("hh"), "left")
+        .select("doc_id", "content_hash", F.col("hh").isNotNull().alias("exact_dup"))
+    )
+
+    bands = _simhash_bands(max_hamming)
+    new_s = simhash(new_docs)
+    hist_s = simhash(history).select(F.col("simhash").alias("hist_sim"))
+
+    def banded(df, col, out):
+        arr = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col(col), sh).bitwiseAND(F.lit((1 << w) - 1)).alias("band_val"),
+                )
+                for i, (sh, w) in enumerate(bands)
+            ])
+        ).alias("b")
+        return df.select(*df.columns, arr).select(*df.columns, "b.band_idx", "b.band_val")
+
+    cand = banded(new_s, "simhash", "n").join(
+        banded(hist_s, "hist_sim", "h"), on=["band_idx", "band_val"]
+    )
+    near = (
+        cand.filter(
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("hist_sim"))) <= max_hamming
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    out = exact.join(near, on="doc_id", how="left").select(
+        "doc_id",
+        "content_hash",
+        "exact_dup",
+        F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+    )
+    return out.withColumn(
+        "is_kept", ~F.col("exact_dup") & ~F.col("near_dup")
+    )
+
+
+def incremental_dedup_oracle_sql(
+    history_src: str, new_src: str, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> str:
+    h = "CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)"
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    norm = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+    return f"""
+    WITH hist AS ({history_src}), newb AS ({new_src}),
+    hist_tok AS (
+      SELECT doc_id, {h} AS h
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token FROM hist)
+    ),
+    new_tok AS (
+      SELECT doc_id, {h} AS h
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token FROM newb)
+    ),
+    hist_sim AS (SELECT {sim} AS s FROM (SELECT doc_id, {votes} FROM hist_tok GROUP BY doc_id)),
+    new_sim AS (SELECT doc_id, {sim} AS s FROM (SELECT doc_id, {votes} FROM new_tok GROUP BY doc_id)),
+    hist_hash AS (SELECT DISTINCT {norm} AS ch FROM hist),
+    flags AS (
+      SELECT n.doc_id,
+             {norm.replace('text', 'n.text')} AS content_hash,
+             EXISTS (SELECT 1 FROM hist_hash hh
+                     WHERE hh.ch = {norm.replace('text', 'n.text')}) AS exact_dup,
+             EXISTS (SELECT 1 FROM hist_sim hs, new_sim ns
+                     WHERE ns.doc_id = n.doc_id
+                       AND bit_count(xor(ns.s, hs.s)) <= {max_hamming}) AS near_dup
+      FROM newb n
+    )
+    SELECT doc_id, content_hash, exact_dup, near_dup,
+           (NOT exact_dup AND NOT near_dup) AS is_kept
+    FROM flags
+    """

@@ -3220,6 +3220,43 @@ def stream_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_INCR_HISTORY_SQL = "SELECT doc_id, text FROM documents"
+_INCR_NEW_SQL = f"""
+  SELECT doc_id + {DT.AUG_OFFSET} AS doc_id,
+         array_to_string(words[1:GREATEST(len(words) - 3, 1)], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+  UNION ALL
+  SELECT doc_id + {2 * DT.AUG_OFFSET} AS doc_id, text FROM documents WHERE doc_id < 20
+"""
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=DT.incremental_dedup_oracle_sql(_INCR_HISTORY_SQL, _INCR_NEW_SQL),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new crawl batch against a historical corpus
+    (the daily-increment pattern): the documents table is the history; the
+    new batch is its jittered near-copies plus 20 planted exact copies.
+    Exact matches drop by normalized-hash anti-semantics, near matches by
+    banded SimHash against the history's fingerprints — each new doc comes
+    back flagged (exact_dup, near_dup, is_kept), value-checked against the
+    EXISTS formulation in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    keep = F.greatest(F.size(words) - 3, F.lit(1))
+    jitter = docs.select(
+        (F.col("doc_id") + DT.AUG_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, keep), " ").alias("text"),
+    )
+    exact_copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2 * DT.AUG_OFFSET).alias("doc_id"), "text"
+    )
+    new_batch = jitter.unionByName(exact_copies)
+    return DT.incremental_dedup(new_batch, history, max_hamming=3)
+
+
 @query("dedup_boilerplate_passages", oracle=DT.boilerplate_oracle_sql(3))
 def dedup_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate detection: passages present in ≥3 distinct documents
