@@ -68,12 +68,31 @@ _PRIORITY = [
 ]
 
 
+# How many previously-green names to pull back into the driver's check
+# window each round. Without this, a query verified once would never be
+# re-checked by the external driver (a later regression would go unseen);
+# with it, the window is priority + never-verified + a rotating slice of
+# the greens, so the whole registry is re-audited every few rounds.
+_REVERIFY_QUOTA = 12
+
+
 def _rotated_names() -> list[str]:
     seen = _previously_green()
     names = list(Q.QUERIES)
     front = [n for n in _PRIORITY if n in names and n not in seen]
     rest_unseen = [n for n in names if n not in seen and n not in front]
-    return front + rest_unseen + [n for n in names if n in seen]
+    greens = [n for n in names if n in seen]
+    # Deterministic rotation keyed on the number of completed rounds: each
+    # round re-verifies the next _REVERIFY_QUOTA greens in registry order.
+    n_rounds = len(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+    if greens and _REVERIFY_QUOTA > 0:
+        start = (n_rounds * _REVERIFY_QUOTA) % len(greens)
+        rotated = greens[start:] + greens[:start]
+        resample = rotated[:_REVERIFY_QUOTA]
+        rest_green = rotated[_REVERIFY_QUOTA:]
+    else:
+        resample, rest_green = [], greens
+    return front + rest_unseen + resample + rest_green
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -237,6 +237,11 @@ def decode_avi_rgb(payload: bytes) -> np.ndarray:
                 )
                 w, h, bitcount, compression = bw, abs(bh), bc, comp
             elif tag[2:4] in (b"db", b"dc") and tag[:2].isdigit():
+                if w is None:
+                    # malformed/reordered AVI: a frame chunk before the
+                    # strf header would otherwise die in the stride
+                    # arithmetic with an opaque TypeError
+                    raise ValueError("AVI frame chunk before strf header")
                 if compression not in (0, None) or bitcount != 24:
                     raise ValueError(
                         "compressed/paletted AVI streams need an ffmpeg-backed "

@@ -160,16 +160,39 @@ def zorder_key(
     key = F.lit(0).cast("long")
     m = (1 << bits) - 1
     for ci, (col, (lo, hi)) in enumerate(zip(cols, ranges)):
-        span = max(int(hi) - int(lo), 1)
+        span, shift = _span_shift(int(lo), int(hi), bits)
         # exact integer floor division for non-negative ints: subtract the
         # remainder first so the double division is of an exactly-divisible
-        # pair (numerator < 2^53 → bit-exact in any engine)
-        num = ((col.cast("long") - F.lit(int(lo))) * F.lit(m)).cast("long")
+        # pair. _span_shift guarantees numerator ≤ span·m < 2^53, so the
+        # double round-trip is bit-exact in any engine; wider columns
+        # (epoch-microsecond spans etc.) are pre-shifted down rather than
+        # silently rounding wrong.
+        v = F.shiftright((col.cast("long") - F.lit(int(lo))), shift)
+        num = (v * F.lit(m)).cast("long")
         scaled = ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("long")
         for j in range(bits):
             bit = F.shiftright(scaled, j).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, j * n + ci))
     return key
+
+
+def _span_shift(lo: int, hi: int, bits: int) -> tuple[int, int]:
+    """Quantization denominator for one z-order dimension.
+
+    Returns ``(span, shift)`` such that the input is right-shifted by
+    ``shift`` before scaling and ``span * (2^bits - 1) < 2^53`` — the
+    bound under which the remainder-subtracted double division in
+    :func:`zorder_key` is bit-exact. For narrow columns shift is 0 and
+    span = hi - lo (the original behavior); for wide columns (span beyond
+    ~1.4e11 at bits=16) the pre-shift drops low-order bits that the
+    ``bits``-bit quantization would discard anyway, so clustering quality
+    is unchanged while every engine computes the identical key."""
+    raw = max(hi - lo, 1)
+    m = (1 << bits) - 1
+    shift = 0
+    while (raw >> shift) * m >= (1 << 53):
+        shift += 1
+    return max(raw >> shift, 1), shift
 
 
 def zorder_key_sql(cols: list[str], ranges: list[tuple[int, int]], bits: int = 16) -> str:
@@ -179,8 +202,8 @@ def zorder_key_sql(cols: list[str], ranges: list[tuple[int, int]], bits: int = 1
     m = (1 << bits) - 1
     terms = []
     for ci, (col, (lo, hi)) in enumerate(zip(cols, ranges)):
-        span = max(int(hi) - int(lo), 1)
-        scaled = f"((({col} - {int(lo)}) * {m}) // {span})"
+        span, shift = _span_shift(int(lo), int(hi), bits)
+        scaled = f"(((({col} - {int(lo)}) >> {shift}) * {m}) // {span})"
         for j in range(bits):
             terms.append(f"((({scaled} >> {j}) & 1) << {j * n + ci})")
     return " | ".join(terms)

@@ -255,13 +255,42 @@ def ivf_centroids_trained(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n = corpus.count()
-    frac = min(1.0, sample_cap / max(n, 1))
-    samp = corpus.sample(False, frac, seed).limit(sample_cap)
-    feat = samp.select(
+    # Content-stable sample: Bernoulli sample() seeds per-PARTITION, so
+    # repartitioning the same corpus changes which rows it picks — the
+    # trained build would not be reproducible. Taking the sample_cap rows
+    # with the smallest seeded hash of the id is layout-independent (the
+    # same rows survive under any partitioning) and executes as a
+    # distributed per-partition top-K heap (TakeOrderedAndProject), not a
+    # full sort.
+    samp = (
+        corpus.orderBy(
+            F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc()
+        ).limit(sample_cap)
+    )
+    # coalesce(1): the sample is ≤ sample_cap rows; a single deterministic
+    # partition makes the float aggregation order in the fit reproducible
+    # (treeAggregate over a layout-dependent partitioning is not).
+    feat = samp.coalesce(1).select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feat)
+    feat = feat.persist()
+    try:
+        # best-of-restarts: k-means lands in seed-dependent local optima;
+        # fitting a few inits and keeping the lowest-cost model is the
+        # standard hardening and stays deterministic (fixed seed ladder).
+        # The fits run on the bounded cached sample — offline index-build
+        # cost, not per-query cost.
+        model = min(
+            (
+                KMeans(
+                    k=n_cells, seed=seed + r, maxIter=50, initSteps=5, tol=1e-6
+                ).fit(feat)
+                for r in range(4)
+            ),
+            key=lambda m: m.summary.trainingCost,
+        )
+    finally:
+        feat.unpersist()
     spark = corpus.sparkSession
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
@@ -290,10 +319,12 @@ def pq_codebooks_trained(
     seeded init spreads initial centroids across the sample's actual
     range, so a skewed corpus (where the low ids all sit in one tight
     cluster) still gets codebooks that cover the space."""
-    n = corpus.count()
-    frac = min(1.0, train_sample / max(n, 1))
+    # content-stable hash-ordered top-K sample for layout-independent
+    # reproducibility (see ivf_centroids_trained)
     rows = (
-        corpus.sample(False, frac, seed)
+        corpus.orderBy(
+            F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc()
+        )
         .limit(train_sample)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()

@@ -2340,8 +2340,9 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - FLOOR(start_offset / 8192) AS BIGINT) AS extra_windows
     FROM (
       SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_offset
       FROM (SELECT doc_id, source,
                    len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS n_tokens
             FROM documents)
@@ -2438,7 +2439,7 @@ def mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     per_token AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY doc_id, token),
     qual AS (
-      SELECT doc_id, SUM(cnt) AS n_tokens
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens
       FROM per_token GROUP BY doc_id
       HAVING SUM(cnt) >= 30
          AND CAST(COUNT(*) AS DOUBLE) / SUM(cnt) >= 0.5
@@ -2467,8 +2468,9 @@ def mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, n_tokens, start_offset,
            CAST(FLOOR(start_offset / 8192) AS BIGINT) AS window_id
     FROM (SELECT doc_id, source, n_tokens,
-                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                     ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tokens
+                      AS BIGINT) AS start_offset
           FROM surv)
     """,
 )

@@ -66,6 +66,22 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
 
     a, e = _normalize(actual), _normalize(expected)
     for c in a.columns:
+        # The driver's value hash is dtype-sensitive: a Spark int64 column
+        # whose oracle comes back float64 (e.g. DuckDB SUM(BIGINT) →
+        # HUGEINT → pandas float) hashes differently even when every value
+        # is numerically equal. Mirror that strictness here so the local
+        # check catches it before the driver does (round-3 failures
+        # pack_context_windows / curation_pipeline were exactly this).
+        a_num = pd.api.types.is_integer_dtype(a[c]) or pd.api.types.is_float_dtype(a[c])
+        e_num = pd.api.types.is_integer_dtype(e[c]) or pd.api.types.is_float_dtype(e[c])
+        if a_num and e_num and (
+            pd.api.types.is_integer_dtype(a[c]) != pd.api.types.is_integer_dtype(e[c])
+        ):
+            return False, (
+                f"col {c}: dtype class differs: spark={actual[c].dtype} "
+                f"oracle={expected[c].dtype} (int-vs-float; CAST the oracle "
+                f"side — DuckDB SUM(BIGINT) returns HUGEINT→float64)"
+            )
         av, ev = a[c].values, e[c].values
         if pd.api.types.is_float_dtype(a[c]):
             for i, (x, y) in enumerate(zip(av, ev)):

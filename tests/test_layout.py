@@ -236,3 +236,38 @@ def test_zorder_layout_tightens_file_stats(spark, tmp_path):
     a = sorted(map(tuple, back.collect()))
     b = sorted(map(tuple, df.collect()))
     assert a == b
+
+
+def test_zorder_key_wide_span_matches_sql_oracle(spark):
+    """zorder_key must stay bit-exact vs the DuckDB SQL mirror even when
+    (hi-lo)*(2^bits-1) exceeds 2^53 — e.g. epoch-microsecond timestamp
+    spans. The pre-shift in _span_shift keeps the floor division within
+    the double-exact bound on both engines (ADVICE r3: the old double
+    division could silently round wrong past span ~1.4e11 at bits=16)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.operators import layout as L
+
+    lo, hi = 1_700_000_000_000_000, 1_760_000_000_000_000  # ~2 years in µs
+    span = hi - lo
+    assert span * ((1 << 16) - 1) >= 1 << 53  # the regime the guard exists for
+    n = 4096
+    df = spark.range(n).select(
+        (F.lit(lo) + (F.col("id") * F.lit(span // n + 7919)) % F.lit(span + 1)).alias("ts_us"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    key = L.zorder_key([F.col("ts_us"), F.col("v")], [(lo, hi), (0, 999)], bits=16)
+    got = {
+        r["ts_us"]: r["k"]
+        for r in df.withColumn("k", key).select("ts_us", "k").collect()
+    }
+    sql_key = L.zorder_key_sql(["ts_us", "v"], [(lo, hi), (0, 999)], bits=16)
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = {
+        int(ts): int(k)
+        for ts, k in con.execute(f"SELECT ts_us, {sql_key} AS k FROM t").fetchall()
+    }
+    assert got == exp

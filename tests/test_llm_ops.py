@@ -543,3 +543,36 @@ def test_ngram_jaccard_naive_matches_prefix_filtered(spark):
     )
     assert fast == naive
     assert any(a == 7 and b == 100 for a, b, _j in fast)
+
+
+def test_trained_quantizer_builds_are_layout_independent(spark):
+    """The trained IVF/PQ builds must produce identical centroids and
+    codebooks regardless of how the corpus is partitioned: sample().limit()
+    alone selects rows partition-layout-dependently, so the builds order
+    the bounded sample by a hash of the id before the limit (ADVICE r3).
+    Repartitioning the same corpus must not change the trained index."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.operators import similarity as SIM
+
+    emb = (
+        spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    variants = [emb.repartition(3), emb.repartition(17, "vec_id"), emb.coalesce(1)]
+
+    cents = [
+        sorted(
+            (r["cell"], tuple(round(x, 9) for x in r["centroid"]))
+            for r in SIM.ivf_centroids_trained(v, n_cells=4, sample_cap=256).collect()
+        )
+        for v in variants
+    ]
+    assert cents[0] == cents[1] == cents[2]
+
+    books = [
+        SIM.pq_codebooks_trained(v, n_subspaces=4, n_centroids=8, train_sample=256)
+        for v in variants
+    ]
+    assert np.array_equal(books[0], books[1]) and np.array_equal(books[0], books[2])

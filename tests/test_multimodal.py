@@ -518,3 +518,19 @@ def test_avi_frame_hashes_match_raw(spark):
     raw_h = {key(r): r.dhash for r in AV.video_frame_dhashes(raw_df, every_n=3).collect()}
     avi_h = {key(r): r.dhash for r in AV.video_frame_dhashes(avi_df, every_n=3).collect()}
     assert raw_h == avi_h
+
+
+def test_avi_frame_chunk_before_strf_is_a_format_error():
+    """A malformed AVI whose first '00db' frame chunk precedes the strf
+    stream-format header must fail with a clear ValueError, not an opaque
+    TypeError from the stride arithmetic on w=None (ADVICE r3)."""
+    import struct
+
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    frame = b"\x00" * 12
+    chunk = b"00db" + struct.pack("<I", len(frame)) + frame
+    body = b"AVI " + chunk
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="frame chunk before strf"):
+        AV.decode_avi_rgb(blob)
