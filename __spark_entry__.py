@@ -55,6 +55,7 @@ def _previously_green() -> set[str]:
 # other never-verified names so they cannot fall outside the driver's
 # fixed-size check window.
 _PRIORITY = [
+    "multimodal_image_search_jpeg",
     "stream_passage_dedup",
     "stream_exact_doc_dedup",
     "stream_ann_brute_topk",

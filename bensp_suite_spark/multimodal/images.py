@@ -83,11 +83,11 @@ def encode_raw_rgb(rgb: np.ndarray) -> bytes:
 
 def decode_image(payload: bytes, fmt: str) -> np.ndarray:
     """→ (H, W, 3) uint8 RGB. PNG decodes through the pure-Python codec
-    below (zlib + the five per-row filters — real in this container, no
-    Pillow); JPEG needs libjpeg/Pillow (a real cluster gets it for free —
-    the reference ingests JPEGs the same way, apps/ferret/src/image/
-    image.c:314-358) and stays an honest STUB here. The surrounding
-    pipeline is format-agnostic."""
+    below (zlib + the five per-row filters); JPEG through the pure
+    baseline-DCT codec in multimodal/jpeg.py — both real in this
+    container, no Pillow required (the reference ingests compressed
+    images through libjpeg, apps/ferret/src/image/image.c:314-358). The
+    surrounding pipeline is format-agnostic."""
     if fmt == "raw-rgb":
         w, h = struct.unpack_from("<II", payload, 0)
         arr = np.frombuffer(payload, dtype=np.uint8, offset=8)
@@ -105,16 +105,24 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
         with Image.open(io.BytesIO(payload)) as img:
             return np.asarray(img.convert("RGB"), dtype=np.uint8)
     if fmt == "jpeg":
+        # Always the pure decoder: its float64 IDCT is bit-deterministic
+        # on every platform, unlike libjpeg whose integer IDCT variants
+        # differ across builds — JPEG is lossy, so a library swap would
+        # silently shift pixels (and with them dedup keys and goldens).
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if fmt == "jpeg-libjpeg":
+        # opt-in C-speed path for deployments that prefer throughput over
+        # bit reproducibility; falls back to the pure decoder
         try:
             import io
 
             from PIL import Image
         except ImportError:
-            raise NotImplementedError(
-                f"STUB: {fmt} decode requires an image codec library (Pillow/"
-                "libjpeg), not available in this container; use "
-                "format='raw-rgb' or 'png' for tests"
-            ) from None
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         with Image.open(io.BytesIO(payload)) as img:
             return np.asarray(img.convert("RGB"), dtype=np.uint8)
     raise ValueError(f"unknown image format {fmt!r}")
@@ -716,6 +724,32 @@ def synthetic_png_images(spark, n: int = 12, size: int = 32, seed: int = 31):
         rows.append(
             (i, f"img_{i:05d}.png", "png", size, size,
              encode_png(img, row_filters=[0, 1, 2, 3, 4]))
+        )
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA).coalesce(max(1, n))
+
+
+def synthetic_jpeg_images(
+    spark, n: int = 12, size: int = 32, seed: int = 31, quality: int = 90
+):
+    """The ``synthetic_images`` pixel content, JPEG-encoded through the
+    pure-Python baseline codec (multimodal/jpeg.py) with 4:2:0 chroma
+    subsampling and a restart interval — the dominant crawl-JPEG shape,
+    exercising the full marker/RST/Huffman decode surface. JPEG is lossy,
+    so the matching golden pins the decode of these exact bytes (the
+    codec's own round-trip accuracy is unit-tested separately)."""
+    from .jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        img = np.full((size, size, 3), rng.integers(0, 80, 3), dtype=np.uint8)
+        for _ in range(int(rng.integers(1, 4))):
+            x0, y0 = rng.integers(0, size // 2, 2)
+            dx, dy = rng.integers(size // 4, size // 2, 2)
+            img[x0 : x0 + dx, y0 : y0 + dy] = rng.integers(100, 255, 3)
+        rows.append(
+            (i, f"img_{i:05d}.jpg", "jpeg", size, size,
+             encode_jpeg(img, quality=quality, subsample=True, restart_interval=2))
         )
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA).coalesce(max(1, n))
 

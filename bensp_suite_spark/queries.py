@@ -3063,6 +3063,28 @@ def multimodal_image_search_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FP.ferret_topk(vecsets, vecsets, top_k=3, mode="exhaustive")
 
 
+@query("multimodal_image_search_jpeg")
+def multimodal_image_search_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 over baseline JPEG in-container: the synthetic corpus encoded
+    through the pure-Python JPEG codec (multimodal/jpeg.py — 4:2:0
+    subsampling, restart markers, standard Annex K tables), decoded
+    inside the vecset stage, then ferret top-3. JPEG is lossy, so the
+    golden pins the vecsets of the DECODE of these exact bytes, computed
+    by the independent non-Spark reference path (tools/
+    golden_reference.py) — the codec's fidelity itself is unit-tested in
+    tests/test_multimodal.py. Reference ingest: apps/ferret/src/image/
+    image.c:314-358 (libjpeg path)."""
+    from .ferret import pipeline as FP
+    from .multimodal import images as IM
+    from .session import pooled_persist
+
+    imgs = IM.synthetic_jpeg_images(spark, n=12, size=32)
+    vecsets = pooled_persist(
+        IM.images_to_vecsets(imgs), "q.multimodal_search_jpeg.vecsets"
+    )
+    return FP.ferret_topk(vecsets, vecsets, top_k=3, mode="exhaustive")
+
+
 @query("multimodal_image_phash_dedup")
 def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT-pHash image near-dup detection — the frequency-domain

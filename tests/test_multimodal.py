@@ -97,9 +97,9 @@ def test_extract_features_invariants():
 
 
 def test_image_decode_adapter_and_routing():
-    """Format routing: raw-rgb always real, jpeg/png via Pillow when the
-    library is importable (round-trip checked) and a clearly-marked stub
-    when absent (this container), unknown formats rejected."""
+    """Format routing: raw-rgb always real, png via Pillow when
+    importable (lossless → byte-exact either way), jpeg always through
+    the pure bit-deterministic codec, unknown formats rejected."""
     try:
         import io
 
@@ -113,9 +113,9 @@ def test_image_decode_adapter_and_routing():
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, format="PNG")  # lossless → byte-exact
         assert IM.decode_image(buf.getvalue(), "png").tobytes() == img.tobytes()
-    else:
-        with pytest.raises(NotImplementedError, match="STUB"):
-            IM.decode_image(b"\xff\xd8\xff", "jpeg")
+    # truncated JPEG → clear format error from the pure decoder
+    with pytest.raises(ValueError):
+        IM.decode_image(b"\xff\xd8\xff", "jpeg")
     with pytest.raises(ValueError, match="unknown image format"):
         IM.decode_image(b"", "tiff")
 
@@ -534,3 +534,88 @@ def test_avi_frame_chunk_before_strf_is_a_format_error():
     blob = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="frame chunk before strf"):
         AV.decode_avi_rgb(blob)
+
+
+def test_jpeg_codec_round_trip_fidelity():
+    """Pure-Python baseline JPEG: smooth content must round-trip with
+    small error at high quality (q100 near-lossless), in both 4:4:4 and
+    4:2:0, including odd (non-MCU-multiple) sizes. Reference ingests
+    JPEG via libjpeg (apps/ferret/src/image/image.c:314-358)."""
+    from bensp_suite_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    for h, w in [(32, 32), (17, 23), (8, 8), (40, 24)]:
+        x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+        y = np.linspace(0, 255, h)[:, None] * np.ones((1, w))
+        img = np.stack([x, y, (x + y) / 2], axis=-1).astype(np.uint8)
+        out444 = decode_jpeg(encode_jpeg(img, quality=95, subsample=False))
+        assert out444.shape == img.shape
+        assert np.abs(out444.astype(int) - img.astype(int)).max() <= 4
+        out420 = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+        # 4:2:0 replication upsampling stair-steps a steep chroma
+        # gradient; over an 8-px image the full 0→255 ramp spans only 4
+        # chroma samples, so allow proportionally more error there
+        bound = 8.0 if min(h, w) <= 8 else 4.0
+        assert np.abs(out420.astype(int) - img.astype(int)).mean() < bound
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=100, subsample=False))
+    assert np.abs(out.astype(int) - noise.astype(int)).mean() < 1.0
+
+    flat = np.full((16, 16, 3), 120, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, quality=90)), flat
+    )
+
+
+def test_jpeg_codec_grayscale_and_restart_markers():
+    from bensp_suite_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95, subsample=False))
+    assert out.shape == (16, 16, 3)
+    assert (out[..., 0] == out[..., 1]).all() and (out[..., 1] == out[..., 2]).all()
+
+    x = np.linspace(0, 255, 40)[None, :] * np.ones((56, 1))
+    y = np.linspace(0, 255, 56)[:, None] * np.ones((1, 40))
+    img = np.stack([x, y, (x + y) / 2], axis=-1).astype(np.uint8)
+    for sub in (False, True):
+        base = decode_jpeg(encode_jpeg(img, 90, subsample=sub))
+        for ri in (1, 2, 5):
+            # DRI/RSTn must not change a single pixel vs the no-RST stream
+            out = decode_jpeg(
+                encode_jpeg(img, 90, subsample=sub, restart_interval=ri)
+            )
+            assert np.array_equal(out, base)
+
+
+def test_jpeg_codec_rejects_bad_streams():
+    import struct
+
+    from bensp_suite_spark.multimodal.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02\x03")
+    # progressive (SOF2) is out of scope and must say so
+    sof2 = (b"\xFF\xD8" + b"\xFF\xC2" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(sof2)
+    with pytest.raises(ValueError, match="no scan"):
+        decode_jpeg(b"\xFF\xD8\xFF\xD9")
+
+
+def test_decode_image_routes_jpeg_through_pure_codec():
+    """fmt='jpeg' must use the bit-deterministic pure decoder (goldens
+    depend on it); fmt='jpeg-libjpeg' may prefer Pillow but falls back to
+    the pure decoder in this container."""
+    from bensp_suite_spark.multimodal import images as IM
+    from bensp_suite_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    blob = encode_jpeg(img, quality=90)
+    assert np.array_equal(IM.decode_image(blob, "jpeg"), decode_jpeg(blob))
+    out = IM.decode_image(blob, "jpeg-libjpeg")
+    assert out.shape == (16, 16, 3)

@@ -585,6 +585,29 @@ def multimodal_image_search_png(sf_dir: str):
     return FERRET_COLS, _ferret_exhaustive(vecsets, qids, top_k=3)
 
 
+def multimodal_image_search_jpeg(sf_dir: str):
+    """Pin for the JPEG-ingest variant. JPEG is lossy, so unlike the PNG
+    pin this rides through the codec: encode the source pixels and
+    decode them back with the pure numpy codec (NO Spark anywhere), then
+    compute vecsets. This independently verifies the distributed ingest
+    plumbing (schema, batching, decode routing, ferret join); the codec's
+    own fidelity is unit-tested in tests/test_multimodal.py."""
+    from bensp_suite_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    images = [
+        (
+            iid,
+            f"img_{iid:05d}.jpg",
+            decode_jpeg(encode_jpeg(arr, quality=90, subsample=True,
+                                    restart_interval=2)),
+        )
+        for iid, _name, arr in _synthetic_images()
+    ]
+    vecsets = _image_vecsets(images)
+    qids = [iid for iid, _n, _r in vecsets]
+    return FERRET_COLS, _ferret_exhaustive(vecsets, qids, top_k=3)
+
+
 def multimodal_image_stats(sf_dir: str):
     rows = []
     for iid, _name, regions in _image_vecsets(_synthetic_images()):
@@ -714,6 +737,7 @@ REFERENCE_FNS = {
     "ferret_topk_multiregion": ferret_topk_multiregion,
     "multimodal_image_search": multimodal_image_search,
     "multimodal_image_search_png": multimodal_image_search_png,
+    "multimodal_image_search_jpeg": multimodal_image_search_jpeg,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_image_dedup": multimodal_image_dedup,
     "multimodal_audio_dedup": multimodal_audio_dedup,
