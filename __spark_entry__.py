@@ -56,6 +56,8 @@ def _previously_green() -> set[str]:
 # fixed-size check window.
 _PRIORITY = [
     "multimodal_image_search_jpeg",
+    "stream_interval_join",
+    "stream_session_windows",
     "stream_passage_dedup",
     "stream_exact_doc_dedup",
     "stream_ann_brute_topk",

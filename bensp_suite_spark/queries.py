@@ -3244,6 +3244,122 @@ def stream_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_EVENT_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id, v.event_id AS view_id,
+           c.ts AS click_ts, v.ts AS view_ts
+    FROM events c JOIN events v ON c.user_id = v.user_id
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+      AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 15 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join as a driver row: clicks and views
+    replayed as two independent micro-batched streams (time-ordered
+    slices — repartitionByRange on ts with mtimes pinned to part order,
+    so the file source's modification-time replay IS the event-time
+    order and the watermark never drops a row as late). Each click pairs
+    with the same user's views in the preceding 15 minutes; the inner
+    join emits every match exactly once regardless of batching, so the
+    full output is deterministic and equals the batch SQL self-join.
+    State bound per side ≈ rate × (interval + watermark) per user_id;
+    partitioned by the join key → horizontally scalable, RocksDB-backed
+    at 100 TB like the dedup state."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming import event_streams as ES
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="bensp_stream_ij_")
+    for name, side in (("c", "click"), ("v", "view")):
+        df = ev.filter(F.col("event_type") == side)
+        df.repartitionByRange(3, "ts").write.parquet(f"{base}/{name}")
+        for i, p in enumerate(sorted(_glob.glob(f"{base}/{name}/part-*.parquet"))):
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    c_s = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/c")
+    )
+    v_s = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/v")
+    )
+    ES.run_to_parquet(ES.interval_join(c_s, v_s), f"{base}/out", f"{base}/ckpt")
+    result = spark.read.parquet(f"{base}/out").localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization as a driver row: the events
+    table replayed as a stream, session_window + watermark in append
+    mode (each session emits exactly once, when the watermark passes its
+    close). A far-future sentinel event advances the final watermark so
+    every real session finalizes under availableNow; the emitted set
+    must equal the batch lag/cumsum sessionization — the streaming
+    counterpart of a5_session_windows, sharing its oracle."""
+    import shutil
+    import tempfile
+
+    from .streaming import event_streams as ES
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    sentinel = ev.limit(1).select(
+        F.lit(999_999_999).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 3650 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="bensp_stream_sess_")
+    ev.unionByName(sentinel).repartition(5).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(_EVENT_STREAM_SCHEMA).parquet(f"{base}/src")
+    ES.run_to_parquet(ES.session_counts(stream), f"{base}/out", f"{base}/ckpt")
+    result = (
+        spark.read.parquet(f"{base}/out")
+        .filter(F.col("user_id") >= 0)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 _INCR_HISTORY_SQL = "SELECT doc_id, text FROM documents"
 _INCR_NEW_SQL = f"""
   SELECT doc_id + {DT.AUG_OFFSET} AS doc_id,
@@ -3277,7 +3393,15 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_copies = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 2 * DT.AUG_OFFSET).alias("doc_id"), "text"
     )
-    new_batch = jitter.unionByName(exact_copies)
+    # The derived batch (split/slice/join jitter) feeds BOTH the exact
+    # branch (md5 normalize) and the near branch (simhash tokenize);
+    # persisting it computes the derivation once instead of per-branch —
+    # at scale the incoming batch is materialized input anyway.
+    from .session import pooled_persist
+
+    new_batch = pooled_persist(
+        jitter.unionByName(exact_copies), "q.dedup_incremental.new_batch"
+    )
     return DT.incremental_dedup(new_batch, history, max_hamming=3)
 
 
