@@ -58,6 +58,9 @@ _PRIORITY = [
     "multimodal_image_search_jpeg",
     "stream_interval_join",
     "stream_session_windows",
+    "graph_pagerank_copurchase",
+    "skew_salted_distinct_users",
+    "stream_per_key_quota",
     "stream_passage_dedup",
     "stream_exact_doc_dedup",
     "stream_ann_brute_topk",

@@ -2760,6 +2760,78 @@ def a_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COPURCHASE_EDGES_SQL = """
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+
+
+def _graph_pagerank_oracle() -> str:
+    from .operators.graph import pagerank_int_oracle_sql
+
+    return pagerank_int_oracle_sql(_COPURCHASE_EDGES_SQL, iterations=3)
+
+
+@query("graph_pagerank_copurchase", oracle=_graph_pagerank_oracle())
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis scoring of the part co-purchase graph: fixed-point
+    integer PageRank (operators/graph.pagerank_int), 3 iterations,
+    damping 0.85. Integer ranks make the iteration EXACT — float
+    PageRank re-associates neighbor sums under different partitionings
+    and could never value-match an oracle (or even its own re-run).
+    Scale shape: edges build with one exchange on the order key (basket
+    explode, fan-out = basket², never corpus²) + a distinct; each
+    iteration is one key join + one aggregation exchange, AQE handling
+    hub skew; lineage truncates via localCheckpoint on long runs."""
+    from .operators.graph import pagerank_int
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    ex = baskets.select(F.explode("parts").alias("src"), F.col("parts"))
+    edges = (
+        ex.select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank_int(edges, iterations=3)
+
+
+@query(
+    "skew_salted_distinct_users",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count under key skew via explicit salting
+    (operators/relational.salted_agg): event_type has a handful of hot
+    values, so a plain collect_set ships every occurrence of a hot key
+    to ONE reducer; the salt fans each hot key across 16 reducers for
+    the set partials and merges one pre-shrunk row per (key, salt).
+    This is the documented heavy-state regime where salting beats plain
+    groupBy (map-side combine already handles skewed SUM/COUNT). The
+    result is identical to the unsalted plan — that is the point."""
+    from .operators.relational import salted_agg
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    out = salted_agg(
+        ev,
+        "event_type",
+        [("users", "collect_set", "user_id"), ("n_events", "count", "user_id")],
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.size("users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 @query(
     "copurchase_pairs",
     oracle="""
@@ -3354,6 +3426,54 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = (
         spark.read.parquet(f"{base}/out")
         .filter(F.col("user_id") >= 0)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+@query(
+    "stream_per_key_quota",
+    oracle="""
+    SELECT source,
+           CAST(LEAST(COUNT(*), 40) AS BIGINT) AS n_admitted,
+           CAST(COUNT(*) AS BIGINT) AS n_offered
+    FROM documents GROUP BY source
+    """,
+)
+def stream_per_key_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key admission quota as a driver row — the T8 keyed-state
+    surface (applyInPandasWithState) under the external value check:
+    documents stream in over 3 micro-batches and each source admits at
+    most 40 docs ACROSS batches (state carries the running count).
+    WHICH docs are admitted is arrival order; the admitted COUNT per key
+    is not — it must equal LEAST(total, quota) exactly, which is the
+    deterministic surface the oracle checks (n_offered joins the full
+    per-key totals so under-admission and over-admission both fail)."""
+    import shutil
+    import tempfile
+
+    from .streaming import quota_stream as QS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = tempfile.mkdtemp(prefix="bensp_stream_quota_")
+    docs.repartition(3).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    QS.stream_per_key_quota(
+        spark, stream, f"{base}/out", f"{base}/ckpt",
+        key="source", quota=40, output_schema="doc_id long, source string",
+    )
+    admitted = spark.read.parquet(f"{base}/out")
+    offered = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_offered"))
+    result = (
+        admitted.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+        .join(offered, "source")
+        .select("source", "n_admitted", "n_offered")
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(base, ignore_errors=True)

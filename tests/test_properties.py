@@ -206,3 +206,39 @@ def test_reference_chunker_matches_pipeline_chunker(data):
     from golden_reference import chunk_offsets_ref
 
     assert chunk_offsets_ref(data) == rabin.chunk_offsets(data)
+
+
+def test_pagerank_int_matches_scalar_reference_and_is_layout_independent(spark):
+    """pagerank_int must equal a scalar pure-Python run of the same
+    integer recurrence bit-for-bit, under any partitioning of the edge
+    list — the property float PageRank cannot have (neighbor-sum
+    re-association) and the reason the operator is fixed-point."""
+    import numpy as np
+
+    from bensp_suite_spark.operators.graph import RANK_SCALE, pagerank_int
+
+    rng = np.random.default_rng(42)
+    n_nodes, n_edges = 60, 400
+    raw = {(int(a), int(b))
+           for a, b in rng.integers(0, n_nodes, (n_edges, 2)) if a != b}
+    # undirected: both directions so every node with an edge has out-deg ≥ 1
+    edges = sorted(raw | {(b, a) for a, b in raw})
+
+    # scalar reference
+    from collections import defaultdict
+    deg = defaultdict(int)
+    for a, _b in edges:
+        deg[a] += 1
+    ranks = {a: RANK_SCALE for a in deg}
+    base = 15 * RANK_SCALE // 100
+    for _ in range(3):
+        mass = defaultdict(int)
+        for a, b in edges:
+            mass[b] += ranks[a] // deg[a]
+        ranks = {a: base + (85 * mass[a]) // 100 for a in deg}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for variant in (df.repartition(7), df.coalesce(1), df.repartition(13, "dst")):
+        got = {r["node"]: r["rank"]
+               for r in pagerank_int(variant, iterations=3).collect()}
+        assert got == ranks
