@@ -464,6 +464,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if d[pos] != 0xFF or pos + 1 >= len(d):
             raise ValueError(f"JPEG: expected marker at {pos}")
         marker = d[pos + 1]
+        if marker == 0xFF:           # optional fill bytes before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:                       # EOI
             break

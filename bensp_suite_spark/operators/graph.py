@@ -48,8 +48,18 @@ def pagerank_int(
     every step in long arithmetic, so any engine computes the identical
     ranks in any summation order.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Materialize the edge list and degree table once: every iteration
+    # references both, and without truncation each iteration's plan would
+    # re-derive them from scratch (for a derived edge list — e.g. the
+    # basket explode in graph_pagerank_copurchase — that triples the work
+    # at 3 iterations). localCheckpoint pins them in executor storage,
+    # same as the connected-components loop.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     base = (100 - damping_pct) * RANK_SCALE // 100
     ranks = deg.select("src", F.lit(RANK_SCALE).cast("long").alias("rank"))
     for i in range(iterations):

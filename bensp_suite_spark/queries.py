@@ -3356,7 +3356,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="bensp_stream_ij_")
     for name, side in (("c", "click"), ("v", "view")):
         df = ev.filter(F.col("event_type") == side)
-        df.repartitionByRange(3, "ts").write.parquet(f"{base}/{name}")
+        # 2 slices per side: cross-batch state is exercised (the first
+        # batch's unmatched rows must pair with the second batch's other
+        # side) at half the trigger cost of finer slicing
+        df.repartitionByRange(2, "ts").write.parquet(f"{base}/{name}")
         for i, p in enumerate(sorted(_glob.glob(f"{base}/{name}/part-*.parquet"))):
             _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
     c_s = (
