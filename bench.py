@@ -407,6 +407,26 @@ def main() -> None:
     # local mode driver==executor, so this is the per-executor figure.
     peak_heap_mb = round(listener.peak_heap_bytes / (1 << 20), 1)
 
+    # Single-thread kernel probe in a subprocess (BASELINE's 41 MB/s is a
+    # single-core figure; the 32-way per-core number above is bandwidth-
+    # shared). Skipped silently on any failure — the headline entries
+    # above must not depend on a second JVM coming up.
+    single_thread = {}
+    try:
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, "-m", "bensp_suite_spark.bench.single_core", "256"],
+            capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for ln in reversed(proc.stdout.strip().splitlines()):
+            if ln.startswith("{"):
+                single_thread = json.loads(ln)
+                break
+    except Exception:
+        single_thread = {}
+
     total = round(sum(times.values()), 4)
     payload = {
                 "metric": "declared_query_suite_time",
@@ -449,6 +469,9 @@ def main() -> None:
                     "dedup_large_peak_heap_mb": large_peak_heap_mb,
                     "ann_pq_trained_build_query_sec": pq_trained_sec,
                     "ann_pq_deterministic_build_query_sec": pq_det_sec,
+                    "dedup_single_thread_input_mb": single_thread.get("input_mb"),
+                    "dedup_single_thread_mbps": single_thread.get("mbps_gzip"),
+                    "dedup_single_thread_none_mbps": single_thread.get("mbps_none"),
                 },
             }
     # Full per-query payload goes to a FILE; the stdout line stays short.

@@ -311,33 +311,44 @@ def _blocks(plane: np.ndarray) -> np.ndarray:
 def encode_jpeg(
     rgb: np.ndarray,
     quality: int = 85,
-    subsample: bool = True,
+    subsample: bool | str = True,
     restart_interval: int = 0,
 ) -> bytes:
     """(H, W, 3) uint8 RGB (or (H, W) grayscale) → baseline JFIF bytes.
 
-    ``subsample=True`` emits 4:2:0 (the dominant crawl shape);
-    ``False`` emits 4:4:4. Standard Annex K Huffman tables, one
-    interleaved scan; ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs (the error-resilience feature real crawl JPEGs
-    carry, and the decoder path that needs test coverage)."""
+    ``subsample``: ``True``/``"420"`` emits 4:2:0 (the dominant crawl
+    shape), ``"422"`` emits 4:2:2, ``False``/``"444"`` emits 4:4:4.
+    Standard Annex K Huffman tables, one interleaved scan;
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (the error-resilience feature real crawl JPEGs carry, and the
+    decoder path that needs test coverage)."""
     gray = rgb.ndim == 2
     if gray:
         planes = [rgb.astype(np.float64)]
         samps = [(1, 1)]
     else:
+        # subsample: True/"420" → 4:2:0, "422" → 4:2:2, False/"444" → 4:4:4
+        mode = {True: "420", False: "444"}.get(subsample, subsample)
         ycc = _rgb_to_ycbcr(rgb)
         y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
-        if subsample:
-            cbp = _pad_to_block(cb, 2, 2)
-            crp = _pad_to_block(cr, 2, 2)
-            cb = (cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2)
-                  .mean(axis=(1, 3)))
-            cr = (crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2)
-                  .mean(axis=(1, 3)))
+        if mode == "420":
+            fh, fw = 2, 2
             samps = [(2, 2), (1, 1), (1, 1)]
-        else:
+        elif mode == "422":
+            fh, fw = 1, 2
+            samps = [(2, 1), (1, 1), (1, 1)]
+        elif mode == "444":
+            fh, fw = 1, 1
             samps = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unknown subsampling mode {subsample!r}")
+        if fh * fw > 1:
+            cbp = _pad_to_block(cb, fh, fw)
+            crp = _pad_to_block(cr, fh, fw)
+            cb = (cbp.reshape(cbp.shape[0] // fh, fh, cbp.shape[1] // fw, fw)
+                  .mean(axis=(1, 3)))
+            cr = (crp.reshape(crp.shape[0] // fh, fh, crp.shape[1] // fw, fw)
+                  .mean(axis=(1, 3)))
         planes = [y, cb, cr]
 
     h, w = rgb.shape[:2]

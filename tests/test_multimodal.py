@@ -619,3 +619,21 @@ def test_decode_image_routes_jpeg_through_pure_codec():
     assert np.array_equal(IM.decode_image(blob, "jpeg"), decode_jpeg(blob))
     out = IM.decode_image(blob, "jpeg-libjpeg")
     assert out.shape == (16, 16, 3)
+
+
+def test_jpeg_codec_422_subsampling():
+    """4:2:2 exercises the (2,1) sampling-factor decode path (the third
+    real-world chroma layout); bool aliases stay byte-identical to their
+    string forms."""
+    from bensp_suite_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 24)[None, :] * np.ones((40, 1))
+    y = np.linspace(0, 255, 40)[:, None] * np.ones((1, 24))
+    img = np.stack([x, y, (x + y) / 2], axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample="422"))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 5.0
+    assert encode_jpeg(img, 85, True) == encode_jpeg(img, 85, "420")
+    assert encode_jpeg(img, 85, False) == encode_jpeg(img, 85, "444")
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, 85, "411")
