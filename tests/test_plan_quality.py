@@ -446,3 +446,17 @@ def test_new_tpch_shapes_no_python_udfs_and_broadcast_dims(spark):
         PL.assert_no_python_udf(_df(spark, name), what=name)
     for name in ["q7_volume_shipping", "q9_product_profit", "q14_promo_revenue"]:
         PL.assert_broadcast_join(_df(spark, name))
+
+
+def test_round4_queries_plan_quality(spark):
+    """Round-4 additions stay JVM-side and scale-shaped: PageRank and the
+    salted distinct plan contain no Python UDFs; the salted plan carries
+    the two-exchange signature (finer exchange on (key, salt) before the
+    merge exchange on key)."""
+    for name in ("graph_pagerank_copurchase", "skew_salted_distinct_users",
+                 "pack_context_windows", "mixture_downsample"):
+        PL.assert_no_python_udf(_df(spark, name), what=name)
+
+    plan = _df(spark, "skew_salted_distinct_users")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") >= 2, plan[:2000]
+    assert "_salt" in plan
