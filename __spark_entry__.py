@@ -61,6 +61,8 @@ _PRIORITY = [
     "graph_pagerank_copurchase",
     "skew_salted_distinct_users",
     "stream_per_key_quota",
+    "source_csv_scan",
+    "source_jsonl_scan",
     "stream_passage_dedup",
     "stream_exact_doc_dedup",
     "stream_ann_brute_topk",

@@ -3316,6 +3316,84 @@ def stream_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@query(
+    "source_csv_scan",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as an interchange source: the documents table round-trips
+    through headered CSV files (numeric + key columns — the schema-clean
+    export shape) and the scan back uses an EXPLICIT schema (no
+    inference pass — at 100 TB inference is a second full read). The
+    re-aggregated totals must equal the parquet truth exactly; integer
+    columns make the parity bit-exact."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    base = tempfile.mkdtemp(prefix="bensp_csv_")
+    docs.write.mode("overwrite").option("header", True).csv(f"{base}/docs")
+    back = (
+        spark.read.schema("doc_id long, source string, n_chars long")
+        .option("header", True)
+        .csv(f"{base}/docs")
+    )
+    result = (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+@query(
+    "source_jsonl_scan",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def source_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as an interchange source — the format crawl corpora
+    actually arrive in. The FULL text column rides through the JSON
+    writer/reader (escaping must be lossless: the md5-distinct count
+    over the round-tripped text must equal the parquet truth, so a
+    single mangled character fails the hash). Explicit schema on the
+    read, no inference scan."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = tempfile.mkdtemp(prefix="bensp_jsonl_")
+    docs.write.mode("overwrite").json(f"{base}/docs")
+    back = spark.read.schema("doc_id long, source string, text string").json(
+        f"{base}/docs"
+    )
+    result = (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 _EVENT_STREAM_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double"
 )
