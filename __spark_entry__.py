@@ -63,6 +63,7 @@ _PRIORITY = [
     "stream_per_key_quota",
     "source_csv_scan",
     "source_jsonl_scan",
+    "ann_ivf_upsert_topk",
     "stream_passage_dedup",
     "stream_exact_doc_dedup",
     "stream_ann_brute_topk",

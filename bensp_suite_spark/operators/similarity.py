@@ -977,6 +977,37 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def upsert_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance — the daily-increment pattern for
+    vector corpora: assign ONLY the new vectors to the EXISTING
+    centroids and append their (vector, cell) rows to the assignments
+    table. No rebuild: the full-corpus re-assignment scan (the expensive
+    part at 100 TB) is skipped, and because cell assignment is pure
+    deterministic arithmetic against fixed centroids, the upserted index
+    is row-identical to a from-scratch build over the union corpus with
+    the same centroids (asserted by the ann_ivf_upsert_topk oracle and
+    tests). Centroid drift under sustained growth is the operational
+    knob: retrain (save_ivf_index) when cell-size skew degrades probe
+    recall — same contract as FAISS's add() vs retrain."""
+    cent = spark.read.parquet(path + "/centroids")
+    add = ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        cent,
+        1,
+        "neighbor_id",
+        "cv",
+    )
+    add.write.mode("append").parquet(path + "/cells")
+
+
 def save_lsh_index(
     corpus: DataFrame,
     path: str,

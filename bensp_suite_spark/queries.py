@@ -3891,6 +3891,34 @@ def ann_ivf_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann_topk(q, emb, k=5, n_cells=16, n_probe=2, index=idx)
 
 
+@query(
+    "ann_ivf_upsert_topk",
+    oracle=SIM.ivf_topk_oracle_sql(k=5, max_query_id=8, n_cells=16, n_probe=2),
+)
+def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance under the value check: the index is
+    built over the FIRST HALF of the corpus only, then the second half
+    is UPSERTED (assigned to the existing centroids and appended — no
+    full-corpus rebuild, the daily-increment pattern). Because the
+    deterministic centroids come from the lowest ids (all in the first
+    half) and assignment is pure arithmetic, the upserted index must
+    answer queries identically to a from-scratch build over everything —
+    it shares ann_ivf_topk's exact SQL oracle."""
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = _ANN_INDEX_CACHE.get(("ivf_upsert", sf_dir))
+    if path is None:
+        path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/ivf_upsert"
+        half = emb.agg((F.max("vec_id") / 2).cast("long").alias("m")).collect()[0]["m"]
+        SIM.save_ivf_index(emb.filter(F.col("vec_id") <= half), path, n_cells=16)
+        SIM.upsert_ivf_index(spark, path, emb.filter(F.col("vec_id") > half))
+        _ANN_INDEX_CACHE[("ivf_upsert", sf_dir)] = path
+    idx = SIM.load_ivf_index(spark, path)
+    return SIM.ivf_ann_topk(q, emb, k=5, n_cells=16, n_probe=2, index=idx)
+
+
 @query("ann_pq_prebuilt_topk")
 def ann_pq_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN against a PERSISTED index (codebooks + compressed codes in

@@ -576,3 +576,25 @@ def test_trained_quantizer_builds_are_layout_independent(spark):
         for v in variants
     ]
     assert np.array_equal(books[0], books[1]) and np.array_equal(books[0], books[2])
+
+
+def test_ivf_upsert_equals_full_rebuild(spark, tmp_path):
+    """upsert_ivf_index must leave the assignments table row-identical
+    (as a set) to a from-scratch build over the union corpus with the
+    same centroids — incremental maintenance is a pure append of
+    deterministic assignments, never an approximation."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    half = emb.agg(F.expr("cast(max(vec_id)/2 as long)").alias("m")).collect()[0]["m"]
+    up_path = str(tmp_path / "up")
+    SIM.save_ivf_index(emb.filter(F.col("vec_id") <= half), up_path, n_cells=8)
+    SIM.upsert_ivf_index(spark, up_path, emb.filter(F.col("vec_id") > half))
+    full_path = str(tmp_path / "full")
+    SIM.save_ivf_index(emb, full_path, n_cells=8)
+
+    def cells(path):
+        _cent, c = SIM.load_ivf_index(spark, path)
+        return {(r["neighbor_id"], r["cell"]) for r in c.collect()}
+
+    assert cells(up_path) == cells(full_path)
