@@ -1037,6 +1037,54 @@ def load_lsh_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def upsert_lsh_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental LSH maintenance: signatures for the new vectors only
+    (hyperplanes are seed-derived, identical to the original build) are
+    appended — row-identical to a full rebuild over the union corpus.
+    Same contract as ``upsert_ivf_index``; the ``dim/n_planes/n_tables``
+    parameters must match the original build (they parameterize the
+    seeded hyperplane draw)."""
+    add = lsh_index(
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv",
+        dim,
+        n_planes,
+        n_tables,
+    )
+    add.write.mode("append").parquet(path)
+
+
+def upsert_pq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental PQ maintenance: encode ONLY the new vectors with the
+    PERSISTED codebooks and append their codes — the Lloyd training and
+    the full-corpus encode scan are both skipped. Codes are
+    deterministic per (codebooks, vector), so the upserted codes table
+    is row-identical to re-encoding the union corpus with the same
+    codebooks. Codebook drift under sustained growth is the retrain
+    knob, as with IVF centroids."""
+    books, _codes = load_pq_index(spark, path)
+    pq_encode(new_vectors, books, id_col, vec_col).write.mode("append").parquet(
+        path + "/codes"
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_cells: int = 16,

