@@ -68,6 +68,17 @@ def main(argv: list[str] | None = None) -> int:
     mk.add_argument("-t", "--threads", type=int, default=None)
     mk.add_argument("-v", "--verbose", action="store_true")
 
+    up = sub.add_parser(
+        "upsert",
+        help="append new vectors to an existing index (no rebuild; "
+             "assignments/signatures/codes are deterministic, so the "
+             "upserted index answers identically to a full rebuild)",
+    )
+    up.add_argument("embeddings", help="NEW vectors parquet path")
+    up.add_argument("index_dir", help="existing index directory (from mkdb)")
+    up.add_argument("-t", "--threads", type=int, default=None)
+    up.add_argument("-v", "--verbose", action="store_true")
+
     q = sub.add_parser("query", help="top-k cosine neighbors per query vector")
     q.add_argument("embeddings", help="corpus embeddings parquet path")
     q.add_argument("queries", help="query embeddings parquet path")
@@ -83,7 +94,12 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
-    inputs = [args.embeddings] if args.cmd == "mkdb" else [args.embeddings, args.queries]
+    if args.cmd == "upsert":
+        inputs = [args.embeddings, args.index_dir]
+    elif args.cmd == "mkdb":
+        inputs = [args.embeddings]
+    else:
+        inputs = [args.embeddings, args.queries]
     if args.cmd == "query" and args.index:
         inputs.append(args.index)
     for p in inputs:
@@ -101,6 +117,26 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
     emb = spark.read.parquet(args.embeddings)
+
+    if args.cmd == "upsert":
+        meta = _read_index_meta(args.index_dir)
+        if meta is None:
+            print(f"error: no index metadata at {args.index_dir} (built by mkdb?)",
+                  file=sys.stderr)
+            spark.stop()
+            return 2
+        fam = meta["family"]
+        if fam == "lsh":
+            SIM.upsert_lsh_index(spark, args.index_dir, emb, dim=meta["dim"])
+        elif fam == "ivf":
+            SIM.upsert_ivf_index(spark, args.index_dir, emb)
+        else:
+            SIM.upsert_pq_index(spark, args.index_dir, emb)
+        if args.verbose:
+            print(f"upserted into {fam} index in {time.perf_counter() - t0:.2f}s "
+                  f"→ {args.index_dir}")
+        spark.stop()
+        return 0
 
     if args.cmd == "mkdb":
         if args.family == "lsh":

@@ -493,3 +493,44 @@ def test_cli_zstd_encode_decode_round_trip(tmpdir):
         open(os.path.join(outdir, f), "rb").read() for f in sorted(os.listdir(outdir))
     )
     assert decoded == b"".join(datas[k] for k in sorted(datas))
+
+
+def test_ann_cli_upsert_matches_full_build(spark, tmpdir):
+    """ann_cli upsert: build on half the corpus, upsert the rest, query —
+    must rank identically to an index built over everything at once."""
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    half = emb.agg(F.expr("cast(max(vec_id)/2 as long)").alias("m")).collect()[0]["m"]
+    paths = {n: os.path.join(tmpdir, n) for n in
+             ("old", "new", "q", "idx_up", "idx_full", "out_up", "out_full")}
+    emb.filter(F.col("vec_id") <= half).write.parquet(paths["old"])
+    emb.filter(F.col("vec_id") > half).write.parquet(paths["new"])
+    emb.filter("vec_id < 6").write.parquet(paths["q"])
+    emb_path = os.path.join(tmpdir, "emb")
+    emb.write.parquet(emb_path)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "bensp_suite_spark.ann_cli", *argv],
+            capture_output=True, text=True, env=env, cwd=cwd,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    run("mkdb", paths["old"], paths["idx_up"], "--family", "ivf")
+    run("upsert", paths["new"], paths["idx_up"])
+    run("mkdb", emb_path, paths["idx_full"], "--family", "ivf")
+    run("query", emb_path, paths["q"], "5", paths["out_up"],
+        "--family", "ivf", "--index", paths["idx_up"])
+    run("query", emb_path, paths["q"], "5", paths["out_full"],
+        "--family", "ivf", "--index", paths["idx_full"])
+    a = sorted(map(tuple, spark.read.parquet(paths["out_up"]).collect()))
+    b = sorted(map(tuple, spark.read.parquet(paths["out_full"]).collect()))
+    assert a == b and len(a) == 30
