@@ -30,15 +30,22 @@ def interval_join(
     key: str = "user_id",
     interval: str = "15 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join: each click pairs with the same user's views in the
-    preceding ``interval``. Works identically on batch DataFrames (the
-    watermark calls are streaming-only no-ops in batch) — the parity
-    tests exploit exactly that.
+    """Join each click with the same user's views in the preceding
+    ``interval``. Works identically on batch DataFrames (the watermark
+    calls are streaming-only no-ops in batch) — the parity tests exploit
+    exactly that.
 
-    State bound per side ≈ rate × (interval + watermark) per key; the
-    inner join emits a match as soon as both rows are present (no
-    watermark wait on the emit path, only on state expiry)."""
+    ``how="inner"`` emits a match as soon as both rows are present (the
+    watermark only bounds state expiry). ``how="left_outer"`` also emits
+    every unmatched click with NULL view columns — but only once the
+    watermark passes the click's join window (the row could otherwise
+    still match a late view), so outer results trail the watermark by
+    design; under availableNow a final watermark-advancing event flushes
+    them. State bound per side ≈ rate × (interval + watermark) per key."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     c = clicks.withWatermark("ts", watermark).alias("c")
     v = views.withWatermark("ts", watermark).alias("v")
     return c.join(
@@ -46,6 +53,7 @@ def interval_join(
         (F.col("c." + key) == F.col("v." + key))
         & (F.col("v.ts") <= F.col("c.ts"))
         & (F.col("v.ts") >= F.col("c.ts") - F.expr(f"INTERVAL {interval}")),
+        how,
     ).select(
         F.col("c." + key).alias(key),
         F.col("c.event_id").alias("click_id"),

@@ -883,3 +883,57 @@ def test_quota_processor_logic_matches_contract(spark):
     admitted = [int(x) for out in (b1, b2, b3) for pdf in out for x in pdf["doc_id"]]
     assert admitted == [0, 1, 2, 3, 4, 5, 10, 11, 12, 13]
     assert proc.count_state.get() == (10,)
+
+
+def test_stream_stream_left_outer_interval_join_matches_batch(spark, tmpdir):
+    """left_outer interval join: matches emit like the inner join, and
+    every unmatched click emits exactly once with NULL view columns
+    after the watermark passes its join window. A far-future sentinel
+    row in BOTH streams advances the final watermark so availableNow
+    flushes the outer results; the set must equal the batch LEFT JOIN."""
+    from bensp_suite_spark.streaming import event_streams as ES
+
+    ev = _events(spark)
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    views_b = ev.filter(F.col("event_type") == "view")
+
+    def sentinel(df):
+        return df.limit(1).select(
+            F.lit(999_999_999).alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 3650 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+
+    c_src, v_src, out, ckpt = (os.path.join(tmpdir, d) for d in ("c", "v", "out", "ck"))
+    for src, df in ((c_src, clicks_b), (v_src, views_b)):
+        df.repartitionByRange(3, "ts").write.parquet(src)
+        parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+        # sentinel as the LAST file so the final trigger advances the
+        # watermark past every real click's join window
+        sent = os.path.join(src, "part-zz-sentinel.parquet")
+        sentinel(df).coalesce(1).write.mode("append").parquet(src)
+        newest = max(glob.glob(os.path.join(src, "part-*.parquet")),
+                     key=os.path.getmtime)
+        for i, p in enumerate(parts):
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        os.utime(newest, (1_700_000_100, 1_700_000_100))
+
+    c_s = spark.readStream.schema(_EV_SCHEMA).option("maxFilesPerTrigger", 1).parquet(c_src)
+    v_s = spark.readStream.schema(_EV_SCHEMA).option("maxFilesPerTrigger", 1).parquet(v_src)
+    ES.run_to_parquet(ES.interval_join(c_s, v_s, how="left_outer"), out, ckpt)
+
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.read.parquet(out).filter("user_id >= 0").collect()
+    }
+    want = {
+        (r.click_id, r.view_id)
+        for r in ES.interval_join(clicks_b, views_b, how="left_outer").collect()
+    }
+    assert got == want
+    assert any(v is None for _c, v in want)  # outer rows really exist
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported join type"):
+        ES.interval_join(clicks_b, views_b, how="full_outer")
