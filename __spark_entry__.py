@@ -57,6 +57,7 @@ def _previously_green() -> set[str]:
 _PRIORITY = [
     "multimodal_image_search_jpeg",
     "stream_interval_join",
+    "stream_interval_join_outer",
     "stream_session_windows",
     "graph_pagerank_copurchase",
     "skew_salted_distinct_users",

@@ -3457,6 +3457,76 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id, v.event_id AS view_id,
+           c.ts AS click_ts, v.ts AS view_ts
+    FROM events c LEFT JOIN events v
+      ON c.user_id = v.user_id AND v.event_type = 'view'
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 15 MINUTE
+    WHERE c.event_type = 'click'
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join under the driver's value
+    check: unmatched clicks must emit exactly once with NULL view
+    columns, and only after the watermark passes their join window — a
+    far-future sentinel in BOTH streams advances the final watermark so
+    availableNow flushes every outer row. The emitted set equals the
+    batch LEFT JOIN (matches ride the inner path; the outer rows are the
+    delta this query exists to verify)."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming import event_streams as ES
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="bensp_stream_ijo_")
+    for name, side in (("c", "click"), ("v", "view")):
+        df = ev.filter(F.col("event_type") == side)
+        df.repartitionByRange(2, "ts").write.parquet(f"{base}/{name}")
+        parts = sorted(_glob.glob(f"{base}/{name}/part-*.parquet"))
+        sent = df.limit(1).select(
+            F.lit(999_999_999).alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 3650 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        sent.coalesce(1).write.mode("append").parquet(f"{base}/{name}")
+        newest = max(
+            _glob.glob(f"{base}/{name}/part-*.parquet"), key=_os.path.getmtime
+        )
+        for i, p in enumerate(parts):
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        _os.utime(newest, (1_700_000_100, 1_700_000_100))
+    c_s = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/c")
+    )
+    v_s = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/v")
+    )
+    ES.run_to_parquet(
+        ES.interval_join(c_s, v_s, how="left_outer"), f"{base}/out", f"{base}/ckpt"
+    )
+    result = (
+        spark.read.parquet(f"{base}/out")
+        .filter(F.col("user_id") >= 0)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+@query(
     "stream_session_windows",
     oracle="""
     WITH marked AS (

@@ -43,8 +43,10 @@ def interval_join(
     watermark passes the click's join window (the row could otherwise
     still match a late view), so outer results trail the watermark by
     design; under availableNow a final watermark-advancing event flushes
-    them. State bound per side ≈ rate × (interval + watermark) per key."""
-    if how not in ("inner", "left_outer"):
+    them. ``how="full_outer"`` additionally emits unmatched views with
+    NULL click columns under the same trailing rule. State bound per
+    side ≈ rate × (interval + watermark) per key."""
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported join type {how!r}")
     c = clicks.withWatermark("ts", watermark).alias("c")
     v = views.withWatermark("ts", watermark).alias("v")

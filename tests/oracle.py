@@ -95,6 +95,13 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
         else:
             neq = av != ev
             try:
+                # both-null (NaT/None) counts as equal — != is True for
+                # NaT vs NaT but the driver hashes two NULLs identically
+                both_na = pd.isna(a[c]).values & pd.isna(e[c]).values
+                neq = neq & ~both_na
+            except Exception:
+                pass
+            try:
                 bad = neq.any()
             except Exception:
                 bad = any(bool(v) for v in neq)

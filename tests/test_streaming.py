@@ -934,6 +934,13 @@ def test_stream_stream_left_outer_interval_join_matches_batch(spark, tmpdir):
     }
     assert got == want
     assert any(v is None for _c, v in want)  # outer rows really exist
+
+    # full_outer on batch: superset of left_outer, adds unmatched views
+    fo = {
+        (r.click_id, r.view_id)
+        for r in ES.interval_join(clicks_b, views_b, how="full_outer").collect()
+    }
+    assert want <= fo and any(c is None for c, _v in fo)
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported join type"):
-        ES.interval_join(clicks_b, views_b, how="full_outer")
+        ES.interval_join(clicks_b, views_b, how="right_outer")
