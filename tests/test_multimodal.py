@@ -637,3 +637,33 @@ def test_jpeg_codec_422_subsampling():
     assert encode_jpeg(img, 85, False) == encode_jpeg(img, 85, "444")
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(img, 85, "411")
+
+
+def test_jpeg_codec_hypothesis_round_trip():
+    """Property: any uint8 RGB image of any small odd/even shape encodes
+    to a parseable stream and decodes to the right shape with bounded
+    error at q=100 (near-lossless regime), under every subsampling mode
+    and with restart markers."""
+    from hypothesis import given, settings, strategies as st
+
+    from bensp_suite_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 33),
+        w=st.integers(1, 33),
+        seed=st.integers(0, 2**31 - 1),
+        mode=st.sampled_from(["444", "422", "420"]),
+        ri=st.sampled_from([0, 3]),
+    )
+    def check(h, w, seed, mode, ri):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=100, subsample=mode,
+                                      restart_interval=ri))
+        assert out.shape == img.shape
+        if mode == "444":
+            # q=100 luma+chroma quant ≈ 1 → near-lossless
+            assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
+
+    check()
