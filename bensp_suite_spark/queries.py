@@ -3031,6 +3031,62 @@ def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_ohlc_hourly",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, hour,
+           ROUND(CAST(MAX(CASE WHEN rn_a = 1 THEN CAST(value AS DECIMAL(18,4)) END)
+                      AS DOUBLE), 4) AS open,
+           ROUND(CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS high,
+           ROUND(CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS low,
+           ROUND(CAST(MAX(CASE WHEN rn_d = 1 THEN CAST(value AS DECIMAL(18,4)) END)
+                      AS DOUBLE), 4) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM o GROUP BY user_id, hour
+    """,
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to hourly OHLC bars per user — the
+    resample step of every metrics/market pipeline. Open/close are the
+    first/last values in event-time order with (ts, event_id) as the
+    deterministic tiebreak (a bare ``first()`` aggregate is
+    arrival-order-dependent and could never value-match); high/low are
+    decimal-exact extremes. Scale shape: one exchange on (user, hour) —
+    the rank window and the aggregate share it, and at 100 TB the bar
+    table is the width-reduced rollup you persist, ~4 orders smaller
+    than the event stream."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    )
+    w_a = Window.partitionBy("user_id", "hour").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    o = ev.select(
+        "user_id", "hour", "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    dec = _dec("value", 4)
+    return o.groupBy("user_id", "hour").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, dec)).cast("double"), 4).alias("open"),
+        F.round(F.max(dec).cast("double"), 4).alias("high"),
+        F.round(F.min(dec).cast("double"), 4).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, dec)).cast("double"), 4).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
     "ts_locf_fill",
     oracle="""
     SELECT event_id, user_id,

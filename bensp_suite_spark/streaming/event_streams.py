@@ -44,9 +44,10 @@ def interval_join(
     still match a late view), so outer results trail the watermark by
     design; under availableNow a final watermark-advancing event flushes
     them. ``how="full_outer"`` additionally emits unmatched views with
-    NULL click columns under the same trailing rule. State bound per
+    NULL click columns under the same trailing rule, and
+    ``how="right_outer"`` emits ONLY matches plus unmatched views. State bound per
     side ≈ rate × (interval + watermark) per key."""
-    if how not in ("inner", "left_outer", "full_outer"):
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"unsupported join type {how!r}")
     c = clicks.withWatermark("ts", watermark).alias("c")
     v = views.withWatermark("ts", watermark).alias("v")

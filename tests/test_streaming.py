@@ -941,6 +941,13 @@ def test_stream_stream_left_outer_interval_join_matches_batch(spark, tmpdir):
         for r in ES.interval_join(clicks_b, views_b, how="full_outer").collect()
     }
     assert want <= fo and any(c is None for c, _v in fo)
+    # right_outer on batch: matches plus unmatched views only
+    ro = {
+        (r.click_id, r.view_id)
+        for r in ES.interval_join(clicks_b, views_b, how="right_outer").collect()
+    }
+    inner = {p for p in want if p[1] is not None}
+    assert inner <= ro and all(c is not None or v is not None for c, v in ro)
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported join type"):
-        ES.interval_join(clicks_b, views_b, how="right_outer")
+        ES.interval_join(clicks_b, views_b, how="left_semi")
