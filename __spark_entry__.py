@@ -62,6 +62,7 @@ _PRIORITY = [
     "graph_pagerank_copurchase",
     "skew_salted_distinct_users",
     "stream_per_key_quota",
+    "stream_topk_per_key",
     "source_csv_scan",
     "source_jsonl_scan",
     "ann_ivf_upsert_topk",

@@ -3586,6 +3586,52 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_topk_per_key",
+    oracle="""
+    SELECT event_type AS key, rank, event_id AS item_id, order_value FROM (
+      SELECT event_type, event_id, value AS order_value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS INTEGER) AS rank
+      FROM events) t WHERE rank <= 5
+    """,
+)
+def stream_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-state top-K leaderboard (the reference's bounded heap as
+    cross-batch state, streaming/topk_stream) under the driver's value
+    check: events arrive over 3 micro-batches, each trigger refreshes a
+    key's standings, and the FINAL standings (max batch_id per key) must
+    equal the batch top-5 with the exact (value desc, id asc) tiebreak —
+    heap state carried across batches, not recomputed per trigger."""
+    import shutil
+    import tempfile
+
+    from .streaming import topk_stream as TS
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="bensp_stream_topk_")
+    ev.repartition(3).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    TS.stream_topk_per_key(
+        spark, stream, f"{base}/out", f"{base}/ckpt",
+        key="event_type", item_col="event_id", order_col="value", k=5,
+    )
+    out = spark.read.parquet(f"{base}/out")
+    w = Window.partitionBy("key")
+    result = (
+        out.withColumn("mb", F.max("batch_id").over(w))
+        .filter(F.col("batch_id") == F.col("mb"))
+        .select("key", "rank", "item_id", "order_value")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+@query(
     "stream_session_windows",
     oracle="""
     WITH marked AS (
