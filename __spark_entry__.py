@@ -84,7 +84,7 @@ _PRIORITY = [
 # re-checked by the external driver (a later regression would go unseen);
 # with it, the window is priority + never-verified + a rotating slice of
 # the greens, so the whole registry is re-audited every few rounds.
-_REVERIFY_QUOTA = 12
+_REVERIFY_QUOTA = 35
 
 
 def _rotated_names() -> list[str]:

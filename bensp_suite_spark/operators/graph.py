@@ -24,9 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# one unit of rank mass = 1e12 — enough headroom that three to ten
-# iterations of floor division lose only O(degree) units per node
-RANK_SCALE = 1_000_000_000_000
+# one unit of rank mass = 1e9. Precision: three to ten iterations of
+# floor division lose only O(degree) units per node. Overflow bound: the
+# hottest intermediate is damping_pct * mass(dst) where a hub's mass is
+# bounded by total rank ≈ N·RANK_SCALE, so 85·N·1e9 must stay under
+# int64 (9.22e18) → safe to ~1e8 nodes; at 1e12 the wrap point was only
+# ~1e5 nodes — Spark (non-ANSI) would wrap silently while the DuckDB
+# oracle raised, breaking the bit-identical claim.
+RANK_SCALE = 1_000_000_000
 
 
 def pagerank_int(

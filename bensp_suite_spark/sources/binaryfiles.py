@@ -54,8 +54,21 @@ def read_files(
         return out.withColumn("file_id", F.xxhash64("file_path"))
     from pyspark.sql import Window
 
+    # Rank a PATHS-ONLY projection, then broadcast-join the (file_path,
+    # file_id) map back onto the content rows. Ranking `out` directly
+    # would funnel every file's bytes through the single unpartitioned
+    # window task before chunking even starts — a 100×-scale killer on
+    # the ingest path. The paths-only branch prunes `content` at the
+    # binaryFile scan (no bytes read), the window sorts only strings,
+    # and the map is one row per file → broadcastable. The reference
+    # keeps its Fragment stage minimal for the same reason
+    # (apps/dedup/src/encoder.c:989-996).
     w = Window.orderBy("file_path")
-    return out.withColumn("file_id", F.row_number().over(w).cast("long") - 1)
+    ranked = (
+        df.select(F.col("path").alias("file_path"))
+        .withColumn("file_id", F.row_number().over(w).cast("long") - 1)
+    )
+    return out.join(F.broadcast(ranked), "file_path")
 
 
 def write_files(df: DataFrame, out_dir: str) -> None:

@@ -58,7 +58,10 @@ def interval_join(
         & (F.col("v.ts") >= F.col("c.ts") - F.expr(f"INTERVAL {interval}")),
         how,
     ).select(
-        F.col("c." + key).alias(key),
+        # coalesce: under right/full outer an unmatched-view row has a NULL
+        # click side, so the key must come from whichever side is present —
+        # otherwise the view's key would be unrecoverable from the output
+        F.coalesce(F.col("c." + key), F.col("v." + key)).alias(key),
         F.col("c.event_id").alias("click_id"),
         F.col("v.event_id").alias("view_id"),
         F.col("c.ts").alias("click_ts"),

@@ -460,3 +460,40 @@ def test_round4_queries_plan_quality(spark):
     plan = _df(spark, "skew_salted_distinct_users")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") >= 2, plan[:2000]
     assert "_salt" in plan
+
+
+def test_batch_file_ingest_window_never_carries_content(spark, tmp_path):
+    """The batch read_files ingest ranks a paths-only projection: no plan
+    may ship file CONTENT through the single unpartitioned window task
+    (the round-4 scale-killer). Gate: every Window node's subtree must be
+    free of the content column, and the id map must broadcast back."""
+    from bensp_suite_spark.sources.binaryfiles import read_files
+
+    d = tmp_path / "files"
+    d.mkdir()
+    for i in range(4):
+        (d / f"f{i}.bin").write_bytes(bytes([i]) * 64)
+
+    df = read_files(spark, str(d))
+    df.collect()  # finalize AQE plan
+    full = PL.executed_plan(df)
+
+    def indent_of(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*("))
+
+    lines = full.splitlines()
+    win_idxs = [i for i, l in enumerate(lines) if "Window" in l]
+    assert win_idxs, f"expected a window ranking the paths-only projection\n{full[:2000]}"
+    for wi in win_idxs:
+        base = indent_of(lines[wi])
+        j = wi + 1
+        while j < len(lines) and indent_of(lines[j]) > base:
+            assert "content#" not in lines[j], (
+                f"window subtree carries content:\n" + "\n".join(lines[wi:j + 1])
+            )
+            j += 1
+    assert "BroadcastHashJoin" in full, full[:2000]
+
+    # semantics unchanged: dense 0..n-1 ids in path order
+    rows = sorted((r.file_path, r.file_id) for r in df.collect())
+    assert [fid for _p, fid in rows] == list(range(4))

@@ -948,6 +948,15 @@ def test_stream_stream_left_outer_interval_join_matches_batch(spark, tmpdir):
     }
     inner = {p for p in want if p[1] is not None}
     assert inner <= ro and all(c is not None or v is not None for c, v in ro)
+    # key recoverability: unmatched-VIEW rows must still carry the view's
+    # user_id (coalesced from the view side) — the output key is never NULL
+    for how in ("full_outer", "right_outer"):
+        res = ES.interval_join(clicks_b, views_b, how=how)
+        assert res.filter(F.col("user_id").isNull()).count() == 0
+        unmatched_views = res.filter(F.col("click_id").isNull())
+        assert unmatched_views.count() > 0
+        view_keys = {r.user_id for r in unmatched_views.collect()}
+        assert view_keys <= {r.user_id for r in views_b.collect()}
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported join type"):
         ES.interval_join(clicks_b, views_b, how="left_semi")
