@@ -55,6 +55,7 @@ def _previously_green() -> set[str]:
 # other never-verified names so they cannot fall outside the driver's
 # fixed-size check window.
 _PRIORITY = [
+    "multimodal_audio_dedup_flac",
     "multimodal_image_search_jpeg",
     "stream_interval_join",
     "stream_interval_join_outer",

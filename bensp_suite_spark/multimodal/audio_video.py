@@ -2,11 +2,13 @@
 ``binary`` columns with typed metadata; decode / feature-extract / resize /
 frame-sample as Pandas UDFs over mapInPandas).
 
-Codec layer: real deterministic raw codecs (PCM s16le for audio, packed
-raw-rgb frames for video) keep the full Spark path executable in this
-container; compressed formats (mp3/flac/mp4/...) are STUBS behind
-NotImplementedError — swap in ffmpeg/soundfile on a real cluster, the
-plumbing (schema, batch shape, partitioning) is format-agnostic.
+Codec layer: real codecs for PCM s16le + WAV (stdlib ``wave``) audio and
+packed raw-rgb + uncompressed RIFF/AVI video — all lossless, so the
+container-format paths fingerprint identically to the raw paths (parity
+tested). FLAC is a real pure-Python decoder in ``flac.py`` (lossless,
+bit-deterministic). Only mp3/mp4 remain environment-gated STUBS behind
+NotImplementedError — swap in ffmpeg on a real cluster, the plumbing
+(schema, batch shape, partitioning) is format-agnostic.
 
 Feature kernels are REAL numpy: framed RMS energy + zero-crossing rate
 (audio), per-frame mean color + frame sampling (video).
@@ -138,7 +140,23 @@ def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
             return decode_wav(payload)
         data, _rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
         return data.mean(axis=1)
-    if fmt in ("mp3", "flac", "ogg"):
+    if fmt == "flac":
+        # Prefer libsndfile when importable; the pure-Python decoder in
+        # flac.py is the always-available exact path (FLAC is lossless,
+        # so both yield identical sample values for integer PCM).
+        try:
+            import io
+
+            import soundfile as sf
+        except ImportError:
+            from .flac import decode_flac
+
+            samples, _rate, bps = decode_flac(payload)
+            x = samples.astype(np.float64) / float(1 << (bps - 1))
+            return x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]
+        data, _rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+        return data.mean(axis=1)
+    if fmt in ("mp3", "ogg"):
         try:
             import io
 
@@ -147,7 +165,7 @@ def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
             raise NotImplementedError(
                 f"STUB: {fmt} decode requires an audio codec library "
                 "(soundfile/ffmpeg), not available in this container; use "
-                "format='pcm-s16le' or 'wav' for tests"
+                "format='pcm-s16le', 'wav' or 'flac' for tests"
             ) from None
         data, _rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
         return data.mean(axis=1)  # downmix to mono, matching the PCM path

@@ -4,12 +4,13 @@ Treats images as opaque ``binary`` columns with typed metadata (format,
 width, height). The compute kernels — RGB→HSV (K13, image.c:198-236), SRM
 segmentation (K8, srm.c:251-533) and 14-dim region feature extraction (K9,
 extract.c:261-357) — are REAL numpy re-derivations of the reference
-algorithms, unit-tested on synthetic images. Only the codec layer is
-stubbed: JPEG decode needs libjpeg/Pillow (not in this container), so
-``decode("jpeg")`` raises NotImplementedError with a clear marker, while
-the deterministic ``raw-rgb`` codec (width/height header + raw bytes) keeps
-the whole Spark pipeline — schema, partitioning, Arrow batch shape,
-mapInPandas signatures — executable and tested end-to-end.
+algorithms, unit-tested on synthetic images. The codec layer is real too:
+``decode_image`` routes ``"png"`` through the pure-Python PNG codec in this
+module (all five row filters; Pillow preferred when importable) and
+``"jpeg"`` through the pure-Python baseline T.81 codec in ``jpeg.py``
+(always — bit-deterministic, goldens depend on it; ``"jpeg-libjpeg"`` opts
+into Pillow), alongside the deterministic ``raw-rgb`` codec (width/height
+header + raw bytes).
 """
 
 from __future__ import annotations

@@ -1046,6 +1046,36 @@ def multimodal_audio_dedup_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AV.audio_near_dup_pairs(audio, max_hamming=3)
 
 
+@query("multimodal_audio_dedup_flac")
+def multimodal_audio_dedup_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio near-dup pipeline over a REAL COMPRESSED format: the same
+    clips as multimodal_audio_dedup, FLAC-encoded (pure-Python codec,
+    multimodal/flac.py — Rice-coded fixed-predictor subframes, CRC-8/16,
+    MD5) and decoded through the pure decoder inside the fingerprint
+    stage. FLAC is lossless, so the golden oracle pinned from the raw
+    int16 samples must ride through the codec unchanged — any
+    mis-reconstruction (predictor, Rice unfold, CRC misparse) fails the
+    pin. Closes the compressed-audio ingest gap (reference h3 input
+    class, bin/parsec_stream:30-39)."""
+    import numpy as np
+
+    from .multimodal import audio_video as AV
+    from .multimodal.flac import encode_flac
+
+    rows = []
+    sigs = []
+    for i in range(8):
+        rng = np.random.default_rng(90 + i)
+        env = rng.uniform(0.1, 1.0, 65).repeat(130)[:8192]
+        sig = (rng.uniform(-1, 1, 8192) * env * 12000).astype(np.int16)
+        sigs.append(sig)
+        rows.append((i, "flac", 16000, 1, encode_flac(sig)))
+    for i in range(3):
+        rows.append((100 + i, "flac", 16000, 1, encode_flac(sigs[i] // 2)))
+    audio = spark.createDataFrame(rows, AV.AUDIO_TABLE_SCHEMA).coalesce(4)
+    return AV.audio_near_dup_pairs(audio, max_hamming=3)
+
+
 @query("multimodal_video_dedup")
 def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup detection: 5 noise-frame videos + 2 planted

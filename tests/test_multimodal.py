@@ -667,3 +667,147 @@ def test_jpeg_codec_hypothesis_round_trip():
             assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
 
     check()
+
+
+def test_flac_codec_roundtrip_and_compression():
+    """FLAC is lossless: every encode→decode is bit-exact; predictable
+    signals must actually compress (fixed predictors + Rice working)."""
+    from bensp_suite_spark.multimodal.flac import decode_flac, encode_flac
+
+    t = np.arange(20000)
+    smooth = (3000 * np.sin(t / 50) + 2000 * np.sin(t / 7)).astype(np.int16)
+    enc = encode_flac(smooth, sample_rate=16000)
+    dec, rate, bps = decode_flac(enc)
+    assert rate == 16000 and bps == 16
+    assert (dec[:, 0] == smooth).all()
+    assert len(enc) < smooth.nbytes // 2  # real compression, not VERBATIM
+
+    rng = np.random.default_rng(7)
+    noise = (rng.uniform(-1, 1, 8192) * 12000).astype(np.int16)
+    dec, _, _ = decode_flac(encode_flac(noise))
+    assert (dec[:, 0] == noise).all()
+
+    # constant + empty edge cases
+    assert (decode_flac(encode_flac(np.full(5000, -123, np.int16)))[0][:, 0]
+            == -123).all()
+    assert decode_flac(encode_flac(np.zeros(0, np.int16)))[0].shape[0] == 0
+
+
+def test_flac_codec_every_decoder_path():
+    """Exercise each wire-format variant round-trip: all four stereo
+    decorrelations (side channel at bps+1), LPC subframes, partitioned
+    Rice, 5-bit RICE2 params, wasted bits, 8/24-bit, odd sample rate and
+    block size (end-of-header header forms)."""
+    from bensp_suite_spark.multimodal.flac import decode_flac, encode_flac
+
+    t = np.arange(8192)
+    base = (3000 * np.sin(t / 40) + 500 * np.sin(t / 3)).astype(np.int16)
+    st2 = np.stack([base, base // 2 + 50], axis=1)
+
+    for mode in ("independent", "left-side", "right-side", "mid-side"):
+        dec, _, _ = decode_flac(encode_flac(st2, stereo_mode=mode))
+        assert (dec == st2).all(), mode
+
+    for kw in (
+        dict(force_lpc=True),
+        dict(partition_order=3),
+        dict(rice2=True),
+        dict(partition_order=2, rice2=True, force_lpc=True),
+    ):
+        dec, _, _ = decode_flac(encode_flac(base, **kw))
+        assert (dec[:, 0] == base).all(), kw
+
+    wasted = (base // 8) * 8  # low bits zero → wasted-bits path
+    dec, _, _ = decode_flac(encode_flac(wasted, detect_wasted=True))
+    assert (dec[:, 0] == wasted).all()
+
+    small = (base // 256).astype(np.int64)
+    dec, _, bps = decode_flac(encode_flac(small, bits_per_sample=8))
+    assert bps == 8 and (dec[:, 0] == small).all()
+
+    wide = base.astype(np.int64) * 200
+    dec, _, bps = decode_flac(encode_flac(wide, bits_per_sample=24))
+    assert bps == 24 and (dec[:, 0] == wide).all()
+
+    dec, rate, _ = decode_flac(
+        encode_flac(base[:5000], sample_rate=12345, block_size=1000)
+    )
+    assert rate == 12345 and (dec[:, 0] == base[:5000]).all()
+
+
+def test_flac_malformed_inputs_raise_typed_errors():
+    from bensp_suite_spark.multimodal.flac import (
+        FlacFormatError,
+        decode_flac,
+        encode_flac,
+    )
+
+    with pytest.raises(FlacFormatError, match="fLaC marker"):
+        decode_flac(b"flaC" + bytes(64))
+    sig = (np.sin(np.arange(4000) / 9) * 5000).astype(np.int16)
+    enc = bytearray(encode_flac(sig))
+    enc[len(enc) // 2] ^= 0x40  # flip a payload bit → CRC-16 must trip
+    with pytest.raises(FlacFormatError):
+        decode_flac(bytes(enc))
+    with pytest.raises(FlacFormatError):  # truncation
+        decode_flac(bytes(encode_flac(sig))[:-40])
+
+
+def test_flac_fingerprint_matches_pcm(spark):
+    """decode_audio('flac') must reproduce the exact raw samples: the
+    envelope fingerprint of a FLAC payload equals the raw-PCM one (the
+    codec-independence property the golden pin relies on)."""
+    from bensp_suite_spark.multimodal import audio_video as AV
+    from bensp_suite_spark.multimodal.flac import encode_flac
+
+    rng = np.random.default_rng(90)
+    env = rng.uniform(0.1, 1.0, 65).repeat(130)[:8192]
+    sig = (rng.uniform(-1, 1, 8192) * env * 12000).astype(np.int16)
+    rows = [
+        (0, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(sig)),
+        (1, "flac", 16000, 1, encode_flac(sig)),
+    ]
+    audio = spark.createDataFrame(rows, AV.AUDIO_TABLE_SCHEMA).coalesce(1)
+    fp = {r.media_id: r.fingerprint for r in AV.audio_fingerprints(audio).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] == AV.audio_fingerprint_kernel(sig)
+
+
+def test_flac_codec_hypothesis_round_trip():
+    """Property: any int16 signal of any length/channel-count round-trips
+    bit-exactly under every stereo mode × residual-coding configuration."""
+    from hypothesis import given, settings, strategies as st
+
+    from bensp_suite_spark.multimodal.flac import decode_flac, encode_flac
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 700),
+        channels=st.integers(1, 2),
+        seed=st.integers(0, 2**31 - 1),
+        mode=st.sampled_from(["independent", "left-side", "right-side", "mid-side"]),
+        po=st.sampled_from([0, 2]),
+        rice2=st.booleans(),
+        lpc=st.booleans(),
+        kind=st.sampled_from(["noise", "smooth", "steps"]),
+    )
+    def check(n, channels, seed, mode, po, rice2, lpc, kind):
+        rng = np.random.default_rng(seed)
+        if kind == "noise":
+            sig = rng.integers(-32768, 32768, (n, channels)).astype(np.int64)
+        elif kind == "smooth":
+            t = np.arange(n)[:, None]
+            sig = (rng.uniform(500, 8000) * np.sin(t / rng.uniform(3, 80))
+                   ).astype(np.int64) + rng.integers(-100, 100, (n, channels))
+        else:
+            sig = rng.integers(-4, 4, (n, channels)).astype(np.int64) * 512
+        if channels == 1:
+            sig = sig[:, 0]
+        enc = encode_flac(sig, block_size=256, stereo_mode=mode,
+                          partition_order=po, rice2=rice2, force_lpc=lpc)
+        dec, _, _ = decode_flac(enc)
+        want = sig if sig.ndim == 2 else sig[:, None]
+        assert dec.shape == want.shape
+        assert (dec == want).all()
+
+    check()

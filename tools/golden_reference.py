@@ -679,6 +679,25 @@ def multimodal_audio_dedup_wav(sf_dir: str):
     return HAMMING_COLS, _brute_hamming_pairs(hashes, 3)
 
 
+def multimodal_audio_dedup_flac(sf_dir: str):
+    """CODEC-INDEPENDENT pin for the FLAC-ingest variant: fingerprints
+    computed straight from the raw int16 samples (never touching the FLAC
+    bitstream). FLAC is lossless, so the Spark query's pure-Python decode
+    must reproduce these exact sample values to match."""
+    from bensp_suite_spark.multimodal.audio_video import audio_fingerprint_kernel
+
+    hashes, sigs = [], []
+    for i in range(8):
+        rng = np.random.default_rng(90 + i)
+        env = rng.uniform(0.1, 1.0, 65).repeat(130)[:8192]
+        sig = (rng.uniform(-1, 1, 8192) * env * 12000).astype(np.int16)
+        sigs.append(sig)
+        hashes.append((i, audio_fingerprint_kernel(sig)))
+    for i in range(3):
+        hashes.append((100 + i, audio_fingerprint_kernel(sigs[i] // 2)))
+    return HAMMING_COLS, _brute_hamming_pairs(hashes, 3)
+
+
 def multimodal_video_dedup(sf_dir: str, every_n: int = 5, min_matching_frames: int = 3):
     """queries.multimodal_video_dedup fixture rule (seeds 70+i, +10
     brightness re-renders) + frame-sampled dHash pair evidence."""
@@ -742,6 +761,7 @@ REFERENCE_FNS = {
     "multimodal_image_dedup": multimodal_image_dedup,
     "multimodal_audio_dedup": multimodal_audio_dedup,
     "multimodal_audio_dedup_wav": multimodal_audio_dedup_wav,
+    "multimodal_audio_dedup_flac": multimodal_audio_dedup_flac,
     "multimodal_video_dedup": multimodal_video_dedup,
     "multimodal_video_dedup_avi": multimodal_video_dedup_avi,
     "cdc_ddp_datasource_scan": cdc_ddp_datasource_scan,
