@@ -462,8 +462,15 @@ def ivf_ann_topk(
 
 
 def ivf_topk_oracle_sql(
-    k: int = 5, max_query_id: int = 8, n_cells: int = 16, n_probe: int = 2
+    k: int = 5,
+    max_query_id: int = 8,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    corpus_sql: str = "SELECT vec_id, embedding FROM embeddings",
 ) -> str:
+    """``corpus_sql`` overrides the searched corpus (centroids and queries
+    always come from the base embeddings table — the history side); the
+    daily-increment pipeline passes history ∪ upserted-survivor vectors."""
     dot = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
@@ -480,7 +487,7 @@ def ivf_topk_oracle_sql(
     return f"""
     WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
                   FROM embeddings WHERE vec_id < {n_cells}),
-    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM ({corpus_sql})),
     cassign AS (
       SELECT neighbor_id, cv, cell FROM (
         SELECT neighbor_id, cv, cell,

@@ -4124,6 +4124,87 @@ def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann_topk(q, emb, k=5, n_cells=16, n_probe=2, index=idx)
 
 
+#: the daily-increment survivors (is_kept new-batch docs) as vectors:
+#: source embedding jittered by the engine-exact x*1.01+0.001 transform,
+#: keyed by the new doc_id (disjoint from base vec_ids by AUG_OFFSET)
+_DAILY_CORPUS_SQL = f"""
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT f.doc_id AS vec_id,
+         list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * 1.01 + 0.001) AS embedding
+  FROM ({DT.incremental_dedup_oracle_sql(_INCR_HISTORY_SQL, _INCR_NEW_SQL)}) f
+  JOIN embeddings e ON e.vec_id = f.doc_id - {DT.AUG_OFFSET}
+  WHERE f.is_kept
+"""
+
+
+@query(
+    "pipeline_daily_increment",
+    oracle=SIM.ivf_topk_oracle_sql(
+        k=5, max_query_id=8, n_cells=16, n_probe=2, corpus_sql=_DAILY_CORPUS_SQL
+    ),
+)
+def pipeline_daily_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB north-star workflow composed END-TO-END as one query:
+    a new crawl batch is deduped against the historical corpus
+    (``incremental_dedup`` — exact digest anti-join + banded SimHash vs
+    history fingerprints, no history rescan), the SURVIVORS are embedded
+    (deterministic jitter of their source vectors stands in for the
+    embedding model) and UPSERTED into the persisted IVF index
+    (``upsert_ivf_index`` — assignment against fixed centroids, no
+    corpus rescan), and the merged index answers ANN queries. The oracle
+    recomputes the whole composition in SQL: the incremental-dedup
+    EXISTS formulation feeds the survivor set, whose jittered vectors
+    extend the IVF corpus. Proves the stage contracts (dedup flags →
+    survivor ids → vector schema → index append) actually compose, not
+    just that each part works alone."""
+    import tempfile as _tf
+
+    from .session import pooled_persist
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    emb_d = emb.select("vec_id", v.alias("embedding"))
+    q = emb_d.filter(F.col("vec_id") < 8)
+    path = _ANN_INDEX_CACHE.get(("ivf_daily", sf_dir))
+    if path is None:
+        # --- stage 1: dedup the derived new batch against history -----
+        docs = _t(spark, sf_dir, "documents")
+        history = docs.select("doc_id", "text")
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        keep = F.greatest(F.size(words) - 3, F.lit(1))
+        jitter = docs.select(
+            (F.col("doc_id") + DT.AUG_OFFSET).alias("doc_id"),
+            F.array_join(F.slice(words, 1, keep), " ").alias("text"),
+        )
+        exact_copies = docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 2 * DT.AUG_OFFSET).alias("doc_id"), "text"
+        )
+        new_batch = pooled_persist(
+            jitter.unionByName(exact_copies), "q.pipeline_daily.new_batch"
+        )
+        flags = DT.incremental_dedup(new_batch, history, max_hamming=3)
+        survivors = flags.filter(F.col("is_kept")).select("doc_id")
+        # --- stage 2: embed survivors (engine-exact jitter transform) --
+        surv_emb = survivors.join(
+            emb_d.withColumnRenamed("vec_id", "src_id"),
+            F.col("doc_id") - DT.AUG_OFFSET == F.col("src_id"),
+        ).select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(1.01) + F.lit(0.001)
+            ).alias("embedding"),
+        )
+        # --- stage 3: upsert into the persisted history index ----------
+        path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/ivf_daily"
+        SIM.save_ivf_index(emb_d, path, n_cells=16)
+        SIM.upsert_ivf_index(spark, path, surv_emb)
+        _ANN_INDEX_CACHE[("ivf_daily", sf_dir)] = path
+    # --- stage 4: probe the merged index ------------------------------
+    idx = SIM.load_ivf_index(spark, path)
+    return SIM.ivf_ann_topk(q, emb_d, k=5, n_cells=16, n_probe=2, index=idx)
+
+
 @query("ann_pq_prebuilt_topk")
 def ann_pq_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN against a PERSISTED index (codebooks + compressed codes in
