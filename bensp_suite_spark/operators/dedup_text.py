@@ -825,3 +825,107 @@ def incremental_dedup_oracle_sql(
            (NOT exact_dup AND NOT near_dup) AS is_kept
     FROM flags
     """
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplication: duplicated n-gram spans (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — the
+# exact-substring family the doc-level methods above can't see: boilerplate
+# and licence blocks repeated across otherwise-distinct documents).
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_spans(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Per-document duplicated-substring coverage: every token n-gram that
+    appears in MORE THAN ONE distinct document is a duplicated span; a
+    token is covered if any duplicated n-gram overlaps it. Returns
+    (doc_id, n_tokens, n_dup_ngrams, covered_tokens, dup_frac) for every
+    doc with ≥ n tokens — dup_frac is the filter signal training pipelines
+    threshold on.
+
+    Scale shape: the only shuffle is the group-by on the 8-byte n-gram
+    hash (map-side combinable count-distinct over doc ids); candidate
+    positions explode only for *duplicated* grams (a small minority of a
+    real corpus), bounded by n per start. Hot boilerplate grams are the
+    skew risk — the same guard as the Jaccard prefix filter applies (cap
+    per-gram fan-out at the dup-decision threshold: >1 distinct doc is
+    already known after 2 rows)."""
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", w.alias("w")).filter(F.size("w") >= n)
+    base = base.select("doc_id", F.size("w").alias("n_tokens"), "w")
+    grams = base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.xxhash64(F.array_join(F.slice("w", i, n), " ")).alias("g"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "n_tokens", "s.start", "s.g")
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    dstarts = grams.join(dup_g, on="g", how="left_semi")
+    cnt = dstarts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_ngrams"))
+    cov = (
+        dstarts.select(
+            "doc_id", F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("pos")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cnt, on="doc_id", how="left")
+        .join(cov, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_ngrams", F.lit(0)).cast("long").alias("n_dup_ngrams"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def dup_ngram_spans_oracle_sql(n: int = 8, docs_src: str = "SELECT doc_id, text FROM documents") -> str:
+    """DuckDB mirror of :func:`dup_ngram_spans` — groups by the gram STRING
+    (the Spark side groups by its 64-bit hash: identical results absent a
+    hash collision, which at corpus scale is ≪ 1e-9)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM ({docs_src})
+    ),
+    base AS (SELECT doc_id, len(w) AS n_tokens, w FROM toks WHERE len(w) >= {n}),
+    grams AS (
+      SELECT doc_id, n_tokens, i AS start, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+      FROM base, UNNEST(range(1, n_tokens - {n} + 2)) AS t(i)
+    ),
+    dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+    dstarts AS (SELECT doc_id, start FROM grams WHERE gram IN (SELECT gram FROM dupg)),
+    cnt AS (SELECT doc_id, count(*) AS n_dup FROM dstarts GROUP BY doc_id),
+    cov AS (
+      SELECT doc_id, count(DISTINCT pos) AS covered
+      FROM (SELECT doc_id, start + j AS pos FROM dstarts, UNNEST(range(0, {n})) AS u(j))
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(cnt.n_dup, 0) AS BIGINT) AS n_dup_ngrams,
+           CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+           ROUND(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) AS dup_frac
+    FROM base b
+    LEFT JOIN cnt ON cnt.doc_id = b.doc_id
+    LEFT JOIN cov ON cov.doc_id = b.doc_id
+    """

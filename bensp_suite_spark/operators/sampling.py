@@ -1,0 +1,118 @@
+"""Deterministic hash-based sampling for training-data curation.
+
+A 100 TB pipeline can't use ``df.sample()`` for corpus construction: its
+membership depends on partition layout and seed plumbing, so a re-run (or a
+different cluster size) yields a different corpus. These operators derive
+membership from a *content key* — ``bucket(key) < rate · 2³²`` with an
+md5-derived uniform bucket — so the sample is a pure function of the data:
+reproducible across runs, engines, partitionings and cluster sizes, and
+embarrassingly parallel (a scan-time filter, no shuffle, fully pushed into
+the row scan).
+
+``resample_to_mix`` implements domain remixing (the Pile / Dolma-style
+"source mixing weights" step): given integer relative weights per stratum,
+it downsamples every stratum by a deterministic rate so the surviving
+corpus matches the target mix exactly at the largest size achievable
+WITHOUT upsampling — keep_rate_s = w_s·K/n_s with K = min_s(n_s/w_s).
+One count aggregate over the stratum column (map-side combinable) plus the
+scan-time filter; nothing else shuffles.
+
+Engine-exact by construction: the bucket is the first 8 md5 hex chars of
+the key rendered as decimal (the same derivation DuckDB expresses as
+``CAST(('0x' || substr(md5(k),1,8)) AS BIGINT)``), and the rate arithmetic
+is plain IEEE-double with a fixed operation order, so the SQL oracles
+reproduce membership bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space: first 8 md5 hex chars → uniform on [0, 2^32)
+BUCKET_SPACE = float(1 << 32)
+
+
+def hash_bucket(key: Column) -> Column:
+    """Uniform deterministic bucket on [0, 2^32) from any key column."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def hash_bucket_sql(key_sql: str) -> str:
+    """The DuckDB rendering of :func:`hash_bucket` (engine-exact)."""
+    return f"CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def hash_sample(df: DataFrame, rate: float, key: str = "doc_id") -> DataFrame:
+    """Bernoulli-style sample with deterministic content-keyed membership.
+
+    Scan-time filter — no shuffle, no state, layout-independent. The same
+    (key, rate) admits the same rows on any engine or cluster, which is
+    what makes downstream training corpora reproducible.
+    """
+    return df.filter(hash_bucket(F.col(key)) < F.lit(rate * BUCKET_SPACE))
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], strat_col: str, key: str = "doc_id"
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum s keeps rows with
+    bucket(key) < rates[s]·2³². Strata absent from ``rates`` are dropped.
+    Still a pure scan-time filter (the rate map is a literal expression)."""
+    rate_expr = F.create_map(
+        *[x for s, r in sorted(rates.items()) for x in (F.lit(s), F.lit(r))]
+    )[F.col(strat_col)]
+    return df.filter(
+        rate_expr.isNotNull()
+        & (hash_bucket(F.col(key)).cast("double") < rate_expr * F.lit(BUCKET_SPACE))
+    )
+
+
+def mix_rates(
+    df: DataFrame, weights: dict[str, int], strat_col: str
+) -> DataFrame:
+    """→ (stratum, n_offered, keep_rate) for the largest exact-mix
+    downsample: K = min_s(n_s / w_s) surviving rows per weight unit,
+    keep_rate_s = w_s·K / n_s ≤ 1. Integer weights keep the arithmetic
+    engine-exact (one double division, one min, one multiply, one divide
+    — fixed order). One count aggregate; the result is dimension-sized."""
+    w_expr = F.create_map(
+        *[x for s, w in sorted(weights.items()) for x in (F.lit(s), F.lit(w))]
+    )[F.col(strat_col)]
+    counts = (
+        df.select(F.col(strat_col).alias("stratum"), w_expr.alias("w"))
+        .filter(F.col("w").isNotNull())
+        .groupBy("stratum", "w")
+        .agg(F.count(F.lit(1)).alias("n_offered"))
+    )
+    k = counts.agg(
+        F.min(F.col("n_offered").cast("double") / F.col("w")).alias("k")
+    )
+    return counts.crossJoin(F.broadcast(k)).select(
+        "stratum",
+        "n_offered",
+        (F.col("w") * F.col("k") / F.col("n_offered").cast("double")).alias(
+            "keep_rate"
+        ),
+    )
+
+
+def resample_to_mix(
+    df: DataFrame, weights: dict[str, int], strat_col: str, key: str = "doc_id"
+) -> DataFrame:
+    """Downsample ``df`` so strata match the target integer-weight mix at
+    the largest achievable size without upsampling. The per-stratum rate
+    table is dimension-sized → broadcast join; membership is the same
+    deterministic content-keyed filter as :func:`hash_sample`."""
+    rates = mix_rates(df, weights, strat_col)
+    return (
+        df.join(
+            F.broadcast(rates),
+            df[strat_col] == rates["stratum"],
+        )
+        .filter(
+            hash_bucket(F.col(key)).cast("double")
+            < F.col("keep_rate") * F.lit(BUCKET_SPACE)
+        )
+        .select(*df.columns)
+    )

@@ -4239,3 +4239,68 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs count at bench scale (SemDeDup's cluster-count knob)."""
     emb = SIM.augmented_embeddings(_t(spark, sf_dir, "embeddings"))
     return SIM.semantic_dedup(emb, n_cells=64, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: substring-level duplication + deterministic sampling / remixing
+# ---------------------------------------------------------------------------
+
+from .operators import sampling as SMP  # noqa: E402
+
+
+@query("dedup_dup_ngram_spans", oracle=DT.dup_ngram_spans_oracle_sql(n=8))
+def dedup_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (Lee et al. 2022): per-document coverage
+    by token 8-grams that occur in more than one distinct document — the
+    exact-substring family that doc-level dedup can't see (licence blocks,
+    boilerplate repeated across otherwise-distinct docs). dup_frac is the
+    threshold signal a curation pipeline filters on."""
+    return DT.dup_ngram_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
+_MIX_WEIGHTS = {f"src{i}": (2 if i < 5 else 1) for i in range(20)}
+
+
+def _hash_sample_oracle_sql(rate: float) -> str:
+    cut = repr(rate * SMP.BUCKET_SPACE)
+    return f"""
+    SELECT doc_id, source FROM documents
+    WHERE CAST({SMP.hash_bucket_sql('doc_id')} AS DOUBLE) < {cut}
+    """
+
+
+def _resample_mix_oracle_sql(weights: dict[str, int]) -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(weights.items()))
+    return f"""
+    WITH wmap AS (SELECT * FROM (VALUES {vals}) v(stratum, w)),
+    counts AS (SELECT source AS stratum, count(*) AS n FROM documents GROUP BY source),
+    joined AS (SELECT c.stratum, c.n, w.w FROM counts c JOIN wmap w USING (stratum)),
+    k AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS k FROM joined),
+    rates AS (SELECT stratum, (w * k.k / CAST(n AS DOUBLE)) AS keep_rate FROM joined, k)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON r.stratum = d.source
+    WHERE CAST({SMP.hash_bucket_sql('d.doc_id')} AS DOUBLE) < r.keep_rate * {repr(SMP.BUCKET_SPACE)}
+    """
+
+
+@query("sample_hash_bernoulli", oracle=_hash_sample_oracle_sql(0.25))
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed sampling: membership is a pure function
+    of (doc_id, rate) — reproducible across runs, engines, partitionings
+    and cluster sizes, unlike df.sample(). A scan-time filter: no shuffle,
+    pushed into the row scan (the only way corpus construction at 100 TB
+    stays re-runnable)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return SMP.hash_sample(docs, 0.25)
+
+
+@query("sample_resample_mix", oracle=_resample_mix_oracle_sql(_MIX_WEIGHTS))
+def sample_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain remixing (the Pile/Dolma source-weights step): downsample
+    every source by a deterministic rate so the surviving corpus matches
+    the integer-weight target mix at the largest size achievable without
+    upsampling (keep_rate_s = w_s·K/n_s, K = min n_s/w_s). One count
+    aggregate + a broadcast rate join + the same content-keyed filter as
+    sample_hash_bernoulli — nothing else shuffles."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return SMP.resample_to_mix(docs, _MIX_WEIGHTS, "source")

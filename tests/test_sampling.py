@@ -1,0 +1,101 @@
+"""Deterministic sampling / remixing (operators/sampling.py) and
+substring-level duplicated n-gram spans (dedup_text.dup_ngram_spans)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bensp_suite_spark.operators import sampling as SMP
+from bensp_suite_spark.operators.dedup_text import dup_ngram_spans
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_hash_sample_is_layout_independent(spark, docs):
+    a = {r["doc_id"] for r in SMP.hash_sample(docs, 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in SMP.hash_sample(docs.repartition(7, "source"), 0.3).collect()
+    }
+    assert a == b and 0 < len(a) < 400
+
+
+def test_hash_sample_rate_is_monotone(spark, docs):
+    small = {r["doc_id"] for r in SMP.hash_sample(docs, 0.1).collect()}
+    big = {r["doc_id"] for r in SMP.hash_sample(docs, 0.4).collect()}
+    assert small < big  # strictly nested: same key order, higher cut
+
+
+def test_stratified_sample_drops_unlisted_strata(spark, docs):
+    out = SMP.stratified_sample(docs, {"src0": 1.0, "src1": 0.5}, "source").collect()
+    assert {r["source"] for r in out} <= {"src0", "src1"}
+    assert sum(1 for r in out if r["source"] == "src0") == 100  # rate 1.0 keeps all
+
+
+def test_resample_to_mix_rates_and_membership(spark, docs):
+    # src0 weight 3, others 1 → K = min(100/3, 100/1) = 100/3;
+    # keep_rate: src0 = 3·K/100 = 1.0, others = K/100 = 1/3
+    weights = {"src0": 3, "src1": 1, "src2": 1, "src3": 1}
+    rates = {r["stratum"]: r["keep_rate"] for r in SMP.mix_rates(docs, weights, "source").collect()}
+    assert rates["src0"] == 1.0
+    assert abs(rates["src1"] - 1 / 3) < 1e-12
+    out = SMP.resample_to_mix(docs, weights, "source")
+    got = {r["doc_id"] for r in out.collect()}
+    # membership == the per-stratum hash filter applied independently
+    expected = set()
+    for s, rate in rates.items():
+        expected |= {
+            r["doc_id"]
+            for r in docs.filter(F.col("source") == s)
+            .filter(SMP.hash_bucket(F.col("doc_id")).cast("double") < rate * SMP.BUCKET_SPACE)
+            .collect()
+        }
+    assert got == expected
+    # the heavy stratum keeps everything (rate 1.0)
+    assert sum(1 for r in out.collect() if r["source"] == "src0") == 100
+
+
+def test_dup_ngram_spans_planted(spark):
+    shared = "a b c d e f g h"  # one 8-gram, shared by docs 1 and 2
+    rows = [
+        (1, shared + " x y z"),
+        (2, "p q " + shared),
+        (3, "entirely distinct words nine ten eleven twelve thirteen"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dup_ngram_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), n=8
+        ).collect()
+    }
+    # doc 1: 11 tokens, 4 grams, 1 duplicated (start 1) covering tokens 1-8
+    assert out[1]["n_tokens"] == 11
+    assert out[1]["n_dup_ngrams"] == 1
+    assert out[1]["covered_tokens"] == 8
+    assert out[1]["dup_frac"] == round(8 / 11, 6)
+    # doc 2: 10 tokens, duplicated gram starts at 3, covers tokens 3-10
+    assert out[2]["n_dup_ngrams"] == 1
+    assert out[2]["covered_tokens"] == 8
+    # doc 3: clean
+    assert out[3]["n_dup_ngrams"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_dup_ngram_spans_overlapping_grams_union_coverage(spark):
+    # two docs share a 9-token run → two overlapping duplicated 8-grams;
+    # coverage is the UNION of their spans (9 tokens), not 16
+    run = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    rows = [(1, run + " tailone"), (2, run + " tailtwo")]
+    out = {
+        r["doc_id"]: r
+        for r in dup_ngram_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), n=8
+        ).collect()
+    }
+    for d in (1, 2):
+        assert out[d]["n_dup_ngrams"] == 2
+        assert out[d]["covered_tokens"] == 9
