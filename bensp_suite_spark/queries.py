@@ -4304,3 +4304,41 @@ def sample_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_hash_bernoulli — nothing else shuffles."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return SMP.resample_to_mix(docs, _MIX_WEIGHTS, "source")
+
+
+from .operators import sketches as SK  # noqa: E402
+
+_KMV_ORACLE = f"""
+WITH sk AS (SELECT n_hashes, kth_min, distinct_est
+            FROM ({SK.kmv_distinct_oracle_sql('l_orderkey', 'lineitem', k=256)})),
+ex AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_exact FROM lineitem)
+SELECT sk.n_hashes, sk.kth_min, sk.distinct_est, ex.distinct_exact,
+       ROUND(ABS(sk.distinct_est - ex.distinct_exact) / CAST(ex.distinct_exact AS DOUBLE), 4) AS rel_err
+FROM sk, ex
+"""
+
+
+@query("sketch_kmv_distinct", oracle=_KMV_ORACLE)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (k-minimum-values, k=256) vs the exact
+    count over lineitem order keys. The sketch is a bounded mergeable set
+    — per-partition top-k + a k-row merge, never a full distinct shuffle
+    — and, unlike HLL, its estimate is a pure deterministic function of
+    the data, so the DuckDB oracle reproduces it bit-for-bit. rel_err is
+    the accuracy readout (theory: ~1/sqrt(k) ≈ 6%)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = SK.kmv_distinct(li, "l_orderkey", k=256)
+    exact = li.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("distinct_exact")
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "n_hashes",
+        "kth_min",
+        "distinct_est",
+        "distinct_exact",
+        F.round(
+            F.abs(F.col("distinct_est") - F.col("distinct_exact"))
+            / F.col("distinct_exact").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -99,3 +99,27 @@ def test_dup_ngram_spans_overlapping_grams_union_coverage(spark):
     for d in (1, 2):
         assert out[d]["n_dup_ngrams"] == 2
         assert out[d]["covered_tokens"] == 9
+
+
+def test_kmv_sketch_merge_property(spark):
+    from bensp_suite_spark.operators import sketches as SK
+
+    a = spark.range(0, 5000).select(F.col("id").alias("v"))
+    b = spark.range(3000, 9000).select(F.col("id").alias("v"))
+    k = 64
+    merged = {
+        r["h"]
+        for r in SK.kmv_merge(
+            SK.kmv_hashes(a, "v", k), SK.kmv_hashes(b, "v", k), k
+        ).collect()
+    }
+    direct = {r["h"] for r in SK.kmv_hashes(a.union(b), "v", k).collect()}
+    assert merged == direct  # sketch(A ∪ B) == merge(sketch(A), sketch(B))
+
+
+def test_kmv_exact_below_k(spark):
+    from bensp_suite_spark.operators import sketches as SK
+
+    small = spark.range(0, 10).select(F.col("id").alias("v"))
+    row = SK.kmv_distinct(small, "v", k=256).collect()[0]
+    assert row["n_hashes"] == 10 and row["distinct_est"] == 10.0
