@@ -400,6 +400,26 @@ def main() -> None:
         rep_sec = round(time.perf_counter() - t0, 4)
         if _rep > 0:
             stream_sec = rep_sec if stream_sec is None else min(stream_sec, rep_sec)
+    # Trigger-size sweep: SCALING.md names micro-batch size as THE
+    # throughput knob for stream_encode_merge (per-trigger fixed cost —
+    # planning, state-merge commit — amortizes over the batch). Measure it
+    # instead of asserting it: same 256 MB input (8 parquet files × 32 MB),
+    # maxFilesPerTrigger ∈ {1, 2, 8} → 32/64/256 MB triggers → 8/4/1
+    # batches. One timed run each (the path is already JIT-warm from the
+    # headline reps above; the curve's shape is the deliverable).
+    trigger_sweep = {}
+    for mft in (1, 2, 8):
+        s_out = os.path.join(sdir, f"sweep_out{mft}")
+        s_ckpt = os.path.join(sdir, f"sweep_ckpt{mft}")
+        s_stream = (
+            spark.readStream.schema("file_id long, content binary")
+            .option("maxFilesPerTrigger", mft)
+            .parquet(s_src)
+        )
+        t0 = time.perf_counter()
+        DSTR.stream_encode_merge(spark, s_stream, s_out, s_ckpt)
+        sweep_sec = time.perf_counter() - t0
+        trigger_sweep[f"{mft * 32}mb_trigger_mbps"] = round(stream_mb / sweep_sec, 2)
     shutil.rmtree(sdir, ignore_errors=True)
     spark.streams.removeListener(handle)
     # UPL memory analog (new_dedup.c:97-242; BASELINE.md reference point
@@ -428,6 +448,32 @@ def main() -> None:
         single_thread = {}
 
     total = round(sum(times.values()), 4)
+
+    # Per-query drift guard: compare against the committed best-of-round
+    # table (bench_best.json, maintained by tools/update_bench_best.py) so
+    # a regression gets a root-cause the round it happens, not two rounds
+    # later (the ferret_topk_multiregion lesson: 1.09→1.39 s went
+    # unexplained because nothing flagged it at the time). A query is
+    # flagged when it exceeds 1.5× its recorded best AND is at least
+    # 0.5 s over it (sub-second queries jitter past pure ratios).
+    # Report-only by default — the driver's per-round run must always
+    # produce a BENCH file; SPARK_GRAFT_BENCH_GUARD=1 makes it exit 1.
+    regressions: dict[str, dict] = {}
+    best_path = os.path.join(REPO, "bench_best.json")
+    if sf == 0.1 and os.path.exists(best_path):
+        with open(best_path) as fh:
+            best = json.load(fh).get("queries", {})
+        for name, sec in times.items():
+            b = best.get(name)
+            if b is not None and sec > 1.5 * b and sec - b > 0.5:
+                regressions[name] = {"sec": sec, "best": b, "ratio": round(sec / b, 2)}
+        for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
+            print(
+                f"PERF REGRESSION {name}: {r['sec']} s vs best {r['best']} s "
+                f"({r['ratio']}x)",
+                file=sys.stderr,
+            )
+
     payload = {
                 "metric": "declared_query_suite_time",
                 "value": total,
@@ -451,6 +497,7 @@ def main() -> None:
                     "streaming_dedup_input_mb": stream_mb,
                     "streaming_dedup_sec": stream_sec,
                     "streaming_dedup_mbps": round(stream_mb / stream_sec, 2),
+                    "streaming_trigger_sweep": trigger_sweep,
                     "streaming_peak_heap_mb": peak_heap_mb,
                     "saturated_encode_input_mb": sat_mb,
                     "saturated_encode_sec": sat_sec,
@@ -473,6 +520,7 @@ def main() -> None:
                     "dedup_single_thread_mbps": single_thread.get("mbps_gzip"),
                     "dedup_single_thread_none_mbps": single_thread.get("mbps_none"),
                 },
+                "regressions": regressions,
             }
     # Full per-query payload goes to a FILE; the stdout line stays short.
     # The driver's stdout tail capture is ~2 KB — round 1's single line
@@ -489,6 +537,8 @@ def main() -> None:
     line["queries_file"] = full_path
     print(json.dumps(line))
     spark.stop()
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_GUARD") == "1":
+        sys.exit(1)
 
 
 if __name__ == "__main__":
