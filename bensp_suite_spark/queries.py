@@ -4342,3 +4342,77 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+@query("stream_hash_sample", oracle=_hash_sample_oracle_sql(0.25))
+def stream_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling applied to a STREAM: hash_sample is a
+    stateless scan-time filter, so the identical operator runs unchanged
+    on a readStream — membership is a pure function of (doc_id, rate),
+    independent of batch boundaries, arrival order, and trigger sizing.
+    Replayed as a 3-file stream; the drained output must equal the batch
+    filter exactly (it shares sample_hash_bernoulli's oracle)."""
+    import shutil
+    import tempfile
+
+    from .streaming.event_streams import run_to_parquet
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = tempfile.mkdtemp(prefix="bensp_stream_sample_")
+    docs.repartition(3).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    run_to_parquet(SMP.hash_sample(stream, 0.25), f"{base}/out", f"{base}/ckpt")
+    result = spark.read.parquet(f"{base}/out").localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+_KMV_GROUP_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM (SELECT DISTINCT source, {SMP.hash_bucket_sql('text')} AS h FROM documents)
+),
+sk AS (SELECT source, h, rn FROM ranked WHERE rn <= 32)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_hashes,
+       MAX(h) AS kth_min,
+       ROUND(CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {31.0!r} * {SMP.BUCKET_SPACE!r} / CAST(MAX(h) AS DOUBLE)
+             END, 3) AS distinct_est
+FROM sk GROUP BY source
+"""
+
+
+@query("sketch_kmv_by_group", oracle=_KMV_GROUP_ORACLE)
+def sketch_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV sketches in ONE pass (k=32 per source over distinct
+    document texts) — the realistic shape: per-domain cardinalities for a
+    whole corpus without one distinct-shuffle per domain. The rank window
+    runs on (source, hash) AFTER a distinct that is map-side combinable;
+    per-group state is bounded at k rows. Estimates are engine-exact
+    (same deterministic hash + arithmetic as sketch_kmv_distinct)."""
+    k = 32
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "source", SMP.hash_bucket(F.col("text")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("h").alias("kth_min"),
+    ).select(
+        "source",
+        "n_hashes",
+        "kth_min",
+        F.round(
+            F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(SMP.BUCKET_SPACE) / F.col("kth_min").cast("double")
+            ),
+            3,
+        ).alias("distinct_est"),
+    )
