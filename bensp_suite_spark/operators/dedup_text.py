@@ -866,10 +866,14 @@ def dup_ngram_spans(docs: DataFrame, n: int = 8) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", "n_tokens", "s.start", "s.g")
+    # "appears in >1 distinct doc" == min(doc_id) != max(doc_id): plain
+    # map-side-combinable aggregates, no count-distinct expansion — the
+    # per-gram work stops mattering past 2 docs (pigeonhole), and this
+    # formulation never materializes the distinct doc set per gram.
     dup_g = (
         grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("g")
     )
     dstarts = grams.join(dup_g, on="g", how="left_semi")
