@@ -20,6 +20,26 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+#: drift-guard thresholds: flag a query only when it is BOTH 1.5× over its
+#: recorded best AND at least 0.5 s over it (sub-second queries jitter past
+#: pure ratios on a shared machine)
+GUARD_RATIO = 1.5
+GUARD_ABS_SEC = 0.5
+
+
+def detect_regressions(
+    times: dict[str, float], best: dict[str, float]
+) -> dict[str, dict]:
+    """→ {query: {sec, best, ratio}} for every query exceeding both guard
+    thresholds vs its recorded best. Queries absent from ``best`` (new
+    this round) are never flagged."""
+    out: dict[str, dict] = {}
+    for name, sec in times.items():
+        b = best.get(name)
+        if b is not None and sec > GUARD_RATIO * b and sec - b > GUARD_ABS_SEC:
+            out[name] = {"sec": sec, "best": b, "ratio": round(sec / b, 2)}
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -463,10 +483,7 @@ def main() -> None:
     if sf == 0.1 and os.path.exists(best_path):
         with open(best_path) as fh:
             best = json.load(fh).get("queries", {})
-        for name, sec in times.items():
-            b = best.get(name)
-            if b is not None and sec > 1.5 * b and sec - b > 0.5:
-                regressions[name] = {"sec": sec, "best": b, "ratio": round(sec / b, 2)}
+        regressions = detect_regressions(times, best)
         for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
             print(
                 f"PERF REGRESSION {name}: {r['sec']} s vs best {r['best']} s "

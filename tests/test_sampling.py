@@ -123,3 +123,24 @@ def test_kmv_exact_below_k(spark):
     small = spark.range(0, 10).select(F.col("id").alias("v"))
     row = SK.kmv_distinct(small, "v", k=256).collect()[0]
     assert row["n_hashes"] == 10 and row["distinct_est"] == 10.0
+
+
+def test_bench_regression_guard_thresholds():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    best = {"fast": 0.1, "big": 2.0, "mid": 1.0}
+    times = {
+        "fast": 0.4,   # 4x ratio but only +0.3 s: jitter, not flagged
+        "big": 3.5,    # 1.75x and +1.5 s: flagged
+        "mid": 1.4,    # +0.4 s and 1.4x: neither threshold, not flagged
+        "new_query": 9.9,  # not in best: never flagged
+    }
+    flagged = bench.detect_regressions(times, best)
+    assert set(flagged) == {"big"}
+    assert flagged["big"]["ratio"] == 1.75
