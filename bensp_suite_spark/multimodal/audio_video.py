@@ -6,9 +6,12 @@ Codec layer: real codecs for PCM s16le + WAV (stdlib ``wave``) audio and
 packed raw-rgb + uncompressed RIFF/AVI video — all lossless, so the
 container-format paths fingerprint identically to the raw paths (parity
 tested). FLAC is a real pure-Python decoder in ``flac.py`` (lossless,
-bit-deterministic). Only mp3/mp4 remain environment-gated STUBS behind
-NotImplementedError — swap in ffmpeg on a real cluster, the plumbing
-(schema, batch shape, partitioning) is format-agnostic.
+bit-deterministic), and MP4 is a real pure-Python ISO BMFF muxer/demuxer
+in ``mp4.py`` whose 'jpeg' (MJPEG) sample entries decode through the pure
+JPEG codec. Only mp3 and non-MJPEG mp4 codecs (avc1/hev1) remain
+environment-gated STUBS behind NotImplementedError — swap in ffmpeg on a
+real cluster, the plumbing (schema, batch shape, partitioning) is
+format-agnostic.
 
 Feature kernels are REAL numpy: framed RMS energy + zero-crossing rate
 (audio), per-frame mean color + frame sampling (video).
@@ -309,10 +312,17 @@ def decode_video(payload: bytes, fmt: str) -> np.ndarray:
 
             import av
         except ImportError:
+            if fmt == "mp4":
+                # pure ISO BMFF demuxer + the pure JPEG codec: real for
+                # 'jpeg' (MJPEG) sample entries; avc1/hev1 raise the
+                # typed environment gate inside
+                from .mp4 import decode_mp4_mjpeg
+
+                return decode_mp4_mjpeg(payload)
             raise NotImplementedError(
                 f"STUB: {fmt} decode requires ffmpeg (PyAV), not available "
-                "in this container; use format='raw-frames' or an "
-                "uncompressed 'avi' for tests"
+                "in this container; use format='raw-frames', an "
+                "uncompressed 'avi', or an MJPEG 'mp4' for tests"
             ) from None
         with av.open(io.BytesIO(payload)) as container:
             frames = [

@@ -1,0 +1,233 @@
+"""Pure-Python ISO BMFF (MP4) muxer/demuxer carrying Motion-JPEG samples.
+
+Closes the compressed-video container stub the way JPEG (round 4) and FLAC
+(round 5) closed the image/audio ones: the container layer — box structure,
+sample tables, chunk offsets — is the public ISO/IEC 14496-12 spec and is
+fully implemented here; the per-frame payload is baseline JPEG decoded by
+the repo's own bit-deterministic codec (``multimodal/jpeg.py``), so the
+whole compressed-video ingest path runs end-to-end in this container with
+no native media libraries. H.264/HEVC/AAC sample entries remain
+environment-gated (PyAV/ffmpeg territory, same contract as before): the
+demuxer raises a typed NotImplementedError naming the codec it found.
+
+Reference ingest parity: the reference's h3 input class feeds compressed
+video TARs through its decoder stage (bin/parsec_stream:30-39,
+tools/Inputs_review.txt); this module is the Spark-side equivalent of that
+demux+decode front end.
+
+Writer layout: ``ftyp | mdat | moov`` — one video track, one chunk holding
+all samples, constant sample duration (timescale = fps, delta = 1). The
+single-chunk stsc/stco shape is the simplest legal sample table; the PARSER
+implements the general stsc expansion (any chunking), so third-party MJPEG
+files with per-frame chunks demux correctly too.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jpeg import decode_jpeg, encode_jpeg
+
+_MJPEG_QUALITY = 90
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(tag, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+
+def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(N, H, W, 3) uint8 RGB → MP4 bytes with one 'jpeg' video track.
+
+    Every frame is encoded with the pure JPEG codec at fixed settings, so
+    identical input frames produce byte-identical samples — the property
+    the dedup goldens lean on."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("frames must be (N, H, W, 3) uint8 RGB")
+    n, h, w, _ = frames.shape
+    samples = [
+        encode_jpeg(frames[i], quality=_MJPEG_QUALITY, subsample=True)
+        for i in range(n)
+    ]
+    sizes = [len(s) for s in samples]
+    mdat_body = b"".join(samples)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp41")
+    first_sample_off = len(ftyp) + 8  # mdat header is 8 bytes
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n)  # ctime, mtime, timescale, duration
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,  # enabled | in_movie | in_preview
+        struct.pack(">IIIII", 0, 0, 1, 0, n)  # ctime, mtime, track_id, rsvd, duration
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)  # layer, alt_group, volume, rsvd
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, first_sample_off))
+
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_body) + moov
+
+
+def _boxes(buf: bytes, pos: int, end: int):
+    """Yield (tag, body_start, body_end) for the boxes in [pos, end)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed mp4: box {tag!r} size {size} at {pos}")
+        yield tag, body, pos + size
+        pos += size
+
+
+def _find(buf: bytes, pos: int, end: int, path: list[bytes]) -> tuple[int, int]:
+    """→ (body_start, body_end) of the first box at the given nesting path."""
+    head, rest = path[0], path[1:]
+    for tag, b0, b1 in _boxes(buf, pos, end):
+        if tag == head:
+            return (b0, b1) if not rest else _find(buf, b0, b1, rest)
+    raise ValueError(f"malformed mp4: missing box {b'/'.join(path).decode()!r}")
+
+
+def demux_mp4(payload: bytes) -> tuple[bytes, list[bytes]]:
+    """MP4 bytes → (sample_entry_fourcc, [sample bytes]) for the first
+    video track. Implements the general stsc chunk expansion, so any
+    legal chunking (not just this writer's single-chunk layout) demuxes."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an mp4: missing ftyp header")
+    moov = None
+    for tag, b0, b1 in _boxes(payload, 0, len(payload)):
+        if tag == b"moov":
+            moov = (b0, b1)
+    if moov is None:
+        raise ValueError("malformed mp4: no moov box")
+
+    stbl = None
+    for tag, t0, t1 in _boxes(payload, *moov):
+        if tag != b"trak":
+            continue
+        h0, h1 = _find(payload, t0, t1, [b"mdia", b"hdlr"])
+        if payload[h0 + 8 : h0 + 12] != b"vide":
+            continue
+        stbl = _find(payload, t0, t1, [b"mdia", b"minf", b"stbl"])
+        break
+    if stbl is None:
+        raise ValueError("malformed mp4: no video track")
+
+    def full_body(tag: bytes) -> bytes:
+        b0, b1 = _find(payload, *stbl, [tag])
+        return payload[b0 + 4 : b1]  # skip version/flags
+
+    stsd = full_body(b"stsd")
+    fourcc = stsd[8:12]  # first sample entry's format
+
+    sz = full_body(b"stsz")
+    fixed, count = struct.unpack_from(">II", sz, 0)
+    sizes = (
+        [fixed] * count
+        if fixed
+        else list(struct.unpack_from(f">{count}I", sz, 8))
+    )
+
+    try:
+        co = full_body(b"stco")
+        (n_chunks,) = struct.unpack_from(">I", co, 0)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", co, 4))
+    except ValueError:
+        co = full_body(b"co64")
+        (n_chunks,) = struct.unpack_from(">I", co, 0)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", co, 4))
+
+    sc = full_body(b"stsc")
+    (n_ent,) = struct.unpack_from(">I", sc, 0)
+    ents = [struct.unpack_from(">III", sc, 4 + 12 * i) for i in range(n_ent)]
+
+    # stsc expansion: entry i applies from its first_chunk until the next
+    # entry's first_chunk (1-based chunk numbering)
+    samples: list[bytes] = []
+    si = 0
+    for i, (first, per_chunk, _sdi) in enumerate(ents):
+        last = ents[i + 1][0] - 1 if i + 1 < n_ent else n_chunks
+        for chunk in range(first, last + 1):
+            pos = offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if si >= count:
+                    break
+                samples.append(payload[pos : pos + sizes[si]])
+                pos += sizes[si]
+                si += 1
+    if si != count:
+        raise ValueError(
+            f"malformed mp4: sample tables disagree (stsz {count}, stsc walk {si})"
+        )
+    return fourcc, samples
+
+
+def decode_mp4_mjpeg(payload: bytes) -> np.ndarray:
+    """MP4 bytes → (N, H, W, 3) uint8 RGB frames via the pure JPEG codec.
+    Non-JPEG sample entries (avc1/hev1/…) raise the typed environment
+    gate — same contract as the mp3 path."""
+    fourcc, samples = demux_mp4(payload)
+    if fourcc not in (b"jpeg", b"mjpa"):
+        raise NotImplementedError(
+            f"STUB: mp4 sample entry {fourcc.decode(errors='replace')!r} "
+            "requires ffmpeg (PyAV); the pure path decodes 'jpeg' (MJPEG) "
+            "sample entries"
+        )
+    frames = [decode_jpeg(s) for s in samples]
+    return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)

@@ -1126,6 +1126,36 @@ def multimodal_video_dedup_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AV.video_near_dup_pairs(video, every_n=5, min_matching_frames=3)
 
 
+@query("multimodal_video_dedup_mp4")
+def multimodal_video_dedup_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup over a COMPRESSED container: noise-frame videos
+    muxed as MJPEG-in-MP4 (pure ISO BMFF muxer, multimodal/mp4.py) and
+    demuxed + JPEG-decoded inside the frame-sampling stage — the full
+    compressed-video ingest path with no native media libraries. The
+    golden rides through the codec (dHashes of the JPEG round-trip of
+    the source frames, computed by the non-Spark reference path), so any
+    sample-table/offset mistake in the demuxer fails the pin. Re-encoded
+    exact-copy videos (ids 100+) must pair at hamming 0 because the pure
+    encoder is deterministic. Reference ingest: bin/parsec_stream:30-39
+    (compressed-video h3 input class)."""
+    import numpy as np
+
+    from .multimodal import audio_video as AV
+    from .multimodal import mp4 as MP4
+
+    rows = []
+    vids = []
+    for i in range(5):
+        rng = np.random.default_rng(170 + i)
+        frames = rng.integers(0, 200, (20, 24, 24, 3)).astype(np.uint8)
+        vids.append(frames)
+        rows.append((i, "mp4", 24, 24, 20, MP4.encode_mp4_mjpeg(frames)))
+    for i in range(2):
+        rows.append((100 + i, "mp4", 24, 24, 20, MP4.encode_mp4_mjpeg(vids[i])))
+    video = spark.createDataFrame(rows, AV.VIDEO_TABLE_SCHEMA).coalesce(4)
+    return AV.video_near_dup_pairs(video, every_n=5, min_matching_frames=3)
+
+
 @query("multimodal_image_stats")
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image segmentation/extraction statistics (region counts, weight

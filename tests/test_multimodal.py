@@ -811,3 +811,130 @@ def test_flac_codec_hypothesis_round_trip():
         assert (dec == want).all()
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF) muxer/demuxer — MJPEG sample entries through the pure codec
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_container_is_lossless_around_jpeg_samples():
+    import numpy as np
+
+    from bensp_suite_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from bensp_suite_spark.multimodal.mp4 import demux_mp4, encode_mp4_mjpeg
+
+    rng = np.random.default_rng(41)
+    frames = rng.integers(0, 255, (7, 16, 24, 3)).astype(np.uint8)
+    payload = encode_mp4_mjpeg(frames, fps=30)
+    fourcc, samples = demux_mp4(payload)
+    assert fourcc == b"jpeg" and len(samples) == 7
+    # demuxed sample bytes == direct per-frame encodes (container adds nothing)
+    for i, s in enumerate(samples):
+        assert s == encode_jpeg(frames[i], quality=90, subsample=True)
+        assert decode_jpeg(s).shape == (16, 24, 3)
+
+
+def test_mp4_demux_handles_general_chunking():
+    # hand-build a TWO-chunk file (chunk1: 2 samples, then a 6-byte gap,
+    # chunk2: 1 sample) to positively exercise the general stsc expansion
+    # and prove the demuxer follows stco offsets, not mdat order
+    import struct
+
+    import numpy as np
+
+    from bensp_suite_spark.multimodal import mp4 as M
+    from bensp_suite_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(42)
+    frames = rng.integers(0, 255, (3, 16, 16, 3)).astype(np.uint8)
+    samples = [encode_jpeg(f, quality=90, subsample=True) for f in frames]
+    sizes = [len(s) for s in samples]
+
+    ref = M.encode_mp4_mjpeg(frames)  # donor for everything except stbl/mdat
+    ftyp_len = ref.index(b"mdat") - 4
+    off0 = ftyp_len + 8
+    mdat_body = samples[0] + samples[1] + b"GAPGAP" + samples[2]
+
+    # swap the writer's single-chunk tables for the two-chunk layout by
+    # rebuilding moov from the donor's moov with patched stsc/stco and an
+    # identical-size guarantee: stsc gains one 12-byte entry, stco one
+    # 4-byte offset, so patch parent sizes via full re-mux of the boxes.
+    old_stsc = M._full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 3, 1))
+    new_stsc = M._full(b"stsc", 0, 0, struct.pack(">IIIIIII", 2, 1, 2, 1, 2, 1, 1))
+    old_stco = M._full(b"stco", 0, 0, struct.pack(">II", 1, off0))
+    new_stco = M._full(
+        b"stco", 0, 0, struct.pack(">III", 2, off0, off0 + sizes[0] + sizes[1] + 6)
+    )
+    moov = ref[ref.index(b"moov") - 4 :]
+    assert old_stsc in moov and old_stco in moov
+    # grow every enclosing box size (moov>trak>mdia>minf>stbl) by the 16
+    # added bytes, outermost first, then swap the leaf tables
+    grown = moov
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        i = grown.index(tag) - 4
+        (sz,) = struct.unpack_from(">I", grown, i)
+        grown = grown[:i] + struct.pack(">I", sz + 16) + grown[i + 4 :]
+    grown = grown.replace(old_stsc, new_stsc).replace(old_stco, new_stco)
+
+    buf = ref[:ftyp_len] + M._box(b"mdat", mdat_body) + grown
+    fourcc, got = M.demux_mp4(buf)
+    assert fourcc == b"jpeg"
+    assert got == samples  # exact bytes, across the gap
+
+
+def test_mp4_malformed_inputs_raise_typed_errors():
+    import numpy as np
+    import pytest
+
+    from bensp_suite_spark.multimodal import mp4 as M
+
+    rng = np.random.default_rng(43)
+    frames = rng.integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+    payload = M.encode_mp4_mjpeg(frames)
+    with pytest.raises(ValueError, match="ftyp"):
+        M.demux_mp4(b"\x00" * 32)
+    with pytest.raises(ValueError):
+        M.demux_mp4(payload[:48])  # truncated mdat
+    with pytest.raises(ValueError, match="no moov"):
+        M.demux_mp4(payload[: payload.index(b"moov") - 4])
+
+
+def test_mp4_non_jpeg_sample_entry_is_environment_gated():
+    import numpy as np
+    import pytest
+
+    from bensp_suite_spark.multimodal import mp4 as M
+
+    rng = np.random.default_rng(44)
+    frames = rng.integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+    payload = M.encode_mp4_mjpeg(frames)
+    # flip the sample entry fourcc to avc1: the demux must succeed, the
+    # decode must raise the typed NotImplementedError naming the codec
+    patched = payload.replace(b"jpeg", b"avc1", 1)
+    fourcc, samples = M.demux_mp4(patched)
+    assert fourcc == b"avc1" and len(samples) == 2
+    with pytest.raises(NotImplementedError, match="avc1"):
+        M.decode_mp4_mjpeg(patched)
+
+
+def test_decode_video_routes_mp4_through_pure_demuxer():
+    import numpy as np
+
+    from bensp_suite_spark.multimodal import audio_video as AV
+    from bensp_suite_spark.multimodal import mp4 as M
+    from bensp_suite_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(45)
+    frames = rng.integers(0, 255, (4, 24, 16, 3)).astype(np.uint8)
+    try:
+        import av  # noqa: F401
+
+        return  # PyAV present: the ffmpeg path takes over, nothing to gate
+    except ImportError:
+        pass
+    dec = AV.decode_video(M.encode_mp4_mjpeg(frames), "mp4")
+    want = np.stack(
+        [decode_jpeg(encode_jpeg(f, quality=90, subsample=True)) for f in frames]
+    )
+    assert np.array_equal(dec, want)

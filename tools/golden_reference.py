@@ -713,10 +713,19 @@ def multimodal_video_dedup(sf_dir: str, every_n: int = 5, min_matching_frames: i
     for i in range(2):
         frames_by_vid[100 + i] = np.clip(vids[i].astype(np.int32) + 10, 0, 255).astype(np.uint8)
 
+    return _video_pair_rows(frames_by_vid, every_n, min_matching_frames)
+
+
+def _video_pair_rows(frames_by_vid, every_n, min_matching_frames, frame_fn=None):
+    """Shared frame-sampled dHash pair counting (frame_fn: optional
+    per-frame transform, e.g. a JPEG round-trip for lossy containers)."""
+    from bensp_suite_spark.multimodal.images import dhash_kernel
+
     fid_hashes = []
     for mid, frames in sorted(frames_by_vid.items()):
         for idx in range(0, frames.shape[0], every_n):
-            fid_hashes.append((mid * 1_000_000 + idx, dhash_kernel(frames[idx])))
+            f = frames[idx] if frame_fn is None else frame_fn(frames[idx])
+            fid_hashes.append((mid * 1_000_000 + idx, dhash_kernel(f)))
     pairs = _brute_hamming_pairs(fid_hashes, 3)
     counts: dict[tuple[int, int], set] = {}
     for fa, fb, _d in pairs:
@@ -732,6 +741,32 @@ def multimodal_video_dedup(sf_dir: str, every_n: int = 5, min_matching_frames: i
     ]
     cols = [("vid_a", "BIGINT"), ("vid_b", "BIGINT"), ("n_matching_frames", "BIGINT")]
     return cols, rows
+
+
+def multimodal_video_dedup_mp4(sf_dir: str):
+    """Pin for the MJPEG-in-MP4 ingest variant. The container layer is
+    lossless around the JPEG samples, so (like the image-search JPEG pin)
+    this rides through the codec: dHashes of the JPEG round-trip of each
+    sampled frame, NO Spark and NO container code anywhere — the Spark
+    side must demux the ISO BMFF sample tables back to the exact encoded
+    bytes to match. Re-encoded exact-copy videos (ids 100+) pair at
+    hamming 0 because the pure encoder is deterministic."""
+    from bensp_suite_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    frames_by_vid = {}
+    vids = []
+    for i in range(5):
+        rng = np.random.default_rng(170 + i)
+        frames = rng.integers(0, 200, (20, 24, 24, 3)).astype(np.uint8)
+        vids.append(frames)
+        frames_by_vid[i] = frames
+    for i in range(2):
+        frames_by_vid[100 + i] = vids[i]  # exact copies, independently re-encoded
+
+    def jpeg_rt(frame):
+        return decode_jpeg(encode_jpeg(frame, quality=90, subsample=True))
+
+    return _video_pair_rows(frames_by_vid, 5, 3, frame_fn=jpeg_rt)
 
 
 # --------------------------------------------------------------------------
@@ -764,6 +799,7 @@ REFERENCE_FNS = {
     "multimodal_audio_dedup_flac": multimodal_audio_dedup_flac,
     "multimodal_video_dedup": multimodal_video_dedup,
     "multimodal_video_dedup_avi": multimodal_video_dedup_avi,
+    "multimodal_video_dedup_mp4": multimodal_video_dedup_mp4,
     "cdc_ddp_datasource_scan": cdc_ddp_datasource_scan,
     "multimodal_image_phash_dedup": multimodal_image_phash_dedup,
 }
