@@ -497,3 +497,36 @@ def test_batch_file_ingest_window_never_carries_content(spark, tmp_path):
     # semantics unchanged: dense 0..n-1 ids in path order
     rows = sorted((r.file_path, r.file_id) for r in df.collect())
     assert [fid for _p, fid in rows] == list(range(4))
+
+
+def test_hash_sample_is_pure_scan_filter(spark):
+    # deterministic sampling must stay a scan-time filter: no exchange,
+    # no aggregate, no join anywhere in the plan
+    plan = _plan(spark, "sample_hash_bernoulli")
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_resample_mix_broadcasts_rates_no_sort_merge(spark):
+    # the per-stratum rate table is dimension-sized: the membership join
+    # must be broadcast, never sort-merge; the only exchanges belong to
+    # the (tiny, partially aggregated) count/min rate derivation
+    plan = _plan(spark, "sample_resample_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dup_ngram_decision_is_min_max_not_distinct(spark):
+    # the >1-distinct-doc decision must stay min/max (map-side
+    # combinable), not a count-distinct expansion
+    plan = _plan(spark, "dedup_dup_ngram_spans")
+    # partial min/max aggregate on the gram hash must exist
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "count(distinct" not in plan.lower()
+
+
+def test_kmv_topk_is_take_ordered_not_full_sort(spark):
+    # the k-smallest-hash step must plan as TakeOrderedAndProject
+    # (per-partition top-k + k-row driver merge), never a global sort
+    plan = _plan(spark, "sketch_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan
