@@ -4446,3 +4446,55 @@ def sketch_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("distinct_est"),
     )
+
+
+@query("stream_kmv_per_key", oracle=_KMV_GROUP_ORACLE)
+def stream_kmv_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key cardinality sketches over a STREAM: each source
+    keeps its k smallest distinct hashes in keyed state (BOUNDED at k
+    longs per key — the reason to sketch a stream at all; exact running
+    count-distinct state grows with the data). KMV is a pure set-union
+    fold, so the post-drain state is batch-boundary- and order-
+    independent: the final snapshot must equal the batch per-group
+    sketch exactly — it shares sketch_kmv_by_group's oracle."""
+    import shutil
+    import tempfile
+
+    from .streaming import kmv_stream as KS
+    from .streaming.event_streams import run_to_parquet
+
+    k = 32
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("source", SMP.hash_bucket(F.col("text")).alias("h"))
+    base = tempfile.mkdtemp(prefix="bensp_stream_kmv_")
+    hashed.repartition(3).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema("source string, h long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    run_to_parquet(KS.stream_kmv_per_key(stream, k=k), f"{base}/out", f"{base}/ckpt")
+    out = spark.read.parquet(f"{base}/out")
+    w = Window.partitionBy("source").orderBy(F.col("seq").desc())
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            "n_hashes",
+            "kth_min",
+            F.round(
+                F.when(
+                    F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+                ).otherwise(
+                    F.lit(float(k - 1))
+                    * F.lit(SMP.BUCKET_SPACE)
+                    / F.col("kth_min").cast("double")
+                ),
+                3,
+            ).alias("distinct_est"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return final

@@ -960,3 +960,54 @@ def test_stream_stream_left_outer_interval_join_matches_batch(spark, tmpdir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported join type"):
         ES.interval_join(clicks_b, views_b, how="left_semi")
+
+
+def test_stream_kmv_state_is_bounded_and_matches_batch(spark, tmp_path):
+    """Per-key KMV streaming state: seq grows per batch, n_hashes is
+    capped at k, and the final snapshot equals the batch sketch no
+    matter how rows were split across batches."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from bensp_suite_spark.operators.sampling import hash_bucket
+    from bensp_suite_spark.streaming.event_streams import run_to_parquet
+    from bensp_suite_spark.streaming.kmv_stream import stream_kmv_per_key
+
+    k = 8
+    rows = [(f"s{i % 2}", f"value-{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    hashed = df.select("source", hash_bucket(F.col("text")).alias("h"))
+    src = str(tmp_path / "src")
+    hashed.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("source string, h long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_parquet(
+        stream_kmv_per_key(stream, k=k), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    # one emit per key per batch, 4 single-file batches
+    assert sorted({r["seq"] for r in out}) == [1, 2, 3, 4]
+    assert all(r["n_hashes"] <= k for r in out)  # state bounded at k
+    final = {
+        r["source"]: (r["n_hashes"], r["kth_min"])
+        for r in out
+        if r["seq"] == 4
+    }
+    batch = {
+        r["source"]: (r["n_hashes"], r["kth_min"])
+        for r in (
+            hashed.distinct()
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("source").orderBy("h")),
+            )
+            .filter(F.col("rn") <= k)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("kth_min"))
+            .collect()
+        )
+    }
+    assert final == batch
