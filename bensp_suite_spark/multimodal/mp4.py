@@ -147,7 +147,17 @@ def _find(buf: bytes, pos: int, end: int, path: list[bytes]) -> tuple[int, int]:
 def demux_mp4(payload: bytes) -> tuple[bytes, list[bytes]]:
     """MP4 bytes → (sample_entry_fourcc, [sample bytes]) for the first
     video track. Implements the general stsc chunk expansion, so any
-    legal chunking (not just this writer's single-chunk layout) demuxes."""
+    legal chunking (not just this writer's single-chunk layout) demuxes.
+    Any malformed input raises ValueError (fuzz-tested: arbitrary bytes
+    and bit-flipped valid files never escape as raw struct/index
+    errors)."""
+    try:
+        return _demux_mp4(payload)
+    except (struct.error, IndexError, OverflowError, MemoryError) as e:
+        raise ValueError(f"malformed mp4: {e}") from e
+
+
+def _demux_mp4(payload: bytes) -> tuple[bytes, list[bytes]]:
     if len(payload) < 16 or payload[4:8] != b"ftyp":
         raise ValueError("not an mp4: missing ftyp header")
     moov = None
@@ -203,13 +213,20 @@ def demux_mp4(payload: bytes) -> tuple[bytes, list[bytes]]:
     si = 0
     for i, (first, per_chunk, _sdi) in enumerate(ents):
         last = ents[i + 1][0] - 1 if i + 1 < n_ent else n_chunks
+        if first < 1 or last > n_chunks:
+            raise ValueError("malformed mp4: stsc references missing chunks")
         for chunk in range(first, last + 1):
             pos = offsets[chunk - 1]
             for _ in range(per_chunk):
                 if si >= count:
                     break
-                samples.append(payload[pos : pos + sizes[si]])
-                pos += sizes[si]
+                end = pos + sizes[si]
+                if end > len(payload):
+                    raise ValueError(
+                        "malformed mp4: sample extends past end of file"
+                    )
+                samples.append(payload[pos:end])
+                pos = end
                 si += 1
     if si != count:
         raise ValueError(
@@ -229,5 +246,13 @@ def decode_mp4_mjpeg(payload: bytes) -> np.ndarray:
             "requires ffmpeg (PyAV); the pure path decodes 'jpeg' (MJPEG) "
             "sample entries"
         )
-    frames = [decode_jpeg(s) for s in samples]
+    frames = []
+    for i, s in enumerate(samples):
+        try:
+            frames.append(decode_jpeg(s))
+        except Exception as e:  # decode boundary on untrusted bytes:
+            # any codec-internal failure IS "malformed sample", typed
+            raise ValueError(f"malformed mp4: jpeg sample {i}: {e}") from e
+    if frames and any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("malformed mp4: samples decode to differing shapes")
     return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)

@@ -938,3 +938,41 @@ def test_decode_video_routes_mp4_through_pure_demuxer():
         [decode_jpeg(encode_jpeg(f, quality=90, subsample=True)) for f in frames]
     )
     assert np.array_equal(dec, want)
+
+
+def test_mp4_demux_never_crashes_on_arbitrary_bytes():
+    """Fuzz the demuxer: any byte string either demuxes or raises a typed
+    ValueError — never an unhandled struct/index error or a hang. Seeds
+    include mutations of a valid file (bit flips land inside real box
+    structures, the interesting failure surface)."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from bensp_suite_spark.multimodal import mp4 as M
+
+    rng = np.random.default_rng(46)
+    valid = M.encode_mp4_mjpeg(
+        rng.integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+    )
+
+    mutations = st.tuples(
+        st.integers(0, len(valid) - 1), st.integers(0, 255)
+    ).map(lambda t: valid[: t[0]] + bytes([t[1]]) + valid[t[0] + 1 :])
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.one_of(st.binary(max_size=256), mutations))
+    def check(buf):
+        try:
+            M.demux_mp4(buf)
+        except (ValueError, NotImplementedError):
+            pass
+        # jpeg payload corruption surfaces at decode, not demux — decode
+        # must also fail typed, never crash
+        else:
+            try:
+                M.decode_mp4_mjpeg(buf)
+            except (ValueError, NotImplementedError):
+                pass
+
+    check()
