@@ -107,11 +107,16 @@ def decode_wav(payload: bytes) -> np.ndarray:
     import io
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        nch, sw, _rate, nframes = (
-            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
-        )
-        raw = w.readframes(nframes)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, sw, _rate, nframes = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+            )
+            raw = w.readframes(nframes)
+    except (wave.Error, struct.error) as e:
+        raise ValueError(f"malformed WAV: {e}") from e
+    if nch < 1 or len(raw) % max(sw * nch, 1):
+        raise ValueError("malformed WAV: frame payload does not tile channels")
     if sw == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif sw == 4:
@@ -274,9 +279,17 @@ def decode_avi_rgb(payload: bytes) -> np.ndarray:
                 frames.append(rows.reshape(h, w, 3)[:, :, ::-1].copy())  # BGR→RGB
             pos = body_start + ln + (ln & 1)
 
-    walk(payload, 12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    try:
+        # clamp the declared RIFF size to the actual buffer: truncated or
+        # size-corrupted files must reject typed, not via raw struct reads
+        end = min(8 + struct.unpack_from("<I", payload, 4)[0], len(payload))
+        walk(payload, 12, end)
+    except (struct.error, IndexError, OverflowError, MemoryError) as e:
+        raise ValueError(f"malformed AVI: {e}") from e
     if w is None:
         raise ValueError("AVI missing strf header")
+    if frames and any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("malformed AVI: frames decode to differing shapes")
     return (
         np.stack(frames) if frames else np.zeros((0, h or 0, w or 0, 3), np.uint8)
     )

@@ -4498,3 +4498,53 @@ def stream_kmv_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return final
+
+
+@query(
+    "sketch_sampled_percentiles",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE CAST({SMP.hash_bucket_sql('o_orderkey')} AS DOUBLE) < {0.1 * SMP.BUCKET_SPACE!r}
+    ),
+    samp AS (
+      SELECT o_orderpriority,
+             ROUND(quantile_cont(o_totalprice, 0.5), 3) AS p50_sample,
+             COUNT(*) AS n_sampled
+      FROM s GROUP BY o_orderpriority
+    ),
+    ex AS (
+      SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 3) AS p50_exact
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT samp.o_orderpriority, n_sampled, p50_sample, p50_exact,
+           ROUND(ABS(p50_sample - p50_exact), 3) AS p50_abs_err
+    FROM samp JOIN ex USING (o_orderpriority)
+    """,
+)
+def sketch_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles over a DETERMINISTIC hash sample vs the exact values —
+    the third sketch shape: where t-digest's estimate is engine-private,
+    quantiles computed on a content-keyed 10% sample are a pure function
+    of the data (sample membership is reproducible, interpolation is
+    exact on both engines), so the approximation itself is value-checked
+    cross-engine. At 100 TB the sample-side sort is 10× smaller; the
+    observed p50 error per group is the accuracy readout."""
+    o = _t(spark, sf_dir, "orders")
+    s = SMP.hash_sample(o, 0.1, key="o_orderkey")
+    samp = s.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 3).alias("p50_sample"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+    ex = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 3).alias("p50_exact")
+    )
+    return samp.join(ex, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_sampled",
+        "p50_sample",
+        "p50_exact",
+        F.round(F.abs(F.col("p50_sample") - F.col("p50_exact")), 3).alias(
+            "p50_abs_err"
+        ),
+    )

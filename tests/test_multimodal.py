@@ -204,8 +204,13 @@ def test_av_codec_adapters_and_routing(spark):
     except ImportError:
         have_av = False
     if not have_av:
-        with pytest.raises(NotImplementedError, match="STUB"):
+        # mp4 now routes to the pure ISO BMFF demuxer: garbage bytes are a
+        # typed format error; only non-MJPEG codecs inside a VALID mp4
+        # raise the environment gate (covered in the mp4 test battery)
+        with pytest.raises(ValueError, match="mp4"):
             AV.decode_video(b"\x00", "mp4")
+        with pytest.raises(NotImplementedError, match="STUB"):
+            AV.decode_video(b"\x00", "webm")
     with pytest.raises(ValueError, match="unknown audio format"):
         AV.decode_audio(b"", "aiff")
     with pytest.raises(ValueError, match="unknown video format"):
@@ -976,3 +981,50 @@ def test_mp4_demux_never_crashes_on_arbitrary_bytes():
                 pass
 
     check()
+
+
+def test_media_decoders_never_crash_on_arbitrary_bytes():
+    """The mp4 never-crashes contract, extended to every pure decoder:
+    FLAC, WAV, AVI. Arbitrary bytes and bit-flipped valid files must
+    raise typed errors (ValueError subclasses / EOFError from stdlib
+    wave), never escape as raw struct/index/key errors."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from bensp_suite_spark.multimodal import audio_video as AV
+    from bensp_suite_spark.multimodal import flac as FL
+
+    rng = np.random.default_rng(47)
+    sig = (rng.uniform(-1, 1, 2048) * 10000).astype(np.int16)
+    frames = rng.integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+    valid = {
+        "flac": FL.encode_flac(sig),
+        "wav": AV.encode_wav(sig),
+        "avi": AV.encode_avi_rgb(frames),
+    }
+
+    def mutants(payload):
+        return st.tuples(
+            st.integers(0, len(payload) - 1), st.integers(0, 255)
+        ).map(lambda t: payload[: t[0]] + bytes([t[1]]) + payload[t[0] + 1 :])
+
+    decoders = {
+        "flac": FL.decode_flac,
+        "wav": AV.decode_wav,
+        "avi": AV.decode_avi_rgb,
+    }
+
+    def make_check(decode, payload):
+        @settings(max_examples=60, deadline=None)
+        @given(st.one_of(st.binary(max_size=128), mutants(payload)))
+        def check(buf):
+            try:
+                decode(buf)
+            except (ValueError, EOFError, NotImplementedError):
+                pass  # typed rejection is the contract
+
+        return check
+
+    for fmt, decode in decoders.items():
+        make_check(decode, valid[fmt])()
