@@ -280,3 +280,32 @@ def salted_agg(
             for name, agg, _c in aggs
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (warehouse delta-maintenance pattern):
+# keep a materialized agg table and fold each day's batch into it with
+# mergeable partials — the history is NEVER rescanned. sum/count/min/max
+# merge exactly; avg derives from (sum, n) after the merge. Exactness
+# requires order-independent partials: sum DECIMAL (never raw doubles —
+# float re-association would make the merged table drift from a full
+# recompute), count/min/max are naturally associative.
+# ---------------------------------------------------------------------------
+
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def merge_partial_aggs(
+    parts: list[DataFrame], keys: list[str], spec: dict[str, str]
+) -> DataFrame:
+    """Fold partial aggregate tables (same schema: keys + spec columns)
+    into one — ``spec`` maps column → 'sum' | 'min' | 'max' ('sum' also
+    merges counts). Associativity makes this identical to aggregating
+    the union of the underlying raw data, at the cost of one
+    dimension-sized exchange instead of a history rescan."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*keys).agg(
+        *[_MERGE_FNS[how](F.col(c)).alias(c) for c, how in spec.items()]
+    )

@@ -4548,3 +4548,52 @@ def sketch_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_abs_err"
         ),
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse delta maintenance: a materialized per-type aggregate is
+    maintained by MERGING the new batch's partials into the persisted
+    history partials (70/30 deterministic split on event_id) — the
+    history raw data is never rescanned, only its dimension-sized agg
+    table is touched. The sum is decimal (order-independent), so the
+    merged table is value-identical to a full recompute — which is
+    exactly what the oracle computes over all events. The same merge
+    chain extends to daily partitions at 100 TB: one agg per day, one
+    dimension-sized fold per query."""
+    ev = _t(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    history = partial(ev.filter(F.col("event_id") % 10 < 7))
+    delta = partial(ev.filter(F.col("event_id") % 10 >= 7))
+    merged = R.merge_partial_aggs(
+        [history, delta],
+        keys=["event_type"],
+        spec={"n": "sum", "sum_value": "sum", "min_value": "min", "max_value": "max"},
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 3).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.round(F.col("sum_value").cast("double") / F.col("n"), 6).alias("avg_value"),
+    )

@@ -144,3 +144,27 @@ def test_bench_regression_guard_thresholds():
     flagged = bench.detect_regressions(times, best)
     assert set(flagged) == {"big"}
     assert flagged["big"]["ratio"] == 1.75
+
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    from bensp_suite_spark.operators.relational import merge_partial_aggs
+
+    df = spark.range(0, 3000).select(
+        "id",
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 13 % 101).cast("decimal(18,4)").alias("v"),
+    )
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("v"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        )
+
+    parts = [partial(df.filter(F.col("id") % 3 == i)) for i in range(3)]
+    merged = merge_partial_aggs(
+        parts, ["k"], {"n": "sum", "v": "sum", "mn": "min", "mx": "max"}
+    )
+    full = partial(df)
+    key = lambda rows: {r["k"]: (r["n"], r["v"], r["mn"], r["mx"]) for r in rows}
+    assert key(merged.collect()) == key(full.collect())
