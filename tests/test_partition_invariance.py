@@ -1,0 +1,59 @@
+"""Partitioning invariance: the declared queries must produce the SAME
+row set under radically different physical layouts — tiny vs large
+shuffle-partition counts and split vs coalesced input scans. This is the
+local stand-in for "does the answer change on a 1000-executor cluster?":
+every nondeterminism class that breaks at scale (arrival-order-dependent
+first()/last(), float re-association across partition boundaries,
+rank ties broken by partition id) shows up as a diff here.
+
+The representative set covers every exchange-heavy family: multi-join
+TPC-H shapes, banded dedup joins, iterative CC and PageRank, window
+ranks, sampling/remix, sketches, and the incremental-agg merge.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bensp_suite_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.01"
+
+REPRESENTATIVE = [
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_dup_ngram_spans",
+    "dedup_near_dup_resolution",
+    "graph_pagerank_copurchase",
+    "ann_cosine_topk",
+    "text_bm25_rank",
+    "sample_resample_mix",
+    "sketch_kmv_by_group",
+    "sketch_sampled_percentiles",
+    "incremental_agg_maintenance",
+    "ts_locf_fill",
+]
+
+
+def _rows(spark, name: str, shuffle: int, max_split: str) -> list[tuple]:
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", max_split)
+    try:
+        df = Q.QUERIES[name](spark, SF_DIR)
+        return sorted(
+            tuple(row) for row in df.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_is_partitioning_invariant(spark, name):
+    # config A: minimal parallelism, one fat scan split
+    a = _rows(spark, name, shuffle=2, max_split="1g")
+    # config B: prime shuffle count, 64 KB scan splits (many input tasks)
+    b = _rows(spark, name, shuffle=37, max_split="65536")
+    assert a == b, f"{name}: result depends on physical partitioning"
