@@ -4597,3 +4597,42 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_value", 6).alias("max_value"),
         F.round(F.col("sum_value").cast("double") / F.col("n"), 6).alias("avg_value"),
     )
+
+
+@query(
+    "source_orc_scan",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as an interchange format (Spark-native columnar alongside
+    parquet): the documents table round-trips through ORC INCLUDING the
+    full text column, and the scan back must reproduce content-hash
+    distinct counts — a lossless-text proof, not just numeric totals
+    (the property that matters when the text column IS the product).
+    Explicit schema on the read like every interchange source here."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = tempfile.mkdtemp(prefix="bensp_orc_")
+    docs.write.mode("overwrite").orc(f"{base}/docs")
+    back = spark.read.schema("doc_id long, source string, text string").orc(
+        f"{base}/docs"
+    )
+    result = (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
