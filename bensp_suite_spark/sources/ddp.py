@@ -84,6 +84,8 @@ def iter_ddp_records_from(fh):
     if checkbit != CHECKBIT:
         raise ValueError(f"format error: bad CHECKBIT {checkbit}")
     ctype = head[4]
+    if ctype not in _CNAME:
+        raise ValueError(f"format error: unknown compress type byte {ctype}")
     yield ("__header__", _CNAME[ctype])
     seq = 0
     while True:

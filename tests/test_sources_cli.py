@@ -534,3 +534,33 @@ def test_ann_cli_upsert_matches_full_build(spark, tmpdir):
     a = sorted(map(tuple, spark.read.parquet(paths["out_up"]).collect()))
     b = sorted(map(tuple, spark.read.parquet(paths["out_full"]).collect()))
     assert a == b and len(a) == 30
+
+
+def test_ddp_parser_never_crashes_on_arbitrary_bytes(spark):
+    """Hostile-bytes contract for the .ddp interchange parser (same as
+    the media decoders): arbitrary bytes and bit-flipped valid archives
+    either parse or raise typed ValueError — never raw struct/key
+    errors. A truncated valid archive must also reject typed."""
+    from hypothesis import given, settings, strategies as st
+
+    from bensp_suite_spark.dedup import fixtures as DF
+    from bensp_suite_spark.dedup import pipeline as DP
+    from bensp_suite_spark.sources.ddp import iter_ddp_records, serialize_ddp
+
+    files = DF.synthetic_docs(spark, n_files=2, file_bytes=1 << 14, pool_size=4, seed=3)
+    valid = serialize_ddp(DP.encode(files, compress_type="gzip"))
+
+    mutants = st.tuples(
+        st.integers(0, len(valid) - 1), st.integers(0, 255)
+    ).map(lambda t: valid[: t[0]] + bytes([t[1]]) + valid[t[0] + 1 :])
+    truncations = st.integers(0, len(valid) - 1).map(lambda n: valid[:n])
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.one_of(st.binary(max_size=64), mutants, truncations))
+    def check(buf):
+        try:
+            list(iter_ddp_records(buf))
+        except ValueError:
+            pass
+
+    check()
