@@ -4636,3 +4636,66 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return result
+
+
+@query("multimodal_tar_ingest_dedup")
+def multimodal_tar_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LITERAL input shape end-to-end: media delivered as
+    a TAR archive (its h-class inputs are TARs of media files,
+    bin/parsec_stream:30-39), expanded by the S2 TAR source
+    (archives parallelize across executors, members stream within one),
+    media ids recovered from member names, WAV-decoded inside the
+    fingerprint stage, near-dup pairs out. Wires source → codec → kernel
+    → banded join exactly as parsec_stream drives the reference, and
+    shares multimodal_audio_dedup_wav's codec-independent golden — the
+    TAR layer must be byte-transparent."""
+    import io
+    import os
+    import shutil
+    import tarfile
+    import tempfile
+
+    import numpy as np
+
+    from .multimodal import audio_video as AV
+    from .sources.binaryfiles import read_tar_members
+
+    base = tempfile.mkdtemp(prefix="bensp_tar_ingest_")
+    sigs = []
+    with tarfile.open(os.path.join(base, "clips.tar"), "w") as tf:
+        def add(mid: int, payload: bytes) -> None:
+            info = tarfile.TarInfo(name=f"clips/clip_{mid}.wav")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+        for i in range(8):
+            rng = np.random.default_rng(90 + i)
+            env = rng.uniform(0.1, 1.0, 65).repeat(130)[:8192]
+            sig = (rng.uniform(-1, 1, 8192) * env * 12000).astype(np.int16)
+            sigs.append(sig)
+            add(i, AV.encode_wav(sig))
+        for i in range(3):
+            add(100 + i, AV.encode_wav(sigs[i] // 2))
+        # a dotfile member the P1 filter must drop before decode
+        junk = tarfile.TarInfo(name="clips/.DS_Store")
+        junk.size = 4
+        tf.addfile(junk, io.BytesIO(b"\x00\x01\x02\x03"))
+
+    members = read_tar_members(spark, base)
+    audio = members.select(
+        F.regexp_extract("file_name", r"clip_(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.lit("wav").alias("format"),
+        F.lit(16000).alias("sample_rate"),
+        F.lit(1).alias("n_channels"),
+        F.col("content").alias("audio"),
+    )
+    result = AV.audio_near_dup_pairs(audio, max_hamming=3).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+# the TAR layer is byte-transparent, so the pairs must equal the WAV
+# fixture's codec-independent golden exactly
+ORACLES["multimodal_tar_ingest_dedup"] = ORACLES["multimodal_audio_dedup_wav"]
