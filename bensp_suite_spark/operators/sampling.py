@@ -116,3 +116,46 @@ def resample_to_mix(
         )
         .select(*df.columns)
     )
+
+
+def assign_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    content_col: str = "text",
+) -> DataFrame:
+    """Leakage-aware train/val/test assignment: the split key is the
+    NORMALIZED CONTENT hash, not the row id, so byte-duplicate documents
+    land in the same split by construction — the train/test contamination
+    class that id-keyed splits silently admit. (For near-duplicate-level
+    guarantees, key on the cluster canonical id from near-dup resolution
+    instead of the raw content hash — same mechanism, stronger key.)
+
+    ``fractions`` maps split name → fraction (must sum to ≤ 1; any
+    remainder is unassigned and dropped). Assignment is a pure scan-time
+    expression — zero shuffle, reproducible on any engine/layout."""
+    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col(content_col)), r"\s+", " ")))
+    bucket = F.conv(F.substring(norm, 1, 8), 16, 10).cast("long").cast("double")
+    expr: Column = F.lit(None).cast("string")
+    hi = 0.0
+    # deterministic band order: sorted by name so the SQL mirror matches
+    for name, frac in sorted(fractions.items()):
+        lo, hi = hi, hi + frac
+        band = (bucket >= F.lit(lo * BUCKET_SPACE)) & (bucket < F.lit(hi * BUCKET_SPACE))
+        expr = F.when(band, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr).filter(F.col("split").isNotNull())
+
+
+def assign_split_sql(fractions: dict[str, float], content_col: str = "text") -> str:
+    """DuckDB CASE-expression mirror of :func:`assign_split` (selects the
+    ``split`` column; compose into a wrapping query)."""
+    norm = f"md5(lower(regexp_replace(trim({content_col}), '\\s+', ' ', 'g')))"
+    bucket = f"CAST(CAST(('0x' || substr({norm}, 1, 8)) AS BIGINT) AS DOUBLE)"
+    cases = []
+    hi = 0.0
+    for name, frac in sorted(fractions.items()):
+        lo, hi = hi, hi + frac
+        cases.append(
+            f"WHEN {bucket} >= {lo * BUCKET_SPACE!r} AND {bucket} < {hi * BUCKET_SPACE!r} "
+            f"THEN '{name}'"
+        )
+    return "CASE " + " ".join(cases) + " ELSE NULL END"

@@ -4699,3 +4699,37 @@ def multimodal_tar_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the TAR layer is byte-transparent, so the pairs must equal the WAV
 # fixture's codec-independent golden exactly
 ORACLES["multimodal_tar_ingest_dedup"] = ORACLES["multimodal_audio_dedup_wav"]
+
+
+_SPLIT_FRACS = {"test": 0.05, "train": 0.85, "val": 0.05}
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT doc_id, split FROM (
+      SELECT doc_id, {SMP.assign_split_sql(_SPLIT_FRACS)} AS split
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {2 * DT.AUG_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id < 20
+      )
+    ) WHERE split IS NOT NULL
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/val/test split: assignment keys on the
+    NORMALIZED CONTENT hash, so the 20 planted byte-duplicates land in
+    the same split as their originals by construction — the train/test
+    contamination an id-keyed split silently admits. 5% of the band
+    space is left unassigned (dropped) to prove partial-fraction
+    semantics. Pure scan-time expression: zero shuffle, reproducible on
+    any engine or layout."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2 * DT.AUG_OFFSET).alias("doc_id"), "text"
+    )
+    return SMP.assign_split(docs.unionByName(copies), _SPLIT_FRACS).select(
+        "doc_id", "split"
+    )

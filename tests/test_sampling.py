@@ -168,3 +168,23 @@ def test_merge_partial_aggs_equals_full_recompute(spark):
     full = partial(df)
     key = lambda rows: {r["k"]: (r["n"], r["v"], r["mn"], r["mx"]) for r in rows}
     assert key(merged.collect()) == key(full.collect())
+
+
+def test_assign_split_is_leak_free_and_drops_remainder(spark):
+    from bensp_suite_spark.operators.sampling import assign_split
+
+    rows = [(i, f"document body {i % 50}") for i in range(400)]  # 8x dup groups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = assign_split(df, {"train": 0.6, "val": 0.2}).collect()
+    # every byte-duplicate group lands wholly in ONE split
+    by_text: dict[str, set] = {}
+    for r in out:
+        by_text.setdefault(r["text"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_text.values())
+    # 20% of the band space is unassigned -> some groups dropped entirely
+    assert 0 < len(by_text) < 50
+    # layout independence
+    again = assign_split(df.repartition(7), {"train": 0.6, "val": 0.2}).collect()
+    assert {(r["doc_id"], r["split"]) for r in again} == {
+        (r["doc_id"], r["split"]) for r in out
+    }
