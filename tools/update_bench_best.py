@@ -51,10 +51,12 @@ def main(paths: list[str]) -> None:
 
     best: dict[str, float] = {}
     sources: list[str] = []
+    rebased: list[dict] = []
     if os.path.exists(BEST):
         prior = json.load(open(BEST))
         best = prior.get("queries", {})
         sources = prior.get("sources", [])
+        rebased = prior.get("rebased", [])
 
     for p in paths:
         with open(p) as fh:
@@ -69,12 +71,11 @@ def main(paths: list[str]) -> None:
         if tag not in sources:
             sources.append(tag)
 
+    out = {"sf": 0.1, "sources": sources, "queries": dict(sorted(best.items()))}
+    if rebased:
+        out["rebased"] = rebased
     with open(BEST, "w") as fh:
-        json.dump(
-            {"sf": 0.1, "sources": sources, "queries": dict(sorted(best.items()))},
-            fh,
-            indent=1,
-        )
+        json.dump(out, fh, indent=1)
     print(f"{BEST}: {len(best)} queries from {len(sources)} payloads")
 
 
