@@ -564,3 +564,18 @@ def test_ddp_parser_never_crashes_on_arbitrary_bytes(spark):
             pass
 
     check()
+
+
+def test_quickstart_example_runs_end_to_end():
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "quickstart.py")],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "round trip: byte-exact" in proc.stdout
+    assert "quickstart complete" in proc.stdout
