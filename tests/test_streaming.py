@@ -1011,3 +1011,56 @@ def test_stream_kmv_state_is_bounded_and_matches_batch(spark, tmp_path):
         )
     }
     assert final == batch
+
+
+def test_stream_restart_resumes_dedup_state_exactly_once(spark, tmp_path):
+    """Exactly-once ACROSS RESTARTS: two separate availableNow runs share
+    one checkpoint. Run 2 must (a) skip run 1's already-processed source
+    files (source tracking) and (b) suppress duplicates of content whose
+    winner was emitted in run 1 (STATE continuation) — the restart
+    semantics a daily-batch streaming deployment actually depends on."""
+    import pyspark.sql.functions as F
+
+    from bensp_suite_spark.streaming.text_dedup_stream import stream_exact_dedup
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    day1 = spark.createDataFrame(
+        [(i, f"text-{i % 5}") for i in range(20)], "doc_id long, text string"
+    )
+    day1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_exact_dedup(spark, stream, out, ckpt)
+    run1 = spark.read.parquet(out)
+    assert run1.count() == 5  # one winner per distinct text
+
+    # day 2: 3 duplicate contents + 2 genuinely new ones
+    day2 = spark.createDataFrame(
+        [(100 + i, f"text-{i % 8}") for i in range(16)], "doc_id long, text string"
+    )
+    day2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_exact_dedup(spark, stream2, out, ckpt)  # SAME checkpoint + sink
+
+    final = spark.read.parquet(out)
+    assert final.count() == 8  # 5 from day 1 + exactly the 3 new texts
+    # day-1 winners keep their original doc ids: no reprocessing happened
+    hashes = {
+        r["content_hash"]: r["doc_id"]
+        for r in final.select("content_hash", "doc_id").collect()
+    }
+    day1_ids = {r["doc_id"] for r in run1.collect()}
+    assert all(
+        hashes[h] in day1_ids
+        for h in {r["content_hash"] for r in run1.collect()}
+    )
+    # every emitted winner's content is distinct exactly once
+    assert final.select("content_hash").distinct().count() == 8
