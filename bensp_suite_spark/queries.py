@@ -4733,3 +4733,83 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.assign_split(docs.unionByName(copies), _SPLIT_FRACS).select(
         "doc_id", "split"
     )
+
+
+# --- day-2 of the incremental-dedup loop: composed SQL pieces -------------
+#: day-1 survivors rebuilt WITH their texts (flags carry only ids)
+_SURV1_SQL = f"""
+  SELECT n.doc_id, n.text FROM ({_INCR_NEW_SQL}) n
+  WHERE n.doc_id IN (
+    SELECT doc_id FROM ({DT.incremental_dedup_oracle_sql(_INCR_HISTORY_SQL, _INCR_NEW_SQL)})
+    WHERE is_kept
+  )
+"""
+_HIST2_SQL = f"SELECT doc_id, text FROM documents UNION ALL {_SURV1_SQL}"
+#: day-2 batch: a lighter jitter over the first 200 docs (drop 5 words)
+#: plus exact copies of 50 day-1 survivors — which can only flag as
+#: exact dups if day-1's output actually made it into the history
+_NEW2_SQL = f"""
+  SELECT doc_id + {3 * DT.AUG_OFFSET} AS doc_id,
+         array_to_string(words[1:GREATEST(len(words) - 5, 1)], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents WHERE doc_id < 200)
+  UNION ALL
+  SELECT doc_id + {3 * DT.AUG_OFFSET} AS doc_id, text FROM ({_SURV1_SQL})
+  WHERE doc_id < {DT.AUG_OFFSET} + 500
+"""
+
+
+@query(
+    "pipeline_daily_increment_day2",
+    oracle=DT.incremental_dedup_oracle_sql(_HIST2_SQL, _NEW2_SQL),
+)
+def pipeline_daily_increment_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental loop ITERATED: day-2's batch dedups against
+    history ∪ day-1 survivors — the state handoff a real daily pipeline
+    performs every day, not just once. 50 of day-2's docs are exact
+    copies of day-1 SURVIVORS: they can only flag exact_dup=true if
+    day-1's output genuinely joined the history (the composition proof).
+    The oracle recomputes both days in SQL (day-1's EXISTS flags rebuild
+    the survivor texts that extend day-2's history). Day-2's jitter
+    covers only the first 200 docs, matching a shrinking-increment day —
+    and keeping the second full dedup pass off the bench's critical
+    path."""
+    from .session import pooled_persist
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+
+    # --- day 1 (same derivation as dedup_incremental_batch) -----------
+    keep1 = F.greatest(F.size(words) - 3, F.lit(1))
+    jitter1 = docs.select(
+        (F.col("doc_id") + DT.AUG_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, keep1), " ").alias("text"),
+    )
+    exact_copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2 * DT.AUG_OFFSET).alias("doc_id"), "text"
+    )
+    new1 = pooled_persist(
+        jitter1.unionByName(exact_copies), "q.pipeline_day2.new1"
+    )
+    flags1 = DT.incremental_dedup(new1, docs, max_hamming=3)
+    surv1 = pooled_persist(
+        new1.join(
+            flags1.filter(F.col("is_kept")).select("doc_id"), "doc_id", "left_semi"
+        ),
+        "q.pipeline_day2.surv1",
+    )
+
+    # --- day 2: history grows by day-1 survivors ----------------------
+    history2 = docs.unionByName(surv1)
+    keep2 = F.greatest(F.size(words) - 5, F.lit(1))
+    jitter2 = docs.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + 3 * DT.AUG_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, keep2), " ").alias("text"),
+    )
+    surv_copies = surv1.filter(F.col("doc_id") < DT.AUG_OFFSET + 500).select(
+        (F.col("doc_id") + 3 * DT.AUG_OFFSET).alias("doc_id"), "text"
+    )
+    new2 = pooled_persist(
+        jitter2.unionByName(surv_copies), "q.pipeline_day2.new2"
+    )
+    return DT.incremental_dedup(new2, history2, max_hamming=3)
