@@ -208,7 +208,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     zlib inflate of the concatenated IDATs, then per-row unfiltering
     (None/Sub/Up/Average/Paeth, RFC 2083 §6). 8-bit gray (0), RGB (2) and
     RGBA (6, alpha dropped — PIL.convert('RGB') semantics); interlaced or
-    16-bit images raise (codec-library territory)."""
+    16-bit images raise (codec-library territory). Malformed bytes raise
+    typed ValueError (hostile-input contract, fuzz-tested)."""
+    import zlib as _zlib
+
+    try:
+        return _decode_png(payload)
+    except (_zlib.error, struct.error, IndexError, KeyError, OverflowError,
+            MemoryError) as e:
+        raise ValueError(f"malformed PNG: {e}") from e
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8

@@ -461,7 +461,16 @@ def encode_jpeg(
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (H, W, 3) uint8 RGB ((H, W) stays 3-channel
-    by gray replication, matching decode_image's contract)."""
+    by gray replication, matching decode_image's contract). Malformed
+    bytes raise typed ValueError (hostile-input contract, fuzz-tested)."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError, KeyError, OverflowError, MemoryError,
+            ZeroDivisionError, StopIteration) as e:
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     d = payload
     if d[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")

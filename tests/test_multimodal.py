@@ -1028,3 +1028,38 @@ def test_media_decoders_never_crash_on_arbitrary_bytes():
 
     for fmt, decode in decoders.items():
         make_check(decode, valid[fmt])()
+
+
+def test_image_decoders_never_crash_on_arbitrary_bytes():
+    """The never-crashes contract for the image codecs (PNG chunk walk +
+    zlib inflate; JPEG huffman/IDCT): mutated valid files and arbitrary
+    bytes raise typed ValueError only."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from bensp_suite_spark.multimodal.images import decode_png, encode_png
+    from bensp_suite_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(48)
+    img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    valid = {"png": encode_png(img), "jpeg": encode_jpeg(img)}
+    decoders = {"png": decode_png, "jpeg": decode_jpeg}
+
+    def make_check(decode, payload):
+        mutants = st.tuples(
+            st.integers(0, len(payload) - 1), st.integers(0, 255)
+        ).map(lambda t: payload[: t[0]] + bytes([t[1]]) + payload[t[0] + 1 :])
+
+        @settings(max_examples=80, deadline=None)
+        @given(st.one_of(st.binary(max_size=128), mutants))
+        def check(buf):
+            try:
+                decode(buf)
+            except (ValueError, NotImplementedError):
+                pass
+
+        return check
+
+    for fmt in decoders:
+        make_check(decoders[fmt], valid[fmt])()
