@@ -722,8 +722,23 @@ def boilerplate_oracle_sql(
     """
 
 
+def history_signatures(history: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """→ (distinct normalized content hashes, simhash fingerprints) for a
+    historical corpus — the tables a daily pipeline PERSISTS once per day
+    so each batch's :func:`incremental_dedup` never rescans history raw
+    text. Pass via ``history_sig=`` (and persist/parquet them between
+    days)."""
+    t = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    hist_h = history.select(F.md5(t).alias("content_hash")).distinct()
+    hist_s = simhash(history).select(F.col("simhash").alias("hist_sim"))
+    return hist_h, hist_s
+
+
 def incremental_dedup(
-    new_docs: DataFrame, history: DataFrame, max_hamming: int = 3
+    new_docs: DataFrame,
+    history: DataFrame | None = None,
+    max_hamming: int = 3,
+    history_sig: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against a HISTORICAL corpus — the daily-crawl-
     increment pattern: a new document is dropped if it exactly matches any
@@ -736,11 +751,18 @@ def incremental_dedup(
     hashes; the near check joins the new batch's bands against the
     history's bands (pigeonhole recall exact at ≤ max_hamming with
     max_hamming+1 bands) — the history side is the big one and arrives
-    pre-fingerprinted in practice (persist simhash(history) once per day,
-    not per batch). Nothing is ever quadratic in either corpus."""
+    pre-fingerprinted in practice: compute :func:`history_signatures`
+    ONCE per day, persist them, and pass ``history_sig=`` so no batch
+    ever rescans history raw text. Nothing is ever quadratic in either
+    corpus."""
+    if history_sig is None:
+        if history is None:
+            raise ValueError("pass either history or history_sig")
+        history_sig = history_signatures(history)
+    hist_h, hist_s = history_sig
+
     t = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     new_h = new_docs.select("doc_id", F.md5(t).alias("content_hash"))
-    hist_h = history.select(F.md5(t).alias("content_hash")).distinct()
     exact = (
         new_h.join(hist_h.withColumnRenamed("content_hash", "hh"),
                    new_h.content_hash == F.col("hh"), "left")
@@ -749,7 +771,6 @@ def incremental_dedup(
 
     bands = _simhash_bands(max_hamming)
     new_s = simhash(new_docs)
-    hist_s = simhash(history).select(F.col("simhash").alias("hist_sim"))
 
     def banded(df, col, out):
         arr = F.explode(

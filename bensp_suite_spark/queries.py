@@ -3838,7 +3838,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_batch = pooled_persist(
         jitter.unionByName(exact_copies), "q.dedup_incremental.new_batch"
     )
-    return DT.incremental_dedup(new_batch, history, max_hamming=3)
+    # the once-per-day tables: persist the history's content hashes and
+    # simhash fingerprints so no batch rescans history raw text
+    hist_h, hist_s = DT.history_signatures(history)
+    sig = (
+        pooled_persist(hist_h, "q.dedup_incremental.hist_hashes"),
+        pooled_persist(hist_s, "q.dedup_incremental.hist_sims"),
+    )
+    return DT.incremental_dedup(new_batch, max_hamming=3, history_sig=sig)
 
 
 @query("dedup_boilerplate_passages", oracle=DT.boilerplate_oracle_sql(3))
@@ -4213,7 +4220,12 @@ def pipeline_daily_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_batch = pooled_persist(
             jitter.unionByName(exact_copies), "q.pipeline_daily.new_batch"
         )
-        flags = DT.incremental_dedup(new_batch, history, max_hamming=3)
+        hist_h, hist_s = DT.history_signatures(history)
+        sig = (
+            pooled_persist(hist_h, "q.pipeline_daily.hist_hashes"),
+            pooled_persist(hist_s, "q.pipeline_daily.hist_sims"),
+        )
+        flags = DT.incremental_dedup(new_batch, max_hamming=3, history_sig=sig)
         survivors = flags.filter(F.col("is_kept")).select("doc_id")
         # --- stage 2: embed survivors (engine-exact jitter transform) --
         surv_emb = survivors.join(
@@ -4791,7 +4803,12 @@ def pipeline_daily_increment_day2(spark: SparkSession, sf_dir: str) -> DataFrame
     new1 = pooled_persist(
         jitter1.unionByName(exact_copies), "q.pipeline_day2.new1"
     )
-    flags1 = DT.incremental_dedup(new1, docs, max_hamming=3)
+    h1, s1 = DT.history_signatures(docs)
+    sig1 = (
+        pooled_persist(h1, "q.pipeline_day2.hist1_hashes"),
+        pooled_persist(s1, "q.pipeline_day2.hist1_sims"),
+    )
+    flags1 = DT.incremental_dedup(new1, max_hamming=3, history_sig=sig1)
     surv1 = pooled_persist(
         new1.join(
             flags1.filter(F.col("is_kept")).select("doc_id"), "doc_id", "left_semi"
@@ -4801,6 +4818,11 @@ def pipeline_daily_increment_day2(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # --- day 2: history grows by day-1 survivors ----------------------
     history2 = docs.unionByName(surv1)
+    h2, s2 = DT.history_signatures(history2)
+    sig2 = (
+        pooled_persist(h2, "q.pipeline_day2.hist2_hashes"),
+        pooled_persist(s2, "q.pipeline_day2.hist2_sims"),
+    )
     keep2 = F.greatest(F.size(words) - 5, F.lit(1))
     jitter2 = docs.filter(F.col("doc_id") < 200).select(
         (F.col("doc_id") + 3 * DT.AUG_OFFSET).alias("doc_id"),
@@ -4812,4 +4834,4 @@ def pipeline_daily_increment_day2(spark: SparkSession, sf_dir: str) -> DataFrame
     new2 = pooled_persist(
         jitter2.unionByName(surv_copies), "q.pipeline_day2.new2"
     )
-    return DT.incremental_dedup(new2, history2, max_hamming=3)
+    return DT.incremental_dedup(new2, max_hamming=3, history_sig=sig2)
