@@ -34,6 +34,8 @@ REPRESENTATIVE = [
     "sketch_sampled_percentiles",
     "incremental_agg_maintenance",
     "ts_locf_fill",
+    "pipeline_daily_increment_day2",
+    "split_train_val_test",
 ]
 
 
