@@ -385,6 +385,55 @@ def main() -> None:
     pq_det_sec = round(time.perf_counter() - t0, 4)
     bench_emb.unpersist()
 
+    # ANN scale probe: 100k×64-dim gaussian corpus (structureless — LSH's
+    # documented worst case, so brute and IVF are the fair probes), 100
+    # queries, top-10. Reproduces the SCALING.md similarity-search numbers
+    # per-round instead of leaving them a one-off claim. Corpus generation
+    # is per-row seeded (layout-independent); index build excluded from
+    # the timed probe (mkdb-offline, same frame as ferret).
+    import pandas as _apd
+
+    def _gauss(batches):
+        for pdf in batches:
+            import numpy as _np
+
+            vecs = [
+                _np.random.default_rng(int(i)).standard_normal(64).tolist()
+                for i in pdf["id"]
+            ]
+            yield _apd.DataFrame({"vec_id": pdf["id"], "embedding": vecs})
+
+    big_emb = (
+        spark.range(100_000)
+        .repartition(cpus)
+        .mapInPandas(_gauss, "vec_id long, embedding array<double>")
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    big_emb.count()
+    big_q = big_emb.filter(F.col("vec_id") < 100)
+    ann_scale = {}
+    cent = SIM_B.ivf_centroids(big_emb, 16)
+    assign = SIM_B.ivf_assign(
+        big_emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
+        cent, 1, "neighbor_id", "cv",
+    ).persist(StorageLevel.MEMORY_ONLY)
+    assign.count()
+    for name, run in (
+        ("brute", lambda: SIM_B.cosine_topk_bruteforce(big_q, big_emb, k=10)),
+        ("ivf", lambda: SIM_B.ivf_ann_topk(big_q, big_emb, k=10, n_cells=16,
+                                           n_probe=2, index=(cent, assign))),
+    ):
+        best = None
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            run().write.format("noop").mode("overwrite").save()
+            sec = time.perf_counter() - t0
+            if _rep > 0:
+                best = sec if best is None else min(best, sec)
+        ann_scale[f"{name}_qps_100k"] = round(100 / best, 2)
+    assign.unpersist()
+    big_emb.unpersist()
+
     # streaming dedup throughput (the reference's headline metric IS
     # stream throughput — throughput.dat, testbed/t1). 256 MB through the
     # merge-sink streaming encoder (stream_encode_merge: fused JVM
@@ -533,6 +582,7 @@ def main() -> None:
                     "dedup_large_peak_heap_mb": large_peak_heap_mb,
                     "ann_pq_trained_build_query_sec": pq_trained_sec,
                     "ann_pq_deterministic_build_query_sec": pq_det_sec,
+                    "ann_scale_100k": ann_scale,
                     "dedup_single_thread_input_mb": single_thread.get("input_mb"),
                     "dedup_single_thread_mbps": single_thread.get("mbps_gzip"),
                     "dedup_single_thread_none_mbps": single_thread.get("mbps_none"),
