@@ -418,10 +418,15 @@ def main() -> None:
         cent, 1, "neighbor_id", "cv",
     ).persist(StorageLevel.MEMORY_ONLY)
     assign.count()
+    def _ivf(n_probe):
+        return SIM_B.ivf_ann_topk(
+            big_q, big_emb, k=10, n_cells=16, n_probe=n_probe, index=(cent, assign)
+        )
+
     for name, run in (
         ("brute", lambda: SIM_B.cosine_topk_bruteforce(big_q, big_emb, k=10)),
-        ("ivf", lambda: SIM_B.ivf_ann_topk(big_q, big_emb, k=10, n_cells=16,
-                                           n_probe=2, index=(cent, assign))),
+        ("ivf_p2", lambda: _ivf(2)),
+        ("ivf_p4", lambda: _ivf(4)),
     ):
         best = None
         for _rep in range(3):
@@ -431,6 +436,22 @@ def main() -> None:
             if _rep > 0:
                 best = sec if best is None else min(best, sec)
         ann_scale[f"{name}_qps_100k"] = round(100 / best, 2)
+    # the other axis: IVF recall@10 vs exact on the same corpus (untimed).
+    # Structureless gaussian data is the recall worst case — cells carve
+    # arbitrary Voronoi regions, so recall tracks (better than) the probed
+    # fraction; the p2→p4 pair shows the recall-for-cost knob.
+    brute_res = SIM_B.cosine_topk_bruteforce(big_q, big_emb, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = brute_res.count()
+    for n_probe in (2, 4):
+        hits = (
+            _ivf(n_probe)
+            .select("query_id", "neighbor_id")
+            .join(brute_res, ["query_id", "neighbor_id"])
+            .count()
+        )
+        ann_scale[f"ivf_p{n_probe}_recall_at10_100k"] = round(hits / n_exact, 4)
     assign.unpersist()
     big_emb.unpersist()
 
