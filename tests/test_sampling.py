@@ -188,3 +188,29 @@ def test_assign_split_is_leak_free_and_drops_remainder(spark):
     assert {(r["doc_id"], r["split"]) for r in again} == {
         (r["doc_id"], r["split"]) for r in out
     }
+
+
+def test_incremental_dedup_history_sig_parity(spark):
+    """incremental_dedup(new, history) == incremental_dedup(new,
+    history_sig=history_signatures(history)) — the pre-fingerprinted
+    daily path must be flag-identical to the inline path."""
+    from bensp_suite_spark.operators.dedup_text import (
+        history_signatures,
+        incremental_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"historic doc number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "historic doc number 7"),        # exact dup
+         (101, "historic doc number"),           # near dup (one word off)
+         (102, "an entirely unrelated new doc")],
+        "doc_id long, text string",
+    )
+    inline = {tuple(r) for r in incremental_dedup(new, hist).collect()}
+    sig = history_signatures(hist)
+    pre = {tuple(r) for r in incremental_dedup(new, history_sig=sig).collect()}
+    assert inline == pre
+    assert any(r[2] for r in inline)  # the exact dup flagged
