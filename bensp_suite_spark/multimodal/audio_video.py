@@ -113,7 +113,11 @@ def decode_wav(payload: bytes) -> np.ndarray:
                 w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
             )
             raw = w.readframes(nframes)
-    except (wave.Error, struct.error) as e:
+    except (wave.Error, struct.error, EOFError, OSError, RuntimeError,
+            OverflowError, MemoryError) as e:
+        # stdlib wave/chunk surface bare RuntimeError/OSError on corrupted
+        # headers (seek on truncated chunks, closed-file rewinds) — all of
+        # it is "malformed input" at this boundary
         raise ValueError(f"malformed WAV: {e}") from e
     if nch < 1 or len(raw) % max(sw * nch, 1):
         raise ValueError("malformed WAV: frame payload does not tile channels")

@@ -70,13 +70,18 @@ def iter_ddp_records_from(fh):
     BytesIO, or any object with ``read(n)``."""
 
     def _read_exact(n: int) -> bytes:
-        buf = fh.read(n)
-        # loop for short reads (pipes / network file systems)
-        while len(buf) < n:
-            more = fh.read(n - len(buf))
-            if not more:
-                raise ValueError("incomplete chunk")
-            buf += more
+        try:
+            buf = fh.read(n)
+            # loop for short reads (pipes / network file systems)
+            while len(buf) < n:
+                more = fh.read(n - len(buf))
+                if not more:
+                    raise ValueError("incomplete chunk")
+                buf += more
+        except (OverflowError, MemoryError) as e:
+            # a corrupted 8-byte length field can demand reads beyond
+            # index range — malformed input, not an engine crash
+            raise ValueError(f"implausible chunk length {n}") from e
         return buf
 
     head = _read_exact(5)
