@@ -250,6 +250,14 @@ def _best_rice_param(z: np.ndarray, max_param: int) -> tuple[int, int]:
     # escape cost: 5-bit size header + n·bits (raw two's complement)
     zmax = int(z.max()) if n else 0
     raw_bits = (zmax.bit_length() + 1) if zmax else 0
+    # the escape size header is a 5-bit wire field: raw_bits > 31 (possible
+    # only if sample widths beyond 24-bit are ever enabled) must fail loudly
+    # here rather than let the masking _BitWriter wrap it to 0 and emit a
+    # silently corrupt stream
+    if raw_bits > 31:
+        raise FlacFormatError(
+            f"escaped-partition raw_bits={raw_bits} exceeds the 5-bit wire field"
+        )
     if 5 + n * raw_bits < best_cost:
         return max_param + 1, 5 + n * raw_bits
     return best_k, best_cost
@@ -287,6 +295,10 @@ def _write_residual(
         if k > max_param:
             zmax = int(z.max()) if len(z) else 0
             raw_bits = (zmax.bit_length() + 1) if zmax else 0
+            if raw_bits > 31:  # 5-bit wire field; see _best_rice_param
+                raise FlacFormatError(
+                    f"escaped-partition raw_bits={raw_bits} exceeds the 5-bit wire field"
+                )
             w.write(escape_code, param_bits)
             w.write(raw_bits, 5)
             for v in part:

@@ -104,15 +104,21 @@ def resample_to_mix(
     the largest achievable size without upsampling. The per-stratum rate
     table is dimension-sized → broadcast join; membership is the same
     deterministic content-keyed filter as :func:`hash_sample`."""
-    rates = mix_rates(df, weights, strat_col)
+    # prefix the rate frame's columns so an input df that already has a
+    # column named stratum / n_offered / keep_rate can't make the join-back
+    # select ambiguous (or silently pick the wrong side)
+    rates = mix_rates(df, weights, strat_col).select(
+        F.col("stratum").alias("__mix_stratum"),
+        F.col("keep_rate").alias("__mix_keep_rate"),
+    )
     return (
         df.join(
             F.broadcast(rates),
-            df[strat_col] == rates["stratum"],
+            df[strat_col] == rates["__mix_stratum"],
         )
         .filter(
             hash_bucket(F.col(key)).cast("double")
-            < F.col("keep_rate") * F.lit(BUCKET_SPACE)
+            < F.col("__mix_keep_rate") * F.lit(BUCKET_SPACE)
         )
         .select(*df.columns)
     )
@@ -133,7 +139,12 @@ def assign_split(
     ``fractions`` maps split name → fraction (must sum to ≤ 1; any
     remainder is unassigned and dropped). Assignment is a pure scan-time
     expression — zero shuffle, reproducible on any engine/layout."""
-    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col(content_col)), r"\s+", " ")))
+    # explicit whitespace class: Java-regex \s includes \x0B but RE2's does
+    # not, so spelling the class out keeps Spark and the DuckDB mirror
+    # hashing vertical-tab texts identically (engine-exact assignment)
+    norm = F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col(content_col)), "[ \\t\\n\\x0B\\f\\r]+", " "))
+    )
     bucket = F.conv(F.substring(norm, 1, 8), 16, 10).cast("long").cast("double")
     expr: Column = F.lit(None).cast("string")
     hi = 0.0
@@ -148,7 +159,8 @@ def assign_split(
 def assign_split_sql(fractions: dict[str, float], content_col: str = "text") -> str:
     """DuckDB CASE-expression mirror of :func:`assign_split` (selects the
     ``split`` column; compose into a wrapping query)."""
-    norm = f"md5(lower(regexp_replace(trim({content_col}), '\\s+', ' ', 'g')))"
+    # same explicit whitespace class as assign_split (RE2's \s lacks \x0B)
+    norm = f"md5(lower(regexp_replace(trim({content_col}), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
     bucket = f"CAST(CAST(('0x' || substr({norm}, 1, 8)) AS BIGINT) AS DOUBLE)"
     cases = []
     hi = 0.0

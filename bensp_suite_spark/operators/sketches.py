@@ -33,6 +33,10 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     merge (TakeOrderedAndProject), never a full sort."""
     sk = (
         df.select(hash_bucket(F.col(col)).alias("h"))
+        # NULL keys hash to NULL; a NULL would survive distinct(), occupy a
+        # sketch slot (count counts it, max ignores it) and sort first in
+        # Spark ASC but last in DuckDB — drop it before it enters the sketch.
+        .filter(F.col("h").isNotNull())
         .distinct()
         .orderBy("h")
         .limit(k)
@@ -59,9 +63,11 @@ def kmv_distinct_oracle_sql(
 ) -> str:
     """DuckDB mirror of :func:`kmv_distinct` (identical arithmetic order)."""
     return f"""
-    WITH sk AS (
-      SELECT DISTINCT {hash_bucket_sql(col_sql)} AS h
+    WITH hashed AS (
+      SELECT {hash_bucket_sql(col_sql)} AS h
       FROM {from_sql}
+    ), sk AS (
+      SELECT DISTINCT h FROM hashed WHERE h IS NOT NULL
       ORDER BY h LIMIT {k}
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes,
@@ -85,5 +91,9 @@ def kmv_hashes(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """The raw k-smallest distinct hash set (column ``h``) — the mergeable
     form of the sketch, for :func:`kmv_merge`."""
     return (
-        df.select(hash_bucket(F.col(col)).alias("h")).distinct().orderBy("h").limit(k)
+        df.select(hash_bucket(F.col(col)).alias("h"))
+        .filter(F.col("h").isNotNull())  # NULL keys never enter the sketch
+        .distinct()
+        .orderBy("h")
+        .limit(k)
     )

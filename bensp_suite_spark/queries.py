@@ -4417,6 +4417,7 @@ _KMV_GROUP_ORACLE = f"""
 WITH ranked AS (
   SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
   FROM (SELECT DISTINCT source, {SMP.hash_bucket_sql('text')} AS h FROM documents)
+  WHERE h IS NOT NULL
 ),
 sk AS (SELECT source, h, rn FROM ranked WHERE rn <= 32)
 SELECT source,
@@ -4439,9 +4440,12 @@ def sketch_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same deterministic hash + arithmetic as sketch_kmv_distinct)."""
     k = 32
     docs = _t(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "source", SMP.hash_bucket(F.col("text")).alias("h")
-    ).distinct()
+    hashed = (
+        docs.select("source", SMP.hash_bucket(F.col("text")).alias("h"))
+        # NULL texts hash to NULL — drop before they occupy a sketch slot
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy("source").orderBy("h")
     sk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     return sk.groupBy("source").agg(
@@ -4477,7 +4481,9 @@ def stream_kmv_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 32
     docs = _t(spark, sf_dir, "documents")
-    hashed = docs.select("source", SMP.hash_bucket(F.col("text")).alias("h"))
+    hashed = docs.select("source", SMP.hash_bucket(F.col("text")).alias("h")).filter(
+        F.col("h").isNotNull()  # NULL texts never enter the keyed sketch state
+    )
     base = tempfile.mkdtemp(prefix="bensp_stream_kmv_")
     hashed.repartition(3).write.mode("overwrite").parquet(f"{base}/src")
     stream = (

@@ -35,7 +35,8 @@ def _kmv_fn(k: int):
     ) -> Iterator[pd.DataFrame]:
         hs, seq = (set(state.get[0]), state.get[1]) if state.exists else (set(), 0)
         for pdf in pdfs:
-            hs.update(int(h) for h in pdf["h"])
+            # NULL hashes arrive as NaN — they must never occupy a sketch slot
+            hs.update(int(h) for h in pdf["h"].dropna())
         top = sorted(hs)[:k]
         seq += 1
         state.update((top, seq))

@@ -190,6 +190,79 @@ def test_assign_split_is_leak_free_and_drops_remainder(spark):
     }
 
 
+def test_kmv_ignores_null_keys(spark):
+    """NULL keys hash to NULL and must never occupy a sketch slot: the
+    sketch over data-with-NULLs equals the sketch over the non-NULL rows
+    (Spark would sort a surviving NULL FIRST asc, DuckDB LAST — dropping
+    it is what keeps the oracle engine-exact)."""
+    from bensp_suite_spark.operators import sketches as SK
+
+    rows = [(i,) for i in range(100)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "v long")
+    clean = df.filter(F.col("v").isNotNull())
+    k = 16
+    row = SK.kmv_distinct(df, "v", k=k).collect()[0]
+    want = SK.kmv_distinct(clean, "v", k=k).collect()[0]
+    assert (row["n_hashes"], row["kth_min"], row["distinct_est"]) == (
+        want["n_hashes"], want["kth_min"], want["distinct_est"])
+    got = {r["h"] for r in SK.kmv_hashes(df, "v", k=k).collect()}
+    assert None not in got and len(got) == k
+
+
+def test_resample_to_mix_survives_reserved_column_names(spark):
+    """An input df that already has stratum / keep_rate / n_offered columns
+    must not collide with the internal rate-frame join-back."""
+    rows = [(i, f"src{i % 2}", "user_stratum", 1.23, 7) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, stratum string, keep_rate double, n_offered long"
+    )
+    out = SMP.resample_to_mix(df, {"src0": 1, "src1": 1}, "source")
+    assert out.columns == df.columns
+    got = out.collect()
+    assert 0 < len(got) <= 200
+    # the user's columns pass through untouched
+    assert all(r["stratum"] == "user_stratum" and r["keep_rate"] == 1.23 for r in got)
+
+
+def test_assign_split_vertical_tab_engine_exact(spark):
+    """Texts containing \\x0B must hash identically in Spark and DuckDB —
+    the explicit whitespace class closes the Java-\\s vs RE2-\\s gap."""
+    import duckdb
+
+    rows = [(1, "alpha\x0bbeta gamma"), (2, "alpha beta\tgamma"), (3, "plain text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fracs = {"train": 0.5, "val": 0.5}
+    spark_split = {
+        r["doc_id"]: r["split"] for r in SMP.assign_split(df, fracs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    duck_split = dict(
+        con.execute(
+            f"SELECT doc_id, {SMP.assign_split_sql(fracs)} AS split FROM t"
+        ).fetchall()
+    )
+    assert spark_split == {k: v for k, v in duck_split.items() if v is not None}
+    assert 1 in spark_split  # the \x0B row is assigned, identically, on both
+
+
+def test_flac_escape_raw_bits_guard():
+    """raw_bits beyond the 5-bit wire field must raise, not silently wrap
+    to 0 in the masking _BitWriter and emit a corrupt stream."""
+    import numpy as np
+
+    from bensp_suite_spark.multimodal.flac import FlacFormatError, _best_rice_param
+
+    # folded residuals with bit_length 32 → raw_bits = 33 > 31
+    z = np.array([1 << 32] * 4, dtype=np.uint64)
+    with pytest.raises(FlacFormatError, match="raw_bits"):
+        _best_rice_param(z, max_param=14)
+
+
 def test_incremental_dedup_history_sig_parity(spark):
     """incremental_dedup(new, history) == incremental_dedup(new,
     history_sig=history_signatures(history)) — the pre-fingerprinted
