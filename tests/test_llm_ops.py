@@ -35,6 +35,49 @@ def test_ivf_ann_recall(spark):
     assert recall >= 0.4, f"IVF ANN recall too low: {recall:.2f}"
 
 
+def test_ivf_defaults_rule():
+    """The corpus-size-aware sizing rule (n_cells ≈ √N capped by the
+    centroid budget, n_probe = max(8, n_cells/16)). The (500 → 22, 8) pin
+    is what the ann_ivf_auto_topk oracle hard-codes for sf0.01 — if this
+    test fails after a rule change, update that oracle in lockstep."""
+    assert SIM.ivf_defaults(500) == (22, 8)          # sf0.01 embeddings
+    assert SIM.ivf_defaults(100_000) == (316, 19)    # the bench scale probe
+    assert SIM.ivf_defaults(10**10) == (65536, 4096)  # budget cap
+    assert SIM.ivf_defaults(4) == (2, 2)             # n_probe never exceeds n_cells
+    assert SIM.ivf_defaults(0) == (1, 1)
+
+
+def test_ivf_auto_sizing_recall_floor(spark):
+    """Auto-sized IVF (n_cells=None/n_probe=None) must clear the recall
+    floor the static default missed, on both the live path (corpus count)
+    and the prebuilt-index path (probe derived from the centroid count)."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(queries, emb, k=5).collect()
+    }
+    auto = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_ann_topk(queries, emb, k=5, n_cells=None, n_probe=None).collect()
+    }
+    assert len(exact & auto) / len(exact) >= 0.8
+    # prebuilt path: n_probe=None derives from the index's own cell count
+    n_cells, _ = SIM.ivf_defaults(emb.count())
+    cent = SIM.ivf_centroids(emb, n_cells)
+    assign = SIM.ivf_assign(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
+        cent, 1, "neighbor_id", "cv",
+    )
+    pre = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_ann_topk(
+            queries, emb, k=5, n_probe=None, index=(cent, assign)
+        ).collect()
+    }
+    assert pre == auto  # same sizing on both paths → identical ranking
+
+
 def test_ivf_assignment_covers_corpus(spark):
     """Every corpus vector lands in exactly one cell; every query emits
     exactly n_probe probe rows (the IVF partition-function invariants)."""

@@ -524,9 +524,13 @@ def test_ann_cli_upsert_matches_full_build(spark, tmpdir):
         )
         assert r.returncode == 0, r.stderr[-2000:]
 
-    run("mkdb", paths["old"], paths["idx_up"], "--family", "ivf")
+    # explicit --n-cells: upsert preserves the BUILD-TIME sizing, so the
+    # full rebuild must be pinned to the same cell count for the
+    # upserted-equals-rebuilt contract (auto-sizing would size the half
+    # corpus and the full corpus differently — a retrain, not an upsert)
+    run("mkdb", paths["old"], paths["idx_up"], "--family", "ivf", "--n-cells", "16")
     run("upsert", paths["new"], paths["idx_up"])
-    run("mkdb", emb_path, paths["idx_full"], "--family", "ivf")
+    run("mkdb", emb_path, paths["idx_full"], "--family", "ivf", "--n-cells", "16")
     run("query", emb_path, paths["q"], "5", paths["out_up"],
         "--family", "ivf", "--index", paths["idx_up"])
     run("query", emb_path, paths["q"], "5", paths["out_full"],
