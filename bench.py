@@ -77,15 +77,30 @@ def main() -> None:
     # materialization — and a third rep rides out the multi-second
     # machine-level noise bursts (kernel page reclaim after earlier JVMs)
     # that a single warm rep gets caught in.
+    # Per-query time splits fixture-build from operator run: queries that
+    # construct hermetic tempdir inputs in-body (TAR/ORC/ddp archives,
+    # stream source dirs) report the construction seconds through
+    # Q.FIXTURE_BUILD_SECONDS, and the recorded per-query number — the one
+    # the drift guard watches — is run_sec = total - build_sec, so the
+    # guard flags the OPERATOR drifting, not the scaffolding. build_sec is
+    # recorded alongside (extras.fixture_build_sec) from the same rep that
+    # produced the minimum run_sec.
     times: dict[str, float] = {}
+    build_secs: dict[str, float] = {}
     for _rep in range(3):
         for name in sorted(Q.QUERIES):
+            Q.FIXTURE_BUILD_SECONDS.pop(name, None)
             t0 = time.perf_counter()
             # construction included: some queries (streaming) execute eagerly
             df = Q.QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            sec = round(time.perf_counter() - t0, 4)
-            times[name] = min(times.get(name, sec), sec)
+            total_sec = time.perf_counter() - t0
+            build = Q.FIXTURE_BUILD_SECONDS.pop(name, 0.0)
+            sec = round(total_sec - build, 4)
+            if sec < times.get(name, float("inf")):
+                times[name] = sec
+                if build:
+                    build_secs[name] = round(build, 4)
 
     # ferret-pipeline throughput (BASELINE.md: reference query time 2.409 s
     # for its test batch, corel-class corpus, LSH probe + EMD rerank,
@@ -618,6 +633,7 @@ def main() -> None:
                     "ann_pq_trained_build_query_sec": pq_trained_sec,
                     "ann_pq_deterministic_build_query_sec": pq_det_sec,
                     "ann_scale_100k": ann_scale,
+                    "fixture_build_sec": build_secs,
                     "dedup_single_thread_input_mb": single_thread.get("input_mb"),
                     "dedup_single_thread_mbps": single_thread.get("mbps_gzip"),
                     "dedup_single_thread_none_mbps": single_thread.get("mbps_none"),
