@@ -734,6 +734,27 @@ def history_signatures(history: DataFrame) -> tuple[DataFrame, DataFrame]:
     return hist_h, hist_s
 
 
+def advance_signatures(
+    history_sig: tuple[DataFrame, DataFrame], survivors: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Day-N → day-N+1 signature advance: APPEND the day's survivors'
+    signatures to the persisted history tables — the O(new docs/day)
+    operation a daily pipeline actually runs, never a re-derivation over
+    the whole history.
+
+    No distinct pass over the history side is needed, by construction:
+    a survivor's content hash is absent from the history hashes (it
+    passed the exact-dup check against exactly that table), and
+    :func:`history_signatures` already distincts within the batch — so
+    plain union IS globally distinct. The fingerprint table is per-doc
+    (not distinct) and appends the same way. Growth therefore tracks
+    survivors, not history size; with the tables persisted as parquet a
+    day's advance is one partition append."""
+    hist_h, hist_s = history_sig
+    day_h, day_s = history_signatures(survivors)
+    return hist_h.unionByName(day_h), hist_s.unionByName(day_s)
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     history: DataFrame | None = None,

@@ -4900,3 +4900,128 @@ def pipeline_daily_increment_day2(spark: SparkSession, sf_dir: str) -> DataFrame
         jitter2.unionByName(surv_copies), "q.pipeline_day2.new2"
     )
     return DT.incremental_dedup(new2, max_hamming=3, history_sig=sig2)
+
+
+# --- day-N generalization: three iterations through pipelines/daily.py ----
+# Batch shapes (all ids globally distinct via AUG_OFFSET multipliers):
+#   day 1: drop-3-words jitter of docs < 200 (+1·AUG) + exact copies of
+#          docs < 10 (+2·AUG)
+#   day 2: drop-5 jitter of docs < 150 (+3·AUG) + exact copies of day-1
+#          SURVIVORS with base id < 150 (+3·AUG → 4·AUG range)
+#   day 3: drop-7 jitter of docs < 100 (+5·AUG) + exact copies of day-2
+#          survivors (+3·AUG → 6·AUG range) + exact copies of day-1
+#          survivors (+7·AUG → 8·AUG range)
+# Day 3's planted copies of BOTH prior days' survivors can only flag
+# exact_dup if every advance_signatures append made it into the state —
+# the multi-day accumulation proof (day 2 alone only proves one handoff).
+def _dayn_jitter_sql(drop: int, mult: int, limit: int) -> str:
+    return f"""
+      SELECT doc_id + {mult * DT.AUG_OFFSET} AS doc_id,
+             array_to_string(words[1:GREATEST(len(words) - {drop}, 1)], ' ') AS text
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents WHERE doc_id < {limit})
+    """
+
+
+_D3_NEW1_SQL = f"""
+  {_dayn_jitter_sql(3, 1, 200)}
+  UNION ALL
+  SELECT doc_id + {2 * DT.AUG_OFFSET} AS doc_id, text FROM documents WHERE doc_id < 10
+"""
+_D3_SURV1_SQL = f"""
+  SELECT n.doc_id, n.text FROM ({_D3_NEW1_SQL}) n
+  WHERE n.doc_id IN (
+    SELECT doc_id FROM (
+      {DT.incremental_dedup_oracle_sql("SELECT doc_id, text FROM documents", _D3_NEW1_SQL)}
+    ) WHERE is_kept)
+"""
+_D3_HIST2_SQL = f"SELECT doc_id, text FROM documents UNION ALL {_D3_SURV1_SQL}"
+_D3_NEW2_SQL = f"""
+  {_dayn_jitter_sql(5, 3, 150)}
+  UNION ALL
+  SELECT doc_id + {3 * DT.AUG_OFFSET} AS doc_id, text FROM ({_D3_SURV1_SQL})
+  WHERE doc_id < {DT.AUG_OFFSET + 150}
+"""
+_D3_SURV2_SQL = f"""
+  SELECT n.doc_id, n.text FROM ({_D3_NEW2_SQL}) n
+  WHERE n.doc_id IN (
+    SELECT doc_id FROM (
+      {DT.incremental_dedup_oracle_sql(_D3_HIST2_SQL, _D3_NEW2_SQL)}
+    ) WHERE is_kept)
+"""
+_D3_HIST3_SQL = f"{_D3_HIST2_SQL} UNION ALL {_D3_SURV2_SQL}"
+_D3_NEW3_SQL = f"""
+  {_dayn_jitter_sql(7, 5, 100)}
+  UNION ALL
+  SELECT doc_id + {3 * DT.AUG_OFFSET} AS doc_id, text FROM ({_D3_SURV2_SQL})
+  WHERE doc_id < {3 * DT.AUG_OFFSET + 75}
+  UNION ALL
+  SELECT doc_id + {7 * DT.AUG_OFFSET} AS doc_id, text FROM ({_D3_SURV1_SQL})
+  WHERE doc_id < {DT.AUG_OFFSET + 100}
+"""
+
+
+@query(
+    "pipeline_daily_increment_day3",
+    oracle=DT.incremental_dedup_oracle_sql(_D3_HIST3_SQL, _D3_NEW3_SQL),
+)
+def pipeline_daily_increment_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N incremental dedup as an actual LOOP (pipelines/daily.py):
+    three daily batches flow through daily_step, which appends each
+    day's survivor signatures via advance_signatures — history raw
+    text is scanned exactly once (day 0's history_signatures) and the
+    signature state grows by O(survivors/day), never re-derived. Day 3
+    plants exact copies of BOTH day-1 and day-2 survivors: they can only
+    flag if every append reached the state. The oracle recomputes all
+    three days from full history in SQL, proving append-maintained
+    signatures are engine-exactly equal to re-derivation.
+
+    Local cost is job-count-bound, not data-bound: three dedup passes
+    plus eight state materializations at ~1 s fixed local-mode latency
+    each (a bare 275-row count on this host costs ~0.8 s) — consistent
+    with the 1-pass/2-pass siblings (3.7 s / 5.9 s benched). At 100 TB
+    the fixed overhead vanishes and per-day cost is O(batch): the state
+    tables would be parquet appends, which this loop's shape maps 1:1."""
+    from .pipelines.daily import daily_step
+    from .session import pooled_persist as _pin
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+
+    def jitter(drop: int, mult: int, limit: int) -> DataFrame:
+        keep = F.greatest(F.size(words) - drop, F.lit(1))
+        return docs.filter(F.col("doc_id") < limit).select(
+            (F.col("doc_id") + mult * DT.AUG_OFFSET).alias("doc_id"),
+            F.array_join(F.slice(words, 1, keep), " ").alias("text"),
+        )
+
+    def copies(src: DataFrame, mult: int, below: int) -> DataFrame:
+        return src.filter(F.col("doc_id") < below).select(
+            (F.col("doc_id") + mult * DT.AUG_OFFSET).alias("doc_id"), "text"
+        )
+
+    # day 0: the ONLY raw-history signature derivation in the whole loop
+    h0, s0 = DT.history_signatures(docs)
+    sig = (
+        _pin(h0, "q.day3.sig_h0"),
+        _pin(s0, "q.day3.sig_s0"),
+    )
+    # batches stay unpinned: each is a cheap projection of the cached
+    # documents table (re-deriving it twice costs less than materializing
+    # another checkpoint); survivors and signature tables — the state that
+    # feeds every later day — are what gets truncated
+    batch1 = jitter(3, 1, 200).unionByName(copies(docs, 2, 10))
+    _, surv1, sig = daily_step(sig, batch1, persist=_pin, day="3q1")
+    batch2 = jitter(5, 3, 150).unionByName(
+        copies(surv1, 3, DT.AUG_OFFSET + 150)
+    )
+    _, surv2, sig = daily_step(sig, batch2, persist=_pin, day="3q2")
+    batch3 = (
+        jitter(7, 5, 100)
+        .unionByName(copies(surv2, 3, 3 * DT.AUG_OFFSET + 75))
+        .unionByName(copies(surv1, 7, DT.AUG_OFFSET + 100))
+    )
+    flags3, _, _ = daily_step(
+        sig, batch3, persist=_pin, day="3q3", advance=False
+    )
+    return flags3
