@@ -85,7 +85,9 @@ _PRIORITY = [
 # re-checked by the external driver (a later regression would go unseen);
 # with it, the window is priority + never-verified + a rotating slice of
 # the greens, so the whole registry is re-audited every few rounds.
-_REVERIFY_QUOTA = 35
+# 45 keeps the 50-row window full with few new queries per round: at a
+# ~158-query registry the full external re-audit cycle stays ~3.5 rounds.
+_REVERIFY_QUOTA = 45
 
 
 def _rotated_names() -> list[str]:

@@ -539,6 +539,23 @@ def main() -> None:
         DSTR.stream_encode_merge(spark, s_stream, s_out, s_ckpt)
         sweep_sec = time.perf_counter() - t0
         trigger_sweep[f"{mft * 32}mb_trigger_mbps"] = round(stream_mb / sweep_sec, 2)
+    # Restart-resume latency: append one 32 MB file to the source and
+    # RESTART the rep-0 query on its existing checkpoint — the recovery a
+    # daily pipeline performs after every planned stop. The measured time
+    # covers offset-log replay, winners-table state reload (the ~64k
+    # unique digests of the 256 MB already processed) and the one-batch
+    # catch-up; exactly-once across the restart is pinned by
+    # tests/test_streaming.py, this records what the recovery COSTS.
+    resume_new_mb = 32
+    DF.synthetic_docs(
+        spark, n_files=resume_new_mb, file_bytes=1 << 20, pool_size=64, seed=12
+    ).repartition(1).write.mode("append").parquet(s_src)
+    r_stream = DSTR.files_source(spark, s_src)
+    t0 = time.perf_counter()
+    DSTR.stream_encode_merge(
+        spark, r_stream, os.path.join(sdir, "out0"), os.path.join(sdir, "ckpt0")
+    )
+    resume_sec = round(time.perf_counter() - t0, 4)
     shutil.rmtree(sdir, ignore_errors=True)
     spark.streams.removeListener(handle)
     # UPL memory analog (new_dedup.c:97-242; BASELINE.md reference point
@@ -614,6 +631,8 @@ def main() -> None:
                     "streaming_dedup_sec": stream_sec,
                     "streaming_dedup_mbps": round(stream_mb / stream_sec, 2),
                     "streaming_trigger_sweep": trigger_sweep,
+                    "streaming_resume_new_mb": resume_new_mb,
+                    "streaming_resume_sec": resume_sec,
                     "streaming_peak_heap_mb": peak_heap_mb,
                     "saturated_encode_input_mb": sat_mb,
                     "saturated_encode_sec": sat_sec,

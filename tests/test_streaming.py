@@ -738,6 +738,52 @@ def test_stream_encode_merge_matches_batch_and_is_idempotent(spark, tmpdir):
     assert spark.read.parquet(out).count() == before
 
 
+def test_files_source_default_and_resume_on_append(spark, tmpdir):
+    """files_source defaults to the measured trigger knee (256m — the
+    whole small fixture drains in ONE batch), and restarting on the same
+    checkpoint after appending source files processes exactly the new
+    files: the combined output equals the batch encode of everything,
+    first-wins preserved across the restart (a pre-restart digest's
+    canonical never changes)."""
+    files = fixtures.synthetic_docs(spark, n_files=12, file_bytes=16384, seed=33)
+    src, out, ckpt = (os.path.join(tmpdir, d) for d in ("src", "out", "ckpt"))
+    files.repartition(3).write.mode("overwrite").parquet(src)
+    dedup_stream.stream_encode_merge(
+        spark, dedup_stream.files_source(spark, src), out, ckpt
+    )
+    first = spark.read.parquet(out)
+    assert first.select("batch_id").distinct().count() == 1  # one 256m trigger
+    pre_canon = {
+        r["sha1"]: (r["file_id"], r["l1"], r["l2"])
+        for r in first.filter("NOT is_dup").collect()
+    }
+    # append new files, restart on the SAME checkpoint
+    fixtures.synthetic_docs(spark, n_files=6, file_bytes=16384, seed=34).repartition(
+        2
+    ).write.mode("append").parquet(src)
+    dedup_stream.stream_encode_merge(
+        spark, dedup_stream.files_source(spark, src), out, ckpt
+    )
+    got = spark.read.parquet(out)
+    batch = pipeline.deduplicate(pipeline.chunk_files(spark.read.parquet(src)))
+    gg = got.groupBy("sha1").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dups"),
+    )
+    wg = batch.groupBy("sha1").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dups"),
+    )
+    assert gg.exceptAll(wg).count() == 0 and wg.exceptAll(gg).count() == 0
+    # first-wins durability: canonicals chosen before the restart held
+    post_canon = {
+        r["sha1"]: (r["file_id"], r["l1"], r["l2"])
+        for r in got.filter("NOT is_dup").collect()
+    }
+    for sha, canon in pre_canon.items():
+        assert post_canon[sha] == canon
+
+
 def test_streaming_quality_reports_per_batch(spark, tmpdir):
     """Per-micro-batch expectation reports: planted violations land in
     the right batch's rows, and every batch reports every check."""
