@@ -15,11 +15,13 @@ video TARs through its decoder stage (bin/parsec_stream:30-39,
 tools/Inputs_review.txt); this module is the Spark-side equivalent of that
 demux+decode front end.
 
-Writer layout: ``ftyp | mdat | moov`` — one video track, one chunk holding
-all samples, constant sample duration (timescale = fps, delta = 1). The
-single-chunk stsc/stco shape is the simplest legal sample table; the PARSER
-implements the general stsc expansion (any chunking), so third-party MJPEG
-files with per-frame chunks demux correctly too.
+Writer layouts: flat ``ftyp | mdat | moov`` (one video track, one chunk,
+constant sample duration) and fragmented ``ftyp | moov(mvex) | [moof mdat]…``
+(``encode_mp4_mjpeg_fragmented`` — the DASH/HLS/live-recording shape). The
+PARSER implements the general stsc expansion (any chunking) AND the movie-
+fragment walk (tfhd base offsets, trun sample runs), so third-party MJPEG
+files in either layout demux correctly; both writers' outputs demux to
+identical samples for identical frames.
 """
 
 from __future__ import annotations
@@ -118,6 +120,106 @@ def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 25) -> bytes:
     return ftyp + _box(b"mdat", mdat_body) + moov
 
 
+def encode_mp4_mjpeg_fragmented(
+    frames: np.ndarray, fps: int = 25, samples_per_fragment: int = 1
+) -> bytes:
+    """(N, H, W, 3) uint8 RGB → FRAGMENTED MP4 (fMP4/CMAF layout:
+    ``ftyp | moov(mvex) | [moof mdat]…``) with one 'jpeg' video track.
+
+    This is the commonest real-world mp4 variant (DASH/HLS segments,
+    live recordings): the moov carries EMPTY sample tables plus an mvex
+    declaring movie fragments, and every moof/mdat pair carries its own
+    sample run. Exists so the demuxer's fragment walk is exercised by a
+    writer in the same repo — flat and fragmented muxes of the same
+    frames must demux to identical samples."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("frames must be (N, H, W, 3) uint8 RGB")
+    n, h, w, _ = frames.shape
+    samples = [
+        encode_jpeg(frames[i], quality=_MJPEG_QUALITY, subsample=True)
+        for i in range(n)
+    ]
+
+    # moov with empty sample tables + mvex/trex (defaults: duration 1,
+    # size 0 — every trun carries explicit sizes)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, 0)
+        + struct.pack(">iH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, 0)
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, 0, 0x55C4, 0))
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")))
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),
+    )
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+        + _full(b"stts", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + _box(b"minf", vmhd + dinf + stbl)))
+    # trex: track 1, default sample_description 1, duration 1, size 0, flags 0
+    mvex = _box(b"mvex", _full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 1, 0, 0)))
+    moov = _box(b"moov", mvhd + trak + mvex)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp41" + b"iso5")
+
+    out = [ftyp, moov]
+    seq = 0
+    for i in range(0, n, samples_per_fragment):
+        run = samples[i : i + samples_per_fragment]
+        seq += 1
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        # tfhd: default-base-is-moof (0x020000) — offsets are moof-relative
+        tfhd = _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        # trun: data-offset-present | sample-size-present; data_offset is
+        # moof-relative and depends on moof's own length → build once with
+        # a placeholder, then rebuild with the measured offset (the length
+        # is offset-independent)
+        def _trun(off: int) -> bytes:
+            return _full(
+                b"trun", 0, 0x000001 | 0x000200,
+                struct.pack(">Ii", len(run), off)
+                + b"".join(struct.pack(">I", len(s)) for s in run),
+            )
+
+        moof_len = len(_box(b"moof", mfhd + _box(b"traf", tfhd + _trun(0))))
+        moof = _box(
+            b"moof", mfhd + _box(b"traf", tfhd + _trun(moof_len + 8))
+        )
+        out.append(moof)
+        out.append(_box(b"mdat", b"".join(run)))
+    return b"".join(out)
+
+
 def _boxes(buf: bytes, pos: int, end: int):
     """Yield (tag, body_start, body_end) for the boxes in [pos, end)."""
     while pos + 8 <= end:
@@ -161,13 +263,17 @@ def _demux_mp4(payload: bytes) -> tuple[bytes, list[bytes]]:
     if len(payload) < 16 or payload[4:8] != b"ftyp":
         raise ValueError("not an mp4: missing ftyp header")
     moov = None
+    moofs: list[tuple[int, int]] = []
     for tag, b0, b1 in _boxes(payload, 0, len(payload)):
         if tag == b"moov":
             moov = (b0, b1)
+        elif tag == b"moof":
+            moofs.append((b0, b1))
     if moov is None:
         raise ValueError("malformed mp4: no moov box")
 
     stbl = None
+    track_id = None
     for tag, t0, t1 in _boxes(payload, *moov):
         if tag != b"trak":
             continue
@@ -175,6 +281,13 @@ def _demux_mp4(payload: bytes) -> tuple[bytes, list[bytes]]:
         if payload[h0 + 8 : h0 + 12] != b"vide":
             continue
         stbl = _find(payload, t0, t1, [b"mdia", b"minf", b"stbl"])
+        k0, _k1 = _find(payload, t0, t1, [b"tkhd"])
+        tk_version = payload[k0]
+        # tkhd track_ID: after version/flags(4) + ctime/mtime (4+4 at v0,
+        # 8+8 at v1)
+        track_id = struct.unpack_from(
+            ">I", payload, k0 + (20 if tk_version == 1 else 12)
+        )[0]
         break
     if stbl is None:
         raise ValueError("malformed mp4: no video track")
@@ -232,6 +345,92 @@ def _demux_mp4(payload: bytes) -> tuple[bytes, list[bytes]]:
         raise ValueError(
             f"malformed mp4: sample tables disagree (stsz {count}, stsc walk {si})"
         )
+
+    # Movie fragments (fMP4 — the DASH/HLS/live-recording layout): each
+    # top-level moof carries tfhd (track + defaults) and trun (sample run)
+    # boxes; sample data lives in the following mdat at moof-relative or
+    # explicit base offsets. The walk appends fragment samples after any
+    # moov-resident ones (normally none — fragmented files ship empty
+    # sample tables).
+    for moof_b0, moof_b1 in moofs:
+        # _boxes yields BODY offsets; recover the box (header) start —
+        # 8-byte standard header or 16-byte largesize header
+        if payload[moof_b0 - 4 : moof_b0] == b"moof":
+            moof_start = moof_b0 - 8
+        elif payload[moof_b0 - 12 : moof_b0 - 8] == b"moof":
+            moof_start = moof_b0 - 16
+        else:  # unreachable for inputs produced by _boxes, but stay typed
+            raise ValueError("malformed mp4: cannot locate moof header")
+        for ftag, f0, f1 in _boxes(payload, moof_b0, moof_b1):
+            if ftag != b"traf":
+                continue
+            base = None
+            default_size = None
+            cursor = None
+            for ttag, u0, u1 in _boxes(payload, f0, f1):
+                if ttag == b"tfhd":
+                    tf_flags = int.from_bytes(payload[u0 + 1 : u0 + 4], "big")
+                    tf_track = struct.unpack_from(">I", payload, u0 + 4)[0]
+                    if tf_track != track_id:
+                        base = "skip"
+                        break
+                    p = u0 + 8
+                    if tf_flags & 0x000001:  # base-data-offset-present
+                        base = struct.unpack_from(">Q", payload, p)[0]
+                        p += 8
+                    else:
+                        # default-base-is-moof, and the common first-traf
+                        # convention, both anchor at the moof box start
+                        base = moof_start
+                    if tf_flags & 0x000002:
+                        p += 4  # sample-description-index
+                    if tf_flags & 0x000008:
+                        p += 4  # default-sample-duration
+                    if tf_flags & 0x000010:
+                        default_size = struct.unpack_from(">I", payload, p)[0]
+                elif ttag == b"trun":
+                    if base == "skip":
+                        break
+                    if base is None:
+                        raise ValueError("malformed mp4: trun before tfhd")
+                    tr_flags = int.from_bytes(payload[u0 + 1 : u0 + 4], "big")
+                    (n_samp,) = struct.unpack_from(">I", payload, u0 + 4)
+                    p = u0 + 8
+                    if tr_flags & 0x000001:  # data-offset-present
+                        (doff,) = struct.unpack_from(">i", payload, p)
+                        p += 4
+                        cursor = base + doff
+                    elif cursor is None:
+                        raise ValueError(
+                            "malformed mp4: first trun lacks a data offset"
+                        )
+                    if tr_flags & 0x000004:
+                        p += 4  # first-sample-flags
+                    per = (
+                        (4 if tr_flags & 0x000100 else 0)  # duration
+                        + (4 if tr_flags & 0x000200 else 0)  # size
+                        + (4 if tr_flags & 0x000400 else 0)  # flags
+                        + (4 if tr_flags & 0x000800 else 0)  # cts offset
+                    )
+                    for s_i in range(n_samp):
+                        sp = p + s_i * per + (4 if tr_flags & 0x000100 else 0)
+                        if tr_flags & 0x000200:
+                            (s_size,) = struct.unpack_from(">I", payload, sp)
+                        elif default_size:
+                            s_size = default_size
+                        else:
+                            raise ValueError(
+                                "malformed mp4: fragment sample has no size "
+                                "(no trun size, no tfhd/trex default)"
+                            )
+                        s_end = cursor + s_size
+                        if s_end > len(payload):
+                            raise ValueError(
+                                "malformed mp4: fragment sample extends past "
+                                "end of file"
+                            )
+                        samples.append(payload[cursor:s_end])
+                        cursor = s_end
     return fourcc, samples
 
 

@@ -905,6 +905,50 @@ def test_mp4_malformed_inputs_raise_typed_errors():
         M.demux_mp4(payload[: payload.index(b"moov") - 4])
 
 
+def test_mp4_fragmented_demuxes_identically_to_flat():
+    """fMP4 (moof/mdat fragments — the DASH/HLS/live layout): the
+    fragment walk must recover exactly the flat mux's samples at any
+    fragment grouping, and the full decode path must agree."""
+    import numpy as np
+
+    from bensp_suite_spark.multimodal import mp4 as M
+
+    rng = np.random.default_rng(46)
+    frames = rng.integers(0, 255, (5, 24, 32, 3)).astype(np.uint8)
+    flat = M.encode_mp4_mjpeg(frames)
+    fc_flat, flat_samples = M.demux_mp4(flat)
+    for spf in (1, 2, 5):
+        frag = M.encode_mp4_mjpeg_fragmented(frames, samples_per_fragment=spf)
+        fourcc, samples = M.demux_mp4(frag)
+        assert fourcc == fc_flat == b"jpeg"
+        assert samples == flat_samples
+        assert (M.decode_mp4_mjpeg(frag) == M.decode_mp4_mjpeg(flat)).all()
+
+
+def test_mp4_fragmented_hostile_bytes_stay_typed():
+    """Bit-flipped fragmented files must raise typed ValueError /
+    NotImplementedError — never raw struct/index errors (the same
+    never-crashes contract as the flat path)."""
+    import random
+
+    import numpy as np
+
+    from bensp_suite_spark.multimodal import mp4 as M
+
+    rng = np.random.default_rng(47)
+    frames = rng.integers(0, 255, (3, 16, 16, 3)).astype(np.uint8)
+    frag = M.encode_mp4_mjpeg_fragmented(frames, samples_per_fragment=2)
+    rnd = random.Random(48)
+    for _ in range(200):
+        b = bytearray(frag)
+        for _ in range(rnd.randint(1, 8)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        try:
+            M.decode_mp4_mjpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass  # typed — the contract
+
+
 def test_mp4_non_jpeg_sample_entry_is_environment_gated():
     import numpy as np
     import pytest
