@@ -8,7 +8,12 @@ rank ties broken by partition id) shows up as a diff here.
 
 The representative set covers every exchange-heavy family: multi-join
 TPC-H shapes, banded dedup joins, iterative CC and PageRank, window
-ranks, sampling/remix, sketches, and the incremental-agg merge.
+ranks, sampling/remix, sketches, the incremental-agg merge, the full
+ANN family (LSH probe joins, PQ compressed-domain scans, IVF cell
+probing — including the auto-sized build, whose corpus count and
+centroid pick must not depend on layout), and the multimodal ingest
+paths (pure-codec decode inside Arrow-batched UDFs, kernel fingerprints,
+banded media joins, TAR expansion).
 """
 
 from __future__ import annotations
@@ -34,8 +39,21 @@ REPRESENTATIVE = [
     "sketch_sampled_percentiles",
     "incremental_agg_maintenance",
     "ts_locf_fill",
-    "pipeline_daily_increment_day2",
+    "pipeline_daily_increment_day3",
     "split_train_val_test",
+    # ANN family: candidate generation (LSH buckets / PQ codes / IVF
+    # cells) and exact re-rank must be pure functions of the data
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_ivf_auto_topk",
+    "ann_range_search",
+    # multimodal: decode → kernel → banded join, plus container ingest
+    "multimodal_image_search_jpeg",
+    "multimodal_image_phash_dedup",
+    "multimodal_image_stats",
+    "multimodal_audio_dedup_flac",
+    "multimodal_video_dedup_mp4",
+    "multimodal_tar_ingest_dedup",
 ]
 
 
