@@ -540,6 +540,77 @@ def test_ann_cli_upsert_matches_full_build(spark, tmpdir):
     assert a == b and len(a) == 30
 
 
+def test_daily_cli_state_grows_by_survivors_and_accumulates(spark, tmpdir):
+    """daily_cli: init derives day-0 signatures; each step appends exactly
+    the day's survivors' rows to the parquet state (growth tracks
+    survivors, not history) and a later day's copy of an earlier day's
+    survivor flags exact_dup — the accumulation proof through the CLI
+    surface. Day-2 flags also match an in-process full recompute."""
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.operators.dedup_text import incremental_dedup
+
+    hist = spark.createDataFrame(
+        [(i, f"corpus document {i} about topic {i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    d1 = spark.createDataFrame(
+        [(100, "corpus document 3 about topic 3"),        # exact dup of history
+         (101, "a fresh day-one document on astronomy"),
+         (102, "a fresh day-one document on astronomy")],  # intra-batch copy
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(200, "a fresh day-one document on astronomy"),   # = day-1 survivor
+         (201, "an unrelated day-two text about geology")],
+        "doc_id long, text string",
+    )
+    paths = {n: os.path.join(tmpdir, n) for n in
+             ("hist", "d1", "d2", "sig", "f1", "f2")}
+    hist.write.parquet(paths["hist"])
+    d1.write.parquet(paths["d1"])
+    d2.write.parquet(paths["d2"])
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "bensp_suite_spark.daily_cli", *argv],
+            capture_output=True, text=True, env=env, cwd=cwd,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    run("init", paths["hist"], paths["sig"])
+    h0 = spark.read.parquet(os.path.join(paths["sig"], "hashes")).count()
+    s0 = spark.read.parquet(os.path.join(paths["sig"], "sims")).count()
+    assert h0 == 40 and s0 == 40
+
+    run("step", paths["d1"], paths["sig"], paths["f1"])
+    f1 = {r["doc_id"]: r for r in spark.read.parquet(paths["f1"]).collect()}
+    assert f1[100]["exact_dup"] and not f1[100]["is_kept"]
+    assert f1[101]["is_kept"] and f1[102]["is_kept"]  # both intra-batch copies
+    # growth: +1 distinct hash (101/102 share one), +2 fingerprints
+    assert spark.read.parquet(os.path.join(paths["sig"], "hashes")).count() == h0 + 1
+    assert spark.read.parquet(os.path.join(paths["sig"], "sims")).count() == s0 + 2
+
+    run("step", paths["d2"], paths["sig"], paths["f2"])
+    f2 = {r["doc_id"]: r for r in spark.read.parquet(paths["f2"]).collect()}
+    assert f2[200]["exact_dup"] and not f2[200]["is_kept"]  # day-1 survivor copy
+    assert f2[201]["is_kept"]
+    # parity with a full in-process recompute over history ∪ day-1 survivors
+    surv1 = d1.join(
+        spark.read.parquet(paths["f1"]).filter(F.col("is_kept")).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    want = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"], r["is_kept"])
+        for r in incremental_dedup(d2, hist.unionByName(surv1)).collect()
+    }
+    got = {k: (v["exact_dup"], v["near_dup"], v["is_kept"]) for k, v in f2.items()}
+    assert got == want
+
+
 def test_ddp_parser_never_crashes_on_arbitrary_bytes(spark):
     """Hostile-bytes contract for the .ddp interchange parser (same as
     the media decoders): arbitrary bytes and bit-flipped valid archives
