@@ -4778,6 +4778,62 @@ def multimodal_tar_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["multimodal_tar_ingest_dedup"] = ORACLES["multimodal_audio_dedup_wav"]
 
 
+@query("multimodal_zip_ingest_dedup")
+def multimodal_zip_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP-bundle ingest end-to-end (the S2 archive source's other
+    format — crawl dumps and scraped corpora ship as .zip at least as
+    often as .tar): same WAV clips, same dotfile member to drop, expanded
+    by read_zip_members (archives parallelize across executors, members
+    decode within one), WAV-decoded in the fingerprint stage, near-dup
+    pairs out. Shares the WAV fixture's codec-independent golden — the
+    ZIP layer, like TAR, must be byte-transparent."""
+    import io
+    import os
+    import shutil
+    import tempfile
+    import zipfile
+
+    import numpy as np
+
+    from .multimodal import audio_video as AV
+    from .sources.binaryfiles import read_zip_members
+
+    with _fixture_build("multimodal_zip_ingest_dedup"):
+        base = tempfile.mkdtemp(prefix="bensp_zip_ingest_")
+        sigs = []
+        with zipfile.ZipFile(
+            os.path.join(base, "clips.zip"), "w", zipfile.ZIP_DEFLATED
+        ) as zf:
+            for i in range(8):
+                rng = np.random.default_rng(90 + i)
+                env = rng.uniform(0.1, 1.0, 65).repeat(130)[:8192]
+                sig = (rng.uniform(-1, 1, 8192) * env * 12000).astype(np.int16)
+                sigs.append(sig)
+                zf.writestr(f"clips/clip_{i}.wav", AV.encode_wav(sig))
+            for i in range(3):
+                zf.writestr(f"clips/clip_{100 + i}.wav", AV.encode_wav(sigs[i] // 2))
+            # a dotfile member the P1 filter must drop before decode
+            zf.writestr("clips/.DS_Store", b"\x00\x01\x02\x03")
+
+    members = read_zip_members(spark, base)
+    audio = members.select(
+        F.regexp_extract("file_name", r"clip_(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.lit("wav").alias("format"),
+        F.lit(16000).alias("sample_rate"),
+        F.lit(1).alias("n_channels"),
+        F.col("content").alias("audio"),
+    )
+    result = AV.audio_near_dup_pairs(audio, max_hamming=3).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+# byte-transparent like TAR: identical clips → the same golden
+ORACLES["multimodal_zip_ingest_dedup"] = ORACLES["multimodal_audio_dedup_wav"]
+
+
 _SPLIT_FRACS = {"test": 0.05, "train": 0.85, "val": 0.05}
 
 

@@ -138,3 +138,71 @@ def read_tar_members(spark: SparkSession, path: str, skip_dotfiles: bool = True)
     return expanded.withColumn(
         "file_id", F.xxhash64("tar_path", "file_name")
     )
+
+
+def read_zip_members(
+    spark: SparkSession, path: str, skip_dotfiles: bool = True
+) -> DataFrame:
+    """ZIP sibling of :func:`read_tar_members` — same schema, same
+    parallel-across/serial-within split, same P1/P2 member filters — for
+    datasets delivered as .zip bundles (the other archive format crawl
+    dumps and scraped corpora actually arrive in). Directory entries and
+    dotfile members are dropped before any bytes are decoded; a malformed
+    archive raises a typed ValueError naming the file."""
+    import io
+    import zipfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    zips = spark.read.format("binaryFile").option("pathGlobFilter", "*.zip").load(path)
+
+    schema = StructType(
+        [
+            StructField("zip_path", StringType()),
+            StructField("file_name", StringType()),
+            StructField("member_idx", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("zip_path", "file_name", "member_idx", "content")}
+            for zpath, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(bytes(blob)))
+                except zipfile.BadZipFile as e:
+                    raise ValueError(f"malformed zip {zpath}: {e}") from e
+                with zf:
+                    idx = 0
+                    for m in zf.infolist():
+                        if m.is_dir():
+                            continue  # P2: regular files only
+                        base = m.filename.rsplit("/", 1)[-1]
+                        if skip_dotfiles and base.startswith("."):
+                            continue  # P1
+                        try:
+                            data = zf.read(m)
+                        except (zipfile.BadZipFile, NotImplementedError) as e:
+                            raise ValueError(
+                                f"malformed zip member {m.filename} in {zpath}: {e}"
+                            ) from e
+                        rows["zip_path"].append(zpath)
+                        rows["file_name"].append(m.filename)
+                        rows["member_idx"].append(idx)
+                        rows["content"].append(data)
+                        idx += 1
+            yield pd.DataFrame(rows)
+
+    expanded = zips.select("path", "content").mapInPandas(expand, schema)
+    return expanded.withColumn(
+        "file_id", F.xxhash64("zip_path", "file_name")
+    )

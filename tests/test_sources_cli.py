@@ -155,6 +155,47 @@ def test_tar_ingestion_and_dedup(spark, tmpdir):
     assert g.n_dup > 0  # the shared block dedupes across members
 
 
+def test_zip_ingestion_matches_tar_semantics(spark, tmpdir):
+    """read_zip_members: same schema/filters as the TAR source — dotfile
+    and directory members dropped, member bytes exact (DEFLATE round-
+    trips), per-file ids stable — and a malformed archive raises a typed
+    ValueError naming the file."""
+    import io
+    import zipfile
+
+    import pytest
+
+    # seed 6 = the TAR test's block: known to contain chunker boundaries
+    # (whether an 8 KB random block splits is content-dependent)
+    rng = np.random.default_rng(6)
+    block = rng.integers(0, 256, 8192, dtype=np.uint8).tobytes()
+    zip_path = os.path.join(tmpdir, "input.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("a.bin", block * 3)
+        zf.writestr("sub/b.bin", block * 2 + b"x" * 100)
+        zf.writestr(".hidden", b"skip me")
+        zf.writestr("sub/", b"")  # explicit directory entry
+
+    members = binaryfiles.read_zip_members(spark, tmpdir)
+    rows = {r.file_name: bytes(r.content) for r in members.collect()}
+    assert set(rows) == {"a.bin", "sub/b.bin"}  # dotfile + dir skipped
+    assert rows["a.bin"] == block * 3 and rows["sub/b.bin"][:8192] == block
+    ids = {r.file_name: r.file_id for r in members.collect()}
+    again = {r.file_name: r.file_id for r in
+             binaryfiles.read_zip_members(spark, tmpdir).collect()}
+    assert ids == again  # content-path-keyed ids are stable
+
+    g = pipeline.dedup_stats(members.select("file_id", "content")).collect()[0]
+    assert g.n_dup > 0  # the shared block dedupes across members
+
+    bad_dir = os.path.join(tmpdir, "bad")
+    os.makedirs(bad_dir)
+    with open(os.path.join(bad_dir, "junk.zip"), "wb") as fh:
+        fh.write(b"PK\x03\x04" + b"\x00" * 64)  # magic but garbage
+    with pytest.raises(Exception, match="malformed zip|BadZipFile"):
+        binaryfiles.read_zip_members(spark, bad_dir).collect()
+
+
 def test_dedup_sweep_harness(spark):
     """testbed-t1 analog: the sweep grid runs and produces sane metrics."""
     from bensp_suite_spark.bench.sweeps import SweepConfig, run_dedup_sweep, summarize
