@@ -79,6 +79,115 @@ def kmv_distinct_oracle_sql(
     """
 
 
+def _bloom_pos(col: Column, i: int, m: int) -> Column:
+    """Deterministic bit position i for a value: md5-derived 32-bit bucket
+    of ``value#i`` mod m — the same engine-exact derivation family as
+    hash_bucket, so DuckDB reproduces every position bit-for-bit."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"#{i}"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h % m
+
+
+def _bloom_pos_sql(col_sql: str, i: int, m: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col_sql} AS VARCHAR) || '#{i}'), 1, 8)) "
+        f"AS BIGINT) % {m}"
+    )
+
+
+def bloom_bits(df: DataFrame, col: str, m: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Bloom-filter membership sketch as a DISTINCT bit-position table
+    (column ``bit``): k md5-derived positions per value over an m-bit
+    space. Mergeable by union-distinct (the property KMV shares); bounded
+    at m rows no matter the corpus.
+
+    The 100 TB use: a pre-filter in front of the exact anti-join of
+    incremental dedup — a new document whose k bits are not ALL present
+    cannot be in history (zero false negatives), so only the ~fpp
+    fraction of genuinely-new docs plus the true dups ever reach the
+    expensive join. Size by the standard rule m ≈ -n·ln(fpp)/ln(2)²,
+    k ≈ (m/n)·ln(2). This positions-table form is the engine-exact
+    teaching/oracle shape; in production pack the positions into a
+    bitset broadcast (or use Spark's built-in ``df.stat.bloomFilter``,
+    whose private hashing has no cross-engine oracle)."""
+    positions = F.explode(
+        F.array(*[_bloom_pos(F.col(col), i, m) for i in range(k)])
+    ).alias("bit")
+    return (
+        df.select(positions)
+        .filter(F.col("bit").isNotNull())  # NULL keys never set bits
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    df: DataFrame, col: str, bits: DataFrame, m: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """→ ``df`` + boolean ``bloom_maybe``: true iff ALL k of the value's
+    bit positions are present in ``bits`` (built with the same m and k).
+    False ⇒ definitely not in the sketched set; true ⇒ present or a
+    false positive at the configured fpp.
+
+    Plan shape: k broadcast left joins against the (distinct) bit table —
+    each row matches at most one bit row per join, so there is NO fanout,
+    no per-row grouping, and duplicate input rows pass through untouched;
+    the membership test is the AND of the k null-checks. The joins carry
+    only the bit longs — never the document payload."""
+    out = df
+    hit_cols = []
+    for i in range(k):
+        b = bits.select(F.col("bit").alias(f"__bloom_b{i}"))
+        out = (
+            out.join(
+                F.broadcast(b),
+                _bloom_pos(F.col(col), i, m) == F.col(f"__bloom_b{i}"),
+                "left",
+            )
+            .withColumn(f"__bloom_hit{i}", F.col(f"__bloom_b{i}").isNotNull())
+            .drop(f"__bloom_b{i}")
+        )
+        hit_cols.append(f"__bloom_hit{i}")
+    maybe = hit_cols[0]
+    expr = F.col(maybe)
+    for c in hit_cols[1:]:
+        expr = expr & F.col(c)
+    return out.withColumn("bloom_maybe", expr).drop(*hit_cols)
+
+
+def bloom_oracle_sql(
+    hist_col_sql: str,
+    hist_from_sql: str,
+    cand_key_sql: str,
+    cand_val_sql: str,
+    cand_from_sql: str,
+    m: int = 1 << 20,
+    k: int = 4,
+) -> str:
+    """DuckDB mirror: → (key, bloom_maybe) per candidate row."""
+    hist_pos = " UNION ".join(
+        f"SELECT DISTINCT {_bloom_pos_sql(hist_col_sql, i, m)} AS bit FROM {hist_from_sql}"
+        for i in range(k)
+    )
+    cand_pos = " UNION ALL ".join(
+        f"SELECT {cand_key_sql} AS key, {_bloom_pos_sql(cand_val_sql, i, m)} AS bit "
+        f"FROM {cand_from_sql}"
+        for i in range(k)
+    )
+    return f"""
+    WITH bits AS ({hist_pos}),
+    cpos AS ({cand_pos}),
+    hits AS (
+      SELECT c.key, COUNT(*) AS n FROM cpos c JOIN bits b USING (bit)
+      GROUP BY c.key
+    )
+    SELECT key, COALESCE(n, 0) = {k} AS bloom_maybe
+    FROM (SELECT DISTINCT key FROM cpos) all_keys LEFT JOIN hits USING (key)
+    """
+
+
 def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256) -> DataFrame:
     """Merge two raw KMV hash sets (columns ``h``): union-distinct, keep
     the k smallest. sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly —

@@ -4441,6 +4441,60 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M, _BLOOM_K = 1 << 14, 4
+_NORM_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+_BLOOM_ORACLE = f"""
+WITH bm AS ({SK.bloom_oracle_sql(
+    _NORM_SQL, 'documents', 'doc_id', _NORM_SQL,
+    f'({_INCR_NEW_SQL})', _BLOOM_M, _BLOOM_K)}),
+hist AS (SELECT DISTINCT {_NORM_SQL} AS ch FROM documents),
+cand AS (SELECT doc_id, {_NORM_SQL} AS ch FROM ({_INCR_NEW_SQL}))
+SELECT c.doc_id, bm.bloom_maybe,
+       EXISTS (SELECT 1 FROM hist h WHERE h.ch = c.ch) AS exact_dup
+FROM cand c JOIN bm ON bm.key = c.doc_id
+"""
+
+
+@query("sketch_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter for incremental dedup: the
+    history's normalized content hashes set k=4 md5-derived bits in a
+    2^14-bit space; each new-batch doc tests its own k bits. bloom_maybe
+    = false GUARANTEES the doc is not in history (zero false negatives —
+    exact_dup ⇒ bloom_maybe, verifiable in the output), so only the
+    maybe-rows ever reach the expensive exact anti-join. At 100 TB the
+    bit table is the broadcast side (≤ m rows of one long, packable to
+    m/8 bytes) and the definitely-new majority of a day's crawl skips the
+    history join entirely. Deterministic md5-derived positions make the
+    whole operator — sketch build included — engine-exact in DuckDB
+    (Spark's built-in df.stat.bloomFilter has no such oracle)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    hist = docs.select(norm.alias("ch"))
+    bits = SK.bloom_bits(hist, "ch", m=_BLOOM_M, k=_BLOOM_K)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    keep = F.greatest(F.size(words) - 3, F.lit(1))
+    newb = docs.select(
+        (F.col("doc_id") + DT.AUG_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, keep), " ").alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 2 * DT.AUG_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    cand = newb.select("doc_id", norm.alias("ch"))
+    maybe = SK.bloom_maybe_contains(cand, "ch", bits, m=_BLOOM_M, k=_BLOOM_K)
+    hist_d = hist.distinct().withColumnRenamed("ch", "hh")
+    return (
+        maybe.join(hist_d, maybe.ch == F.col("hh"), "left")
+        .select(
+            "doc_id",
+            "bloom_maybe",
+            F.col("hh").isNotNull().alias("exact_dup"),
+        )
+    )
+
+
 @query("stream_hash_sample", oracle=_hash_sample_oracle_sql(0.25))
 def stream_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling applied to a STREAM: hash_sample is a

@@ -117,6 +117,38 @@ def test_kmv_sketch_merge_property(spark):
     assert merged == direct  # sketch(A ∪ B) == merge(sketch(A), sketch(B))
 
 
+def test_bloom_prefilter_contract(spark):
+    """Bloom membership sketch: zero false negatives (every sketched value
+    tests maybe=true), NULL keys never set bits, duplicate candidate rows
+    pass through untouched, and bits(A ∪ B) == bits(A) ∪ bits(B) (the
+    mergeable-sketch property that lets per-day bit tables roll up)."""
+    from bensp_suite_spark.operators import sketches as SK
+
+    m, k = 1 << 12, 4
+    hist = spark.createDataFrame(
+        [(f"value-{i}",) for i in range(200)] + [(None,)], "v string"
+    )
+    bits = SK.bloom_bits(hist, "v", m=m, k=k)
+    assert bits.filter(F.col("bit").isNull()).count() == 0
+    cand = spark.createDataFrame(
+        [(1, "value-7"), (2, "value-7"),          # duplicates pass through
+         (3, "definitely-not-present-xyz"), (4, "value-199")],
+        "id long, v string",
+    )
+    out = {(r["id"], r["v"]): r["bloom_maybe"]
+           for r in SK.bloom_maybe_contains(cand, "v", bits, m=m, k=k).collect()}
+    assert len(out) == 4  # both duplicate rows survive
+    assert out[(1, "value-7")] and out[(2, "value-7")] and out[(4, "value-199")]
+    # merge property
+    a = SK.bloom_bits(hist.filter("v < 'value-5'"), "v", m=m, k=k)
+    b = SK.bloom_bits(hist.filter("v >= 'value-5'"), "v", m=m, k=k)
+    merged = {r["bit"] for r in a.union(b).distinct().collect()}
+    assert merged == {r["bit"] for r in bits.collect()}
+    # statistical sanity at this sizing: a non-member is almost surely
+    # rejected (fpp ≈ (1-e^{-kn/m})^k ≈ 3e-4 here)
+    assert not out[(3, "definitely-not-present-xyz")]
+
+
 def test_kmv_exact_below_k(spark):
     from bensp_suite_spark.operators import sketches as SK
 
