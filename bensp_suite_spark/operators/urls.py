@@ -1,0 +1,104 @@
+"""URL canonicalization for crawl-scale dedup.
+
+A web corpus's first dedup axis is the URL, and raw crawl URLs are noisy:
+case-varying schemes/hosts, ``www.`` prefixes, default ports, unsorted
+query strings, tracking parameters, fragments. Canonicalizing before the
+content pass removes the bulk of re-crawl duplicates with string work
+alone — no text scan, no shuffle beyond the final first-wins.
+
+The normalization is a PURE column expression (no UDF): regexp extracts
+for the URL grammar pieces plus higher-order array functions for the
+query-parameter set — both of which DuckDB mirrors operator-for-operator,
+so the whole canonicalization is engine-exact and oracle-checkable.
+
+Rules (one deliberate convention each; document, don't debate):
+  1. scheme and host lowercased
+  2. leading ``www.`` stripped from the host
+  3. default ports stripped (``:80`` for http, ``:443`` for https)
+  4. trailing slashes stripped from the path; empty path → ``/``
+  5. query parameters: empties and tracking params dropped (``utm_*``
+     prefix + fbclid/gclid/msclkid/igshid/ref), the rest SORTED — query
+     order never distinguishes resources in practice
+  6. fragment dropped (never sent to the server)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: exact-name tracking params (dropped with the utm_* prefix family)
+TRACKING_RE = "^(fbclid|gclid|msclkid|igshid|ref)="
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL column — a pure expression, no UDF."""
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://(.*)$", 1)
+    authority = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(authority, r"^www\.", "")
+    host = F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(host)
+    )
+    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike("^utm_")
+            & ~p.rlike(TRACKING_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def canonical_url_sql(col_sql: str) -> str:
+    """DuckDB rendering of :func:`canonical_url` (engine-exact)."""
+    u = f"trim({col_sql})"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    rest = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://(.*)$', 1)"
+    authority = f"lower(regexp_extract({rest}, '^([^/?#]*)', 1))"
+    host = f"regexp_replace({authority}, '^www\\.', '')"
+    host = (
+        f"CASE WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+        f"WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+        f"ELSE {host} END"
+    )
+    path = f"regexp_replace(regexp_extract({rest}, '^[^/?#]*([^?#]*)', 1), '/+$', '')"
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    params = (
+        f"list_sort(list_filter(regexp_split_to_array({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '^utm_') "
+        f"AND NOT regexp_matches(p, '{TRACKING_RE}')))"
+    )
+    qs = f"array_to_string({params}, '&')"
+    return (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END)"
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str = "doc_id") -> DataFrame:
+    """First-wins dedup on the canonical URL: → every input row with
+    (canonical_url, is_dup) — winner = lowest id per canonical form.
+    One aggregate on the canonical string (map-side combinable) + one
+    equi-join back; the raw URL noise never reaches the shuffle key."""
+    withc = df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    winners = withc.groupBy("canonical_url").agg(F.min(id_col).alias("__url_winner"))
+    return (
+        withc.join(winners, "canonical_url")
+        .withColumn("is_dup", F.col(id_col) != F.col("__url_winner"))
+        .drop("__url_winner")
+    )

@@ -4441,6 +4441,64 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators import urls as URL  # noqa: E402
+
+# messy-URL derivation shared verbatim by Spark and the oracle: five
+# noise axes (scheme case, www., default port, trailing slash, tracking
+# params + param order, fragment) over a (source, doc_id % 50) resource
+# grid — every noise variant of a resource must canonicalize together
+_URL_DERIVE_SQL = """
+  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://'
+  || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+  || source || '.Example.com'
+  || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+  || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+  || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '?a=1&b=2' END)
+  || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+"""
+
+_URL_ORACLE = f"""
+WITH urls AS (SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents),
+c AS (SELECT doc_id, {URL.canonical_url_sql('url')} AS canonical_url FROM urls),
+w AS (SELECT canonical_url, MIN(doc_id) AS wid FROM c GROUP BY canonical_url)
+SELECT c.doc_id, c.canonical_url, c.doc_id <> w.wid AS is_dup
+FROM c JOIN w USING (canonical_url)
+"""
+
+
+@query("url_canonical_dedup", oracle=_URL_ORACLE)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + first-wins dedup — a web corpus's first
+    dedup axis, run before any text scan: scheme/host case, www., default
+    ports, trailing slashes, tracking params, param order, and fragments
+    all collapse (operators/urls.py's six documented rules), so re-crawl
+    duplicates dedupe on string work alone. The canonicalization is a
+    pure column expression (regexp extracts + higher-order array ops, no
+    UDF) mirrored operator-for-operator in DuckDB — the whole pipeline,
+    noise-variant generation included, is engine-exact."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    mod = F.col("doc_id") % F.lit(3)
+    url = F.concat(
+        F.when(mod == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.com"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return URL.url_dedup(docs.select("doc_id", url.alias("url")), "url").select(
+        "doc_id", "canonical_url", "is_dup"
+    )
+
+
 _BLOOM_M, _BLOOM_K = 1 << 14, 4
 _NORM_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 _BLOOM_ORACLE = f"""

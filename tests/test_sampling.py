@@ -117,6 +117,45 @@ def test_kmv_sketch_merge_property(spark):
     assert merged == direct  # sketch(A ∪ B) == merge(sketch(A), sketch(B))
 
 
+def test_url_canonicalization_cross_engine_and_dedup(spark):
+    """canonical_url == canonical_url_sql on hostile real-world URL noise
+    (case, www., default ports, duplicate slashes kept, tracking params,
+    param order, fragments, padding), and url_dedup groups variants under
+    a first-wins winner."""
+    import duckdb
+
+    from bensp_suite_spark.operators import urls as U
+
+    cases = [
+        "HTTPS://WWW.News.Example.COM:443/Docs/7/?utm_source=f&b=2&a=1#frag",
+        "https://news.example.com/Docs/7?a=1&b=2",
+        "http://Example.org:80//path//",
+        "http://example.org//path",
+        "https://example.com",
+        "https://example.com/?fbclid=xyz",
+        "ftp://Mixed.Case.Host:21/file",  # non-http ports preserved
+        "  https://pad.example.com/x  ",
+        "https://example.com/a?ref=home&z=9&utm_campaign=c&m=1",
+    ]
+    df = spark.createDataFrame(list(enumerate(cases)), "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", U.canonical_url(F.col("url")).alias("c")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    want = dict(con.execute(f"SELECT doc_id, {U.canonical_url_sql('url')} FROM t").fetchall())
+    assert got == want
+    # variant groups collapse: 0↔1 (case/port/tracking/slash), 2↔3, 4↔5
+    assert got[0] == got[1] and got[2] == got[3] and got[4] == got[5]
+    out = {r["doc_id"]: r["is_dup"] for r in U.url_dedup(df, "url").collect()}
+    assert out[0] is False and out[1] is True   # first-wins by id
+    assert out[2] is False and out[3] is True
+    assert out[4] is False and out[5] is True
+    assert out[6] is False and out[7] is False and out[8] is False
+
+
 def test_bloom_prefilter_contract(spark):
     """Bloom membership sketch: zero false negatives (every sketched value
     tests maybe=true), NULL keys never set bits, duplicate candidate rows
