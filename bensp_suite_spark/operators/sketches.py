@@ -17,7 +17,9 @@ The hash is the same md5-derived 32-bit bucket as operators/sampling.py
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints via fn globals
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .sampling import BUCKET_SPACE, hash_bucket, hash_bucket_sql
@@ -155,6 +157,56 @@ def bloom_maybe_contains(
     for c in hit_cols[1:]:
         expr = expr & F.col(c)
     return out.withColumn("bloom_maybe", expr).drop(*hit_cols)
+
+
+def bloom_pack(bits: DataFrame, m: int) -> bytes:
+    """Pack the bit-position table into a dense m-bit bitset (m/8 bytes)
+    — the PRODUCTION shape of the sketch: a 2³⁰-bit filter is 128 MB, a
+    broadcastable constant, so the membership test becomes a scan-local
+    vectorized pass with ZERO joins. The collect here is bounded by m
+    rows (it's an index-build step, not a per-query one) — same class of
+    guarded driver collect as the PQ codebooks."""
+    arr = np.zeros(m, dtype=np.uint8)
+    pos = np.fromiter(
+        (r["bit"] for r in bits.collect()), dtype=np.int64
+    )
+    if len(pos):
+        arr[pos] = 1
+    return np.packbits(arr).tobytes()
+
+
+def bloom_maybe_contains_packed(
+    df: DataFrame, col: str, packed: bytes, m: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Join-free membership test against a packed bitset: an Arrow-batched
+    pandas UDF recomputes the k md5-derived positions per value (the
+    IDENTICAL derivation as :func:`_bloom_pos` — parity is pinned by
+    test) and ANDs the bit lookups vectorized. Same contract as
+    :func:`bloom_maybe_contains`; use this form when the bit table rides
+    to executors as a constant instead of a join side."""
+    import hashlib
+
+    from pyspark.sql.types import BooleanType
+
+    bitset = np.frombuffer(packed, dtype=np.uint8)
+
+    @F.pandas_udf(BooleanType())
+    def _maybe(vals: pd.Series) -> pd.Series:
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(False)
+                continue
+            ok = True
+            for i in range(k):
+                h = int(hashlib.md5(f"{v}#{i}".encode()).hexdigest()[:8], 16) % m
+                if not (bitset[h >> 3] >> (7 - (h & 7))) & 1:
+                    ok = False
+                    break
+            out.append(ok)
+        return pd.Series(out)
+
+    return df.withColumn("bloom_maybe", _maybe(F.col(col).cast("string")))
 
 
 def bloom_oracle_sql(

@@ -188,6 +188,37 @@ def test_bloom_prefilter_contract(spark):
     assert not out[(3, "definitely-not-present-xyz")]
 
 
+def test_bloom_packed_matches_join_form_and_plan(spark):
+    """The packed-bitset membership test (production broadcast path) must
+    agree row-for-row with the join form, and the join form must plan as
+    broadcast joins (no shuffle on the candidate side)."""
+    from bensp_suite_spark.operators import sketches as SK
+
+    m, k = 1 << 12, 4
+    hist = spark.createDataFrame([(f"v{i}",) for i in range(300)], "v string")
+    bits = SK.bloom_bits(hist, "v", m=m, k=k)
+    cand = spark.createDataFrame(
+        [(i, f"v{i * 3}") for i in range(200)] + [(999, None)],
+        "id long, v string",
+    )
+    join_form = {
+        r["id"]: r["bloom_maybe"]
+        for r in SK.bloom_maybe_contains(cand, "v", bits, m=m, k=k).collect()
+    }
+    packed = SK.bloom_pack(bits, m)
+    assert len(packed) == m // 8
+    packed_form = {
+        r["id"]: r["bloom_maybe"]
+        for r in SK.bloom_maybe_contains_packed(cand, "v", packed, m=m, k=k).collect()
+    }
+    # NULL keys: join form yields NULL-ish false semantics, packed yields
+    # False — both must reject; compare with normalization
+    assert {i: bool(v) for i, v in join_form.items()} == packed_form
+    plan = SK.bloom_maybe_contains(cand, "v", bits, m=m, k=k)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") == k  # one per bit position
+
+
 def test_kmv_exact_below_k(spark):
     from bensp_suite_spark.operators import sketches as SK
 
