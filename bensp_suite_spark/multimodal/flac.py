@@ -663,7 +663,12 @@ def decode_flac(payload: bytes, verify: bool = True):
     total = sr.read(36)
     md5_expect = streaminfo[18:34]
 
-    out = np.empty((total, channels), dtype=np.int64) if total else None
+    # Never preallocate by the CLAIMED total: a corrupt STREAMINFO can
+    # claim up to 2^36 samples and the allocation itself becomes the
+    # crash (fuzz-caught: a single bit flip → 128 GiB np.empty →
+    # MemoryError escaping untyped). Accumulate decoded frames — memory
+    # then tracks what the payload actually holds — and reconcile with
+    # the claimed total at the end.
     chunks: list[np.ndarray] = []
     decoded = 0
     r = _BitReader(payload, pos)
@@ -744,17 +749,15 @@ def decode_flac(payload: bytes, verify: bool = True):
         if crc16(frame_bytes) != r.read(16):
             raise FlacFormatError("frame CRC-16 mismatch")
 
-        if out is not None:
-            take = min(block_size, total - decoded)
-            out[decoded : decoded + take] = frame_samples[:take]
-        else:
-            chunks.append(frame_samples)
+        chunks.append(frame_samples)
         decoded += block_size
         _ = rate  # per-frame rate is informational; STREAMINFO rules
 
-    samples = out if out is not None else (
-        np.concatenate(chunks) if chunks else np.zeros((0, channels), np.int64)
-    )
+    samples = np.concatenate(chunks) if chunks else np.zeros((0, channels), np.int64)
+    if total:
+        if len(samples) < total:
+            raise FlacFormatError("stream ended before STREAMINFO total_samples")
+        samples = samples[:total]  # final frame may pad past the total
     if verify and md5_expect != b"\x00" * 16:
         width = (bps + 7) // 8
         if bps % 8 == 0:

@@ -240,6 +240,100 @@ def bloom_oracle_sql(
     """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): d hash rows × w counter
+# columns; est(v) = min over rows of counter[i][h_i(v)]. One-sided error
+# (never an undercount; overcount ≤ 2N/w with prob 1-(1/2)^d), mergeable by
+# CELL-WISE SUM — the heavy-hitter structure whose state is a fixed d×w
+# grid no matter the corpus, which is what a 100 TB token-frequency pass
+# wants (exact counts need a full token shuffle; the sketch is one
+# map-side-combinable aggregate into ≤ d·w cells). Same deterministic
+# md5 position family as the Bloom/KMV operators → engine-exact oracle.
+# ---------------------------------------------------------------------------
+
+
+def cms_build(df: DataFrame, col: str, w: int = 1024, d: int = 4) -> DataFrame:
+    """→ the sketch as (row, col, cnt) cells (≤ d·w rows; absent cell =
+    0). One explode (d rows per value) + one grid-keyed aggregate."""
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"), _bloom_pos(F.col(col), i, w).alias("col")
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("c")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(cell)
+        .groupBy("c.row", "c.col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame, col: str, cms: DataFrame, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """→ ``df`` + ``cms_est``: min over the d probed cells (missing cell
+    = 0). d fanout-free broadcast joins against the ≤ d·w-cell grid —
+    the same join-free-per-row shape as the Bloom test."""
+    out = df
+    cnt_cols = []
+    for i in range(d):
+        c = cms.filter(F.col("row") == i).select(
+            F.col("col").alias(f"__cms_c{i}"), F.col("cnt").alias(f"__cms_n{i}")
+        )
+        out = out.join(
+            F.broadcast(c),
+            _bloom_pos(F.col(col), i, w) == F.col(f"__cms_c{i}"),
+            "left",
+        ).drop(f"__cms_c{i}")
+        cnt_cols.append(f"__cms_n{i}")
+    est = F.least(*[F.coalesce(F.col(c), F.lit(0)) for c in cnt_cols])
+    return out.withColumn("cms_est", est).drop(*cnt_cols)
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """sketch(A ∪ B) == cell-wise sum of sketch(A), sketch(B) — exact, the
+    property that lets per-day / per-partition sketches roll up."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_oracle_sql(
+    val_sql: str, from_sql: str, probe_key_sql: str, probe_val_sql: str,
+    probe_from_sql: str, w: int = 1024, d: int = 4,
+) -> str:
+    """DuckDB mirror: → (key, cms_est) per probe row."""
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS row, {_bloom_pos_sql(val_sql, i, w)} AS col "
+        f"FROM {from_sql} WHERE {val_sql} IS NOT NULL"
+        for i in range(d)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT {probe_key_sql} AS key, {i} AS row, "
+        f"{_bloom_pos_sql(probe_val_sql, i, w)} AS col FROM {probe_from_sql}"
+        for i in range(d)
+    )
+    return f"""
+    WITH cms AS (
+      SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({cells}) GROUP BY row, col
+    ),
+    probes AS ({probes}),
+    looked AS (
+      SELECT p.key, p.row, COALESCE(c.cnt, 0) AS cnt
+      FROM probes p LEFT JOIN cms c USING (row, col)
+    )
+    SELECT key, MIN(cnt) AS cms_est FROM looked GROUP BY key
+    """
+
+
 def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256) -> DataFrame:
     """Merge two raw KMV hash sets (columns ``h``): union-distinct, keep
     the k smallest. sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly —

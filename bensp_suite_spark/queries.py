@@ -4553,6 +4553,47 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_W, _CMS_D = 512, 4
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents
+),
+top AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM toks GROUP BY token ORDER BY true_cnt DESC, token LIMIT 10
+),
+est AS ({SK.cms_oracle_sql('token', 'toks', 'token', 'token', 'top', _CMS_W, _CMS_D)})
+SELECT t.token, t.true_cnt, e.cms_est
+FROM top t JOIN est e ON e.key = t.token
+"""
+
+
+@query("sketch_cms_heavy_hitters", oracle=_CMS_ORACLE)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs exact token counts: build a d=4 × w=512 grid
+    over every document token (state is the FIXED grid regardless of
+    vocabulary — one map-side-combinable aggregate, vs the full token
+    shuffle exact counting needs), probe the true top-10 tokens, and emit
+    (token, true_cnt, cms_est). The sketch's one-sided guarantee
+    (cms_est ≥ true_cnt, overcount ≤ 2N/w w.h.p.) is visible in the
+    output; cell positions are the deterministic md5 family, so the
+    whole sketch — build, probe, min — is engine-exact in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    cms = SK.cms_build(tokens, "token", w=_CMS_W, d=_CMS_D)
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "token")
+        .limit(10)
+    )
+    return SK.cms_estimate(top, "token", cms, w=_CMS_W, d=_CMS_D).select(
+        "token", "true_cnt", "cms_est"
+    )
+
+
 @query("stream_hash_sample", oracle=_hash_sample_oracle_sql(0.25))
 def stream_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling applied to a STREAM: hash_sample is a

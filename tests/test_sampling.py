@@ -219,6 +219,33 @@ def test_bloom_packed_matches_join_form_and_plan(spark):
     assert plan.count("BroadcastHashJoin") == k  # one per bit position
 
 
+def test_cms_one_sided_error_and_merge(spark):
+    """Count-min: estimates are NEVER undercounts (and in a deliberately
+    tiny grid some are strict overcounts — collisions exist), and
+    sketch(A ∪ B) equals the cell-wise sum of the halves' sketches."""
+    from bensp_suite_spark.operators import sketches as SK
+
+    w, d = 32, 3  # tiny grid → guaranteed collisions across 300 keys
+    rows = [(f"k{i % 150}",) for i in range(600)]  # each key ×4
+    df = spark.createDataFrame(rows, "v string")
+    cms = SK.cms_build(df, "v", w=w, d=d)
+    true_counts = df.groupBy("v").count()
+    est = SK.cms_estimate(true_counts, "v", cms, w=w, d=d).collect()
+    assert all(r["cms_est"] >= r["count"] for r in est)  # one-sided
+    assert any(r["cms_est"] > r["count"] for r in est)   # collisions real
+    # mergeability: cell-wise sum of halves == whole
+    a = SK.cms_build(df.limit(300), "v", w=w, d=d)
+    b = SK.cms_build(df.exceptAll(df.limit(300)), "v", w=w, d=d)
+    merged = {(r["row"], r["col"]): r["cnt"] for r in SK.cms_merge(a, b).collect()}
+    whole = {(r["row"], r["col"]): r["cnt"] for r in cms.collect()}
+    assert merged == whole
+    # NULLs never counted
+    with_null = df.union(spark.createDataFrame([(None,)], "v string"))
+    assert {tuple(r) for r in SK.cms_build(with_null, "v", w=w, d=d).collect()} == {
+        tuple(r) for r in cms.collect()
+    }
+
+
 def test_kmv_exact_below_k(spark):
     from bensp_suite_spark.operators import sketches as SK
 
