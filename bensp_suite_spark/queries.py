@@ -3487,6 +3487,57 @@ def stream_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# S3 fixture: deterministic bytes → the oracle's golden VALUES are plain
+# constants (same pattern as the other golden-pinned fixtures); the md5s
+# below are reproduced by the generator expression in the query body
+_S3_FILES = [  # (relative path, n_bytes, seed)
+    ("a.bin", 3000, 1),
+    ("sub/b.bin", 5000, 2),
+    ("sub/deep/c.bin", 700, 3),
+]
+_S3_GOLDEN = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{p.rsplit('/', 1)[-1]}', CAST({i} AS BIGINT), CAST({n} AS BIGINT), "
+    f"'{__import__('hashlib').md5(bytes((j * s * 131 + 17) % 256 for j in range(n))).hexdigest()}')"
+    for i, (p, n, s) in enumerate(sorted(_S3_FILES))
+) + ") v(file_name, file_id, length, content_md5)"
+
+
+@query("source_recursive_dir_scan", oracle=_S3_GOLDEN)
+def source_recursive_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (recursive directory walk) driver-checked end-to-end: a nested
+    tree with dotfiles at two levels scans through read_files
+    (binaryFile source, recursiveFileLookup) — dotfiles dropped by P1,
+    only regular files surface (P2), file_id is the deterministic dense
+    rank over paths, and content arrives byte-exact (md5-pinned golden).
+    The reference's ferret walk is the same shape
+    (scan_dir, ferret-pthreads.c:330-433)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .sources.binaryfiles import read_files
+
+    with _fixture_build("source_recursive_dir_scan"):
+        base = tempfile.mkdtemp(prefix="bensp_s3_scan_")
+        for rel, n, seed in _S3_FILES:
+            p = _os.path.join(base, rel)
+            _os.makedirs(_os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as fh:
+                fh.write(bytes((j * seed * 131 + 17) % 256 for j in range(n)))
+        for junk in (".hidden", "sub/.DS_Store"):
+            with open(_os.path.join(base, junk), "wb") as fh:
+                fh.write(b"\x00\x01")
+    files = read_files(spark, base, recursive=True)
+    result = files.select(
+        "file_name",
+        "file_id",
+        F.col("length").cast("long"),
+        F.md5("content").alias("content_md5"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 @query(
     "source_csv_scan",
     oracle="""
