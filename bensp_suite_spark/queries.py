@@ -5287,13 +5287,16 @@ def pipeline_daily_increment_day3(spark: SparkSession, sf_dir: str) -> DataFrame
     return flags3
 
 
-# --- streaming incremental dedup: three time-ordered slices ----------------
+# --- streaming incremental dedup: two time-ordered slices ------------------
 # slice A: drop-3 jitter of docs < 150 (+1·AUG) + exact copies of docs < 10
-#          (+2·AUG); B: drop-5 jitter of docs < 100 (+3·AUG); C: exact
-#          copies of slice-A SURVIVORS with base id < 100 (+3·AUG → 4·AUG
-#          range) + drop-7 jitter of docs < 50 (+5·AUG). C's survivor
-#          copies can only flag exact_dup if slice A's survivors entered
-#          the streaming signature state — the cross-batch handoff proof.
+#          (+2·AUG); B: exact copies of slice-A SURVIVORS with base id < 100
+#          (+3·AUG → 4·AUG range) + drop-5 jitter of docs < 75 (+5·AUG).
+# B's survivor copies can only flag exact_dup if slice A's survivors
+# entered the streaming signature state — the cross-batch handoff proof.
+# (Two slices, not three: per-trigger fixed cost is the whole local bill —
+# the third slice added ~3.5 s of bench time for no extra semantics; the
+# THREE-step composition is already driver-proven by
+# pipeline_daily_increment_day3.)
 _SI_A_SQL = f"""
   {_dayn_jitter_sql(3, 1, 150)}
   UNION ALL
@@ -5307,41 +5310,32 @@ _SI_SURVA_SQL = f"""
     ) WHERE is_kept)
 """
 _SI_HISTB_SQL = f"SELECT doc_id, text FROM documents UNION ALL {_SI_SURVA_SQL}"
-_SI_B_SQL = _dayn_jitter_sql(5, 3, 100)
-_SI_SURVB_SQL = f"""
-  SELECT n.doc_id, n.text FROM ({_SI_B_SQL}) n
-  WHERE n.doc_id IN (
-    SELECT doc_id FROM (
-      {DT.incremental_dedup_oracle_sql(_SI_HISTB_SQL, _SI_B_SQL)}
-    ) WHERE is_kept)
-"""
-_SI_HISTC_SQL = f"{_SI_HISTB_SQL} UNION ALL {_SI_SURVB_SQL}"
-_SI_C_SQL = f"""
+_SI_B_SQL = f"""
   SELECT doc_id + {3 * DT.AUG_OFFSET} AS doc_id, text FROM ({_SI_SURVA_SQL})
   WHERE doc_id < {DT.AUG_OFFSET + 100}
   UNION ALL
-  {_dayn_jitter_sql(7, 5, 50)}
+  {_dayn_jitter_sql(5, 5, 75)}
 """
 _SI_ORACLE = f"""
 SELECT * FROM ({DT.incremental_dedup_oracle_sql("SELECT doc_id, text FROM documents", _SI_A_SQL)})
 UNION ALL
 SELECT * FROM ({DT.incremental_dedup_oracle_sql(_SI_HISTB_SQL, _SI_B_SQL)})
-UNION ALL
-SELECT * FROM ({DT.incremental_dedup_oracle_sql(_SI_HISTC_SQL, _SI_C_SQL)})
 """
 
 
 @query("stream_incremental_dedup", oracle=_SI_ORACLE)
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The daily-increment loop as a STREAM: three time-ordered document
+    """The daily-increment loop as a STREAM: two time-ordered document
     slices replay through streaming/incremental_dedup_stream — each
     micro-batch flags against the current parquet signature state
     (seeded from the documents history) and appends its survivors'
-    signatures under exactly-once batch commits. Slice C plants exact
+    signatures under exactly-once batch commits. Slice B plants exact
     copies of slice-A SURVIVORS: they can only flag exact_dup if A's
     appends reached the state, so the oracle — which recomputes each
     slice against its full composed history in SQL — pins the cross-batch
-    handoff, not just per-batch flags."""
+    handoff, not just per-batch flags. (Per-trigger fixed cost is the
+    whole local bill; the deeper 3-step composition is driver-proven by
+    pipeline_daily_increment_day3.)"""
     import glob as _glob
     import os as _os
     import shutil
@@ -5370,20 +5364,19 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("doc_id") + 2 * DT.AUG_OFFSET).alias("doc_id"), "text"
             )
         )
-        # slice C's planted copies need slice-A's survivors — derive them
+        # slice B's planted copies need slice-A's survivors — derive them
         # with the batch daily step (fixture work, same derivation as the
         # oracle; the STREAM recomputes its own flags from seeded state)
         h0, s0 = DT.history_signatures(docs)
         _, surv_a, _ = daily_step(
             (h0, s0), slice_a, day="si_fix", advance=False
         )
-        slice_b = jitter(5, 3, 100)
-        slice_c = surv_a.filter(F.col("doc_id") < DT.AUG_OFFSET + 100).select(
+        slice_b = surv_a.filter(F.col("doc_id") < DT.AUG_OFFSET + 100).select(
             (F.col("doc_id") + 3 * DT.AUG_OFFSET).alias("doc_id"), "text"
-        ).unionByName(jitter(7, 5, 50))
+        ).unionByName(jitter(5, 5, 75))
         src = _os.path.join(base, "src")
         _os.makedirs(src)
-        for i, sl in enumerate((slice_a, slice_b, slice_c)):
+        for i, sl in enumerate((slice_a, slice_b)):
             tmp = _os.path.join(base, f"w{i}")
             sl.coalesce(1).write.mode("overwrite").parquet(tmp)
             part = _glob.glob(f"{tmp}/part-*.parquet")[0]
