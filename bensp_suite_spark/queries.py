@@ -4645,6 +4645,65 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCMS_W, _SCMS_D = 256, 4
+_SCMS_CELLS = " UNION ALL ".join(
+    f"SELECT {i} AS row, {SK._bloom_pos_sql('token', i, _SCMS_W)} AS col FROM toks"
+    for i in range(_SCMS_D)
+)
+_SCMS_ORACLE = f"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE doc_id < 200
+),
+pos AS ({_SCMS_CELLS})
+SELECT CAST(row AS INTEGER) AS row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pos GROUP BY row, col
+"""
+
+
+@query("stream_cms_cells", oracle=_SCMS_ORACLE)
+def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count-min sketch over a STREAM: the d×w counter grid lives
+    in keyed state (one key per hash row, w longs each — FIXED state no
+    matter the vocabulary; exact running token counts grow with it). A
+    CMS is a pure cell-wise-sum fold, so the post-drain grid is batch-
+    boundary- and order-independent: the final snapshot must equal the
+    batch sketch's cells exactly — pinned by the engine-exact batch
+    oracle over the same tokens."""
+    import shutil
+    import tempfile
+
+    from .streaming import cms_stream as CSTR
+    from .streaming.event_streams import run_to_parquet
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    base = tempfile.mkdtemp(prefix="bensp_stream_cms_")
+    with _fixture_build("stream_cms_cells"):
+        tokens.repartition(3).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    run_to_parquet(
+        CSTR.cms_cells_stream(stream, "token", w=_SCMS_W, d=_SCMS_D),
+        f"{base}/out",
+        f"{base}/ckpt",
+    )
+    out = spark.read.parquet(f"{base}/out")
+    last = out.groupBy("row").agg(F.max("seq").alias("seq"))
+    result = (
+        out.join(last, ["row", "seq"])
+        .select("row", "col", "cnt")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 @query("stream_hash_sample", oracle=_hash_sample_oracle_sql(0.25))
 def stream_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling applied to a STREAM: hash_sample is a
