@@ -34,11 +34,15 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     global sort-limit k — Spark plans per-partition top-k + a k-row driver
     merge (TakeOrderedAndProject), never a full sort."""
     sk = (
-        df.select(hash_bucket(F.col(col)).alias("h"))
         # NULL keys hash to NULL; a NULL would survive distinct(), occupy a
         # sketch slot (count counts it, max ignores it) and sort first in
-        # Spark ASC but last in DuckDB — drop it before it enters the sketch.
-        .filter(F.col("h").isNotNull())
+        # Spark ASC but last in DuckDB — drop it before it enters the
+        # sketch. Filter the INPUT column, not the derived hash: h is NULL
+        # iff the key is NULL, and a predicate on the derived expression
+        # makes the scan evaluate md5 twice per row (measured +60% on the
+        # lineitem-sized sketch — the one drift flag of round 6).
+        df.filter(F.col(col).isNotNull())
+        .select(hash_bucket(F.col(col)).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)
@@ -65,11 +69,9 @@ def kmv_distinct_oracle_sql(
 ) -> str:
     """DuckDB mirror of :func:`kmv_distinct` (identical arithmetic order)."""
     return f"""
-    WITH hashed AS (
-      SELECT {hash_bucket_sql(col_sql)} AS h
-      FROM {from_sql}
-    ), sk AS (
-      SELECT DISTINCT h FROM hashed WHERE h IS NOT NULL
+    WITH sk AS (
+      SELECT DISTINCT {hash_bucket_sql(col_sql)} AS h
+      FROM {from_sql} WHERE {col_sql} IS NOT NULL
       ORDER BY h LIMIT {k}
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes,
@@ -346,8 +348,8 @@ def kmv_hashes(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """The raw k-smallest distinct hash set (column ``h``) — the mergeable
     form of the sketch, for :func:`kmv_merge`."""
     return (
-        df.select(hash_bucket(F.col(col)).alias("h"))
-        .filter(F.col("h").isNotNull())  # NULL keys never enter the sketch
+        df.filter(F.col(col).isNotNull())  # NULL keys never enter the sketch
+        .select(hash_bucket(F.col(col)).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)

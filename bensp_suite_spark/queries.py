@@ -4735,8 +4735,8 @@ def stream_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_GROUP_ORACLE = f"""
 WITH ranked AS (
   SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
-  FROM (SELECT DISTINCT source, {SMP.hash_bucket_sql('text')} AS h FROM documents)
-  WHERE h IS NOT NULL
+  FROM (SELECT DISTINCT source, {SMP.hash_bucket_sql('text')} AS h
+        FROM documents WHERE text IS NOT NULL)
 ),
 sk AS (SELECT source, h, rn FROM ranked WHERE rn <= 32)
 SELECT source,
@@ -4760,9 +4760,11 @@ def sketch_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 32
     docs = _t(spark, sf_dir, "documents")
     hashed = (
-        docs.select("source", SMP.hash_bucket(F.col("text")).alias("h"))
         # NULL texts hash to NULL — drop before they occupy a sketch slot
-        .filter(F.col("h").isNotNull())
+        # (input-column filter: a predicate on the derived hash would make
+        # the scan compute md5 twice per row)
+        docs.filter(F.col("text").isNotNull())
+        .select("source", SMP.hash_bucket(F.col("text")).alias("h"))
         .distinct()
     )
     w = Window.partitionBy("source").orderBy("h")
@@ -4800,9 +4802,9 @@ def stream_kmv_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 32
     docs = _t(spark, sf_dir, "documents")
-    hashed = docs.select("source", SMP.hash_bucket(F.col("text")).alias("h")).filter(
-        F.col("h").isNotNull()  # NULL texts never enter the keyed sketch state
-    )
+    hashed = docs.filter(
+        F.col("text").isNotNull()  # NULL texts never enter the keyed sketch state
+    ).select("source", SMP.hash_bucket(F.col("text")).alias("h"))
     with _fixture_build("stream_kmv_per_key"):
         base = tempfile.mkdtemp(prefix="bensp_stream_kmv_")
         hashed.repartition(3).write.mode("overwrite").parquet(f"{base}/src")
