@@ -176,6 +176,61 @@ def doc_fingerprint_oracle_sql(table: str = "documents") -> str:
 # Training-corpus preparation: fixed-window chunking, PII scrubbing
 # ---------------------------------------------------------------------------
 
+# --- HTML → text extraction (step zero of a web-crawl pipeline) ------------
+# Regex-based, deliberately: the crawl-scale convention (trafilatura-class
+# parsers are the quality ceiling, but the bulk pass that feeds them is
+# exactly this strip). Every pattern stays inside the Java-regex ∩ RE2
+# subset — (?is) inline flags, non-greedy spans, NO lookarounds — so the
+# extraction is engine-exact in DuckDB. Limitations are the regex family's
+# (no nested <script> handling, only the five common entities decoded) and
+# are documented rather than hidden.
+
+#: the five entities worth decoding without an entity table
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def extract_html_text(col: Column) -> Column:
+    """Visible text of an HTML document: drop script/style/comment spans,
+    replace every remaining tag with a space, decode the common entities
+    (&amp; LAST so '&amp;lt;' decodes to '&lt;', not '<'), collapse
+    whitespace. Pure column expressions — the strip rides the scan."""
+    t = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+
+def extract_html_title(col: Column) -> Column:
+    """First <title> body, entity-decoded and whitespace-collapsed (''
+    when absent)."""
+    raw = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    for ent, rep in _HTML_ENTITIES:
+        raw = F.replace(raw, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(raw, "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+
+def extract_html_sql(col_sql: str) -> tuple[str, str]:
+    """DuckDB renderings of (extract_html_text, extract_html_title)."""
+    t = f"regexp_replace({col_sql}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?s)<!--.*?-->', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        t = f"replace({t}, '{ent}', '{rep_sql}')"
+    text = f"trim(regexp_replace({t}, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    title_raw = f"regexp_extract({col_sql}, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        title_raw = f"replace({title_raw}, '{ent}', '{rep_sql}')"
+    title = f"trim(regexp_replace({title_raw}, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    return text, title
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_chars: int = 500,

@@ -780,6 +780,57 @@ def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+# messy-HTML derivation shared verbatim by Spark and the oracle: title
+# with an entity, a style block, a script block containing a bare '<'
+# (the case naive tag-stripping corrupts), a comment, heading/paragraph
+# tags, and an entity-heavy trailing paragraph
+_HTML_WRAP_SQL = """
+  '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends </title>'
+  || '<style>p { color: red; }</style>'
+  || '<script type="text/javascript">var x = 1 < 2; // junk</script></head>'
+  || '<body><!-- crawler: drop me --><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+  || text || '</p><p>&quot;quoted&quot; &lt;tag&gt;&nbsp;end</p></body></html>'
+"""
+_HTML_TEXT_SQL, _HTML_TITLE_SQL = TA.extract_html_sql("html")
+_HTML_ORACLE = f"""
+WITH pages AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents)
+SELECT doc_id, {_HTML_TITLE_SQL} AS title,
+       CAST(length({_HTML_TEXT_SQL}) AS BIGINT) AS n_chars,
+       md5({_HTML_TEXT_SQL}) AS text_md5
+FROM pages
+"""
+
+
+@query("text_html_extract", oracle=_HTML_ORACLE)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible text, step zero of a web-crawl pipeline: drop
+    script/style/comment spans (including a '<' INSIDE the script body —
+    the case naive tag-stripping corrupts), strip the remaining tags,
+    decode the common entities (&amp; last, so '&amp;lt;' decodes to the
+    literal '&lt;'), collapse whitespace, and pull the <title>. Pure
+    column expressions in the Java-regex ∩ RE2 subset (no lookarounds) —
+    the whole extraction is engine-exact and rides the scan; the md5 of
+    the extracted text is the strongest possible parity check."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title> Doc "), did, F.lit(" &amp; friends </title>"),
+        F.lit("<style>p { color: red; }</style>"),
+        F.lit('<script type="text/javascript">var x = 1 < 2; // junk</script></head>'),
+        F.lit("<body><!-- crawler: drop me --><h1>Doc "), did, F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><p>&quot;quoted&quot; &lt;tag&gt;&nbsp;end</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    extracted = TA.extract_html_text(F.col("html"))
+    return pages.select(
+        "doc_id",
+        TA.extract_html_title(F.col("html")).alias("title"),
+        F.length(extracted).cast("long").alias("n_chars"),
+        F.md5(extracted).alias("text_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document dedup family (exact / minhash-LSH / n-gram jaccard / simhash)
 # ---------------------------------------------------------------------------

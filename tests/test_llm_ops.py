@@ -35,6 +35,49 @@ def test_ivf_ann_recall(spark):
     assert recall >= 0.4, f"IVF ANN recall too low: {recall:.2f}"
 
 
+def test_html_extraction_hostile_cases(spark):
+    """HTML → text on the cases regex strippers get wrong: a '<' inside a
+    script body, multiline style blocks, comments, double-encoded
+    entities (&amp;lt; must decode to the literal '&lt;', not '<'),
+    missing titles, and entity-bearing titles."""
+    import duckdb
+
+    from bensp_suite_spark.operators import text_analysis as TA
+
+    cases = [
+        (1, '<html><head><title>A &amp; B</title><script>if (1 < 2) { x(); }'
+            '</script></head><body><p>hello</p><p>world</p></body></html>'),
+        (2, '<body><style>\np { a: 1; }\n</style>text &amp;lt;kept&amp;gt; end</body>'),
+        (3, '<!-- c1 --><div>no <!-- c2 --> title</div>'),
+        (4, '<TITLE>\n  spread \t title\n</TITLE><b>bold</b>'),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, html string")
+    got = {
+        r["doc_id"]: (r["title"], r["text"])
+        for r in df.select(
+            "doc_id",
+            TA.extract_html_title(F.col("html")).alias("title"),
+            TA.extract_html_text(F.col("html")).alias("text"),
+        ).collect()
+    }
+    assert got[1] == ("A & B", "A & B hello world")
+    assert got[2] == ("", "text &lt;kept&gt; end")
+    assert got[3] == ("", "no title")
+    assert got[4] == ("spread title", "spread title bold")
+    # cross-engine parity on the same rows
+    text_sql, title_sql = TA.extract_html_sql("html")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    want = {
+        i: (ti, te)
+        for i, ti, te in con.execute(
+            f"SELECT doc_id, {title_sql}, {text_sql} FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_ivf_defaults_rule():
     """The corpus-size-aware sizing rule (n_cells ≈ √N capped by the
     centroid budget, n_probe = max(8, n_cells/16)). The (500 → 22, 8) pin
