@@ -24,7 +24,7 @@ Rules (one deliberate convention each; document, don't debate):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: exact-name tracking params (dropped with the utm_* prefix family)
@@ -87,6 +87,63 @@ def canonical_url_sql(col_sql: str) -> str:
     return (
         f"({scheme} || '://' || {host} || {path} || "
         f"CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END)"
+    )
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of a URL: authority with any port and a leading
+    ``www.`` stripped — the key for domain-level filtering, quotas and
+    per-domain statistics."""
+    authority = F.lower(
+        F.regexp_extract(F.trim(col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    return F.regexp_replace(
+        F.regexp_replace(authority, r":[0-9]+$", ""), r"^www\.", ""
+    )
+
+
+def url_host_sql(col_sql: str) -> str:
+    """DuckDB rendering of :func:`url_host` (engine-exact)."""
+    authority = (
+        f"lower(regexp_extract(trim({col_sql}), "
+        f"'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))"
+    )
+    return (
+        f"regexp_replace(regexp_replace({authority}, ':[0-9]+$', ''), "
+        f"'^www\\.', '')"
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str,
+    max_per_domain: int,
+    id_col: str = "doc_id",
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """Domain-level crawl hygiene in one pass: drop blocklisted hosts,
+    then keep at most ``max_per_domain`` docs per host — selected in
+    DETERMINISTIC content-hash order (same membership on any engine,
+    layout or cluster; arrival order never decides what survives, the
+    property df.limit-per-group can't give). The standard anti-spam cap:
+    without it one link-farm domain dominates the corpus.
+
+    Plan shape: the blocklist is a literal isin filter at the scan; the
+    cap is one rank window on (host) — per-host state is the window
+    frame, and hosts are the natural partition key at 100 TB."""
+    from .sampling import hash_bucket
+
+    host = url_host(F.col(url_col))
+    out = df.withColumn("host", host)
+    if blocklist:
+        out = out.filter(~F.col("host").isin(*sorted(blocklist)))
+    w = Window.partitionBy("host").orderBy(
+        hash_bucket(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        out.withColumn("__dom_rank", F.row_number().over(w))
+        .filter(F.col("__dom_rank") <= max_per_domain)
+        .drop("__dom_rank")
     )
 
 

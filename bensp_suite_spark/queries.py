@@ -4601,6 +4601,53 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOMAIN_BLOCK = ["src0.example.com"]
+_DOMAIN_CAP = 20  # binds at sf0.01 (25 docs/host): the hash-order selection is exercised
+_DOMAIN_CAP_ORACLE = f"""
+WITH urls AS (SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents),
+h AS (SELECT doc_id, {URL.url_host_sql('url')} AS host FROM urls),
+f AS (SELECT * FROM h WHERE host NOT IN ('src0.example.com')),
+r AS (SELECT doc_id, host,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY {SMP.hash_bucket_sql('doc_id')}, doc_id) AS rn
+      FROM f)
+SELECT doc_id, host FROM r WHERE rn <= {_DOMAIN_CAP}
+"""
+
+
+@query("url_domain_cap", oracle=_DOMAIN_CAP_ORACLE)
+def url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level crawl hygiene: blocklisted hosts dropped at the scan,
+    then at most N docs kept per host in DETERMINISTIC content-hash
+    order — the anti-spam cap that stops one link-farm domain from
+    dominating a corpus, reproducible on any engine/layout (arrival
+    order never decides what survives). Same messy-URL grid as
+    url_canonical_dedup; one rank window on the host key."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.com"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    capped = URL.cap_per_domain(
+        docs.select("doc_id", url.alias("url")),
+        "url",
+        _DOMAIN_CAP,
+        blocklist=_DOMAIN_BLOCK,
+    )
+    return capped.select("doc_id", "host")
+
+
 _BLOOM_M, _BLOOM_K = 1 << 14, 4
 _NORM_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 _BLOOM_ORACLE = f"""

@@ -156,6 +156,36 @@ def test_url_canonicalization_cross_engine_and_dedup(spark):
     assert out[6] is False and out[7] is False and out[8] is False
 
 
+def test_cap_per_domain_is_deterministic_and_blocks(spark):
+    """cap_per_domain: blocklisted hosts never survive, per-host output
+    is exactly min(n_docs, cap), survivors are chosen by content hash
+    (layout-independent — a repartition changes nothing), and url_host
+    strips www./ports but keeps subdomains distinct."""
+    from bensp_suite_spark.operators import urls as U
+
+    rows = [
+        (i, f"https://{'WWW.' if i % 2 else ''}{'spam' if i % 3 == 0 else 'ok'}"
+            f".example.com{':443' if i % 5 == 0 else ''}/p/{i}")
+        for i in range(60)
+    ]
+    rows.append((100, "https://sub.ok.example.com/p/x"))  # distinct subdomain
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = U.cap_per_domain(df, "url", 10, blocklist=["spam.example.com"])
+    got = out.collect()
+    hosts = {r["host"] for r in got}
+    assert "spam.example.com" not in hosts
+    assert "sub.ok.example.com" in hosts  # subdomains are their own key
+    per = {}
+    for r in got:
+        per[r["host"]] = per.get(r["host"], 0) + 1
+    assert per["ok.example.com"] == 10  # 40 offered, capped
+    assert per["sub.ok.example.com"] == 1
+    again = {tuple(r) for r in
+             U.cap_per_domain(df.repartition(7), "url", 10,
+                              blocklist=["spam.example.com"]).collect()}
+    assert again == {tuple(r) for r in got}
+
+
 def test_bloom_prefilter_contract(spark):
     """Bloom membership sketch: zero false negatives (every sketched value
     tests maybe=true), NULL keys never set bits, duplicate candidate rows
