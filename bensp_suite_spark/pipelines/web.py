@@ -1,0 +1,79 @@
+"""End-to-end web-crawl curation: the composition a crawl-to-corpus
+pipeline actually runs, as ONE declarative DataFrame program.
+
+    HTML → text extraction → canonical-URL dedup → domain blocklist +
+    per-domain cap → exact content dedup
+
+Each stage exists standalone (text_html_extract / url_canonical_dedup /
+url_domain_cap / dedup_exact_text declared queries); this module proves
+they COMPOSE — one logical plan end to end, so Catalyst sees the whole
+program: the HTML strip is scan-stage column work, URL dedup shuffles
+only canonical-URL strings, the domain cap is one host-keyed rank
+window over survivors, and the final content dedup hashes only the docs
+that made it through everything upstream.
+
+Order matters and is the cheap-first order a 100 TB crawl wants:
+URL-level dedup (string work on the url column alone) runs before the
+content hash ever touches the extracted text, and the domain cap
+bounds how many documents per host pay for content hashing at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.text_analysis import extract_html_text, extract_html_title
+from ..operators.urls import canonical_url, url_host
+
+#: same normalized-content hash as the dedup family
+def _content_hash(text: Column) -> Column:
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def curate_web_corpus(
+    pages: DataFrame,
+    max_per_domain: int = 20,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """(doc_id, url, html) → surviving documents
+    (doc_id, host, canonical_url, title, text) after the four stages.
+    First-wins everywhere = lowest doc_id; the domain cap selects by
+    deterministic content hash (layout-independent)."""
+    from ..operators.sampling import hash_bucket
+
+    with_url = pages.withColumn("canonical_url", canonical_url(F.col("url")))
+    # stage 1: canonical-URL dedup (first-wins) — no text work yet
+    w_url = Window.partitionBy("canonical_url").orderBy("doc_id")
+    url_kept = (
+        with_url.withColumn("__r", F.row_number().over(w_url))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+    # stage 2: domain blocklist + per-domain cap (hash-ordered)
+    hosted = url_kept.withColumn("host", url_host(F.col("url")))
+    if blocklist:
+        hosted = hosted.filter(~F.col("host").isin(*sorted(blocklist)))
+    w_dom = Window.partitionBy("host").orderBy(
+        hash_bucket(F.col("doc_id")), F.col("doc_id")
+    )
+    capped = (
+        hosted.withColumn("__r", F.row_number().over(w_dom))
+        .filter(F.col("__r") <= max_per_domain)
+        .drop("__r")
+    )
+    # stage 3: extract text/title — only survivors pay for it
+    extracted = capped.select(
+        "doc_id",
+        "host",
+        "canonical_url",
+        extract_html_title(F.col("html")).alias("title"),
+        extract_html_text(F.col("html")).alias("text"),
+    )
+    # stage 4: exact content dedup (first-wins on the normalized hash)
+    w_txt = Window.partitionBy(_content_hash(F.col("text"))).orderBy("doc_id")
+    return (
+        extracted.withColumn("__r", F.row_number().over(w_txt))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )

@@ -4648,6 +4648,90 @@ def url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "host")
 
 
+# --- composed web pipeline ------------------------------------------------
+# Pages: doc_id < 300 wrapping the TEXT OF doc_id % 75 (content-dup groups
+# {i, i+75, i+150, i+225}) behind a URL keyed on (doc_id % 4 host,
+# doc_id % 50 path) (canonical-dup groups {i, i+100, i+200}) — the two
+# duplicate axes are interleaved so BOTH dedup stages bind on rows the
+# other can't see, and the blocklist + cap bind in between.
+_WEB_URL_SQL = """
+  (CASE WHEN a.doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://'
+  || (CASE WHEN a.doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+  || 'src' || CAST(a.doc_id % 4 AS VARCHAR) || '.Example.com'
+  || '/docs/' || CAST(a.doc_id % 50 AS VARCHAR)
+  || (CASE WHEN a.doc_id % 2 = 0 THEN '?utm_source=f&x=1' ELSE '?x=1' END)
+"""
+_WEB_HTML_SQL = """
+  '<html><head><title>Page ' || CAST(a.doc_id % 75 AS VARCHAR)
+  || ' &amp; co</title><script>if (a<b) x()</script></head><body><p>'
+  || b.text || '</p></body></html>'
+"""
+_WEB_TEXT_SQL, _WEB_TITLE_SQL = TA.extract_html_sql("html")
+_WEB_NORM_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+_WEB_ORACLE = f"""
+WITH pages AS (
+  SELECT a.doc_id, {_WEB_URL_SQL} AS url, {_WEB_HTML_SQL} AS html
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 75
+  WHERE a.doc_id < 300
+),
+c AS (SELECT doc_id, url, html, {URL.canonical_url_sql('url')} AS canonical_url
+      FROM pages),
+u AS (SELECT doc_id, url, html, canonical_url FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn
+        FROM c) WHERE rn = 1),
+h AS (SELECT *, {URL.url_host_sql('url')} AS host FROM u),
+f AS (SELECT * FROM h WHERE host NOT IN ('src1.example.com')),
+cap AS (SELECT doc_id, host, canonical_url, html FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                     ORDER BY {SMP.hash_bucket_sql('doc_id')}, doc_id) AS rn
+          FROM f) WHERE rn <= 20),
+ex AS (SELECT doc_id, host, canonical_url,
+              {_WEB_TITLE_SQL} AS title, {_WEB_TEXT_SQL} AS text
+       FROM cap)
+SELECT doc_id, host, canonical_url, title, text FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {_WEB_NORM_SQL} ORDER BY doc_id) AS rn
+  FROM ex) WHERE rn = 1
+"""
+
+
+@query("pipeline_web_curation", oracle=_WEB_ORACLE)
+def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole crawl-to-corpus front end COMPOSED (pipelines/web.py):
+    canonical-URL dedup → domain blocklist + deterministic per-domain
+    cap → HTML text extraction → exact content dedup, one logical plan.
+    The fixture interleaves two duplicate axes (URL-canonical groups of
+    3, content groups of 4 spanning DIFFERENT hosts) so both dedup
+    stages bind on rows the other cannot see; the oracle recomputes the
+    full chain in SQL. Stage order is the cheap-first order a 100 TB
+    crawl wants: URL string work and the host cap run before any
+    content is extracted or hashed."""
+    from .pipelines.web import curate_web_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select("doc_id").filter(F.col("doc_id") < 300)
+    b = docs.select(F.col("doc_id").alias("base_id"), F.col("text").alias("base_text"))
+    joined = a.join(b, a.doc_id % 75 == b.base_id)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("src"), (did % 4).cast("string"), F.lit(".Example.com"),
+        F.lit("/docs/"), (did % 50).cast("string"),
+        F.when(did % 2 == 0, F.lit("?utm_source=f&x=1")).otherwise(F.lit("?x=1")),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Page "), (did % 75).cast("string"),
+        F.lit(" &amp; co</title><script>if (a<b) x()</script></head><body><p>"),
+        F.col("base_text"),
+        F.lit("</p></body></html>"),
+    )
+    pages = joined.select("doc_id", url.alias("url"), html.alias("html"))
+    return curate_web_corpus(
+        pages, max_per_domain=20, blocklist=["src1.example.com"]
+    )
+
+
 _BLOOM_M, _BLOOM_K = 1 << 14, 4
 _NORM_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 _BLOOM_ORACLE = f"""
