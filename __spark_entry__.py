@@ -86,8 +86,23 @@ _PRIORITY = [
 # with it, the window is priority + never-verified + a rotating slice of
 # the greens, so the whole registry is re-audited every few rounds.
 # 45 keeps the 50-row window full with few new queries per round: at a
-# ~158-query registry the full external re-audit cycle stays ~3.5 rounds.
+# ~168-query registry the full external re-audit cycle stays ~3.5 rounds.
 _REVERIFY_QUOTA = 45
+
+#: previously-green queries whose IMPLEMENTATION changed this round —
+#: forced to the head of the re-verify slice so the external driver
+#: re-checks them in the same round as the change, regardless of where
+#: the rotation happens to be. Clear when the round's changes land green.
+_FORCE_REVERIFY = [
+    # r6: KMV NULL-guard moved to the input column (all three forms),
+    # resample/mix internal-column rename, assign_split whitespace class
+    "sketch_kmv_distinct",
+    "sketch_kmv_by_group",
+    "stream_kmv_per_key",
+    "sample_resample_mix",
+    "split_train_val_test",
+    "cdc_ddp_datasource_scan",  # fixture/run timing split in-body
+]
 
 
 def _rotated_names() -> list[str]:
@@ -95,18 +110,21 @@ def _rotated_names() -> list[str]:
     names = list(Q.QUERIES)
     front = [n for n in _PRIORITY if n in names and n not in seen]
     rest_unseen = [n for n in names if n not in seen and n not in front]
-    greens = [n for n in names if n in seen]
+    forced = [n for n in _FORCE_REVERIFY if n in names and n in seen]
+    greens = [n for n in names if n in seen and n not in forced]
     # Deterministic rotation keyed on the number of completed rounds: each
-    # round re-verifies the next _REVERIFY_QUOTA greens in registry order.
+    # round re-verifies the next _REVERIFY_QUOTA greens in registry order
+    # (after any changed-this-round forced entries).
     n_rounds = len(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
-    if greens and _REVERIFY_QUOTA > 0:
+    quota = max(_REVERIFY_QUOTA - len(forced), 0)
+    if greens and quota > 0:
         start = (n_rounds * _REVERIFY_QUOTA) % len(greens)
         rotated = greens[start:] + greens[:start]
-        resample = rotated[:_REVERIFY_QUOTA]
-        rest_green = rotated[_REVERIFY_QUOTA:]
+        resample = rotated[:quota]
+        rest_green = rotated[quota:]
     else:
         resample, rest_green = [], greens
-    return front + rest_unseen + resample + rest_green
+    return front + rest_unseen + forced + resample + rest_green
 
 
 def entry(spark: SparkSession) -> DataFrame:
