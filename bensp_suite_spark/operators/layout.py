@@ -243,3 +243,51 @@ def write_zordered(
         .parquet(path)
     )
     return ranges
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with per-column BLOOM FILTERS (parquet-mr split-block
+    blooms in the footer) on ``bloom_cols`` — the layout for point-lookup
+    workloads on high-cardinality keys where min/max envelopes can't
+    prune: content hashes, digests, canonical URLs. A reader pushing an
+    equality predicate skips whole row groups whose filter rejects the
+    value (one-sided: no false skips), which is what makes
+    "look up this digest in a 100 TB winners table" an I/O-light
+    operation without maintaining a sorted layout.
+
+    ``ndv`` sizes the filter (expected distinct values per row group;
+    default lets parquet-mr size at its 1% fpp target). Complements the
+    layout family: partitioning prunes on low-cardinality columns,
+    z-order/min-max on range-correlated ones, blooms on hash-random
+    point keys."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if ndv is not None:
+            w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    w.parquet(path)
+
+
+def bloom_filter_offsets(spark: SparkSession, file_path: str) -> dict[str, int]:
+    """→ {column dot-path: bloom filter offset} for one parquet file's
+    first row group (-1 = no filter) — the footer-level proof a write
+    actually carried the filters, read through parquet-mr."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(file_path)
+    ifile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(ifile)
+    try:
+        rg = rdr.getRowGroups().get(0)
+        return {
+            c.getPath().toDotString(): c.getBloomFilterOffset()
+            for c in rg.getColumns()
+        }
+    finally:
+        rdr.close()
