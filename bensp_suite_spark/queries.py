@@ -3546,11 +3546,28 @@ _S3_FILES = [  # (relative path, n_bytes, seed)
     ("sub/b.bin", 5000, 2),
     ("sub/deep/c.bin", 700, 3),
 ]
-_S3_GOLDEN = "SELECT * FROM (VALUES " + ", ".join(
-    f"('{p.rsplit('/', 1)[-1]}', CAST({i} AS BIGINT), CAST({n} AS BIGINT), "
-    f"'{__import__('hashlib').md5(bytes((j * s * 131 + 17) % 256 for j in range(n))).hexdigest()}')"
-    for i, (p, n, s) in enumerate(sorted(_S3_FILES))
-) + ") v(file_name, file_id, length, content_md5)"
+
+
+def _s3_golden() -> str:
+    import hashlib
+
+    rows = []
+    for i, (p, n, s) in enumerate(sorted(_S3_FILES)):
+        digest = hashlib.md5(
+            bytes((j * s * 131 + 17) % 256 for j in range(n))
+        ).hexdigest()
+        rows.append(
+            f"('{p.rsplit('/', 1)[-1]}', CAST({i} AS BIGINT), "
+            f"CAST({n} AS BIGINT), '{digest}')"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") v(file_name, file_id, length, content_md5)"
+    )
+
+
+_S3_GOLDEN = _s3_golden()
 
 
 @query("source_recursive_dir_scan", oracle=_S3_GOLDEN)
