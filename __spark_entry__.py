@@ -10,6 +10,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -24,13 +25,20 @@ from bensp_suite_spark import queries as Q  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _previously_green() -> set[str]:
-    """Query names already verified green in a prior round's CORRECTNESS
-    file. The driver checks a fixed-size prefix of the registration order,
-    so rotating verified names to the back each round walks the check
-    window across the whole registry instead of re-verifying the same set."""
-    seen: set[str] = set()
+def _green_last_round() -> dict[str, int]:
+    """{query name: LAST round number it verified green} across all prior
+    CORRECTNESS files. The driver checks a fixed-size prefix of the
+    registration order, so ordering previously-green names by how stale
+    their last verification is walks the check window across the whole
+    registry — and SELF-CORRECTS: a name that misses a round's window
+    (e.g. displaced by forced re-verifies) keeps its older round number
+    and sorts to the front next round, so nothing is ever skipped for a
+    full cycle (the r6 modulo rotation could skip len(forced) names per
+    round — ADVICE r6)."""
+    seen: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(p) as fh:
                 d = json.load(fh)
@@ -46,7 +54,7 @@ def _previously_green() -> set[str]:
                 and res.get("hash_match")
                 and res.get("err") is None
             ):
-                seen.add(name)
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 
@@ -83,47 +91,52 @@ _PRIORITY = [
 # How many previously-green names to pull back into the driver's check
 # window each round. Without this, a query verified once would never be
 # re-checked by the external driver (a later regression would go unseen);
-# with it, the window is priority + never-verified + a rotating slice of
-# the greens, so the whole registry is re-audited every few rounds.
-# 45 keeps the 50-row window full with few new queries per round: at a
-# ~168-query registry the full external re-audit cycle stays ~3.5 rounds.
-_REVERIFY_QUOTA = 45
+# with it, the window is priority + never-verified + a staleness-ordered
+# slice of the greens, so the whole registry is re-audited every few
+# rounds. 50 keeps the ~170-query registry's full external re-audit cycle
+# under ~3.5 rounds even when a round adds ~10 new queries.
+_REVERIFY_QUOTA = 50
 
 #: previously-green queries whose IMPLEMENTATION changed this round —
 #: forced to the head of the re-verify slice so the external driver
 #: re-checks them in the same round as the change, regardless of where
 #: the rotation happens to be. Clear when the round's changes land green.
 _FORCE_REVERIFY = [
-    # r6: KMV NULL-guard moved to the input column (all three forms),
-    # resample/mix internal-column rename, assign_split whitespace class
-    "sketch_kmv_distinct",
-    "sketch_kmv_by_group",
-    "stream_kmv_per_key",
-    "sample_resample_mix",
-    "split_train_val_test",
-    "cdc_ddp_datasource_scan",  # fixture/run timing split in-body
+    # r7: incremental-dedup exact check → duplicate-tolerant semi join,
+    # bloom wiring in the streaming loop
+    "dedup_incremental_batch",
+    "pipeline_daily_increment",
+    "pipeline_daily_increment_day2",
+    "pipeline_daily_increment_day3",
+    "stream_incremental_dedup",
+    # r7: canonical_url pre-fragment query extraction; two-phase domain
+    # cap; web pipeline first-wins → skew-safe agg+join-back
+    "url_canonical_dedup",
+    "url_domain_cap",
+    "pipeline_web_curation",
+    # r7: semantic_dedup auto-sizing (n_cells=None → ivf_defaults);
+    # ivf_ann_topk inline n_probe clamp (prebuilt path)
+    "dedup_semantic",
+    "ann_ivf_prebuilt_topk",
+    "ann_ivf_upsert_topk",
 ]
 
 
 def _rotated_names() -> list[str]:
-    seen = _previously_green()
+    seen = _green_last_round()
     names = list(Q.QUERIES)
     front = [n for n in _PRIORITY if n in names and n not in seen]
     rest_unseen = [n for n in names if n not in seen and n not in front]
     forced = [n for n in _FORCE_REVERIFY if n in names and n in seen]
     greens = [n for n in names if n in seen and n not in forced]
-    # Deterministic rotation keyed on the number of completed rounds: each
-    # round re-verifies the next _REVERIFY_QUOTA greens in registry order
-    # (after any changed-this-round forced entries).
-    n_rounds = len(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+    # Least-recently-verified first (ties broken by registry order): the
+    # next quota greens are exactly the stalest ones, and any name that
+    # falls outside a round's window keeps its staleness and wins a slot
+    # next round — no modulo cursor to drift (ADVICE r6).
+    order = {n: i for i, n in enumerate(names)}
+    greens.sort(key=lambda n: (seen[n], order[n]))
     quota = max(_REVERIFY_QUOTA - len(forced), 0)
-    if greens and quota > 0:
-        start = (n_rounds * _REVERIFY_QUOTA) % len(greens)
-        rotated = greens[start:] + greens[:start]
-        resample = rotated[:quota]
-        rest_green = rotated[quota:]
-    else:
-        resample, rest_green = [], greens
+    resample, rest_green = greens[:quota], greens[quota:]
     return front + rest_unseen + forced + resample + rest_green
 
 

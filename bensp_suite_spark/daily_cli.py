@@ -9,21 +9,69 @@ schedules:
   # each day: flag the batch against the state, write flags, APPEND the
   # survivors' signatures (O(batch) rows — history is never rescanned)
   python -m bensp_suite_spark.daily_cli step BATCH_PARQUET SIG_DIR FLAGS_OUT \
-      [--max-hamming N] [--no-advance] [-t N] [-v]
+      [--step-id ID] [--max-hamming N] [--no-advance] [--no-bloom] [-t N] [-v]
 
-SIG_DIR holds two parquet tables: ``hashes`` (distinct normalized content
-md5s, one column ``content_hash``) and ``sims`` (per-doc SimHash
-fingerprints, one column ``hist_sim``). ``step`` appends exactly the
-day's survivors' rows to each — the growth proof: table row counts track
-survivors, not history size. Inputs need (doc_id, text).
+  # occasionally: merge the per-step state partitions (the small-file /
+  # listing bound for a loop that has run many days)
+  python -m bensp_suite_spark.daily_cli compact SIG_DIR [-t N] [-v]
+
+SIG_DIR holds the signature state:
+  hashes/step=<id>/   distinct normalized content md5s (``content_hash``),
+                      written WITH a parquet bloom filter on the column —
+                      point lookups against the winners table skip row
+                      groups (operators/layout.write_with_bloom)
+  sims/step=<id>/     per-doc SimHash fingerprints (``hist_sim``)
+  bloom.bin+.json     packed Bloom bitset over the hashes — the probe-
+                      before-join prefilter (dedup_text.history_bloom),
+                      advanced per step by bitwise OR
+  _steps/<id>         commit markers, written LAST
+
+Each ``step`` is IDEMPOTENT: state appends go to the step's OWN
+``step=<id>`` partitions (self-overwriting on retry), flags are computed
+against state EXCLUDING the step's own partitions (so a crashed half-
+advanced step recomputes identical flags on replay), the bloom advance is
+a bitwise OR (replay-idempotent by algebra), and the marker is written
+last — a scheduler retry of a committed step is a no-op instead of the
+silent double-append ADVICE.md flagged. Growth proof unchanged: state row
+counts track survivors, not history size. Inputs need (doc_id, text).
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
+import json
 import os
+import re
+import shutil
 import sys
 import time
+
+
+def _read_bloom(sig_dir: str) -> tuple[bytes, int, int] | None:
+    meta_p = os.path.join(sig_dir, "bloom.json")
+    bin_p = os.path.join(sig_dir, "bloom.bin")
+    if not (os.path.exists(meta_p) and os.path.exists(bin_p)):
+        return None
+    with open(meta_p) as fh:
+        meta = json.load(fh)
+    with open(bin_p, "rb") as fh:
+        return fh.read(), int(meta["m"]), int(meta["k"])
+
+
+def _write_bloom(sig_dir: str, packed: bytes, m: int, k: int) -> None:
+    # tmp + rename so a torn write can never corrupt the bitset
+    tmp = os.path.join(sig_dir, "bloom.bin.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(packed)
+    os.replace(tmp, os.path.join(sig_dir, "bloom.bin"))
+    with open(os.path.join(sig_dir, "bloom.json"), "w") as fh:
+        json.dump({"m": m, "k": k}, fh)
+
+
+def _step_id_from(batch_path: str) -> str:
+    base = os.path.basename(batch_path.rstrip("/"))
+    return re.sub(r"[^A-Za-z0-9_.\-]", "_", base) or "step"
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -40,14 +88,31 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("batch", help="the day's new-documents parquet (doc_id, text)")
     st.add_argument("sig_dir", help="signature-state directory (from init)")
     st.add_argument("flags_out", help="output parquet for the day's flags")
+    st.add_argument("--step-id", default=None,
+                    help="idempotency key (default: batch file basename); a "
+                         "committed step-id is a no-op on replay")
     st.add_argument("--max-hamming", type=int, default=3)
     st.add_argument("--no-advance", action="store_true",
                     help="flag only; leave the signature tables untouched")
+    st.add_argument("--no-bloom", action="store_true",
+                    help="skip the packed-bloom prefilter (flags identical)")
     st.add_argument("-t", "--threads", type=int, default=None)
     st.add_argument("-v", "--verbose", action="store_true")
 
+    cp = sub.add_parser(
+        "compact",
+        help="merge committed step partitions into one (file-count bound)",
+    )
+    cp.add_argument("sig_dir", help="signature-state directory")
+    cp.add_argument("-t", "--threads", type=int, default=None)
+    cp.add_argument("-v", "--verbose", action="store_true")
+
     args = ap.parse_args(argv)
-    inputs = [args.history] if args.cmd == "init" else [args.batch, args.sig_dir]
+    inputs = {
+        "init": [args.history] if args.cmd == "init" else [],
+        "step": [args.batch, args.sig_dir] if args.cmd == "step" else [],
+        "compact": [args.sig_dir] if args.cmd == "compact" else [],
+    }[args.cmd]
     for p in inputs:
         if not os.path.exists(p):
             print(f"error: input not found: {p}", file=sys.stderr)
@@ -55,7 +120,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
-    from .operators.dedup_text import history_signatures, incremental_dedup
+    from .operators.dedup_text import (
+        BLOOM_K,
+        BLOOM_M,
+        history_bloom,
+        history_signatures,
+        incremental_dedup,
+    )
+    from .operators.layout import write_with_bloom
     from .session import get_spark
 
     spark = get_spark("bensp-daily-cli", shuffle_partitions=args.threads)
@@ -64,12 +136,24 @@ def main(argv: list[str] | None = None) -> int:
 
     hashes_dir = os.path.join(args.sig_dir, "hashes")
     sims_dir = os.path.join(args.sig_dir, "sims")
+    steps_dir = os.path.join(args.sig_dir, "_steps")
+
+    def _part(root: str, step: str) -> str:
+        return os.path.join(root, f"step={step}")
 
     if args.cmd == "init":
         hist = spark.read.parquet(args.history)
         h, s = history_signatures(hist)
-        h.write.mode("overwrite").parquet(hashes_dir)
-        s.write.mode("overwrite").parquet(sims_dir)
+        write_with_bloom(h, _part(hashes_dir, "init"), ["content_hash"])
+        s.write.mode("overwrite").parquet(_part(sims_dir, "init"))
+        _write_bloom(
+            args.sig_dir,
+            history_bloom(spark.read.parquet(_part(hashes_dir, "init"))),
+            BLOOM_M,
+            BLOOM_K,
+        )
+        os.makedirs(steps_dir, exist_ok=True)
+        open(os.path.join(steps_dir, "init"), "w").close()
         if args.verbose:
             print(
                 f"init: {spark.read.parquet(hashes_dir).count()} hashes, "
@@ -79,15 +163,88 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
 
+    if args.cmd == "compact":
+        # Merge every COMMITTED step partition into step=init; uncommitted
+        # partials (a crashed step that will replay) are left in place —
+        # its replay overwrites them. Old markers stay, so replays of
+        # already-committed steps remain no-ops after compaction. The swap
+        # goes rename-old → rename-new (compact_small_files' protocol);
+        # the exact check is a semi join, so even a crash that briefly
+        # leaves a hash visible twice cannot fan out flag rows.
+        committed = set(os.listdir(steps_dir)) if os.path.isdir(steps_dir) else set()
+        files_before = len(
+            glob.glob(os.path.join(args.sig_dir, "*", "**", "*.parquet"), recursive=True)
+        )
+        for root, col, blooms in (
+            (hashes_dir, "content_hash", True),
+            (sims_dir, "hist_sim", False),
+        ):
+            parts = [
+                p for p in glob.glob(os.path.join(root, "step=*"))
+                if p.split("step=")[-1] in committed
+            ]
+            if len(parts) <= 1:
+                continue
+            tmp, bak = root + "._compact_tmp", root + "._compact_old"
+            for stale in (tmp, bak):
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+            merged = spark.read.parquet(*parts).select(col).distinct().coalesce(1)
+            out_part = os.path.join(tmp, "step=init")
+            if blooms:
+                write_with_bloom(merged, out_part, [col])
+            else:
+                merged.write.mode("overwrite").parquet(out_part)
+            uncommitted = [
+                p for p in glob.glob(os.path.join(root, "step=*")) if p not in parts
+            ]
+            for p in uncommitted:  # carry crashed partials across the swap
+                shutil.move(p, os.path.join(tmp, os.path.basename(p)))
+            os.rename(root, bak)
+            os.rename(tmp, root)
+            shutil.rmtree(bak)
+        files_after = len(
+            glob.glob(os.path.join(args.sig_dir, "*", "**", "*.parquet"), recursive=True)
+        )
+        if args.verbose:
+            print(
+                f"compact: {files_before} -> {files_after} files, "
+                f"{len(committed)} committed steps merged "
+                f"in {time.perf_counter() - t0:.2f}s"
+            )
+        spark.stop()
+        return 0
+
+    # --- step ---------------------------------------------------------
+    step_id = args.step_id or _step_id_from(args.batch)
+    marker = os.path.join(steps_dir, step_id)
+    if os.path.exists(marker):
+        if args.verbose:
+            print(f"step {step_id}: already committed — no-op replay")
+        spark.stop()
+        return 0
+
     batch = spark.read.parquet(args.batch)
-    sig = (spark.read.parquet(hashes_dir), spark.read.parquet(sims_dir))
-    flags = incremental_dedup(batch, max_hamming=args.max_hamming, history_sig=sig)
+    # visibility rule: a replayed step must not see its own half-appended
+    # partitions — read state EXCLUDING this step's partition values
+    sig = (
+        spark.read.parquet(hashes_dir).filter(F.col("step") != step_id).drop("step"),
+        spark.read.parquet(sims_dir).filter(F.col("step") != step_id).drop("step"),
+    )
+    bloom = None if args.no_bloom else _read_bloom(args.sig_dir)
+    flags = incremental_dedup(
+        batch,
+        max_hamming=args.max_hamming,
+        history_sig=sig,
+        history_bloom_packed=bloom[0] if bloom else None,
+        bloom_m=bloom[1] if bloom else BLOOM_M,
+        bloom_k=bloom[2] if bloom else BLOOM_K,
+    )
     flags.write.mode("overwrite").parquet(args.flags_out)
     if not args.no_advance:
-        # the O(day) state advance as a literal parquet APPEND: survivors'
-        # hashes are absent from the table by construction (they passed
-        # the exact check against exactly these rows), so append == the
-        # distinct union advance_signatures proves engine-exact in-memory
+        # the O(day) state advance: survivors' signatures land in this
+        # step's OWN partitions (overwrite = replay-safe); the bloom OR
+        # is idempotent by algebra
         survivors = batch.join(
             spark.read.parquet(args.flags_out)
             .filter(F.col("is_kept"))
@@ -96,15 +253,32 @@ def main(argv: list[str] | None = None) -> int:
             "left_semi",
         )
         day_h, day_s = history_signatures(survivors)
-        day_h.write.mode("append").parquet(hashes_dir)
-        day_s.write.mode("append").parquet(sims_dir)
+        write_with_bloom(day_h, _part(hashes_dir, step_id), ["content_hash"])
+        day_s.write.mode("overwrite").parquet(_part(sims_dir, step_id))
+        if bloom is not None:
+            from .operators.sketches import bloom_merge_packed
+
+            day_bloom = history_bloom(
+                spark.read.parquet(_part(hashes_dir, step_id)),
+                m=bloom[1],
+                k=bloom[2],
+            )
+            _write_bloom(
+                args.sig_dir,
+                bloom_merge_packed(bloom[0], day_bloom),
+                bloom[1],
+                bloom[2],
+            )
+        os.makedirs(steps_dir, exist_ok=True)
+        open(marker, "w").close()
     if args.verbose:
         out = spark.read.parquet(args.flags_out)
         n = out.count()
         kept = out.filter("is_kept").count()
         print(
-            f"step: {n} docs, {kept} kept, {n - kept} flagged "
-            f"({'state advanced' if not args.no_advance else 'no advance'}) "
+            f"step {step_id}: {n} docs, {kept} kept, {n - kept} flagged "
+            f"({'state advanced' if not args.no_advance else 'no advance'}"
+            f"{', bloom prefilter' if bloom else ''}) "
             f"in {time.perf_counter() - t0:.2f}s -> {args.flags_out}"
         )
     spark.stop()

@@ -755,11 +755,34 @@ def advance_signatures(
     return hist_h.unionByName(day_h), hist_s.unionByName(day_s)
 
 
+#: default packed-bloom geometry for the incremental-dedup prefilter —
+#: m sized by the standard rule m ≈ -n·ln(fpp)/ln(2)² for the expected
+#: history cardinality; k=4 matches the sketch family default
+BLOOM_M, BLOOM_K = 1 << 20, 4
+
+
+def history_bloom(
+    hist_h: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K
+) -> bytes:
+    """Packed Bloom bitset over the history's distinct content hashes —
+    the third piece of daily signature state, maintained BESIDE the
+    (hashes, sims) tables: build once from the day-0 hashes, then
+    ``bloom_merge_packed`` (bitwise OR) each day's survivor bits in. The
+    pack's collect is bounded by m bit rows (index-build cost, not
+    per-batch)."""
+    from .sketches import bloom_bits, bloom_pack
+
+    return bloom_pack(bloom_bits(hist_h, "content_hash", m=m, k=k), m)
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     history: DataFrame | None = None,
     max_hamming: int = 3,
     history_sig: tuple[DataFrame, DataFrame] | None = None,
+    history_bloom_packed: bytes | None = None,
+    bloom_m: int = BLOOM_M,
+    bloom_k: int = BLOOM_K,
 ) -> DataFrame:
     """Dedup a NEW batch against a HISTORICAL corpus — the daily-crawl-
     increment pattern: a new document is dropped if it exactly matches any
@@ -775,7 +798,20 @@ def incremental_dedup(
     pre-fingerprinted in practice: compute :func:`history_signatures`
     ONCE per day, persist them, and pass ``history_sig=`` so no batch
     ever rescans history raw text. Nothing is ever quadratic in either
-    corpus."""
+    corpus.
+
+    ``history_bloom_packed`` (a :func:`history_bloom` bitset over the SAME
+    hashes table, maintained incrementally via ``bloom_merge_packed``)
+    turns the exact check into probe-then-join — the reference's own
+    cheap-reject-before-expensive-lookup shape (apps/dedup/src/
+    encoder.c:666-703 probes 4 hash bytes before walking the bucket,
+    hashtable.c:89-127): only rows whose k bits are ALL set ever enter
+    the history join, so at 100 TB the definitely-new majority of a
+    day's crawl resolves scan-locally against a broadcast constant and
+    the join's stream side shrinks to true-dups + the fpp sliver. Zero
+    false negatives by construction ⇒ flags are IDENTICAL with or
+    without the bloom (driver-proven: dedup_incremental_bloom_prefilter
+    shares dedup_incremental_batch's oracle verbatim)."""
     if history_sig is None:
         if history is None:
             raise ValueError("pass either history or history_sig")
@@ -784,11 +820,44 @@ def incremental_dedup(
 
     t = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     new_h = new_docs.select("doc_id", F.md5(t).alias("content_hash"))
-    exact = (
-        new_h.join(hist_h.withColumnRenamed("content_hash", "hh"),
-                   new_h.content_hash == F.col("hh"), "left")
-        .select("doc_id", "content_hash", F.col("hh").isNotNull().alias("exact_dup"))
-    )
+    hh = hist_h.withColumnRenamed("content_hash", "hh")
+
+    # The exact check is EXISTS semantics (matching the SQL oracle), so a
+    # LEFT SEMI join + flag join-back, not a left join + isNotNull: semi
+    # joins are duplicate-TOLERANT on the history side — a replayed state
+    # append or a mid-compaction crash that leaves a hash present twice
+    # cannot fan flag rows out — and cheaper at scale (the history side
+    # never null-pads into the output).
+    def _exact_flags(cand: DataFrame) -> DataFrame:
+        hits = (
+            cand.join(hh, cand.content_hash == F.col("hh"), "left_semi")
+            .select("doc_id")
+            .withColumn("__hit", F.lit(True))
+        )
+        return cand.join(hits, "doc_id", "left").select(
+            "doc_id",
+            "content_hash",
+            F.coalesce("__hit", F.lit(False)).alias("exact_dup"),
+        )
+
+    if history_bloom_packed is not None:
+        from .sketches import bloom_maybe_contains_packed
+
+        probed = bloom_maybe_contains_packed(
+            new_h, "content_hash", history_bloom_packed, m=bloom_m, k=bloom_k
+        )
+        # bloom_maybe=False GUARANTEES absence: those rows bypass the
+        # history join entirely (the row reduction is the whole point —
+        # keep them out of the join's stream side, not behind a residual
+        # join predicate that would still shuffle/probe every row)
+        definitely_new = probed.filter(~F.col("bloom_maybe")).select(
+            "doc_id", "content_hash", F.lit(False).alias("exact_dup")
+        )
+        exact = _exact_flags(
+            probed.filter(F.col("bloom_maybe")).select("doc_id", "content_hash")
+        ).unionByName(definitely_new)
+    else:
+        exact = _exact_flags(new_h)
 
     bands = _simhash_bands(max_hamming)
     new_s = simhash(new_docs)

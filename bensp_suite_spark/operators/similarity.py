@@ -464,13 +464,17 @@ def ivf_ann_topk(
         cent, c = index
         if n_probe is None:
             # derive the probe width from the index's own cell count —
-            # the centroid table is dimension-sized, so this count is free
-            n_probe = max(8, cent.count() // 16)
+            # the centroid table is dimension-sized, so this count is free.
+            # Clamped to the cell count (ivf_defaults' rule): a small index
+            # must not ask for more probes than it has cells.
+            n_idx_cells = cent.count()
+            n_probe = min(n_idx_cells, max(8, n_idx_cells // 16))
     else:
         if n_cells is None:
             n_cells, _ = ivf_defaults(corpus.count())
         if n_probe is None:
-            n_probe = max(8, n_cells // 16)  # probe rule tied to the cell count
+            # probe rule tied to the cell count, clamped like ivf_defaults
+            n_probe = min(n_cells, max(8, n_cells // 16))
         cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
         c = ivf_assign(
             corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
@@ -1139,7 +1143,7 @@ def upsert_pq_index(
 
 def semantic_dedup(
     emb: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1152,6 +1156,13 @@ def semantic_dedup(
 
     Returns (vec_id, cell, is_kept) for every input vector.
 
+    ``n_cells=None`` auto-sizes from the corpus via :func:`ivf_defaults`
+    (n_cells ≈ √N, one count job) — the same recall/cost argument as the
+    ANN family: a static cell count degrades toward all-pairs-per-cell as
+    the corpus grows (at 100M embeddings, 16 cells means ~6M-row cells
+    and Σ|cell|² explodes), while √N keeps per-cell pair generation
+    bounded. Explicit values stay exact for oracle parity.
+
     Scale shape: the cell assignment is the IVF narrow pass (zero
     shuffle); the near-dup check is a self-join CO-LOCATED on the cell
     key, so candidate pairs are Σ|cell|², never corpus² — the cluster
@@ -1159,6 +1170,8 @@ def semantic_dedup(
     billion-doc scale for exactly this reason). The drop rule needs only
     an EXISTS, so the join is left-semi: no pair materialization survives
     the stage."""
+    if n_cells is None:
+        n_cells, _ = ivf_defaults(emb.count())
     cent = ivf_centroids(emb, n_cells, id_col, vec_col)
     assigned = ivf_assign(
         emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),

@@ -177,38 +177,50 @@ def bloom_pack(bits: DataFrame, m: int) -> bytes:
     return np.packbits(arr).tobytes()
 
 
+def bloom_merge_packed(*packed: bytes) -> bytes:
+    """Union of packed bitsets (same m): bitwise OR — the property that
+    lets a daily loop ADVANCE its history bloom by OR-ing in each day's
+    survivor bits instead of repacking the whole bit table. OR is
+    idempotent, so a replayed advance is byte-identical (the same
+    exactly-once-friendly shape as the signature-table appends)."""
+    out = np.frombuffer(packed[0], dtype=np.uint8).copy()
+    for p in packed[1:]:
+        out |= np.frombuffer(p, dtype=np.uint8)
+    return out.tobytes()
+
+
 def bloom_maybe_contains_packed(
     df: DataFrame, col: str, packed: bytes, m: int = 1 << 20, k: int = 4
 ) -> DataFrame:
-    """Join-free membership test against a packed bitset: an Arrow-batched
-    pandas UDF recomputes the k md5-derived positions per value (the
-    IDENTICAL derivation as :func:`_bloom_pos` — parity is pinned by
-    test) and ANDs the bit lookups vectorized. Same contract as
-    :func:`bloom_maybe_contains`; use this form when the bit table rides
-    to executors as a constant instead of a join side."""
-    import hashlib
-
+    """Join-free membership test against a packed bitset. The k bit
+    positions are computed JVM-SIDE with the identical :func:`_bloom_pos`
+    column expressions the join form uses (they ride the scan's projection
+    — no Python hashing anywhere), and an Arrow-batched pandas UDF does
+    one numpy bitset gather over the whole position batch:
+    ``bitset[pos >> 3] >> (7 - (pos & 7))`` on (rows × k) arrays, AND
+    across k — zero per-row Python work. Same contract as
+    :func:`bloom_maybe_contains` (NULL key → False); use this form when
+    the bit table rides to executors as a broadcast constant instead of a
+    join side (a 2³⁰-bit filter is a 128 MB closure constant)."""
     from pyspark.sql.types import BooleanType
 
     bitset = np.frombuffer(packed, dtype=np.uint8)
 
     @F.pandas_udf(BooleanType())
-    def _maybe(vals: pd.Series) -> pd.Series:
-        out = []
-        for v in vals:
-            if v is None:
-                out.append(False)
-                continue
-            ok = True
-            for i in range(k):
-                h = int(hashlib.md5(f"{v}#{i}".encode()).hexdigest()[:8], 16) % m
-                if not (bitset[h >> 3] >> (7 - (h & 7))) & 1:
-                    ok = False
-                    break
-            out.append(ok)
+    def _gather(pos: pd.Series) -> pd.Series:
+        out = np.zeros(len(pos), dtype=bool)
+        valid = pos.notna().to_numpy()
+        if valid.any():
+            p = np.stack(pos[valid].to_numpy()).astype(np.int64)  # (n, k)
+            bits = (bitset[p >> 3] >> (7 - (p & 7))) & 1
+            out[valid] = bits.all(axis=1)
         return pd.Series(out)
 
-    return df.withColumn("bloom_maybe", _maybe(F.col(col).cast("string")))
+    positions = F.when(
+        F.col(col).isNotNull(),
+        F.array(*[_bloom_pos(F.col(col), i, m) for i in range(k)]),
+    )
+    return df.withColumn("bloom_maybe", _gather(positions))
 
 
 def bloom_oracle_sql(

@@ -44,7 +44,11 @@ def canonical_url(col: Column) -> Column:
     path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # the query lives strictly BEFORE the fragment: strip '#…' first, so a
+    # '?' inside a fragment (https://x/p#sec?b=1) is dropped with the
+    # fragment (rule 6) instead of resurrected as a query string
+    nofrag = F.regexp_extract(u, r"^([^#]*)", 1)
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -77,7 +81,8 @@ def canonical_url_sql(col_sql: str) -> str:
     )
     path = f"regexp_replace(regexp_extract({rest}, '^[^/?#]*([^?#]*)', 1), '/+$', '')"
     path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
-    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    # pre-fragment query extraction, mirroring canonical_url exactly
+    query = f"regexp_extract(regexp_extract({u}, '^([^#]*)', 1), '\\?(.*)$', 1)"
     params = (
         f"list_sort(list_filter(regexp_split_to_array({query}, '&'), "
         f"p -> p <> '' AND NOT regexp_matches(p, '^utm_') "
@@ -114,6 +119,45 @@ def url_host_sql(col_sql: str) -> str:
     )
 
 
+#: phase-1 fan-out of the two-phase domain cap (see ``_cap_host_rows``)
+CAP_SALT = 32
+
+
+def _cap_host_rows(
+    df: DataFrame, max_per_domain: int, id_col: str, salt_n: int = CAP_SALT
+) -> DataFrame:
+    """Two-phase deterministic per-host cap over a frame that already has
+    a ``host`` column — the skew-safe form of ``row_number() OVER
+    (PARTITION BY host)``.
+
+    A plain host window funnels an entire hot host into ONE task's sort
+    to keep ``cap`` rows (a 100M-page link farm = one straggler task;
+    window sorts cannot be skew-split). Phase 1 ranks within
+    (host, salt) — the hot host spreads across ``salt_n`` tasks, each
+    keeping ≤ cap rows — and phase 2 re-ranks the ≤ cap·salt_n survivors
+    per host globally. Result-IDENTICAL to the single window: any row in
+    the global top-cap (order = (hash_bucket(id), id)) is necessarily in
+    the top-cap of its own salt subgroup (pigeonhole), so phase 1 never
+    drops a global survivor. The salt is a deterministic hash of the id —
+    layout-independent, engine-reproducible."""
+    from .sampling import hash_bucket
+
+    order = [hash_bucket(F.col(id_col)), F.col(id_col)]
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_n))
+    w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+    pruned = (
+        df.withColumn("__dom_r1", F.row_number().over(w1))
+        .filter(F.col("__dom_r1") <= max_per_domain)
+        .drop("__dom_r1")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        pruned.withColumn("__dom_rank", F.row_number().over(w2))
+        .filter(F.col("__dom_rank") <= max_per_domain)
+        .drop("__dom_rank")
+    )
+
+
 def cap_per_domain(
     df: DataFrame,
     url_col: str,
@@ -129,21 +173,32 @@ def cap_per_domain(
     without it one link-farm domain dominates the corpus.
 
     Plan shape: the blocklist is a literal isin filter at the scan; the
-    cap is one rank window on (host) — per-host state is the window
-    frame, and hosts are the natural partition key at 100 TB."""
-    from .sampling import hash_bucket
-
+    cap is the TWO-PHASE salted rank (``_cap_host_rows``) — a hot host
+    never funnels into one task; phase 2 sees ≤ cap·salt rows per host."""
     host = url_host(F.col(url_col))
     out = df.withColumn("host", host)
     if blocklist:
         out = out.filter(~F.col("host").isin(*sorted(blocklist)))
-    w = Window.partitionBy("host").orderBy(
-        hash_bucket(F.col(id_col)), F.col(id_col)
-    )
+    return _cap_host_rows(out, max_per_domain, id_col)
+
+
+def first_wins(df: DataFrame, key, id_col: str = "doc_id") -> DataFrame:
+    """Skew-safe first-wins SELECTION on an arbitrary key column/expression:
+    keep exactly the lowest-``id_col`` row per key. min-reduce + join-back
+    (the ``dedup/pipeline._first_wins_flags_skew_safe`` shape): the
+    aggregate collapses a hot key map-side to one partial per task, and
+    the join-back's build side is one row per key — vs the row_number
+    window, which ships EVERY occurrence of the hot key to one reducer's
+    sort (benched 11.3 s vs 19.9 s on 16M rows with one hot digest).
+    Assumes ``id_col`` is unique per row (a doc id), so exactly one row
+    survives per key."""
+    kc = key if isinstance(key, Column) else F.col(key)
+    tagged = df.withColumn("__fw_key", kc)
+    winners = tagged.groupBy("__fw_key").agg(F.min(id_col).alias("__fw_winner"))
     return (
-        out.withColumn("__dom_rank", F.row_number().over(w))
-        .filter(F.col("__dom_rank") <= max_per_domain)
-        .drop("__dom_rank")
+        tagged.join(winners, "__fw_key")
+        .filter(F.col(id_col) == F.col("__fw_winner"))
+        .drop("__fw_key", "__fw_winner")
     )
 
 

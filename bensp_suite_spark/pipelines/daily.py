@@ -42,6 +42,9 @@ def daily_step(
     persist: Callable[[DataFrame, str], DataFrame] | None = None,
     day: int | str = "",
     advance: bool = True,
+    history_bloom_packed: bytes | None = None,
+    bloom_m: int | None = None,
+    bloom_k: int | None = None,
 ) -> tuple[DataFrame, DataFrame, Sig]:
     """ONE day of the loop: → (flags, survivors, advanced signature
     tables). The advance is a pure survivor-append (see
@@ -49,9 +52,25 @@ def daily_step(
     Use directly when day N+1's batch depends on day N's survivors
     (e.g. re-crawl simulations); ``run_daily_increments`` wraps it for
     a plain batch sequence. ``advance=False`` skips the signature
-    advance (the final day of a bounded run doesn't need it)."""
+    advance (the final day of a bounded run doesn't need it).
+
+    ``history_bloom_packed`` (built by ``dedup_text.history_bloom`` over
+    the hashes table, advanced by OR-ing each day's survivor bits —
+    ``sketches.bloom_merge_packed``) pre-filters the exact check so only
+    bloom-maybe rows reach the history join; flags are identical either
+    way (zero false negatives). The advance of the bloom itself is the
+    caller's (``daily_cli`` keeps it as a third state file)."""
+    from ..operators.dedup_text import BLOOM_K, BLOOM_M
+
     keep = persist or _IDENT
-    flags = incremental_dedup(batch, max_hamming=max_hamming, history_sig=history_sig)
+    flags = incremental_dedup(
+        batch,
+        max_hamming=max_hamming,
+        history_sig=history_sig,
+        history_bloom_packed=history_bloom_packed,
+        bloom_m=bloom_m or BLOOM_M,
+        bloom_k=bloom_k or BLOOM_K,
+    )
     survivors = batch.join(
         flags.filter(F.col("is_kept")).select("doc_id"), "doc_id", "left_semi"
     )

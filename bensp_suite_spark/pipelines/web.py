@@ -16,15 +16,23 @@ Order matters and is the cheap-first order a 100 TB crawl wants:
 URL-level dedup (string work on the url column alone) runs before the
 content hash ever touches the extracted text, and the domain cap
 bounds how many documents per host pay for content hashing at all.
+
+Every stage is SKEW-SAFE by construction — a crawl is the canonical
+skew source (one re-crawled hot URL = millions of rows under one key):
+both first-wins stages use the min-reduce + join-back primitive
+(``operators/urls.first_wins``, the ``_first_wins_flags_skew_safe``
+shape — benched 11.3 s vs 19.9 s on 16M rows with one hot key) instead
+of a row_number window, and the domain cap is the two-phase salted rank
+(``urls._cap_host_rows``) so a hot host never funnels into one task.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.text_analysis import extract_html_text, extract_html_title
-from ..operators.urls import canonical_url, url_host
+from ..operators.urls import _cap_host_rows, canonical_url, first_wins, url_host
 
 #: same normalized-content hash as the dedup family
 def _content_hash(text: Column) -> Column:
@@ -40,28 +48,14 @@ def curate_web_corpus(
     (doc_id, host, canonical_url, title, text) after the four stages.
     First-wins everywhere = lowest doc_id; the domain cap selects by
     deterministic content hash (layout-independent)."""
-    from ..operators.sampling import hash_bucket
-
     with_url = pages.withColumn("canonical_url", canonical_url(F.col("url")))
-    # stage 1: canonical-URL dedup (first-wins) — no text work yet
-    w_url = Window.partitionBy("canonical_url").orderBy("doc_id")
-    url_kept = (
-        with_url.withColumn("__r", F.row_number().over(w_url))
-        .filter(F.col("__r") == 1)
-        .drop("__r")
-    )
-    # stage 2: domain blocklist + per-domain cap (hash-ordered)
+    # stage 1: canonical-URL dedup (first-wins, skew-safe) — no text work
+    url_kept = first_wins(with_url, "canonical_url")
+    # stage 2: domain blocklist + per-domain cap (hash-ordered, two-phase)
     hosted = url_kept.withColumn("host", url_host(F.col("url")))
     if blocklist:
         hosted = hosted.filter(~F.col("host").isin(*sorted(blocklist)))
-    w_dom = Window.partitionBy("host").orderBy(
-        hash_bucket(F.col("doc_id")), F.col("doc_id")
-    )
-    capped = (
-        hosted.withColumn("__r", F.row_number().over(w_dom))
-        .filter(F.col("__r") <= max_per_domain)
-        .drop("__r")
-    )
+    capped = _cap_host_rows(hosted, max_per_domain, "doc_id")
     # stage 3: extract text/title — only survivors pay for it
     extracted = capped.select(
         "doc_id",
@@ -70,10 +64,6 @@ def curate_web_corpus(
         extract_html_title(F.col("html")).alias("title"),
         extract_html_text(F.col("html")).alias("text"),
     )
-    # stage 4: exact content dedup (first-wins on the normalized hash)
-    w_txt = Window.partitionBy(_content_hash(F.col("text"))).orderBy("doc_id")
-    return (
-        extracted.withColumn("__r", F.row_number().over(w_txt))
-        .filter(F.col("__r") == 1)
-        .drop("__r")
-    )
+    # stage 4: exact content dedup (first-wins on the normalized hash,
+    # skew-safe — the hot-content analog of stage 1)
+    return first_wins(extracted, _content_hash(F.col("text")))

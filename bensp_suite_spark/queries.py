@@ -4022,6 +4022,58 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DT.incremental_dedup(new_batch, max_hamming=3, history_sig=sig)
 
 
+# SAME oracle as dedup_incremental_batch, verbatim: the bloom prefilter
+# has zero false negatives, so the flags must be IDENTICAL with and
+# without it — the driver proves flag-parity, not just plausibility.
+@query(
+    "dedup_incremental_bloom_prefilter",
+    oracle=DT.incremental_dedup_oracle_sql(_INCR_HISTORY_SQL, _INCR_NEW_SQL),
+)
+def dedup_incremental_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with the packed-Bloom PREFILTER wired in — the
+    production shape of the daily loop's exact check (the reference's own
+    cheap-probe-before-lookup: apps/dedup/src/encoder.c:666-703 tests 4
+    hash bytes before walking the hashtable bucket): the history's
+    content hashes pack into a broadcast bitset (built once beside the
+    signature state, advanced by bitwise OR), each new doc probes its
+    k bits scan-locally, and ONLY bloom-maybe rows enter the history
+    join — at 100 TB the definitely-new majority of a day's crawl never
+    touches the join at all. Same fixture and same oracle as
+    dedup_incremental_batch: identical flags prove the prefilter is
+    lossless (zero false negatives by construction)."""
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    keep = F.greatest(F.size(words) - 3, F.lit(1))
+    jitter = docs.select(
+        (F.col("doc_id") + DT.AUG_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, keep), " ").alias("text"),
+    )
+    exact_copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2 * DT.AUG_OFFSET).alias("doc_id"), "text"
+    )
+    from .session import pooled_persist
+
+    new_batch = pooled_persist(
+        jitter.unionByName(exact_copies), "q.dedup_incr_bloom.new_batch"
+    )
+    hist_h, hist_s = DT.history_signatures(history)
+    sig = (
+        pooled_persist(hist_h, "q.dedup_incr_bloom.hist_hashes"),
+        pooled_persist(hist_s, "q.dedup_incr_bloom.hist_sims"),
+    )
+    m, k = 1 << 16, 4  # sized for the sf-scale history; pack collect ≤ m bits
+    packed = DT.history_bloom(sig[0], m=m, k=k)
+    return DT.incremental_dedup(
+        new_batch,
+        max_hamming=3,
+        history_sig=sig,
+        history_bloom_packed=packed,
+        bloom_m=m,
+        bloom_k=k,
+    )
+
+
 @query("dedup_boilerplate_passages", oracle=DT.boilerplate_oracle_sql(3))
 def dedup_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate detection: passages present in ≥3 distinct documents
@@ -4445,16 +4497,23 @@ def ann_pq_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ann_pq_prebuilt_topk"] = ORACLES["ann_pq_topk"]
 
 
-@query("dedup_semantic", oracle=SIM.semantic_dedup_oracle_sql(n_cells=64, threshold=0.99))
+# ivf_defaults(1000) == (32, 8): the sf0.01 augmented corpus is 2×500
+# vectors, so the auto-sized oracle pins n_cells=32. The pin is guarded by
+# tests/test_llm_ops.py::test_ivf_defaults_rule (same mechanism as
+# ann_ivf_auto_topk's (22, 8) pin).
+@query("dedup_semantic", oracle=SIM.semantic_dedup_oracle_sql(n_cells=32, threshold=0.99))
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup): coarse-quantizer clustering + greedy
     within-cluster cosine pruning at 0.99 over the planted-near-duplicate
     embedding corpus — the sixth dedup family (exact, MinHash, SimHash,
-    n-gram, embedding-blocked, semantic). Candidate pairs are bounded by
-    cluster sizes, never corpus² — 64 cells keeps Σ|cell|² ~25× below
-    the all-pairs count at bench scale (SemDeDup's cluster-count knob)."""
+    n-gram, embedding-blocked, semantic). Cluster count is CORPUS-SIZE-
+    AWARE (n_cells=None → ivf_defaults' √N rule, the same sizing the ANN
+    family uses): candidate pairs are Σ|cell|², so a static cell count
+    degrades toward all-pairs-per-cell as the corpus grows — √N keeps
+    per-cell pair generation bounded at any scale (SemDeDup's own
+    cluster-count knob, ~10⁵ clusters at billion-doc scale)."""
     emb = SIM.augmented_embeddings(_t(spark, sf_dir, "embeddings"))
-    return SIM.semantic_dedup(emb, n_cells=64, threshold=0.99)
+    return SIM.semantic_dedup(emb, n_cells=None, threshold=0.99)
 
 
 # ---------------------------------------------------------------------------
@@ -4800,6 +4859,42 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_maybe",
             F.col("hh").isNotNull().alias("exact_dup"),
         )
+    )
+
+
+# SAME oracle as sketch_bloom_prefilter: the packed-bitset probe must be
+# bit-for-bit equal to the join form (identical _bloom_pos derivation).
+@query("sketch_bloom_packed", oracle=_BLOOM_ORACLE)
+def sketch_bloom_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKED form of the Bloom membership test — the production
+    broadcast shape: history bits pack into an m/8-byte bitset constant
+    (128 MB at 2³⁰ bits), the k positions are computed JVM-side in the
+    scan's projection, and one Arrow-batched numpy gather ANDs the bit
+    lookups for the whole batch — zero joins, zero per-row Python. Same
+    fixture and same oracle as sketch_bloom_prefilter (the join form):
+    identical output proves pack/probe parity."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    hist = docs.select(norm.alias("ch"))
+    bits = SK.bloom_bits(hist, "ch", m=_BLOOM_M, k=_BLOOM_K)
+    packed = SK.bloom_pack(bits, _BLOOM_M)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    keep = F.greatest(F.size(words) - 3, F.lit(1))
+    newb = docs.select(
+        (F.col("doc_id") + DT.AUG_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, keep), " ").alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 2 * DT.AUG_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    cand = newb.select("doc_id", norm.alias("ch"))
+    maybe = SK.bloom_maybe_contains_packed(cand, "ch", packed, m=_BLOOM_M, k=_BLOOM_K)
+    hist_d = hist.distinct().withColumnRenamed("ch", "hh")
+    return maybe.join(hist_d, maybe.ch == F.col("hh"), "left").select(
+        "doc_id",
+        "bloom_maybe",
+        F.col("hh").isNotNull().alias("exact_dup"),
     )
 
 

@@ -19,32 +19,129 @@ half-appended signatures are never visible to itself.
 Cross-batch semantics are the daily loop's: a batch-N doc that exactly
 matches a batch-M (M < N) SURVIVOR flags exact_dup — first arrival wins
 across the whole stream, exactly as if the batches were days.
+
+Two scale features beyond the r6 shape:
+
+- **Packed-Bloom prefilter** (``use_bloom=True``): a bitset over the
+  history's content hashes rides beside the state (``sig_dir/bloom.bin``,
+  advanced per batch by bitwise OR — replay-idempotent by algebra); each
+  batch probes it scan-locally and only bloom-maybe rows enter the exact
+  history join. Flags are identical (zero false negatives; a stale bloom
+  from a crashed advance only yields extra MAYBEs, which the exact join
+  — reading only ``batch_id < N`` — resolves correctly).
+- **State roll-up** (``compact_every=K``): when the per-batch partition
+  count reaches K, committed partitions merge into the seed partition
+  BEFORE the next batch runs — bounding the O(#batches) directory
+  listing ADVICE/VERDICT r6 flagged. Only committed batches (marker
+  present) are merged; flags are invariant because merged rows keep
+  ``batch_id=-1 < N`` visibility and the exact check is a duplicate-
+  tolerant semi join. LOCAL-FS protocol (rename swap), same as
+  ``operators/layout.compact_small_files``.
 """
 
 from __future__ import annotations
 
+import glob as _glob
+import json as _json
+import os as _os
 import posixpath as _pp
+import shutil as _shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup_text import history_signatures, incremental_dedup
+from ..operators.dedup_text import (
+    BLOOM_K,
+    BLOOM_M,
+    history_bloom,
+    history_signatures,
+    incremental_dedup,
+)
 
 #: partition value for the caller-seeded day-0 signatures
 SEED_BATCH_ID = -1
 
 
-def seed_signatures(history: DataFrame, sig_dir: str) -> None:
+def seed_signatures(
+    history: DataFrame, sig_dir: str, use_bloom: bool = True
+) -> None:
     """Write the day-0 signature state (the stream's only raw-history
-    scan) as the ``batch_id=-1`` partitions the stream builds on. An
-    empty history frame seeds an empty-but-schema'd state."""
+    scan) as the ``batch_id=-1`` partitions the stream builds on, plus
+    the packed history bloom when ``use_bloom``. An empty history frame
+    seeds an empty-but-schema'd state."""
     h, s = history_signatures(history)
-    h.write.mode("overwrite").parquet(
-        _pp.join(sig_dir, "hashes", f"batch_id={SEED_BATCH_ID}")
-    )
+    seed_h = _pp.join(sig_dir, "hashes", f"batch_id={SEED_BATCH_ID}")
+    h.write.mode("overwrite").parquet(seed_h)
     s.write.mode("overwrite").parquet(
         _pp.join(sig_dir, "sims", f"batch_id={SEED_BATCH_ID}")
     )
+    if use_bloom:
+        spark = history.sparkSession
+        _write_packed_bloom(
+            sig_dir, history_bloom(spark.read.parquet(seed_h)), BLOOM_M, BLOOM_K
+        )
+
+
+def _write_packed_bloom(sig_dir: str, packed: bytes, m: int, k: int) -> None:
+    tmp = _os.path.join(sig_dir, "bloom.bin.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(packed)
+    _os.replace(tmp, _os.path.join(sig_dir, "bloom.bin"))
+    with open(_os.path.join(sig_dir, "bloom.json"), "w") as fh:
+        _json.dump({"m": m, "k": k}, fh)
+
+
+def _read_packed_bloom(sig_dir: str) -> tuple[bytes, int, int] | None:
+    bin_p = _os.path.join(sig_dir, "bloom.bin")
+    meta_p = _os.path.join(sig_dir, "bloom.json")
+    if not (_os.path.exists(bin_p) and _os.path.exists(meta_p)):
+        return None
+    with open(meta_p) as fh:
+        meta = _json.load(fh)
+    with open(bin_p, "rb") as fh:
+        return fh.read(), int(meta["m"]), int(meta["k"])
+
+
+def compact_signature_state(
+    spark: SparkSession, sig_dir: str, committed_ids: set[int]
+) -> int:
+    """Merge the committed per-batch partitions (plus the old seed) into
+    ONE seed partition per table; → number of partitions merged. Crashed
+    uncommitted partials stay where they are (their replay overwrites
+    them). distinct() at merge time restores the tables' set semantics
+    after any crash-window double-appends; flags were already safe in
+    the interim because the exact check is a semi join."""
+    merged = 0
+    for table, col in (("hashes", "content_hash"), ("sims", "hist_sim")):
+        root = _pp.join(sig_dir, table)
+        parts = [
+            p
+            for p in _glob.glob(_os.path.join(root, "batch_id=*"))
+            if int(p.split("batch_id=")[-1]) == SEED_BATCH_ID
+            or int(p.split("batch_id=")[-1]) in committed_ids
+        ]
+        if len(parts) <= 1:
+            continue
+        tmp, bak = root + "._compact_tmp", root + "._compact_old"
+        for stale in (tmp, bak):
+            if _os.path.exists(stale):
+                _shutil.rmtree(stale)
+        (
+            spark.read.parquet(*parts)
+            .select(col)
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(tmp, f"batch_id={SEED_BATCH_ID}"))
+        )
+        for p in _glob.glob(_os.path.join(root, "batch_id=*")):
+            if p not in parts:  # carry crashed partials across the swap
+                _shutil.move(p, _os.path.join(tmp, _os.path.basename(p)))
+        _os.rename(root, bak)
+        _os.rename(tmp, root)
+        _shutil.rmtree(bak)
+        merged = max(merged, len(parts))
+    return merged
 
 
 def stream_incremental_dedup(
@@ -54,13 +151,16 @@ def stream_incremental_dedup(
     out_dir: str,
     checkpoint_dir: str,
     max_hamming: int = 3,
+    compact_every: int | None = 64,
 ) -> None:
     """Run the stream to completion (availableNow): flags land under
     ``out_dir/batch_id=N``; the signature state under ``sig_dir`` ends
     equal to what sequential :func:`pipelines.daily.daily_step` calls over
     the same batches would produce. ``seed_signatures`` must have run
     first (the probe below fails loudly otherwise — silently starting
-    from empty state would mark historical duplicates as kept)."""
+    from empty state would mark historical duplicates as kept).
+    ``compact_every`` bounds the state partition count (see module doc);
+    ``None`` disables the roll-up."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
 
@@ -81,10 +181,21 @@ def stream_incremental_dedup(
             "first (an unseeded stream would silently keep historical dups)"
         )
 
+    def _committed_ids() -> set[int]:
+        return {
+            int(_os.path.basename(p))
+            for p in _glob.glob(_os.path.join(commits_dir, "*"))
+            if _os.path.basename(p).lstrip("-").isdigit()
+        }
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         marker = _pp.join(commits_dir, str(batch_id))
         if _fs(marker).exists(_hpath(marker)):
             return
+        if compact_every is not None:
+            n_parts = len(_glob.glob(_os.path.join(hashes_dir, "batch_id=*")))
+            if n_parts >= compact_every:
+                compact_signature_state(spark, sig_dir, _committed_ids())
         hist_h = (
             spark.read.parquet(hashes_dir)
             .filter(F.col("batch_id") < batch_id)
@@ -95,10 +206,16 @@ def stream_incremental_dedup(
             .filter(F.col("batch_id") < batch_id)
             .drop("batch_id")
         )
+        bloom = _read_packed_bloom(sig_dir)
         batch_df = batch_df.persist()
         try:
             flags = incremental_dedup(
-                batch_df, max_hamming=max_hamming, history_sig=(hist_h, hist_s)
+                batch_df,
+                max_hamming=max_hamming,
+                history_sig=(hist_h, hist_s),
+                history_bloom_packed=bloom[0] if bloom else None,
+                bloom_m=bloom[1] if bloom else BLOOM_M,
+                bloom_k=bloom[2] if bloom else BLOOM_K,
             ).persist()
             try:
                 flags.write.mode("overwrite").parquet(
@@ -110,12 +227,25 @@ def stream_incremental_dedup(
                     "left_semi",
                 )
                 day_h, day_s = history_signatures(survivors)
-                day_h.write.mode("overwrite").parquet(
-                    _pp.join(hashes_dir, f"batch_id={batch_id}")
-                )
+                batch_h_dir = _pp.join(hashes_dir, f"batch_id={batch_id}")
+                day_h.write.mode("overwrite").parquet(batch_h_dir)
                 day_s.write.mode("overwrite").parquet(
                     _pp.join(sims_dir, f"batch_id={batch_id}")
                 )
+                if bloom is not None:
+                    from ..operators.sketches import bloom_merge_packed
+
+                    add = history_bloom(
+                        spark.read.parquet(batch_h_dir), m=bloom[1], k=bloom[2]
+                    )
+                    # OR is idempotent: a replayed advance re-ORs the same
+                    # bits; a stale bloom only costs extra maybe-rows
+                    _write_packed_bloom(
+                        sig_dir,
+                        bloom_merge_packed(bloom[0], add),
+                        bloom[1],
+                        bloom[2],
+                    )
             finally:
                 flags.unpersist()
         finally:
