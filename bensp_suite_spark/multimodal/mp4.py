@@ -292,6 +292,21 @@ def _demux_mp4(payload: bytes) -> tuple[bytes, list[bytes]]:
     if stbl is None:
         raise ValueError("malformed mp4: no video track")
 
+    # mvex/trex defaults (ISO 14496-12 §8.8.3): the LAST fallback in the
+    # fragment sample-size chain trun size → tfhd default → trex default —
+    # a third-party fMP4 may legitimately carry sizes only here
+    trex_default_size = 0
+    for tag, x0, x1 in _boxes(payload, *moov):
+        if tag != b"mvex":
+            continue
+        for xtag, e0, _e1 in _boxes(payload, x0, x1):
+            if xtag == b"trex":
+                tr_track, _sdi, _dur, dsize = struct.unpack_from(
+                    ">IIII", payload, e0 + 4
+                )
+                if tr_track == track_id:
+                    trex_default_size = dsize
+
     def full_body(tag: bytes) -> bytes:
         b0, b1 = _find(payload, *stbl, [tag])
         return payload[b0 + 4 : b1]  # skip version/flags
@@ -418,6 +433,8 @@ def _demux_mp4(payload: bytes) -> tuple[bytes, list[bytes]]:
                             (s_size,) = struct.unpack_from(">I", payload, sp)
                         elif default_size:
                             s_size = default_size
+                        elif trex_default_size:
+                            s_size = trex_default_size
                         else:
                             raise ValueError(
                                 "malformed mp4: fragment sample has no size "

@@ -1107,3 +1107,55 @@ def test_image_decoders_never_crash_on_arbitrary_bytes():
 
     for fmt in decoders:
         make_check(decoders[fmt], valid[fmt])()
+
+
+def test_fmp4_trex_default_sample_size_fallback():
+    """A third-party fMP4 that carries sample sizes ONLY in mvex/trex
+    (no trun sizes, no tfhd default — legal per ISO 14496-12 §8.8.3)
+    must demux to the same samples as the explicit-size layout (ADVICE
+    r6: the trex fallback was claimed in the error message but never
+    parsed)."""
+    import struct
+
+    import numpy as np
+
+    from bensp_suite_spark.multimodal import mp4 as M
+
+    frame = np.tile(
+        np.arange(48, dtype=np.uint8).reshape(1, 16, 3), (16, 1, 1)
+    )
+    frames = np.stack([frame, frame])  # identical frames → identical sizes
+    buf = M.encode_mp4_mjpeg_fragmented(frames, samples_per_fragment=2)
+    fourcc, samples = M.demux_mp4(buf)
+    assert len(samples) == 2 and samples[0] == samples[1]
+    size = len(samples[0])
+
+    # rebuild: ftyp + moov (trex.default_sample_size patched in) + one
+    # moof whose trun has NO per-sample sizes + the same mdat
+    top = list(M._boxes(buf, 0, len(buf)))
+    (f0, f1) = next((b0, b1) for t, b0, b1 in top if t == b"ftyp")
+    ftyp = buf[f0 - 8 : f1]
+    (m0, m1) = next((b0, b1) for t, b0, b1 in top if t == b"moov")
+    t0, _t1 = M._find(buf, m0, m1, [b"mvex", b"trex"])
+    moov = bytearray(buf[m0 - 8 : m1])
+    rel = (t0 + 4 + 12) - (m0 - 8)  # trex default_sample_size field
+    moov[rel : rel + 4] = struct.pack(">I", size)
+    mfhd = M._full(b"mfhd", 0, 0, struct.pack(">I", 1))
+    tfhd = M._full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+
+    def trun(off: int) -> bytes:
+        return M._full(b"trun", 0, 0x000001, struct.pack(">Ii", 2, off))
+
+    moof_len = len(M._box(b"moof", mfhd + M._box(b"traf", tfhd + trun(0))))
+    moof = M._box(b"moof", mfhd + M._box(b"traf", tfhd + trun(moof_len + 8)))
+    rebuilt = ftyp + bytes(moov) + moof + M._box(b"mdat", b"".join(samples))
+
+    fourcc2, samples2 = M.demux_mp4(rebuilt)
+    assert fourcc2 == fourcc and samples2 == samples
+    # and the chain still fails TYPED when no size source exists at all
+    moov_nosize = bytearray(buf[m0 - 8 : m1])  # trex size stays 0
+    broken = ftyp + bytes(moov_nosize) + moof + M._box(b"mdat", b"".join(samples))
+    import pytest
+
+    with pytest.raises(ValueError, match="no size"):
+        M.demux_mp4(broken)

@@ -550,3 +550,177 @@ def test_incremental_dedup_history_sig_parity(spark):
     pre = {tuple(r) for r in incremental_dedup(new, history_sig=sig).collect()}
     assert inline == pre
     assert any(r[2] for r in inline)  # the exact dup flagged
+
+
+def test_canonical_url_fragment_query_not_resurrected(spark):
+    """A '?' INSIDE the fragment must not be resurrected as a query string
+    (ADVICE r6): https://x.com/p#sec?b=1 canonicalizes identically to
+    https://x.com/p — and the DuckDB mirror agrees, so the fix is
+    cross-engine, not just one-sided."""
+    import duckdb
+
+    from bensp_suite_spark.operators import urls as U
+
+    cases = [
+        "https://x.example.com/p#sec?b=1",   # '?' only inside the fragment
+        "https://x.example.com/p",
+        "https://x.example.com/p?a=1#sec?b=2",  # real query AND ?-in-fragment
+        "https://x.example.com/p?a=1",
+    ]
+    df = spark.createDataFrame(list(enumerate(cases)), "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", U.canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert got[0] == got[1] == "https://x.example.com/p"
+    assert got[2] == got[3] == "https://x.example.com/p?a=1"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    want = dict(
+        con.execute(f"SELECT doc_id, {U.canonical_url_sql('url')} FROM t").fetchall()
+    )
+    assert got == want
+
+
+def test_cap_two_phase_equals_single_window_on_hot_host(spark):
+    """The two-phase salted domain cap (_cap_host_rows) is result-IDENTICAL
+    to the plain single host window — including on a skewed input where
+    one host owns ~95% of the rows (the regime the two-phase shape exists
+    for: phase 1 spreads the hot host over salt_n tasks)."""
+    from pyspark.sql import Window
+
+    from bensp_suite_spark.operators import urls as U
+    from bensp_suite_spark.operators.sampling import hash_bucket
+
+    rows = [
+        (i, "hot.example.com" if i % 20 < 19 else f"cold{i % 7}.example.com")
+        for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    got = {
+        tuple(r)
+        for r in U._cap_host_rows(df, 10, "doc_id").select("doc_id", "host").collect()
+    }
+    w = Window.partitionBy("host").orderBy(hash_bucket(F.col("doc_id")), F.col("doc_id"))
+    want = {
+        tuple(r)
+        for r in df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 10)
+        .select("doc_id", "host")
+        .collect()
+    }
+    assert got == want
+    assert len({h for _, h in got if h == "hot.example.com"}) == 1
+    assert sum(1 for _, h in got if h == "hot.example.com") == 10
+
+
+def test_first_wins_equals_window_and_handles_hot_key(spark):
+    """first_wins (min-reduce + join-back) keeps exactly the lowest-id row
+    per key — identical to the row_number window form — on an input where
+    one key owns almost everything."""
+    from pyspark.sql import Window
+
+    from bensp_suite_spark.operators.urls import first_wins
+
+    rows = [(i, "hot" if i % 10 else f"k{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    got = {tuple(r) for r in first_wins(df, "key").collect()}
+    w = Window.partitionBy("key").orderBy("doc_id")
+    want = {
+        tuple(r)
+        for r in df.withColumn("__r", F.row_number().over(w))
+        .filter("__r = 1")
+        .drop("__r")
+        .collect()
+    }
+    assert got == want
+    # expression keys work too (the web pipeline's content-hash stage)
+    got_expr = {tuple(r) for r in first_wins(df, F.upper(F.col("key"))).collect()}
+    assert got_expr == want
+
+
+def test_bloom_merge_packed_or_equals_pack_of_union(spark):
+    """bloom_merge_packed (bitwise OR) == bloom_pack of the unioned bit
+    tables — the mergeable-sketch property in packed form — and OR is
+    idempotent (replaying an advance changes nothing)."""
+    from bensp_suite_spark.operators import sketches as SK
+
+    m, k = 1 << 12, 4
+    a = spark.createDataFrame([(f"a{i}",) for i in range(100)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(100)], "v string")
+    pa = SK.bloom_pack(SK.bloom_bits(a, "v", m=m, k=k), m)
+    pb = SK.bloom_pack(SK.bloom_bits(b, "v", m=m, k=k), m)
+    merged = SK.bloom_merge_packed(pa, pb)
+    direct = SK.bloom_pack(SK.bloom_bits(a.union(b), "v", m=m, k=k), m)
+    assert merged == direct
+    assert SK.bloom_merge_packed(merged, pb) == merged  # idempotent
+
+
+def test_incremental_dedup_bloom_prefilter_flag_parity(spark):
+    """incremental_dedup with the packed-bloom prefilter is flag-IDENTICAL
+    to the plain path (zero false negatives by construction), and an
+    over-full bloom (all bits set — the worst stale-state case) is also
+    identical: false positives only send extra rows into the exact join,
+    which resolves them."""
+    from bensp_suite_spark.operators.dedup_text import (
+        history_bloom,
+        history_signatures,
+        incremental_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"historic doc number {i} words words") for i in range(60)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "historic doc number 7 words words"),   # exact dup
+         (101, "historic doc number 7 words"),          # near dup
+         (102, "an entirely unrelated new doc"),
+         (103, "another unrelated fresh doc")],
+        "doc_id long, text string",
+    )
+    sig = history_signatures(hist)
+    plain = {tuple(r) for r in incremental_dedup(new, history_sig=sig).collect()}
+    m, k = 1 << 12, 4
+    packed = history_bloom(sig[0], m=m, k=k)
+    bloomed = {
+        tuple(r)
+        for r in incremental_dedup(
+            new, history_sig=sig, history_bloom_packed=packed, bloom_m=m, bloom_k=k
+        ).collect()
+    }
+    assert bloomed == plain
+    allset = b"\xff" * (m // 8)
+    worst = {
+        tuple(r)
+        for r in incremental_dedup(
+            new, history_sig=sig, history_bloom_packed=allset, bloom_m=m, bloom_k=k
+        ).collect()
+    }
+    assert worst == plain
+    assert any(r[2] for r in plain) and any(r[3] for r in plain)
+
+
+def test_semantic_dedup_auto_sizing(spark):
+    """semantic_dedup(n_cells=None) sizes cells from the corpus via
+    ivf_defaults (√N rule — the dedup_semantic oracle pins 32 for the
+    1000-row sf0.01 augmented corpus) and equals the explicit call."""
+    from bensp_suite_spark.operators import similarity as SIM
+
+    assert SIM.ivf_defaults(1000)[0] == 32  # the dedup_semantic oracle pin
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 17).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    auto = {tuple(r) for r in SIM.semantic_dedup(emb, n_cells=None).collect()}
+    explicit = {
+        tuple(r)
+        for r in SIM.semantic_dedup(emb, n_cells=SIM.ivf_defaults(200)[0]).collect()
+    }
+    assert auto == explicit
+    assert {r[1] for r in auto} <= set(range(SIM.ivf_defaults(200)[0]))

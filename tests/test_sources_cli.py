@@ -695,3 +695,79 @@ def test_quickstart_example_runs_end_to_end():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "round trip: byte-exact" in proc.stdout
     assert "quickstart complete" in proc.stdout
+
+
+def test_daily_cli_step_idempotent_and_compact_preserves_flags(spark, tmpdir):
+    """ADVICE r6 (medium): a scheduler RETRY of a committed step must be a
+    no-op — no duplicate signature rows, no flag fan-out on later days.
+    Then `compact` merges the per-step state partitions (file/partition
+    count drops) and the NEXT step's flags still equal an in-process full
+    recompute."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.operators.dedup_text import incremental_dedup
+
+    hist = spark.createDataFrame(
+        [(i, f"cli corpus doc {i} about {i % 5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    d1 = spark.createDataFrame(
+        [(100, "cli corpus doc 3 about 3"),                 # exact dup
+         (101, "a fresh daily document on astronomy")],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(200, "a fresh daily document on astronomy"),       # = day-1 survivor
+         (201, "an unrelated day-two text about geology")],
+        "doc_id long, text string",
+    )
+    paths = {n: os.path.join(tmpdir, n) for n in
+             ("hist", "d1", "d2", "sig", "f1", "f1b", "f2")}
+    hist.write.parquet(paths["hist"])
+    d1.write.parquet(paths["d1"])
+    d2.write.parquet(paths["d2"])
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "bensp_suite_spark.daily_cli", *argv],
+            capture_output=True, text=True, env=env, cwd=cwd,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    run("init", paths["hist"], paths["sig"])
+    assert os.path.exists(os.path.join(paths["sig"], "bloom.bin"))
+    run("step", paths["d1"], paths["sig"], paths["f1"], "--step-id", "day1")
+    h1 = spark.read.parquet(os.path.join(paths["sig"], "hashes")).count()
+    s1 = spark.read.parquet(os.path.join(paths["sig"], "sims")).count()
+    # RETRY the committed step (same step-id, different flags path):
+    # state must not grow — the silent double-append ADVICE flagged
+    run("step", paths["d1"], paths["sig"], paths["f1b"], "--step-id", "day1")
+    assert spark.read.parquet(os.path.join(paths["sig"], "hashes")).count() == h1
+    assert spark.read.parquet(os.path.join(paths["sig"], "sims")).count() == s1
+
+    parts_before = len(glob.glob(os.path.join(paths["sig"], "*", "step=*")))
+    assert parts_before == 4  # (init + day1) × (hashes, sims)
+    run("compact", paths["sig"])
+    parts_after = len(glob.glob(os.path.join(paths["sig"], "*", "step=*")))
+    assert parts_after == 2   # one merged partition per table
+    assert spark.read.parquet(os.path.join(paths["sig"], "hashes")).count() == h1
+
+    run("step", paths["d2"], paths["sig"], paths["f2"], "--step-id", "day2")
+    f2 = {r["doc_id"]: (r["exact_dup"], r["near_dup"], r["is_kept"])
+          for r in spark.read.parquet(paths["f2"]).collect()}
+    surv1 = d1.join(
+        spark.read.parquet(paths["f1"]).filter(F.col("is_kept")).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    want = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"], r["is_kept"])
+        for r in incremental_dedup(d2, hist.unionByName(surv1)).collect()
+    }
+    assert f2 == want
+    # day-1 survivor copy still flags (exact — and near too: hamming 0)
+    assert f2[200][0] is True and f2[200][2] is False

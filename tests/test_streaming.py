@@ -1110,3 +1110,105 @@ def test_stream_restart_resumes_dedup_state_exactly_once(spark, tmp_path):
     )
     # every emitted winner's content is distinct exactly once
     assert final.select("content_hash").distinct().count() == 8
+
+
+def test_stream_incremental_dedup_compaction_and_bloom_preserve_flags(spark, tmp_path):
+    """The streaming incremental-dedup loop with the packed-bloom prefilter
+    AND a mid-stream state roll-up (compact_every=2) produces flags
+    byte-identical to the plain uncompacted/bloomless run, while keeping
+    the per-table partition count bounded — the O(#batches) listing fix.
+    Also: a full replay over the same checkpoint is a no-op."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.streaming.incremental_dedup_stream import (
+        seed_signatures,
+        stream_incremental_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"seed corpus doc {i} alpha beta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    slices = [
+        spark.createDataFrame(
+            [(100, "a fresh stream doc about rivers"),
+             (101, "seed corpus doc 3 alpha beta")],       # exact dup of history
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(200, "a fresh stream doc about rivers"),      # = slice-0 survivor
+             (201, "another fresh doc about glaciers")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(300, "another fresh doc about glaciers"),     # = slice-1 survivor
+             (301, "a genuinely novel third doc")],
+            "doc_id long, text string",
+        ),
+    ]
+
+    def run(base, compact_every, use_bloom):
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        for i, sl in enumerate(slices):
+            tmp = os.path.join(base, f"w{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = os.path.join(src, f"s{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        sig = os.path.join(base, "sig")
+        seed_signatures(hist, sig, use_bloom=use_bloom)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_incremental_dedup(
+            spark, stream, sig, os.path.join(base, "out"),
+            os.path.join(base, "ckpt"), compact_every=compact_every,
+        )
+        flags = {
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(base, "out"))
+            .drop("batch_id").collect()
+        }
+        n_parts = len(glob.glob(os.path.join(sig, "hashes", "batch_id=*")))
+        return flags, n_parts
+
+    base_a = str(tmp_path / "plain")
+    base_b = str(tmp_path / "rolled")
+    os.makedirs(base_a); os.makedirs(base_b)
+    plain, plain_parts = run(base_a, compact_every=None, use_bloom=False)
+    rolled, rolled_parts = run(base_b, compact_every=2, use_bloom=True)
+    assert rolled == plain
+    got = {r[0]: (r[2], r[4]) for r in plain}  # doc_id -> (exact_dup, is_kept)
+    assert got[101] == (True, False)   # history dup
+    assert got[200] == (True, False)   # slice-0 survivor copy
+    assert got[300] == (True, False)   # slice-1 survivor copy
+    assert got[100][1] and got[201][1] and got[301][1]
+    assert plain_parts == 4            # seed + 3 batches, unbounded
+    assert rolled_parts <= 3           # roll-up fired mid-stream
+    assert os.path.exists(os.path.join(base_b, "sig", "bloom.bin"))
+
+    # replay the whole stream over the SAME checkpoint: commit markers make
+    # it a no-op — state partition count and flags unchanged
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base_b, "src"))
+    )
+    stream_incremental_dedup(
+        spark, stream2, os.path.join(base_b, "sig"), os.path.join(base_b, "out"),
+        os.path.join(base_b, "ckpt"), compact_every=2,
+    )
+    replay = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(base_b, "out"))
+        .drop("batch_id").collect()
+    }
+    assert replay == plain
