@@ -583,6 +583,202 @@ def main() -> None:
     except Exception:
         single_thread = {}
 
+    # Bloom prefilter at scale: 10M candidates (1% true dups) against a
+    # 200k-hash history sketch — records (a) the JOIN-INPUT-ROW REDUCTION
+    # the prefilter buys the incremental-dedup loop (only maybe-rows reach
+    # the exact history join) and (b) packed-bitset probe vs join-form
+    # probe wall time at the same row count (the packed form is the
+    # production broadcast shape; r6 flagged its per-row Python loop —
+    # now a JVM-position + numpy-gather pipeline).
+    from bensp_suite_spark.operators import sketches as SKB
+
+    bl_m, bl_k = 1 << 22, 4
+    bl_hist = spark.range(200_000).select(
+        F.md5(F.col("id").cast("string")).alias("ch")
+    )
+    bl_bits = SKB.bloom_bits(bl_hist, "ch", m=bl_m, k=bl_k).persist(
+        StorageLevel.MEMORY_ONLY
+    )
+    bl_bits.count()
+    bl_packed = SKB.bloom_pack(bl_bits, bl_m)
+    bl_rows = 10_000_000
+    bl_cand = (
+        spark.range(bl_rows)
+        .select(
+            F.when(
+                F.col("id") % 100 == 0,
+                F.md5((F.col("id") / 100).cast("long").cast("string")),
+            )
+            .otherwise(F.md5(F.concat(F.lit("new-"), F.col("id").cast("string"))))
+            .alias("ch")
+        )
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    bl_cand.count()
+    bl_maybe_rows = packed_sec = joinform_sec = None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        bl_maybe_rows = (
+            SKB.bloom_maybe_contains_packed(bl_cand, "ch", bl_packed, m=bl_m, k=bl_k)
+            .filter("bloom_maybe")
+            .count()
+        )
+        rep = round(time.perf_counter() - t0, 4)
+        if _rep:
+            packed_sec = rep
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        jf = (
+            SKB.bloom_maybe_contains(bl_cand, "ch", bl_bits, m=bl_m, k=bl_k)
+            .filter("bloom_maybe")
+            .count()
+        )
+        rep = round(time.perf_counter() - t0, 4)
+        if _rep:
+            joinform_sec = rep
+    assert jf == bl_maybe_rows, "packed and join probes disagree"
+    bloom_prefilter = {
+        "cand_rows": bl_rows,
+        "true_dups": bl_rows // 100,
+        "join_input_rows": bl_maybe_rows,
+        "join_input_reduction_pct": round(100 * (1 - bl_maybe_rows / bl_rows), 2),
+        "packed_probe_sec": packed_sec,
+        "join_form_sec": joinform_sec,
+    }
+    bl_bits.unpersist()
+    bl_cand.unpersist()
+
+    # URL/crawl skew: 4M rows with one host (and one canonical URL) owning
+    # 95% — the crawl-shaped hot key. Times the r7 skew-safe paths (two-
+    # phase salted domain cap, min-reduce first-wins) against the plain
+    # single-window forms on the SAME input, mirroring skew_flags.
+    from bensp_suite_spark.operators import urls as URLB
+    from bensp_suite_spark.operators.sampling import hash_bucket as _hb
+    from pyspark.sql import Window as _W2
+
+    url_rows = 4_000_000
+    url_df = (
+        spark.range(url_rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 20 < 19, F.lit("hot.example.com"))
+            .otherwise(F.concat(F.lit("cold"), (F.col("id") % 997).cast("string")))
+            .alias("host"),
+            F.when(F.col("id") % 20 < 19, F.lit("https://hot.example.com/front"))
+            .otherwise(
+                F.concat(F.lit("https://cold/"), F.col("id").cast("string"))
+            )
+            .alias("canonical_url"),
+        )
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    url_df.count()
+    url_skew = {"rows": url_rows, "hot_frac": 0.95}
+    for name, run in (
+        (
+            "cap_window_sec",
+            lambda: url_df.withColumn(
+                "__r",
+                F.row_number().over(
+                    _W2.partitionBy("host").orderBy(_hb(F.col("doc_id")), "doc_id")
+                ),
+            ).filter(F.col("__r") <= 20).drop("__r"),
+        ),
+        ("cap_two_phase_sec", lambda: URLB._cap_host_rows(url_df, 20, "doc_id")),
+        (
+            "first_wins_window_sec",
+            lambda: url_df.withColumn(
+                "__r",
+                F.row_number().over(
+                    _W2.partitionBy("canonical_url").orderBy("doc_id")
+                ),
+            ).filter("__r = 1").drop("__r"),
+        ),
+        (
+            "first_wins_safe_sec",
+            lambda: URLB.first_wins(url_df, "canonical_url"),
+        ),
+    ):
+        best = None
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            run().write.format("noop").mode("overwrite").save()
+            rep = round(time.perf_counter() - t0, 4)
+            if _rep:
+                best = rep
+        url_skew[name] = best
+    url_df.unpersist()
+
+    # Parquet bloom-filter point lookups on the winners/signature-table
+    # shape: 2M random md5 hashes, 1 MB row groups. Records the FOOTER-
+    # LEVEL skip ratio (fraction of row groups whose split-block bloom
+    # rejects an absent key — exactly the row groups a bloom-aware reader
+    # skips; min/max envelopes are useless on hash-random keys) plus the
+    # measured Spark point-lookup time on the bloom vs plain layout.
+    import tempfile as _btf
+
+    from bensp_suite_spark.operators import layout as LYB
+
+    bs_dir = _btf.mkdtemp(prefix="bensp_bench_bloomskip_")
+    bs_rows = 2_000_000
+    bs_df = spark.range(bs_rows).select(
+        F.md5(F.col("id").cast("string")).alias("content_hash")
+    )
+    for sub, opts in (("bloom", True), ("plain", False)):
+        w = bs_df.repartition(4).write.option("parquet.block.size", 1 << 20)
+        if opts:
+            w = (
+                w.option("parquet.bloom.filter.enabled#content_hash", "true")
+                .option("parquet.bloom.filter.expected.ndv#content_hash", "600000")
+            )
+        w.mode("overwrite").parquet(os.path.join(bs_dir, sub))
+    import glob as _bg
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    Binary = jvm.org.apache.parquet.io.api.Binary
+    rg_total = rg_skipped = 0
+    probes = [f"absent-key-{i}" for i in range(8)]
+    for part in _bg.glob(os.path.join(bs_dir, "bloom", "part-*.parquet")):
+        p = jvm.org.apache.hadoop.fs.Path(part)
+        ifile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(ifile)
+        try:
+            for rg in rdr.getRowGroups():
+                col0 = rg.getColumns().get(0)
+                bloom = rdr.getBloomFilterDataReader(rg).readBloomFilter(col0)
+                if bloom is None:
+                    continue
+                for probe in probes:
+                    rg_total += 1
+                    if not bloom.findHash(bloom.hash(Binary.fromString(probe))):
+                        rg_skipped += 1
+        finally:
+            rdr.close()
+    bs_times = {}
+    for sub in ("bloom", "plain"):
+        tbl = spark.read.parquet(os.path.join(bs_dir, sub))
+        best = None
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            for probe in probes:
+                tbl.filter(F.col("content_hash") == probe).count()
+            rep = round(time.perf_counter() - t0, 4)
+            if _rep:
+                best = rep if best is None else min(best, rep)
+        bs_times[sub] = best
+    bloom_skip = {
+        "rows": bs_rows,
+        "row_group_probes": rg_total,
+        "row_groups_skipped": rg_skipped,
+        "skip_ratio": round(rg_skipped / rg_total, 4) if rg_total else None,
+        "lookup_bloom_sec": bs_times["bloom"],
+        "lookup_plain_sec": bs_times["plain"],
+    }
+    import shutil as _bsh
+
+    _bsh.rmtree(bs_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 4)
 
     # Per-query drift guard: compare against the committed best-of-round
@@ -652,6 +848,9 @@ def main() -> None:
                     "ann_pq_trained_build_query_sec": pq_trained_sec,
                     "ann_pq_deterministic_build_query_sec": pq_det_sec,
                     "ann_scale_100k": ann_scale,
+                    "bloom_prefilter": bloom_prefilter,
+                    "url_skew": url_skew,
+                    "bloom_skip": bloom_skip,
                     "fixture_build_sec": build_secs,
                     "dedup_single_thread_input_mb": single_thread.get("input_mb"),
                     "dedup_single_thread_mbps": single_thread.get("mbps_gzip"),
