@@ -870,6 +870,125 @@ def pq_ann_topk(
     )
 
 
+def ivfpq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int | None = 16,
+    n_probe: int | None = 2,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the FAISS-style composition of the two ANN index families —
+    an inverted-file coarse quantizer restricts WHICH vectors are scanned
+    (n_probe cells per query instead of the whole corpus) and product
+    quantization compresses HOW they are scanned (S table lookups per
+    candidate instead of D multiplies), with the exact cosine re-rank of
+    refine·k survivors on top. This is the billion-vector production
+    layout: the corpus lives as (cell, 8-byte code) rows, a query touches
+    ~n_probe/n_cells of it, and per-candidate cost is compressed-domain.
+
+    Convention: PQ codes are trained/encoded on RAW vectors, not per-cell
+    residuals (FAISS IndexIVFPQ's residual option) — raw codes are cell-
+    independent, so cell re-assignment, centroid retraining and
+    ``upsert_*`` index maintenance never force a re-encode. Auto-sizing:
+    ``n_cells=None``/``n_probe=None`` follow :func:`ivf_defaults`.
+
+    Plan shape: centroid table broadcast (narrow assignment for both
+    sides), probed queries broadcast against the coded corpus on the cell
+    key (candidates ∝ probed-cell sizes, never O(n²)), ADC via one
+    Arrow-batched numpy gather, candidate top-(refine·k) rank window,
+    exact re-rank only on survivors."""
+    if n_cells is None:
+        n_cells, _ = ivf_defaults(corpus.count())
+    if n_probe is None:
+        n_probe = min(n_cells, max(8, n_cells // 16))
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(queries.sparkSession)
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cassign = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cent,
+        1,
+        "neighbor_id",
+        "cv",
+    ).select("neighbor_id", "cell")
+    books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    coded = codes.join(cassign, "neighbor_id")
+
+    S, C, ds = books.shape
+    q_sel = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    rows = q_sel.limit(QUERY_BATCH_LIMIT + 1).collect()
+    if len(rows) > QUERY_BATCH_LIMIT:
+        raise ValueError(
+            f"query batch exceeds {QUERY_BATCH_LIMIT}; chunk the queries "
+            "(pq_ann_topk's hash-chunk guard shows the shape) or probe in waves"
+        )
+    rows.sort(key=lambda r: r["query_id"])
+    qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in rows], dtype=np.float64)
+    qsub = qmat.reshape(qmat.shape[0], S, ds)
+    qtab = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)  # (Q,S,C)
+    qidx = {int(q): i for i, q in enumerate(qids)}
+
+    from pyspark.sql.types import DoubleType as _D
+
+    @F.pandas_udf(_D())
+    def _adist(qid: pd.Series, code: pd.Series) -> pd.Series:
+        if qid.empty:
+            return pd.Series([], dtype=float)
+        c = np.array(code.tolist(), dtype=np.int64)  # (N, S)
+        qi = qid.map(qidx).to_numpy(dtype=np.int64)
+        srange = np.arange(S)
+        return pd.Series(qtab[qi[:, None], srange[None, :], c].sum(1))
+
+    qassign = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        cent,
+        n_probe,
+        "query_id",
+        "qv",
+    ).select("query_id", "cell")
+    cand = (
+        F.broadcast(qassign)
+        .join(coded, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _adist("query_id", "codes").alias("adist"))
+    )
+    m = refine * k
+    wa = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    survivors = (
+        cand.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= m)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+    )
+    scored = (
+        survivors.join(c, "neighbor_id")
+        .join(F.broadcast(q_sel), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def banded_hamming_pairs(
     hashes: DataFrame,
     id_col: str,

@@ -202,6 +202,90 @@ def first_wins(df: DataFrame, key, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+#: anchor tag with a double-quoted href; group 1 = href, group 2 = anchor
+#: body. Lazy body + [^>]* attribute runs — RE2-safe (no backtracking
+#: blowup), identical semantics in Java regex and DuckDB's RE2.
+LINK_RE = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_links(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML → the page's outbound LINK GRAPH: one row per absolute
+    http(s) anchor, as (id_col, src, dst, anchor) with both endpoints
+    canonicalized (:func:`canonical_url`) and the anchor text stripped/
+    entity-decoded like document text. The crawl-frontier feed: compose
+    with ``graph.pagerank_int`` over the (src_host, dst_host) edges to
+    prioritize fetches, or join anchors onto documents as retrieval
+    signals.
+
+    Conventions (documented, not debated): double-quoted hrefs only (the
+    overwhelming real-world case); RELATIVE links are dropped — resolution
+    against a base URL is the fetcher's job, and a frontier only schedules
+    absolute targets. Entity-decode happens BEFORE canonicalization
+    (attribute values HTML-escape '&', so ``?a=1&amp;b=2`` is one query
+    string with two params).
+
+    Pure column expressions end to end — two regexp_extract_all passes
+    over the html (same pattern, groups 1/2, so the arrays align by
+    construction), an arrays_zip explode, and string work. The explode's
+    fan-out is the page's link count; nothing shuffles until the caller
+    aggregates."""
+    from .text_analysis import _HTML_ENTITIES, extract_html_text
+
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(LINK_RE), F.lit(1))
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(LINK_RE), F.lit(2))
+    z = F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("txt")))
+    out = df.select(F.col(id_col), F.col(url_col), z.alias("l"))
+    href = F.col("l.href")
+    for ent, rep in _HTML_ENTITIES:
+        href = F.replace(href, F.lit(ent), F.lit(rep))
+    return (
+        out.filter(F.col("l.href").rlike(r"^(?i)https?://"))
+        .select(
+            F.col(id_col),
+            canonical_url(F.col(url_col)).alias("src"),
+            canonical_url(href).alias("dst"),
+            extract_html_text(F.col("l.txt")).alias("anchor"),
+        )
+    )
+
+
+def extract_links_sql(
+    from_sql: str,
+    url_sql: str = "url",
+    html_sql: str = "html",
+    id_sql: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`extract_links` (engine-exact). DuckDB's
+    parallel UNNEST zips the two extract_all arrays in lockstep — the
+    same alignment-by-shared-pattern as the Spark arrays_zip."""
+    from .text_analysis import _HTML_ENTITIES, extract_html_sql
+
+    pat = LINK_RE.replace("'", "''")
+    href = "href"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        href = f"replace({href}, '{ent}', '{rep_sql}')"
+    anchor = extract_html_sql("txt")[0]
+    return f"""
+    SELECT id AS {id_sql},
+           {canonical_url_sql('u')} AS src,
+           {canonical_url_sql(href)} AS dst,
+           {anchor} AS anchor
+    FROM (
+      SELECT {id_sql} AS id, {url_sql} AS u,
+             UNNEST(regexp_extract_all({html_sql}, '{pat}', 1)) AS href,
+             UNNEST(regexp_extract_all({html_sql}, '{pat}', 2)) AS txt
+      FROM {from_sql}
+    )
+    WHERE regexp_matches(href, '^(?i)https?://')
+    """
+
+
 def url_dedup(df: DataFrame, url_col: str, id_col: str = "doc_id") -> DataFrame:
     """First-wins dedup on the canonical URL: → every input row with
     (canonical_url, is_dup) — winner = lowest id per canonical form.

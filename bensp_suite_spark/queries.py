@@ -912,6 +912,22 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_ann_topk(queries_df, emb, k=5, refine=10)
 
 
+@query("ann_ivfpq_topk", oracle=None)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS-style composition of the coarse quantizer and
+    product quantization (the billion-vector production layout): each
+    query probes n_probe cells, scans ONLY those cells' 8-byte PQ codes
+    via ADC table lookups, and exact-rerank's refine·k survivors. Codes
+    are raw-vector (cell-independent), so upsert/retrain never re-encode.
+    Golden-pinned oracle (codebook training is numpy; the independent
+    non-Spark reference recomputes assignment, codes, probe and rerank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivfpq_ann_topk(
+        queries_df, emb, k=5, n_cells=16, n_probe=2, refine=4
+    )
+
+
 @query("ann_ivf_topk", oracle=SIM.ivf_topk_oracle_sql(k=5, max_query_id=8, n_cells=16, n_probe=2))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN: nearest-cell assignment, n_probe cells per
@@ -4806,6 +4822,103 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_web_corpus(
         pages, max_per_domain=20, blocklist=["src1.example.com"]
     )
+
+
+# --- outbound link graph: extraction + host-level PageRank ----------------
+# Pages (doc_id < 300) carry three anchors each: two absolute (with WWW./
+# utm/&amp;/scheme-case/:80/trailing-slash noise — every canonicalization
+# rule fires inside an href) and one relative (dropped by convention).
+_LG_URL_SQL = """
+  'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+  || 'src' || CAST(doc_id % 4 AS VARCHAR) || '.Example.com/docs/'
+  || CAST(doc_id % 50 AS VARCHAR)
+"""
+_LG_HTML_SQL = """
+  '<html><body><p>Doc ' || CAST(doc_id % 75 AS VARCHAR) || '</p>'
+  || '<a class="n" HREF="https://WWW.src' || CAST((doc_id + 1) % 4 AS VARCHAR)
+  || '.example.com/docs/' || CAST((doc_id * 7) % 50 AS VARCHAR)
+  || '?utm_source=x&amp;q=' || CAST(doc_id % 9 AS VARCHAR)
+  || '">Link &amp; ' || CAST(doc_id % 9 AS VARCHAR) || '</a>'
+  || ' <a href="/local/' || CAST(doc_id % 5 AS VARCHAR) || '">rel</a> '
+  || '<a href="HTTP://src' || CAST((doc_id + 2) % 4 AS VARCHAR)
+  || '.example.com:80/docs/' || CAST((doc_id * 3) % 50 AS VARCHAR)
+  || '/"><b>bold</b> two</a></body></html>'
+"""
+_LG_PAGES_SQL = (
+    f"SELECT doc_id, {_LG_URL_SQL} AS url, {_LG_HTML_SQL} AS html "
+    "FROM documents WHERE doc_id < 300"
+)
+_LG_SQL = URL.extract_links_sql(f"({_LG_PAGES_SQL})")
+
+
+def _link_graph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("src"), (did % 4).cast("string"),
+        F.lit(".Example.com/docs/"), (did % 50).cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>Doc "), (did % 75).cast("string"), F.lit("</p>"),
+        F.lit('<a class="n" HREF="https://WWW.src'), ((did + 1) % 4).cast("string"),
+        F.lit(".example.com/docs/"), ((did * 7) % 50).cast("string"),
+        F.lit("?utm_source=x&amp;q="), (did % 9).cast("string"),
+        F.lit('">Link &amp; '), (did % 9).cast("string"), F.lit("</a>"),
+        F.lit(' <a href="/local/'), (did % 5).cast("string"), F.lit('">rel</a> '),
+        F.lit('<a href="HTTP://src'), ((did + 2) % 4).cast("string"),
+        F.lit(".example.com:80/docs/"), ((did * 3) % 50).cast("string"),
+        F.lit('/"><b>bold</b> two</a></body></html>'),
+    )
+    return docs.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+@query("web_link_graph", oracle=_LG_SQL)
+def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound LINK-GRAPH extraction from raw HTML — the crawl-frontier
+    feed: every absolute http(s) anchor becomes a (src, dst, anchor) edge
+    with BOTH endpoints canonicalized (operators/urls.extract_links) and
+    the anchor text stripped/entity-decoded like document text. The
+    fixture plants every canonicalization rule inside an href (WWW.,
+    tracking params, '&amp;'-escaped separators, scheme case, default
+    port, trailing slash) plus a relative link that must drop; the whole
+    operator — extraction, decode, canonicalization — is pure column
+    expressions mirrored operator-for-operator in DuckDB."""
+    return URL.extract_links(_link_graph_pages(spark, sf_dir))
+
+
+from .operators import graph as GR  # noqa: E402
+
+_LG_EDGES_SQL = f"""
+  SELECT DISTINCT s AS src, d AS dst FROM (
+    SELECT {URL.url_host_sql('src')} AS s, {URL.url_host_sql('dst')} AS d
+    FROM ({_LG_SQL})
+  ) WHERE s <> d
+"""
+
+
+@query(
+    "web_pagerank_links",
+    oracle=GR.pagerank_int_oracle_sql(_LG_EDGES_SQL, iterations=3),
+)
+def web_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier prioritization COMPOSED: extract the link graph from
+    raw HTML, collapse it to distinct host→host edges (self-links
+    dropped), and rank hosts with the integer-exact PageRank — the signal
+    a 100 TB fetch scheduler orders its queue by. One declarative plan
+    from HTML strings to ranks; extraction stays scan-stage column work
+    and the rank loop shuffles only the (tiny) host edge list."""
+    links = URL.extract_links(_link_graph_pages(spark, sf_dir))
+    edges = (
+        links.select(
+            URL.url_host(F.col("src")).alias("src"),
+            URL.url_host(F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return GR.pagerank_int(edges, iterations=3)
 
 
 _BLOOM_M, _BLOOM_K = 1 << 14, 4

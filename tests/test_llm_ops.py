@@ -718,3 +718,45 @@ def test_lsh_and_pq_upsert_equal_full_rebuild(spark, tmp_path):
     got = {(r["neighbor_id"], tuple(r["codes"])) for r in codes_up.collect()}
     want = {(r["neighbor_id"], tuple(r["codes"])) for r in codes_full.collect()}
     assert got == want
+
+
+def test_ivfpq_all_cells_high_refine_equals_bruteforce(spark):
+    """IVF-PQ degenerates to exact search when every cell is probed and
+    refine·k covers the corpus: the ADC cut keeps everything and the
+    exact re-rank IS brute force — the end-to-end correctness anchor for
+    the composed index (same anchor pattern as the PQ/LSH families)."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(
+        F.col("vec_id") < 80
+    )
+    queries = emb.filter(F.col("vec_id") < 6)
+    exact = sorted(
+        map(tuple, SIM.cosine_topk_bruteforce(queries, emb, k=5).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            SIM.ivfpq_ann_topk(
+                queries, emb, k=5, n_cells=4, n_probe=4, refine=16
+            ).collect(),
+        )
+    )
+    assert got == exact
+
+
+def test_ivfpq_probe_subset_recall_and_auto_sizing(spark):
+    """Probing a cell subset returns k valid ranked rows per query with
+    reasonable recall vs brute force, and n_cells=None auto-sizes via
+    ivf_defaults without error."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(queries, emb, k=5).collect()
+    }
+    approx = SIM.ivfpq_ann_topk(queries, emb, k=5, n_cells=None, n_probe=None).collect()
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(a & exact) / len(exact) >= 0.5  # probe floor 8 of 22 cells

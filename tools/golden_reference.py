@@ -443,6 +443,58 @@ def ann_pq_topk(sf_dir: str, k: int = 5, n_subspaces: int = 8, n_centroids: int 
     return ANN_COLS, rows
 
 
+def ann_ivfpq_topk(sf_dir: str, k: int = 5, n_cells: int = 16, n_probe: int = 2,
+                   n_subspaces: int = 8, n_centroids: int = 16, refine: int = 4,
+                   train_iters: int = 8, train_sample: int = 2048):
+    """IVF-PQ composition: coarse-cell probe restricts the ADC scan
+    (similarity.ivfpq_ann_topk). Distances accumulate dimension-at-a-time
+    like ivf_assign's fold (sequential — numpy sum over ≤128 elements is
+    sequential too, so .sum(-1) is the identical IEEE sequence here)."""
+    ids, V = _embeddings(sf_dir)
+    cent = V[ids < n_cells]  # ids sorted ascending → cell c = vector id c
+    # corpus cell assignment: squared L2, tie → lowest cell (argsort stable
+    # over cells-ascending columns == argmin-first-occurrence)
+    cd2 = ((V[:, None, :] - cent[None, :, :]) ** 2).sum(-1)  # (N, cells)
+    cell_of = cd2.argmin(1)
+    # PQ codebooks + codes — identical derivation to ann_pq_topk
+    mat = V[ids < train_sample]
+    d = mat.shape[1]
+    ds = d // n_subspaces
+    sub = mat.reshape(mat.shape[0], n_subspaces, ds)
+    books = sub[:n_centroids].transpose(1, 0, 2).copy()
+    for _ in range(train_iters):
+        for s_i in range(n_subspaces):
+            x = sub[:, s_i, :]
+            d2 = ((x[:, None, :] - books[s_i][None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c_i in range(n_centroids):
+                members = x[assign == c_i]
+                if len(members):
+                    books[s_i, c_i] = members.mean(0)
+    allsub = V.reshape(V.shape[0], n_subspaces, ds)
+    codes = ((allsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1).argmin(-1)
+    m = refine * k
+    srange = np.arange(n_subspaces)
+    rows = []
+    for qrow, qid in enumerate(ids):
+        if qid >= 8:
+            continue
+        qd2 = ((V[qrow][None, :] - cent) ** 2).sum(-1)
+        probed = np.argsort(qd2, kind="stable")[:n_probe]  # tie → lowest cell
+        mask = np.isin(cell_of, probed) & (ids != qid)
+        idx = np.nonzero(mask)[0]
+        qsub = V[qrow].reshape(n_subspaces, ds)
+        qtab = ((qsub[:, None, :] - books) ** 2).sum(-1)  # (S, C)
+        ad = qtab[srange[None, :], codes[idx]].sum(1)
+        top = idx[np.lexsort((ids[idx], ad))[:m]]
+        cids = ids[top]
+        order = np.argsort(cids, kind="stable")
+        cids = cids[order]
+        C = V[top][order]
+        rows += _topk_rows(qid, cids, cosine_rounded(V[qrow], C), k)
+    return ANN_COLS, rows
+
+
 # --------------------------------------------------------------------------
 # ferret goldens — exhaustive candidates + exact EMD (kernel reused from
 # ferret/emd.py: pure numpy, independently validated against closed-form
@@ -788,6 +840,7 @@ REFERENCE_FNS = {
     "cdc_round_trip_check": cdc_round_trip_check,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "ferret_topk_multiregion": ferret_topk_multiregion,
     "multimodal_image_search": multimodal_image_search,
     "multimodal_image_search_png": multimodal_image_search_png,
