@@ -722,6 +722,102 @@ def boilerplate_oracle_sql(
     """
 
 
+def strip_boilerplate(
+    corpus: DataFrame, min_docs: int = 3, words_per_passage: int = PASSAGE_WORDS
+) -> DataFrame:
+    """The REWRITE the boilerplate detector feeds (CCNet/C4-style
+    sub-document cleanup): remove every passage that occurs in ≥
+    ``min_docs`` distinct documents (headers, footers, licence blocks)
+    and reassemble each document from its surviving passages in order.
+    Returns (doc_id, text, n_passages, n_stripped) for EVERY input doc —
+    a fully-boilerplate doc comes back with text '' and n_stripped ==
+    n_passages (the curation filter drops it downstream).
+
+    Scale shape: passages explode narrowly (value-addressed md5s); the
+    boilerplate table is tiny by construction (passages shared by ≥
+    min_docs docs) so the anti-join broadcasts; the only text-carrying
+    shuffle is the unavoidable one — regrouping surviving passages by
+    doc to rebuild the string. Deterministic reassembly: array_sort on
+    (passage_idx, ptext) structs, then join — the same string DuckDB's
+    ordered string_agg produces."""
+    P = words_per_passage
+    bp = boilerplate_passages(corpus, min_docs, P).select("passage_md5")
+    t = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    w = corpus.select("doc_id", F.split(t, " ").alias("ws"))
+    n_pass = F.greatest(F.ceil(F.size("ws") / F.lit(float(P))).cast("int"), F.lit(1))
+    parts = w.select(
+        "doc_id",
+        F.size("ws").alias("__nw"),
+        F.explode(F.sequence(F.lit(0), n_pass - 1)).alias("passage_idx"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        "passage_idx",
+        F.array_join(
+            F.slice(F.col("ws"), F.col("passage_idx") * P + 1, P), " "
+        ).alias("ptext"),
+    )
+    kept = parts.join(
+        F.broadcast(bp),
+        F.md5(F.col("ptext")) == F.col("passage_md5"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("passage_idx", "ptext"))),
+                lambda s: s["ptext"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+    )
+    totals = parts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_passages")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_passages",
+            (F.col("n_passages") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_stripped"),
+        )
+    )
+
+
+def strip_boilerplate_oracle_sql(
+    min_docs: int = 3, words_per_passage: int = PASSAGE_WORDS
+) -> str:
+    P = words_per_passage
+    return f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    w AS (SELECT doc_id,
+                 string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
+          FROM corpus),
+    parts AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS passage_idx,
+             array_to_string(ws[CAST(i * {P} + 1 AS BIGINT):CAST(i * {P} + {P} AS BIGINT)], ' ') AS ptext
+      FROM w, UNNEST(range(0, GREATEST(CAST(ceil(len(ws) / {P}.0) AS BIGINT), 1))) AS t(i)
+    ),
+    bp AS (SELECT md5(ptext) AS passage_md5 FROM parts
+           GROUP BY md5(ptext) HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+    kept AS (SELECT * FROM parts WHERE md5(ptext) NOT IN (SELECT passage_md5 FROM bp)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(ptext, ' ' ORDER BY passage_idx) AS text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages
+               FROM parts GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(r.text, '') AS text, t.n_passages,
+           CAST(t.n_passages - COALESCE(r.n_kept, 0) AS BIGINT) AS n_stripped
+    FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+    """
+
+
 def history_signatures(history: DataFrame) -> tuple[DataFrame, DataFrame]:
     """→ (distinct normalized content hashes, simhash fingerprints) for a
     historical corpus — the tables a daily pipeline PERSISTS once per day

@@ -881,6 +881,7 @@ def ivfpq_ann_topk(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, np.ndarray, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS-style composition of the two ANN index families —
     an inverted-file coarse quantizer restricts WHICH vectors are scanned
@@ -902,24 +903,33 @@ def ivfpq_ann_topk(
     key (candidates ∝ probed-cell sizes, never O(n²)), ADC via one
     Arrow-batched numpy gather, candidate top-(refine·k) rank window,
     exact re-rank only on survivors."""
-    if n_cells is None:
-        n_cells, _ = ivf_defaults(corpus.count())
-    if n_probe is None:
-        n_probe = min(n_cells, max(8, n_cells // 16))
     from ..session import ensure_worker_imports as _ewi
 
     _ewi(queries.sparkSession)
-    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
-    cassign = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        cent,
-        1,
-        "neighbor_id",
-        "cv",
-    ).select("neighbor_id", "cell")
-    books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
-    codes = pq_encode(corpus, books, id_col, vec_col)
-    coded = codes.join(cassign, "neighbor_id")
+    if index is not None:
+        # prebuilt (save_ivfpq_index/load_ivfpq_index): centroids, codebooks
+        # and the coded corpus were all paid at build time — bit-identical
+        # to the inline build (shared golden oracle)
+        cent, books, coded = index
+        if n_probe is None:
+            n_idx_cells = cent.count()
+            n_probe = min(n_idx_cells, max(8, n_idx_cells // 16))
+    else:
+        if n_cells is None:
+            n_cells, _ = ivf_defaults(corpus.count())
+        if n_probe is None:
+            n_probe = min(n_cells, max(8, n_cells // 16))
+        cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+        cassign = ivf_assign(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            cent,
+            1,
+            "neighbor_id",
+            "cv",
+        ).select("neighbor_id", "cell")
+        books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
+        codes = pq_encode(corpus, books, id_col, vec_col)
+        coded = codes.join(cassign, "neighbor_id")
 
     S, C, ds = books.shape
     q_sel = queries.select(
@@ -1181,6 +1191,95 @@ def upsert_ivf_index(
         "cv",
     )
     add.write.mode("append").parquet(path + "/cells")
+
+
+def save_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int | None = 16,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + persist the composed IVF-PQ index: coarse centroids, PQ
+    codebooks, and the coded corpus as (neighbor_id, codes, cell) rows —
+    at 100 TB bucket/partition the coded table by ``cell`` so every probe
+    join is co-located and a query reads only its probed cells' files.
+    The expensive parts (Lloyd training, the encode scan, the cell
+    assignment) all happen HERE, once. ``n_cells=None`` auto-sizes via
+    :func:`ivf_defaults`."""
+    if n_cells is None:
+        n_cells, _ = ivf_defaults(corpus.count())
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
+    S, C, _ds = books.shape
+    rows = [
+        (int(s), int(c), [float(x) for x in books[s, c]])
+        for s in range(S)
+        for c in range(C)
+    ]
+    corpus.sparkSession.createDataFrame(
+        rows, "subspace int, centroid int, features array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    cassign = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cent,
+        1,
+        "neighbor_id",
+        "cv",
+    ).select("neighbor_id", "cell")
+    coded = pq_encode(corpus, books, id_col, vec_col).join(cassign, "neighbor_id")
+    coded.write.mode("overwrite").parquet(path + "/coded")
+
+
+def load_ivfpq_index(
+    spark, path: str
+) -> tuple[DataFrame, np.ndarray, DataFrame]:
+    """→ (centroids, codebooks ndarray, coded corpus) for
+    ``ivfpq_ann_topk(index=…)``."""
+    rows = spark.read.parquet(path + "/codebooks").collect()
+    S = max(r["subspace"] for r in rows) + 1
+    C = max(r["centroid"] for r in rows) + 1
+    ds = len(rows[0]["features"])
+    books = np.zeros((S, C, ds), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["centroid"]] = r["features"]
+    return (
+        spark.read.parquet(path + "/centroids"),
+        books,
+        spark.read.parquet(path + "/coded"),
+    )
+
+
+def upsert_ivfpq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-PQ maintenance: assign + encode ONLY the new
+    vectors against the PERSISTED centroids/codebooks and append their
+    (neighbor_id, codes, cell) rows — the raw-vector-code convention is
+    exactly what makes this a pure append (residual codes would couple
+    codes to cells and force re-encodes on any reassignment). Row-
+    identical to a from-scratch encode of the union corpus with the same
+    centroids+codebooks; retrain (save_ivfpq_index) when cell skew or
+    quantization drift degrades recall."""
+    cent, books, _coded = load_ivfpq_index(spark, path)
+    cassign = ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        cent,
+        1,
+        "neighbor_id",
+        "cv",
+    ).select("neighbor_id", "cell")
+    add = pq_encode(new_vectors, books, id_col, vec_col).join(cassign, "neighbor_id")
+    add.write.mode("append").parquet(path + "/coded")
 
 
 def save_lsh_index(

@@ -348,6 +348,85 @@ def cms_oracle_sql(
     """
 
 
+def _kmv_est(sk: DataFrame, name: str, k: int) -> DataFrame:
+    """One-row frame: the KMV distinct estimate of a raw hash sketch
+    (unrounded double — callers round at output)."""
+    return sk.agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__kth")
+    ).select(
+        F.when(F.col("__n") < k, F.col("__n").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(BUCKET_SPACE) / F.col("__kth").cast("double")
+        )
+        .alias(name)
+    )
+
+
+def kmv_jaccard(
+    a: DataFrame, b: DataFrame, col_a: str, col_b: str, k: int = 256
+) -> DataFrame:
+    """Cross-corpus OVERLAP estimation from two bounded sketches — the
+    "how much of crawl B have we already got in corpus A" question at
+    100 TB, answered without ever joining the corpora: sketch each side
+    (k hashes), merge (union-distinct, keep k smallest — exact by the
+    KMV merge property), and apply inclusion-exclusion on the three
+    distinct estimates. → one row (est_a, est_b, est_union, jaccard_est).
+
+    State is 3k longs no matter the corpus sizes; the two sketch builds
+    are the only data scans and are map-side combinable. Deterministic
+    md5 hashing makes every number engine-exact in DuckDB — the same
+    property-over-HLL tradeoff as kmv_distinct."""
+    sa = kmv_hashes(a, col_a, k)
+    sb = kmv_hashes(b, col_b, k)
+    su = kmv_merge(sa, sb, k)
+    ea = _kmv_est(sa, "__ea", k)
+    eb = _kmv_est(sb, "__eb", k)
+    eu = _kmv_est(su, "__eu", k)
+    j = F.greatest(
+        F.col("__ea") + F.col("__eb") - F.col("__eu"), F.lit(0.0)
+    ) / F.col("__eu")
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            F.round("__ea", 3).alias("est_a"),
+            F.round("__eb", 3).alias("est_b"),
+            F.round("__eu", 3).alias("est_union"),
+            F.round(j, 3).alias("jaccard_est"),
+        )
+    )
+
+
+def kmv_jaccard_oracle_sql(
+    col_a_sql: str, from_a_sql: str, col_b_sql: str, from_b_sql: str, k: int = 256
+) -> str:
+    """DuckDB mirror of :func:`kmv_jaccard` (identical arithmetic order)."""
+
+    def sk(col_sql: str, from_sql: str) -> str:
+        return (
+            f"SELECT DISTINCT {hash_bucket_sql(col_sql)} AS h FROM {from_sql} "
+            f"WHERE {col_sql} IS NOT NULL ORDER BY h LIMIT {k}"
+        )
+
+    est = (
+        f"CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE) "
+        f"ELSE {float(k - 1)!r} * {BUCKET_SPACE!r} / CAST(MAX(h) AS DOUBLE) END"
+    )
+    return f"""
+    WITH ska AS ({sk(col_a_sql, from_a_sql)}),
+    skb AS ({sk(col_b_sql, from_b_sql)}),
+    sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+            ORDER BY h LIMIT {k}),
+    ea AS (SELECT {est} AS e FROM ska),
+    eb AS (SELECT {est} AS e FROM skb),
+    eu AS (SELECT {est} AS e FROM sku)
+    SELECT ROUND(ea.e, 3) AS est_a, ROUND(eb.e, 3) AS est_b,
+           ROUND(eu.e, 3) AS est_union,
+           ROUND(GREATEST(ea.e + eb.e - eu.e, 0.0) / eu.e, 3) AS jaccard_est
+    FROM ea, eb, eu
+    """
+
+
 def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256) -> DataFrame:
     """Merge two raw KMV hash sets (columns ``h``): union-distinct, keep
     the k smallest. sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly —

@@ -4099,6 +4099,18 @@ def dedup_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DT.boilerplate_passages(corpus, min_docs=3)
 
 
+@query("dedup_strip_boilerplate", oracle=DT.strip_boilerplate_oracle_sql(3))
+def dedup_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (the rewrite the detector feeds — CCNet/C4
+    sub-document cleanup): passages present in ≥3 distinct docs are cut
+    and every document is reassembled from its surviving passages in
+    order, with (n_passages, n_stripped) counters for downstream quality
+    filters. The oracle rebuilds the full strings via ordered string_agg,
+    so reassembly order — not just membership — is value-checked."""
+    corpus = DT.augmented_corpus(_t(spark, sf_dir, "documents"))
+    return DT.strip_boilerplate(corpus, min_docs=3)
+
+
 @query(
     "text_bm25_rank",
     oracle="""
@@ -4511,6 +4523,30 @@ def ann_pq_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the prebuilt PQ path must reproduce the inline build bit-for-bit, so it
 # shares the same golden-pinned oracle
 ORACLES["ann_pq_prebuilt_topk"] = ORACLES["ann_pq_topk"]
+
+
+@query("ann_ivfpq_prebuilt_topk", oracle=None)
+def ann_ivfpq_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probing a PERSISTED index (save_ivfpq_index → centroids +
+    codebooks + cell-coded corpus parquet): centroid training, Lloyd
+    codebooks, the encode scan and the cell assignment were all paid at
+    build time; the query path is probe-join + ADC + exact rerank only.
+    Must reproduce the inline build bit-for-bit — shares ann_ivfpq_topk's
+    independent golden oracle."""
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = _ANN_INDEX_CACHE.get(("ivfpq", sf_dir))
+    if path is None:
+        path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/ivfpq"
+        SIM.save_ivfpq_index(emb, path, n_cells=16)
+        _ANN_INDEX_CACHE[("ivfpq", sf_dir)] = path
+    idx = SIM.load_ivfpq_index(spark, path)
+    return SIM.ivfpq_ann_topk(q, emb, k=5, n_probe=2, refine=4, index=idx)
+
+
+ORACLES["ann_ivfpq_prebuilt_topk"] = ORACLES["ann_ivfpq_topk"]
 
 
 # ivf_defaults(1000) == (32, 8): the sf0.01 augmented corpus is 2×500
@@ -5009,6 +5045,44 @@ def sketch_bloom_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_maybe",
         F.col("hh").isNotNull().alias("exact_dup"),
     )
+
+
+_KJ_NORM = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+_KJ_A_SQL = f"(SELECT {_KJ_NORM} AS v FROM documents)"
+_KJ_B_SQL = f"""(
+  SELECT {_KJ_NORM} AS v FROM documents WHERE doc_id < 250
+  UNION ALL
+  SELECT md5(lower(regexp_replace(trim(
+           array_to_string(words[1:GREATEST(len(words) - 2, 1)], ' ')
+         ), '\\s+', ' ', 'g'))) AS v
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+)"""
+
+
+@query(
+    "sketch_kmv_jaccard",
+    oracle=SK.kmv_jaccard_oracle_sql("v", _KJ_A_SQL, "v", _KJ_B_SQL, k=256),
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap estimation from bounded sketches: corpus A is
+    the documents table's normalized content hashes; corpus B is a
+    simulated re-crawl (the first 250 docs verbatim + a jittered variant
+    of every doc). KMV-sketch each side, merge, inclusion-exclusion →
+    (est_a, est_b, est_union, jaccard_est) — the "how much of this crawl
+    is already in the corpus" answer with 3k longs of state and no join
+    between the corpora, engine-exact in DuckDB (deterministic md5
+    hashing — the property Spark's HLL can't give an oracle)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    a = docs.select(norm.alias("v"))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    keep = F.greatest(F.size(words) - 2, F.lit(1))
+    jit_text = F.array_join(F.slice(words, 1, keep), " ")
+    jit_norm = F.md5(F.lower(F.regexp_replace(F.trim(jit_text), r"\s+", " ")))
+    b = docs.filter(F.col("doc_id") < 250).select(norm.alias("v")).unionByName(
+        docs.select(jit_norm.alias("v"))
+    )
+    return SK.kmv_jaccard(a, b, "v", "v", k=256)
 
 
 _CMS_W, _CMS_D = 512, 4

@@ -760,3 +760,32 @@ def test_ivfpq_probe_subset_recall_and_auto_sizing(spark):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
     a = {(r.query_id, r.neighbor_id) for r in approx}
     assert len(a & exact) / len(exact) >= 0.5  # probe floor 8 of 22 cells
+
+
+def test_ivfpq_upsert_equals_full_encode(spark, tmp_path):
+    """upsert_ivfpq_index appends assign+encode of ONLY the new vectors;
+    the coded table must equal a from-scratch encode of the union corpus
+    with the same persisted centroids+codebooks (raw-vector codes are
+    cell-independent — the property that makes upsert a pure append),
+    and the prebuilt query path returns identically after the upsert."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivfpq")
+    SIM.save_ivfpq_index(base, path, n_cells=8)
+    SIM.upsert_ivfpq_index(spark, path, extra)
+    cent, books, coded_up = SIM.load_ivfpq_index(spark, path)
+    cassign = SIM.ivf_assign(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
+        cent, 1, "neighbor_id", "cv",
+    ).select("neighbor_id", "cell")
+    coded_full = SIM.pq_encode(emb, books).join(cassign, "neighbor_id")
+    got = {(r["neighbor_id"], tuple(r["codes"]), r["cell"]) for r in coded_up.collect()}
+    want = {(r["neighbor_id"], tuple(r["codes"]), r["cell"]) for r in coded_full.collect()}
+    assert got == want
+    q = emb.filter(F.col("vec_id") < 5)
+    via_idx = sorted(map(tuple, SIM.ivfpq_ann_topk(
+        q, emb, k=5, n_probe=2, index=(cent, books, coded_up)).collect()))
+    via_full = sorted(map(tuple, SIM.ivfpq_ann_topk(
+        q, emb, k=5, n_probe=2, index=(cent, books, coded_full)).collect()))
+    assert via_idx == via_full
