@@ -999,6 +999,99 @@ def ivfpq_ann_topk(
     )
 
 
+def matryoshka_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dims: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-to-fine ANN on the DIMENSION axis (matryoshka/MRL-style
+    retrieval, Kusupati et al. 2022): score candidates on the first
+    ``dims`` components only (cosine is scale-invariant, so truncation
+    needs no re-normalization for ranking), keep refine·k per query,
+    exact full-dimension cosine re-rank. The compute-side analog of the
+    IVF/PQ candidate-side cuts: a 64→16 truncation is 4× less arithmetic
+    and 4× less vector I/O in the first pass — with MRL-trained
+    embeddings the prefix IS the information-dense part, so recall holds.
+    Composable with the index families (probe cells with truncated
+    vectors, rerank full) — this operator is the dimension cut alone,
+    which keeps the whole thing SQL-expressible for the oracle."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    tq, tc = F.slice(F.col("qv"), 1, dims), F.slice(F.col("cv"), 1, dims)
+    coarse = F.round(_dot(tq, tc) / (_norm(tq) * _norm(tc)), 6)
+    cand = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", "qv", "cv", coarse.alias("coarse")
+    )
+    m = refine * k
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse").desc(), F.col("neighbor_id")
+    )
+    fine = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+    )
+    survivors = (
+        cand.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= m)
+        .select("query_id", "neighbor_id", fine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def matryoshka_topk_oracle_sql(
+    k: int = 5, dims: int = 16, refine: int = 4, max_query_id: int = 8
+) -> str:
+    """DuckDB mirror of :func:`matryoshka_ann_topk` (identical folds,
+    slices, rounding and tiebreaks)."""
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND({dot.format(a=a, b=b)} / "
+            f"(SQRT({dot.format(a=a, b=a)}) * SQRT({dot.format(a=b, b=b)})), 6)"
+        )
+
+    m = refine * k
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {max_query_id}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    cand AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             {cos('tq', 'tc')} AS coarse
+      FROM (SELECT query_id, neighbor_id, qv, cv,
+                   qv[1:{dims}] AS tq, cv[1:{dims}] AS tc
+            FROM q, c WHERE query_id <> neighbor_id)
+    ),
+    surv AS (
+      SELECT query_id, neighbor_id, {cos('qv', 'cv')} AS cosine
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY coarse DESC, neighbor_id) AS crn
+            FROM cand) WHERE crn <= {m}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM surv) WHERE rank <= {k}
+    """
+
+
 def banded_hamming_pairs(
     hashes: DataFrame,
     id_col: str,

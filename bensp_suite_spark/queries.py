@@ -912,6 +912,22 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_ann_topk(queries_df, emb, k=5, refine=10)
 
 
+@query(
+    "ann_matryoshka_topk",
+    oracle=SIM.matryoshka_topk_oracle_sql(k=5, dims=16, refine=4, max_query_id=8),
+)
+def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine ANN on the DIMENSION axis (matryoshka retrieval):
+    first pass scores on the first 16 of 64 components (4× less
+    arithmetic and vector I/O), exact full-dimension rerank of refine·k
+    survivors — the compute-side cut next to IVF/LSH/PQ's candidate-side
+    cuts. Fully SQL-expressible, so the whole two-phase plan is
+    value-checked against DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.matryoshka_ann_topk(queries_df, emb, k=5, dims=16, refine=4)
+
+
 @query("ann_ivfpq_topk", oracle=None)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the FAISS-style composition of the coarse quantizer and

@@ -247,6 +247,13 @@ def test_bloom_packed_matches_join_form_and_plan(spark):
     plan = SK.bloom_maybe_contains(cand, "v", bits, m=m, k=k)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert plan.count("BroadcastHashJoin") == k  # one per bit position
+    # packed form: the k md5-derived positions are JVM-side expressions
+    # feeding the Arrow UDF (scan-stage work), not Python-side hashing
+    pplan = (
+        SK.bloom_maybe_contains_packed(cand, "v", packed, m=m, k=k)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in pplan and "conv(substring(md5(" in pplan
 
 
 def test_cms_one_sided_error_and_merge(spark):
