@@ -4973,6 +4973,32 @@ def web_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.pagerank_int(edges, iterations=3)
 
 
+_ANCHOR_ORACLE = f"""
+SELECT dst,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT {URL.url_host_sql('src')}) AS BIGINT) AS n_src_hosts,
+       string_agg(DISTINCT anchor, ' | ' ORDER BY anchor) AS anchors
+FROM ({_LG_SQL})
+GROUP BY dst
+"""
+
+
+@query("web_anchor_text_agg", oracle=_ANCHOR_ORACLE)
+def web_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link TARGET — the classic off-page
+    retrieval signal (anchor words describing a page better than the page
+    does): for every canonicalized destination, the in-link count, the
+    distinct referring hosts, and the sorted distinct anchor texts.
+    Deterministic string assembly (sorted set → join) so the whole
+    aggregate value-checks against DuckDB's ordered string_agg."""
+    links = URL.extract_links(_link_graph_pages(spark, sf_dir))
+    return links.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct(URL.url_host(F.col("src"))).cast("long").alias("n_src_hosts"),
+        F.array_join(F.array_sort(F.collect_set("anchor")), " | ").alias("anchors"),
+    )
+
+
 _BLOOM_M, _BLOOM_K = 1 << 14, 4
 _NORM_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 _BLOOM_ORACLE = f"""

@@ -54,6 +54,18 @@ REPRESENTATIVE = [
     "multimodal_audio_dedup_flac",
     "multimodal_video_dedup_mp4",
     "multimodal_tar_ingest_dedup",
+    # r7: bloom-prefiltered incremental dedup (packed probe + semi join),
+    # link-graph extraction + host PageRank, IVF-PQ/matryoshka ANN,
+    # boilerplate rewrite (ordered reassembly), KMV-Jaccard sketches,
+    # skew-safe domain cap (two-phase salted rank must be layout-pure)
+    "dedup_incremental_bloom_prefilter",
+    "web_link_graph",
+    "web_pagerank_links",
+    "ann_ivfpq_topk",
+    "ann_matryoshka_topk",
+    "dedup_strip_boilerplate",
+    "sketch_kmv_jaccard",
+    "url_domain_cap",
 ]
 
 
