@@ -445,10 +445,28 @@ def main() -> None:
             big_q, big_emb, k=10, n_cells=auto_cells, n_probe=n_probe, index=(cent, assign)
         )
 
+    # IVF-PQ at the same sizing: the composed index's 100k probe — build
+    # (codebooks + encode + cell attach) excluded from the timed loop,
+    # mkdb-offline frame like the other families
+    ivfpq_books = SIM_B.pq_codebooks(big_emb)
+    ivfpq_coded = (
+        SIM_B.pq_encode(big_emb, ivfpq_books)
+        .join(assign.select("neighbor_id", "cell"), "neighbor_id")
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    ivfpq_coded.count()
+
+    def _ivfpq(n_probe):
+        return SIM_B.ivfpq_ann_topk(
+            big_q, big_emb, k=10, n_probe=n_probe, refine=8,
+            index=(cent, ivfpq_books, ivfpq_coded),
+        )
+
     for name, run in (
         ("brute", lambda: SIM_B.cosine_topk_bruteforce(big_q, big_emb, k=10)),
         ("ivf_auto", lambda: _ivf(auto_probe)),
         ("ivf_p8", lambda: _ivf(8)),
+        ("ivfpq_auto", lambda: _ivfpq(auto_probe)),
     ):
         best = None
         for _rep in range(3):
@@ -467,20 +485,25 @@ def main() -> None:
         "query_id", "neighbor_id"
     )
     n_exact = brute_res.count()
-    for label, n_probe in (("auto", auto_probe), ("p8", 8)):
+    for label, run in (
+        ("ivf_auto", lambda: _ivf(auto_probe)),
+        ("ivf_p8", lambda: _ivf(8)),
+        ("ivfpq_auto", lambda: _ivfpq(auto_probe)),
+    ):
         hits = (
-            _ivf(n_probe)
+            run()
             .select("query_id", "neighbor_id")
             .join(brute_res, ["query_id", "neighbor_id"])
             .count()
         )
-        ann_scale[f"ivf_{label}_recall_at10_100k"] = round(hits / n_exact, 4)
+        ann_scale[f"{label}_recall_at10_100k"] = round(hits / n_exact, 4)
     # the recall FLOOR: sized defaults must stay production-fit, not just
     # faster — a regression here should fail the bench loudly
     assert ann_scale["ivf_auto_recall_at10_100k"] >= 0.8, (
         f"IVF auto-sized recall@10 {ann_scale['ivf_auto_recall_at10_100k']} "
         f"fell below the 0.8 floor (n_cells={auto_cells}, n_probe={auto_probe})"
     )
+    ivfpq_coded.unpersist()
     assign.unpersist()
     big_emb.unpersist()
 
