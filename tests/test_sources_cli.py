@@ -771,3 +771,71 @@ def test_daily_cli_step_idempotent_and_compact_preserves_flags(spark, tmpdir):
     assert f2 == want
     # day-1 survivor copy still flags (exact — and near too: hamming 0)
     assert f2[200][0] is True and f2[200][2] is False
+
+
+def test_web_cli_linkgraph_rank_curate(spark, tmpdir):
+    """web_cli end-to-end: linkgraph output equals the library operator,
+    rank output equals pagerank_int over the host edges, curate output
+    equals curate_web_corpus — the CLI is a faithful surface, not a
+    parallel implementation."""
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.operators.graph import pagerank_int
+    from bensp_suite_spark.operators.urls import extract_links, url_host
+    from bensp_suite_spark.pipelines.web import curate_web_corpus
+
+    pages = spark.createDataFrame(
+        [
+            (i,
+             f"https://src{i % 3}.example.com/p/{i}",
+             f'<html><head><title>T{i}</title></head><body><p>doc {i % 4} text</p>'
+             f'<a href="https://WWW.src{(i + 1) % 3}.example.com/p/{(i * 7) % 20}'
+             f'?utm_x=1">go {i % 5}</a>'
+             f' <a href="/rel/{i}">r</a></body></html>')
+            for i in range(40)
+        ],
+        "doc_id long, url string, html string",
+    )
+    paths = {n: os.path.join(tmpdir, n) for n in
+             ("pages", "links", "ranks", "cur")}
+    pages.write.parquet(paths["pages"])
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "bensp_suite_spark.web_cli", *argv],
+            capture_output=True, text=True, env=env, cwd=cwd,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    run("linkgraph", paths["pages"], paths["links"])
+    got_links = {tuple(r) for r in spark.read.parquet(paths["links"]).collect()}
+    want_links = {tuple(r) for r in extract_links(pages).collect()}
+    assert got_links == want_links and len(got_links) == 40  # relative dropped
+
+    run("rank", paths["links"], paths["ranks"], "--iterations", "2")
+    got_ranks = {tuple(r) for r in spark.read.parquet(paths["ranks"]).collect()}
+    links = extract_links(pages)
+    edges = (
+        links.select(url_host(F.col("src")).alias("src"),
+                     url_host(F.col("dst")).alias("dst"))
+        .filter(F.col("src") != F.col("dst")).distinct()
+    )
+    want_ranks = {
+        (r["node"], r["rank"]) for r in pagerank_int(edges, iterations=2).collect()
+    }
+    assert got_ranks == want_ranks and len(got_ranks) == 3
+
+    run("curate", paths["pages"], paths["cur"],
+        "--max-per-domain", "5", "--block", "src2.example.com")
+    got_cur = {tuple(r) for r in spark.read.parquet(paths["cur"]).collect()}
+    want_cur = {
+        tuple(r)
+        for r in curate_web_corpus(
+            pages, max_per_domain=5, blocklist=["src2.example.com"]
+        ).collect()
+    }
+    assert got_cur == want_cur
+    assert all(h != "src2.example.com" for _, h, *_ in got_cur)
