@@ -445,10 +445,14 @@ def main() -> None:
             big_q, big_emb, k=10, n_cells=auto_cells, n_probe=n_probe, index=(cent, assign)
         )
 
-    # IVF-PQ at the same sizing: the composed index's 100k probe — build
-    # (codebooks + encode + cell attach) excluded from the timed loop,
-    # mkdb-offline frame like the other families
-    ivfpq_books = SIM_B.pq_codebooks(big_emb)
+    # IVF-PQ at the same cell sizing: the composed index's 100k probe —
+    # build (codebooks + encode + cell attach) excluded from the timed
+    # loop, mkdb-offline frame like the other families. PQ at 8 bits per
+    # subspace (n_centroids=256, the FAISS-standard production sizing;
+    # the 4-bit default measured recall 0.30 on this structureless-
+    # gaussian worst case vs 0.776 at 8 bits, refine=16 — quantization
+    # error, not cell recall, is the binding constraint here).
+    ivfpq_books = SIM_B.pq_codebooks(big_emb, n_centroids=256)
     ivfpq_coded = (
         SIM_B.pq_encode(big_emb, ivfpq_books)
         .join(assign.select("neighbor_id", "cell"), "neighbor_id")
@@ -458,7 +462,7 @@ def main() -> None:
 
     def _ivfpq(n_probe):
         return SIM_B.ivfpq_ann_topk(
-            big_q, big_emb, k=10, n_probe=n_probe, refine=8,
+            big_q, big_emb, k=10, n_probe=n_probe, refine=16,
             index=(cent, ivfpq_books, ivfpq_coded),
         )
 
@@ -671,15 +675,25 @@ def main() -> None:
     bl_bits.unpersist()
     bl_cand.unpersist()
 
-    # URL/crawl skew: 4M rows with one host (and one canonical URL) owning
-    # 95% — the crawl-shaped hot key. Times the r7 skew-safe paths (two-
-    # phase salted domain cap, min-reduce first-wins) against the plain
-    # single-window forms on the SAME input, mirroring skew_flags.
+    # URL/crawl skew: 16M payload-carrying rows with one canonical URL /
+    # one host owning 95% — the crawl-shaped hot key at the row count
+    # where single-task behavior matters (the 4M narrow fixture measured
+    # nothing: local in-memory sorts hide the wall). Two regimes:
+    #   FLAGGING (url_dedup's shape — every row gets is_dup, so the hot
+    #   window task must sort AND EMIT 15.2M payload rows): the agg+
+    #   join-back form wins ~3.4× here, and this is the form the web
+    #   pipeline/url_dedup actually use.
+    #   SELECTION (the per-domain cap — hot task emits ≤ cap rows): the
+    #   plain window's single 3.5 GB sort is FINE on this 128 GB local
+    #   JVM (recorded honestly); the two-phase form exists because a
+    #   cluster executor's task memory is a fraction of this — a 100M-
+    #   page host's single-task sort spills or OOMs there, while phase 1
+    #   splits it across salt_n tasks. Same contract as skew_flags.
     from bensp_suite_spark.operators import urls as URLB
     from bensp_suite_spark.operators.sampling import hash_bucket as _hb
     from pyspark.sql import Window as _W2
 
-    url_rows = 4_000_000
+    url_rows = 16_000_000
     url_df = (
         spark.range(url_rows)
         .select(
@@ -692,12 +706,40 @@ def main() -> None:
                 F.concat(F.lit("https://cold/"), F.col("id").cast("string"))
             )
             .alias("canonical_url"),
+            F.repeat(
+                F.concat(
+                    F.lit("payload text for document "),
+                    F.col("id").cast("string"),
+                    F.lit(" "),
+                ),
+                8,
+            ).alias("text"),
         )
         .persist(StorageLevel.MEMORY_ONLY)
     )
     url_df.count()
+
+    def _flag_safe():
+        winners = url_df.groupBy("canonical_url").agg(F.min("doc_id").alias("__w"))
+        return (
+            url_df.join(winners, "canonical_url")
+            .withColumn("is_dup", F.col("doc_id") != F.col("__w"))
+            .drop("__w")
+        )
+
     url_skew = {"rows": url_rows, "hot_frac": 0.95}
     for name, run in (
+        (
+            "flag_window_sec",
+            lambda: url_df.withColumn(
+                "is_dup",
+                F.row_number().over(
+                    _W2.partitionBy("canonical_url").orderBy("doc_id")
+                )
+                > 1,
+            ),
+        ),
+        ("flag_safe_sec", _flag_safe),
         (
             "cap_window_sec",
             lambda: url_df.withColumn(
@@ -708,19 +750,6 @@ def main() -> None:
             ).filter(F.col("__r") <= 20).drop("__r"),
         ),
         ("cap_two_phase_sec", lambda: URLB._cap_host_rows(url_df, 20, "doc_id")),
-        (
-            "first_wins_window_sec",
-            lambda: url_df.withColumn(
-                "__r",
-                F.row_number().over(
-                    _W2.partitionBy("canonical_url").orderBy("doc_id")
-                ),
-            ).filter("__r = 1").drop("__r"),
-        ),
-        (
-            "first_wins_safe_sec",
-            lambda: URLB.first_wins(url_df, "canonical_url"),
-        ),
     ):
         best = None
         for _rep in range(2):
