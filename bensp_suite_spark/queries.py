@@ -4973,6 +4973,36 @@ def web_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.pagerank_int(edges, iterations=3)
 
 
+@query("stream_link_graph", oracle=_LG_SQL)
+def stream_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph extraction applied to a STREAM of crawled pages: the
+    extraction is stateless scan-time column work (regexp passes + an
+    explode), so the identical operator runs unchanged on a readStream —
+    edges are a pure function of each page, independent of batch
+    boundaries and trigger sizing. Replayed as a 3-file stream; the
+    drained edge set must equal the batch extraction exactly (it shares
+    web_link_graph's oracle verbatim). This is how a live crawl feeds
+    the frontier ranker: extract per micro-batch, rank on a cadence."""
+    import shutil
+    import tempfile
+
+    from .streaming.event_streams import run_to_parquet
+
+    pages = _link_graph_pages(spark, sf_dir)
+    with _fixture_build("stream_link_graph"):
+        base = tempfile.mkdtemp(prefix="bensp_stream_lg_")
+        pages.repartition(3).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema("doc_id long, url string, html string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    run_to_parquet(URL.extract_links(stream), f"{base}/out", f"{base}/ckpt")
+    result = spark.read.parquet(f"{base}/out").localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 _ANCHOR_ORACLE = f"""
 SELECT dst,
        CAST(COUNT(*) AS BIGINT) AS n_links,

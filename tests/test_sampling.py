@@ -731,3 +731,46 @@ def test_semantic_dedup_auto_sizing(spark):
     }
     assert auto == explicit
     assert {r[1] for r in auto} <= set(range(SIM.ivf_defaults(200)[0]))
+
+
+def test_canonical_url_idempotent_and_cross_engine_on_generated_noise(spark):
+    """canonical_url is a CANONICALIZATION: applying it twice equals
+    applying it once (idempotence — the property that makes stored
+    canonical URLs safe to re-pass through the pipeline), and the DuckDB
+    mirror agrees on every generated combination of the six rule axes
+    (scheme case, www., ports, path slashes, param order/tracking/empty,
+    fragments — including '?' inside the fragment)."""
+    import itertools
+
+    import duckdb
+
+    from bensp_suite_spark.operators import urls as U
+
+    schemes = ["https", "HTTPS", "http", "ftp"]
+    hosts = ["Example.com", "www.Example.com", "a.b.example.org"]
+    ports = ["", ":443", ":80", ":8080"]
+    paths = ["", "/", "/Docs/7", "/Docs/7/", "//x//", "/p"]
+    queries = ["", "?b=2&a=1", "?utm_source=f&z=1", "?a=&b=1", "?ref=h"]
+    frags = ["", "#sec", "#sec?q=1", "#a&b"]
+    urls = [
+        f"{s}://{h}{po}{pa}{q}{f}"
+        for s, h, po, pa, q, f in itertools.product(
+            schemes, hosts, ports, paths, queries, frags
+        )
+    ]
+    df = spark.createDataFrame(list(enumerate(urls)), "i long, url string")
+    rows = df.select(
+        "i",
+        U.canonical_url(F.col("url")).alias("c1"),
+        U.canonical_url(U.canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    bad = [(r["c1"], r["c2"]) for r in rows if r["c1"] != r["c2"]]
+    assert not bad, f"not idempotent on {len(bad)} urls, e.g. {bad[:3]}"
+    got = {r["i"]: r["c1"] for r in rows}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    want = dict(
+        con.execute(f"SELECT i, {U.canonical_url_sql('url')} FROM t").fetchall()
+    )
+    assert got == want
