@@ -493,6 +493,16 @@ def main() -> None:
         ("ivf_auto", lambda: _ivf(auto_probe)),
         ("ivf_p8", lambda: _ivf(8)),
         ("ivfpq_auto", lambda: _ivfpq(auto_probe)),
+        # residual codes at the SAME bits (untimed — build included in the
+        # call): the recall delta vs ivfpq_auto is the FAISS residual-
+        # encoding argument, measured per round
+        (
+            "ivfpq_residual_auto",
+            lambda: SIM_B.ivfpq_ann_topk(
+                big_q, big_emb, k=10, n_cells=auto_cells, n_probe=auto_probe,
+                n_centroids=256, refine=16, residual=True,
+            ),
+        ),
     ):
         hits = (
             run()

@@ -664,6 +664,15 @@ def pq_codebooks(
         .collect()
     )
     mat = np.array([r["v"] for r in rows], dtype=np.float64)  # (N, D)
+    return _pq_lloyd(mat, n_subspaces, n_centroids, train_iters)
+
+
+def _pq_lloyd(
+    mat: np.ndarray, n_subspaces: int, n_centroids: int, train_iters: int
+) -> np.ndarray:
+    """The deterministic per-subspace Lloyd loop shared by the raw and
+    residual codebook builds (init = first n_centroids rows' subvectors;
+    argmin ties → lowest centroid id; empty clusters keep their centroid)."""
     d = mat.shape[1]
     if d % n_subspaces:
         raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
@@ -870,6 +879,51 @@ def pq_ann_topk(
     )
 
 
+def pq_codebooks_residual(
+    corpus: DataFrame,
+    cent: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 8,
+    train_sample: int = 2048,
+) -> np.ndarray:
+    """PQ codebooks trained on RESIDUALS (vector − its cell's centroid) —
+    FAISS IndexIVFPQ's actual encoding: residual magnitudes are a
+    fraction of raw magnitudes once the coarse quantizer captures the
+    bulk, so the same code budget spends its centroids on a tighter
+    distribution. Same deterministic Lloyd loop and bounded driver-side
+    sample as :func:`pq_codebooks`; the nearest-cell choice accumulates
+    dimension-at-a-time in index order (the :func:`ivf_assign` parity
+    contract)."""
+    rows = (
+        corpus.filter(F.col(id_col) < train_sample)
+        .orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    cells, cmat = _collect_centroids(cent)
+    acc = np.zeros((mat.shape[0], cmat.shape[0]), dtype=np.float64)
+    for i in range(cmat.shape[1]):
+        d = mat[:, i, None] - cmat[None, :, i]
+        acc += d * d
+    nearest = np.argsort(acc, axis=1, kind="stable")[:, 0]
+    resid = mat - cmat[nearest]
+    return _pq_lloyd(resid, n_subspaces, n_centroids, train_iters)
+
+
+def _collect_centroids(cent: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(cells ascending, centroid matrix) — the bounded driver fetch every
+    probe path shares."""
+    rows = cent.select("cell", "centroid").collect()
+    order = np.argsort([r["cell"] for r in rows], kind="stable")
+    cells = np.array([rows[i]["cell"] for i in order], dtype=np.int64)
+    cmat = np.array([rows[i]["centroid"] for i in order], dtype=np.float64)
+    return cells, cmat
+
+
 def ivfpq_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -882,6 +936,7 @@ def ivfpq_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: tuple[DataFrame, np.ndarray, DataFrame] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the FAISS-style composition of the two ANN index families —
     an inverted-file coarse quantizer restricts WHICH vectors are scanned
@@ -892,11 +947,18 @@ def ivfpq_ann_topk(
     layout: the corpus lives as (cell, 8-byte code) rows, a query touches
     ~n_probe/n_cells of it, and per-candidate cost is compressed-domain.
 
-    Convention: PQ codes are trained/encoded on RAW vectors, not per-cell
-    residuals (FAISS IndexIVFPQ's residual option) — raw codes are cell-
-    independent, so cell re-assignment, centroid retraining and
-    ``upsert_*`` index maintenance never force a re-encode. Auto-sizing:
-    ``n_cells=None``/``n_probe=None`` follow :func:`ivf_defaults`.
+    Code convention is a real tradeoff, exposed as ``residual=``:
+    - ``False`` (default): codes on RAW vectors — cell-independent, so
+      cell re-assignment, centroid retraining and ``upsert_*`` index
+      maintenance never force a re-encode (the operational win).
+    - ``True``: codes on residuals (vector − cell centroid) — FAISS
+      IndexIVFPQ's encoding; the same code budget quantizes a tighter
+      distribution, buying recall at equal bytes (the accuracy win;
+      measured in the bench ANN probe). ADC tables become per
+      (query, probed cell) since the query residual differs per cell —
+      still a bounded driver build (Q·n_probe tables).
+    Auto-sizing: ``n_cells=None``/``n_probe=None`` follow
+    :func:`ivf_defaults`.
 
     Plan shape: centroid table broadcast (narrow assignment for both
     sides), probed queries broadcast against the coded corpus on the cell
@@ -926,10 +988,28 @@ def ivfpq_ann_topk(
             1,
             "neighbor_id",
             "cv",
-        ).select("neighbor_id", "cell")
-        books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
-        codes = pq_encode(corpus, books, id_col, vec_col)
-        coded = codes.join(cassign, "neighbor_id")
+        )
+        if residual:
+            books = pq_codebooks_residual(
+                corpus, cent, n_subspaces, n_centroids, id_col, vec_col
+            )
+            # residual column: vector − its cell's centroid (broadcast
+            # join on the tiny centroid table, elementwise zip_with)
+            with_res = cassign.join(F.broadcast(cent), "cell").select(
+                "neighbor_id",
+                "cell",
+                F.zip_with(
+                    F.col("cv").cast("array<double>"),
+                    F.col("centroid"),
+                    lambda x, y: x - y,
+                ).alias("__resid"),
+            )
+            codes = pq_encode(with_res, books, "neighbor_id", "__resid")
+            coded = codes.join(with_res.select("neighbor_id", "cell"), "neighbor_id")
+        else:
+            books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
+            codes = pq_encode(corpus, books, id_col, vec_col)
+            coded = codes.join(cassign.select("neighbor_id", "cell"), "neighbor_id")
 
     S, C, ds = books.shape
     q_sel = queries.select(
@@ -945,20 +1025,9 @@ def ivfpq_ann_topk(
     rows.sort(key=lambda r: r["query_id"])
     qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
     qmat = np.array([r["qv"] for r in rows], dtype=np.float64)
-    qsub = qmat.reshape(qmat.shape[0], S, ds)
-    qtab = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)  # (Q,S,C)
     qidx = {int(q): i for i, q in enumerate(qids)}
 
     from pyspark.sql.types import DoubleType as _D
-
-    @F.pandas_udf(_D())
-    def _adist(qid: pd.Series, code: pd.Series) -> pd.Series:
-        if qid.empty:
-            return pd.Series([], dtype=float)
-        c = np.array(code.tolist(), dtype=np.int64)  # (N, S)
-        qi = qid.map(qidx).to_numpy(dtype=np.int64)
-        srange = np.arange(S)
-        return pd.Series(qtab[qi[:, None], srange[None, :], c].sum(1))
 
     qassign = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
@@ -967,11 +1036,57 @@ def ivfpq_ann_topk(
         "query_id",
         "qv",
     ).select("query_id", "cell")
+
+    if residual:
+        # per-(query, probed cell) ADC tables: the query residual differs
+        # per cell. Bounded driver build: Q·n_probe tables of S×C doubles.
+        cells_arr, cmat = _collect_centroids(cent)
+        cell_pos = {int(c): i for i, c in enumerate(cells_arr)}
+        key_mod = int(cells_arr.max()) + 1
+        pair_rows = qassign.collect()
+        keys, tabs = [], []
+        for r in pair_rows:
+            qres = qmat[qidx[int(r["query_id"])]] - cmat[cell_pos[int(r["cell"])]]
+            qs = qres.reshape(S, ds)
+            tabs.append(((qs[:, None, :] - books) ** 2).sum(-1))  # (S, C)
+            keys.append(int(r["query_id"]) * key_mod + int(r["cell"]))
+        order = np.argsort(np.array(keys, dtype=np.int64), kind="stable")
+        keys_sorted = np.array(keys, dtype=np.int64)[order]
+        tab_stack = np.stack([tabs[i] for i in order])  # (P, S, C)
+
+        @F.pandas_udf(_D())
+        def _adist_res(qid: pd.Series, cell: pd.Series, code: pd.Series) -> pd.Series:
+            if qid.empty:
+                return pd.Series([], dtype=float)
+            c = np.array(code.tolist(), dtype=np.int64)  # (N, S)
+            key = qid.to_numpy(dtype=np.int64) * key_mod + cell.to_numpy(
+                dtype=np.int64
+            )
+            pi = np.searchsorted(keys_sorted, key)
+            srange = np.arange(S)
+            return pd.Series(tab_stack[pi[:, None], srange[None, :], c].sum(1))
+
+        adist = _adist_res("query_id", "cell", "codes")
+    else:
+        qsub = qmat.reshape(qmat.shape[0], S, ds)
+        qtab = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)  # (Q,S,C)
+
+        @F.pandas_udf(_D())
+        def _adist(qid: pd.Series, code: pd.Series) -> pd.Series:
+            if qid.empty:
+                return pd.Series([], dtype=float)
+            c = np.array(code.tolist(), dtype=np.int64)  # (N, S)
+            qi = qid.map(qidx).to_numpy(dtype=np.int64)
+            srange = np.arange(S)
+            return pd.Series(qtab[qi[:, None], srange[None, :], c].sum(1))
+
+        adist = _adist("query_id", "codes")
+
     cand = (
         F.broadcast(qassign)
         .join(coded, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", _adist("query_id", "codes").alias("adist"))
+        .select("query_id", "neighbor_id", adist.alias("adist"))
     )
     m = refine * k
     wa = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))

@@ -495,6 +495,64 @@ def ann_ivfpq_topk(sf_dir: str, k: int = 5, n_cells: int = 16, n_probe: int = 2,
     return ANN_COLS, rows
 
 
+def ann_ivfpq_residual_topk(sf_dir: str, k: int = 5, n_cells: int = 16,
+                            n_probe: int = 2, n_subspaces: int = 8,
+                            n_centroids: int = 16, refine: int = 4,
+                            train_iters: int = 8, train_sample: int = 2048):
+    """IVF-PQ with RESIDUAL codes (FAISS IndexIVFPQ's encoding):
+    codebooks train on (vector − cell centroid), the ADC table is per
+    (query, probed cell). Mirrors similarity.ivfpq_ann_topk(residual=True)."""
+    ids, V = _embeddings(sf_dir)
+    cent = V[ids < n_cells]
+    cd2 = ((V[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    cell_of = cd2.argmin(1)
+    # residual codebooks from the train sample's residuals
+    mat = V[ids < train_sample]
+    md2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    mres = mat - cent[md2.argmin(1)]
+    d = mat.shape[1]
+    ds = d // n_subspaces
+    sub = mres.reshape(mres.shape[0], n_subspaces, ds)
+    books = sub[:n_centroids].transpose(1, 0, 2).copy()
+    for _ in range(train_iters):
+        for s_i in range(n_subspaces):
+            x = sub[:, s_i, :]
+            d2 = ((x[:, None, :] - books[s_i][None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c_i in range(n_centroids):
+                members = x[assign == c_i]
+                if len(members):
+                    books[s_i, c_i] = members.mean(0)
+    vres = V - cent[cell_of]
+    allsub = vres.reshape(V.shape[0], n_subspaces, ds)
+    codes = ((allsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1).argmin(-1)
+    m = refine * k
+    srange = np.arange(n_subspaces)
+    rows = []
+    for qrow, qid in enumerate(ids):
+        if qid >= 8:
+            continue
+        qd2 = ((V[qrow][None, :] - cent) ** 2).sum(-1)
+        probed = np.argsort(qd2, kind="stable")[:n_probe]
+        cand_ad, cand_idx = [], []
+        for cell in probed:
+            qres = (V[qrow] - cent[cell]).reshape(n_subspaces, ds)
+            qtab = ((qres[:, None, :] - books) ** 2).sum(-1)
+            mask = (cell_of == cell) & (ids != qid)
+            idx = np.nonzero(mask)[0]
+            cand_idx.append(idx)
+            cand_ad.append(qtab[srange[None, :], codes[idx]].sum(1))
+        idx = np.concatenate(cand_idx)
+        ad = np.concatenate(cand_ad)
+        top = idx[np.lexsort((ids[idx], ad))[:m]]
+        cids = ids[top]
+        order = np.argsort(cids, kind="stable")
+        cids = cids[order]
+        C = V[top][order]
+        rows += _topk_rows(qid, cids, cosine_rounded(V[qrow], C), k)
+    return ANN_COLS, rows
+
+
 # --------------------------------------------------------------------------
 # ferret goldens — exhaustive candidates + exact EMD (kernel reused from
 # ferret/emd.py: pure numpy, independently validated against closed-form
@@ -841,6 +899,7 @@ REFERENCE_FNS = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
     "ferret_topk_multiregion": ferret_topk_multiregion,
     "multimodal_image_search": multimodal_image_search,
     "multimodal_image_search_png": multimodal_image_search_png,
