@@ -24,6 +24,10 @@ SIG_DIR holds the signature state:
   bloom.bin+.json     packed Bloom bitset over the hashes — the probe-
                       before-join prefilter (dedup_text.history_bloom),
                       advanced per step by bitwise OR
+  band_bloom.bin+.json  the NEAR check's counterpart: a bitset over the
+                      history's SimHash band values (history_band_bloom)
+                      pre-filters the banded join; dropped automatically
+                      if --max-hamming differs from the build's
   _steps/<id>         commit markers, written LAST
 
 Each ``step`` is IDEMPOTENT: state appends go to the step's OWN
@@ -48,9 +52,9 @@ import sys
 import time
 
 
-def _read_bloom(sig_dir: str) -> tuple[bytes, int, int] | None:
-    meta_p = os.path.join(sig_dir, "bloom.json")
-    bin_p = os.path.join(sig_dir, "bloom.bin")
+def _read_bloom(sig_dir: str, name: str = "bloom") -> tuple[bytes, int, int] | None:
+    meta_p = os.path.join(sig_dir, f"{name}.json")
+    bin_p = os.path.join(sig_dir, f"{name}.bin")
     if not (os.path.exists(meta_p) and os.path.exists(bin_p)):
         return None
     with open(meta_p) as fh:
@@ -59,14 +63,15 @@ def _read_bloom(sig_dir: str) -> tuple[bytes, int, int] | None:
         return fh.read(), int(meta["m"]), int(meta["k"])
 
 
-def _write_bloom(sig_dir: str, packed: bytes, m: int, k: int) -> None:
+def _write_bloom(sig_dir: str, packed: bytes, m: int, k: int, name: str = "bloom",
+                 **meta) -> None:
     # tmp + rename so a torn write can never corrupt the bitset
-    tmp = os.path.join(sig_dir, "bloom.bin.tmp")
+    tmp = os.path.join(sig_dir, f"{name}.bin.tmp")
     with open(tmp, "wb") as fh:
         fh.write(packed)
-    os.replace(tmp, os.path.join(sig_dir, "bloom.bin"))
-    with open(os.path.join(sig_dir, "bloom.json"), "w") as fh:
-        json.dump({"m": m, "k": k}, fh)
+    os.replace(tmp, os.path.join(sig_dir, f"{name}.bin"))
+    with open(os.path.join(sig_dir, f"{name}.json"), "w") as fh:
+        json.dump({"m": m, "k": k, **meta}, fh)
 
 
 def _step_id_from(batch_path: str) -> str:
@@ -123,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
     from .operators.dedup_text import (
         BLOOM_K,
         BLOOM_M,
+        history_band_bloom,
         history_bloom,
         history_signatures,
         incremental_dedup,
@@ -151,6 +157,14 @@ def main(argv: list[str] | None = None) -> int:
             history_bloom(spark.read.parquet(_part(hashes_dir, "init"))),
             BLOOM_M,
             BLOOM_K,
+        )
+        _write_bloom(
+            args.sig_dir,
+            history_band_bloom(spark.read.parquet(_part(sims_dir, "init"))),
+            BLOOM_M,
+            BLOOM_K,
+            name="band_bloom",
+            max_hamming=3,
         )
         os.makedirs(steps_dir, exist_ok=True)
         open(os.path.join(steps_dir, "init"), "w").close()
@@ -232,11 +246,20 @@ def main(argv: list[str] | None = None) -> int:
         spark.read.parquet(sims_dir).filter(F.col("step") != step_id).drop("step"),
     )
     bloom = None if args.no_bloom else _read_bloom(args.sig_dir)
+    band_bloom = None if args.no_bloom else _read_bloom(args.sig_dir, "band_bloom")
+    if band_bloom is not None:
+        # band geometry is a function of max_hamming: a bloom built for a
+        # different banding would have FALSE NEGATIVES — drop it instead
+        with open(os.path.join(args.sig_dir, "band_bloom.json")) as fh:
+            if json.load(fh).get("max_hamming") != args.max_hamming:
+                band_bloom = None
+    # the two blooms share (m, k) by construction (written together)
     flags = incremental_dedup(
         batch,
         max_hamming=args.max_hamming,
         history_sig=sig,
         history_bloom_packed=bloom[0] if bloom else None,
+        history_band_bloom_packed=band_bloom[0] if band_bloom else None,
         bloom_m=bloom[1] if bloom else BLOOM_M,
         bloom_k=bloom[2] if bloom else BLOOM_K,
     )
@@ -268,6 +291,23 @@ def main(argv: list[str] | None = None) -> int:
                 bloom_merge_packed(bloom[0], day_bloom),
                 bloom[1],
                 bloom[2],
+            )
+        if band_bloom is not None:
+            from .operators.sketches import bloom_merge_packed
+
+            day_bb = history_band_bloom(
+                spark.read.parquet(_part(sims_dir, step_id)),
+                max_hamming=args.max_hamming,
+                m=band_bloom[1],
+                k=band_bloom[2],
+            )
+            _write_bloom(
+                args.sig_dir,
+                bloom_merge_packed(band_bloom[0], day_bb),
+                band_bloom[1],
+                band_bloom[2],
+                name="band_bloom",
+                max_hamming=args.max_hamming,
             )
         os.makedirs(steps_dir, exist_ok=True)
         open(marker, "w").close()

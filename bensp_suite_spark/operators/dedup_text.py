@@ -871,12 +871,51 @@ def history_bloom(
     return bloom_pack(bloom_bits(hist_h, "content_hash", m=m, k=k), m)
 
 
+def _band_key() -> "Column":
+    """String key of one SimHash band occurrence — the value domain of the
+    band bloom (shared by build and probe sides)."""
+    return F.concat(
+        F.col("band_idx").cast("string"), F.lit(":"), F.col("band_val").cast("string")
+    )
+
+
+def history_band_bloom(
+    hist_s: DataFrame, max_hamming: int = 3, m: int = BLOOM_M, k: int = BLOOM_K
+) -> bytes:
+    """Packed Bloom bitset over the history's SimHash BAND values — the
+    near-dup analog of :func:`history_bloom`: a new doc's band that is
+    not in this set cannot produce a banded-join candidate, so the
+    genuinely-novel majority of a batch skips the band join. Maintained
+    the same way (OR-advance with each day's survivor bands)."""
+    from .sketches import bloom_bits, bloom_pack
+
+    bands = _simhash_bands(max_hamming)
+    arr = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("hist_sim"), sh)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("band_val"),
+            )
+            for i, (sh, w) in enumerate(bands)
+        ])
+    ).alias("b")
+    keys = (
+        hist_s.select(arr)
+        .select(F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
+        .select(_band_key().alias("__bkey"))
+    )
+    return bloom_pack(bloom_bits(keys, "__bkey", m=m, k=k), m)
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     history: DataFrame | None = None,
     max_hamming: int = 3,
     history_sig: tuple[DataFrame, DataFrame] | None = None,
     history_bloom_packed: bytes | None = None,
+    history_band_bloom_packed: bytes | None = None,
     bloom_m: int = BLOOM_M,
     bloom_k: int = BLOOM_K,
 ) -> DataFrame:
@@ -907,7 +946,13 @@ def incremental_dedup(
     the join's stream side shrinks to true-dups + the fpp sliver. Zero
     false negatives by construction ⇒ flags are IDENTICAL with or
     without the bloom (driver-proven: dedup_incremental_bloom_prefilter
-    shares dedup_incremental_batch's oracle verbatim)."""
+    shares dedup_incremental_batch's oracle verbatim).
+
+    ``history_band_bloom_packed`` (:func:`history_band_bloom`) is the
+    NEAR check's counterpart: a bitset over the history's SimHash band
+    values pre-filters the new batch's bands before the banded equi-join
+    — same zero-false-negative parity (an absent band cannot join), same
+    OR-advance maintenance."""
     if history_sig is None:
         if history is None:
             raise ValueError("pass either history or history_sig")
@@ -968,7 +1013,23 @@ def incremental_dedup(
         ).alias("b")
         return df.select(*df.columns, arr).select(*df.columns, "b.band_idx", "b.band_val")
 
-    cand = banded(new_s, "simhash", "n").join(
+    new_bands = banded(new_s, "simhash", "n")
+    if history_band_bloom_packed is not None:
+        # the NEAR check's prefilter, same zero-false-negative argument as
+        # the exact one: a (band_idx, band_val) pair absent from the
+        # history's band bloom cannot join, so only maybe-bands enter the
+        # banded equi-join — at 100 TB the history band table is
+        # (max_hamming+1)·|history| rows and this keeps the genuinely-new
+        # majority of a batch's bands out of its shuffle. Flags identical
+        # (false positives just join and find nothing).
+        from .sketches import bloom_maybe_contains_packed
+
+        keyed = new_bands.withColumn("__bkey", _band_key())
+        probed = bloom_maybe_contains_packed(
+            keyed, "__bkey", history_band_bloom_packed, m=bloom_m, k=bloom_k
+        )
+        new_bands = probed.filter(F.col("bloom_maybe")).drop("bloom_maybe", "__bkey")
+    cand = new_bands.join(
         banded(hist_s, "hist_sim", "h"), on=["band_idx", "band_val"]
     )
     near = (

@@ -191,7 +191,14 @@ def first_wins(df: DataFrame, key, id_col: str = "doc_id") -> DataFrame:
     window, which ships EVERY occurrence of the hot key to one reducer's
     sort (benched 11.3 s vs 19.9 s on 16M rows with one hot digest).
     Assumes ``id_col`` is unique per row (a doc id), so exactly one row
-    survives per key."""
+    survives per key.
+
+    Cost note: ``df`` is referenced twice (winners agg + join-back), so a
+    DERIVED key expression evaluates twice — column pruning keeps the agg
+    branch to (key, id), but if the key derivation itself is expensive
+    (an HTML extraction) that's 2× scan work traded for never funneling a
+    hot key into one task's sort. Materialize upstream if the derivation
+    dominates."""
     kc = key if isinstance(key, Column) else F.col(key)
     tagged = df.withColumn("__fw_key", kc)
     winners = tagged.groupBy("__fw_key").agg(F.min(id_col).alias("__fw_winner"))

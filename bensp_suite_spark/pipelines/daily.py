@@ -43,6 +43,7 @@ def daily_step(
     day: int | str = "",
     advance: bool = True,
     history_bloom_packed: bytes | None = None,
+    history_band_bloom_packed: bytes | None = None,
     bloom_m: int | None = None,
     bloom_k: int | None = None,
 ) -> tuple[DataFrame, DataFrame, Sig]:
@@ -68,6 +69,7 @@ def daily_step(
         max_hamming=max_hamming,
         history_sig=history_sig,
         history_bloom_packed=history_bloom_packed,
+        history_band_bloom_packed=history_band_bloom_packed,
         bloom_m=bloom_m or BLOOM_M,
         bloom_k=bloom_k or BLOOM_K,
     )

@@ -4086,8 +4086,10 @@ def dedup_incremental_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataF
     signature state, advanced by bitwise OR), each new doc probes its
     k bits scan-locally, and ONLY bloom-maybe rows enter the history
     join — at 100 TB the definitely-new majority of a day's crawl never
-    touches the join at all. Same fixture and same oracle as
-    dedup_incremental_batch: identical flags prove the prefilter is
+    touches the join at all. BOTH halves are prefiltered: a second
+    bitset over the history's SimHash band values guards the banded
+    near-dup join the same way. Same fixture and same oracle as
+    dedup_incremental_batch: identical flags prove both prefilters are
     lossless (zero false negatives by construction)."""
     docs = _t(spark, sf_dir, "documents")
     history = docs.select("doc_id", "text")
@@ -4112,11 +4114,13 @@ def dedup_incremental_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataF
     )
     m, k = 1 << 16, 4  # sized for the sf-scale history; pack collect ≤ m bits
     packed = DT.history_bloom(sig[0], m=m, k=k)
+    band_packed = DT.history_band_bloom(sig[1], max_hamming=3, m=m, k=k)
     return DT.incremental_dedup(
         new_batch,
         max_hamming=3,
         history_sig=sig,
         history_bloom_packed=packed,
+        history_band_bloom_packed=band_packed,
         bloom_m=m,
         bloom_k=k,
     )

@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup_text import (
     BLOOM_K,
     BLOOM_M,
+    history_band_bloom,
     history_bloom,
     history_signatures,
     incremental_dedup,
@@ -63,7 +64,8 @@ SEED_BATCH_ID = -1
 
 
 def seed_signatures(
-    history: DataFrame, sig_dir: str, use_bloom: bool = True
+    history: DataFrame, sig_dir: str, use_bloom: bool = True,
+    max_hamming: int = 3,
 ) -> None:
     """Write the day-0 signature state (the stream's only raw-history
     scan) as the ``batch_id=-1`` partitions the stream builds on, plus
@@ -80,20 +82,37 @@ def seed_signatures(
         _write_packed_bloom(
             sig_dir, history_bloom(spark.read.parquet(seed_h)), BLOOM_M, BLOOM_K
         )
+        _write_packed_bloom(
+            sig_dir,
+            history_band_bloom(
+                spark.read.parquet(
+                    _pp.join(sig_dir, "sims", f"batch_id={SEED_BATCH_ID}")
+                ),
+                max_hamming=max_hamming,
+            ),
+            BLOOM_M,
+            BLOOM_K,
+            name="band_bloom",
+            max_hamming=max_hamming,
+        )
 
 
-def _write_packed_bloom(sig_dir: str, packed: bytes, m: int, k: int) -> None:
-    tmp = _os.path.join(sig_dir, "bloom.bin.tmp")
+def _write_packed_bloom(
+    sig_dir: str, packed: bytes, m: int, k: int, name: str = "bloom", **meta
+) -> None:
+    tmp = _os.path.join(sig_dir, f"{name}.bin.tmp")
     with open(tmp, "wb") as fh:
         fh.write(packed)
-    _os.replace(tmp, _os.path.join(sig_dir, "bloom.bin"))
-    with open(_os.path.join(sig_dir, "bloom.json"), "w") as fh:
-        _json.dump({"m": m, "k": k}, fh)
+    _os.replace(tmp, _os.path.join(sig_dir, f"{name}.bin"))
+    with open(_os.path.join(sig_dir, f"{name}.json"), "w") as fh:
+        _json.dump({"m": m, "k": k, **meta}, fh)
 
 
-def _read_packed_bloom(sig_dir: str) -> tuple[bytes, int, int] | None:
-    bin_p = _os.path.join(sig_dir, "bloom.bin")
-    meta_p = _os.path.join(sig_dir, "bloom.json")
+def _read_packed_bloom(
+    sig_dir: str, name: str = "bloom"
+) -> tuple[bytes, int, int] | None:
+    bin_p = _os.path.join(sig_dir, f"{name}.bin")
+    meta_p = _os.path.join(sig_dir, f"{name}.json")
     if not (_os.path.exists(bin_p) and _os.path.exists(meta_p)):
         return None
     with open(meta_p) as fh:
@@ -207,6 +226,13 @@ def stream_incremental_dedup(
             .drop("batch_id")
         )
         bloom = _read_packed_bloom(sig_dir)
+        band_bloom = _read_packed_bloom(sig_dir, "band_bloom")
+        if band_bloom is not None:
+            # band geometry follows max_hamming; a mismatched bloom would
+            # have false negatives — drop it (flags stay correct, slower)
+            with open(_os.path.join(sig_dir, "band_bloom.json")) as fh:
+                if _json.load(fh).get("max_hamming") != max_hamming:
+                    band_bloom = None
         batch_df = batch_df.persist()
         try:
             flags = incremental_dedup(
@@ -214,6 +240,7 @@ def stream_incremental_dedup(
                 max_hamming=max_hamming,
                 history_sig=(hist_h, hist_s),
                 history_bloom_packed=bloom[0] if bloom else None,
+                history_band_bloom_packed=band_bloom[0] if band_bloom else None,
                 bloom_m=bloom[1] if bloom else BLOOM_M,
                 bloom_k=bloom[2] if bloom else BLOOM_K,
             ).persist()
@@ -245,6 +272,24 @@ def stream_incremental_dedup(
                         bloom_merge_packed(bloom[0], add),
                         bloom[1],
                         bloom[2],
+                    )
+                if band_bloom is not None:
+                    from ..operators.sketches import bloom_merge_packed
+
+                    add_b = history_band_bloom(
+                        spark.read.parquet(
+                            _pp.join(sims_dir, f"batch_id={batch_id}")
+                        ),
+                        max_hamming=max_hamming,
+                        m=band_bloom[1],
+                        k=band_bloom[2],
+                    )
+                    _write_packed_bloom(
+                        sig_dir,
+                        bloom_merge_packed(band_bloom[0], add_b),
+                        band_bloom[1],
+                        band_bloom[2],
+                        name="band_bloom",
                     )
             finally:
                 flags.unpersist()

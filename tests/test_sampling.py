@@ -671,6 +671,7 @@ def test_incremental_dedup_bloom_prefilter_flag_parity(spark):
     identical: false positives only send extra rows into the exact join,
     which resolves them."""
     from bensp_suite_spark.operators.dedup_text import (
+        history_band_bloom,
         history_bloom,
         history_signatures,
         incremental_dedup,
@@ -691,10 +692,12 @@ def test_incremental_dedup_bloom_prefilter_flag_parity(spark):
     plain = {tuple(r) for r in incremental_dedup(new, history_sig=sig).collect()}
     m, k = 1 << 12, 4
     packed = history_bloom(sig[0], m=m, k=k)
+    band_packed = history_band_bloom(sig[1], max_hamming=3, m=m, k=k)
     bloomed = {
         tuple(r)
         for r in incremental_dedup(
-            new, history_sig=sig, history_bloom_packed=packed, bloom_m=m, bloom_k=k
+            new, history_sig=sig, history_bloom_packed=packed,
+            history_band_bloom_packed=band_packed, bloom_m=m, bloom_k=k,
         ).collect()
     }
     assert bloomed == plain
@@ -702,7 +705,8 @@ def test_incremental_dedup_bloom_prefilter_flag_parity(spark):
     worst = {
         tuple(r)
         for r in incremental_dedup(
-            new, history_sig=sig, history_bloom_packed=allset, bloom_m=m, bloom_k=k
+            new, history_sig=sig, history_bloom_packed=allset,
+            history_band_bloom_packed=allset, bloom_m=m, bloom_k=k,
         ).collect()
     }
     assert worst == plain

@@ -741,6 +741,7 @@ def test_daily_cli_step_idempotent_and_compact_preserves_flags(spark, tmpdir):
 
     run("init", paths["hist"], paths["sig"])
     assert os.path.exists(os.path.join(paths["sig"], "bloom.bin"))
+    assert os.path.exists(os.path.join(paths["sig"], "band_bloom.bin"))
     run("step", paths["d1"], paths["sig"], paths["f1"], "--step-id", "day1")
     h1 = spark.read.parquet(os.path.join(paths["sig"], "hashes")).count()
     s1 = spark.read.parquet(os.path.join(paths["sig"], "sims")).count()
