@@ -200,6 +200,10 @@ def main(argv: list[str] | None = None) -> int:
             if len(parts) <= 1:
                 continue
             tmp, bak = root + "._compact_tmp", root + "._compact_old"
+            if os.path.exists(bak) and not os.path.exists(root):
+                # crash between the two swap renames left the root
+                # missing — restore it; the merge below just re-runs
+                os.rename(bak, root)
             for stale in (tmp, bak):
                 if os.path.exists(stale):
                     shutil.rmtree(stale)

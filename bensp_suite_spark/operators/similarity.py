@@ -931,11 +931,11 @@ def ivfpq_ann_topk(
     n_cells: int | None = 16,
     n_probe: int | None = 2,
     n_subspaces: int = 8,
-    n_centroids: int = 16,
-    refine: int = 4,
+    n_centroids: int = 256,
+    refine: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    index: tuple[DataFrame, np.ndarray, DataFrame] | None = None,
+    index: tuple | None = None,
     residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the FAISS-style composition of the two ANN index families —
@@ -952,13 +952,32 @@ def ivfpq_ann_topk(
       cell re-assignment, centroid retraining and ``upsert_*`` index
       maintenance never force a re-encode (the operational win).
     - ``True``: codes on residuals (vector − cell centroid) — FAISS
-      IndexIVFPQ's encoding; the same code budget quantizes a tighter
-      distribution, buying recall at equal bytes (the accuracy win;
-      measured in the bench ANN probe). ADC tables become per
-      (query, probed cell) since the query residual differs per cell —
-      still a bounded driver build (Q·n_probe tables).
+      IndexIVFPQ's encoding; when the corpus is CLUSTERED (the real-world
+      case — embedding corpora cluster by topic/modality) the coarse
+      quantizer captures the bulk and the same code budget quantizes the
+      tighter residual distribution (the bench's clustered-fixture probe
+      measures the delta each round; on structureless gaussian data
+      residuals are still gaussian and the encoding is a wash — measured
+      0.661 vs 0.663 in r7). ADC tables become per (query, probed cell)
+      since the query residual differs per cell — still a bounded driver
+      build (Q·n_probe tables per wave).
+    A prebuilt ``index`` carries its encoding convention in its meta
+    (``save_ivfpq_index(residual=…)``); passing a mismatched ``residual=``
+    here raises rather than silently computing wrong approximate
+    distances against codes of the other convention.
+
     Auto-sizing: ``n_cells=None``/``n_probe=None`` follow
-    :func:`ivf_defaults`.
+    :func:`ivf_defaults`; ``refine=None`` scales the re-rank window with
+    the probe width (``max(8, 2·n_probe)``) — ADC quantization error, not
+    cell recall, binds IVF-PQ recall, so the exact re-rank must see more
+    candidates as n_probe grows (measured on the bench's 100k probe: the
+    old static refine=4 → recall@10 0.30-0.66; the scaled default holds
+    the asserted floor).
+
+    Query batches above ``QUERY_BATCH_LIMIT`` probe in hash-chunked WAVES
+    (the pq_ann_topk shape): per-wave ADC tables stay bounded on the
+    driver while the coded corpus stays cached across waves — no caller-
+    side chunking needed at any batch size.
 
     Plan shape: centroid table broadcast (narrow assignment for both
     sides), probed queries broadcast against the coded corpus on the cell
@@ -971,8 +990,22 @@ def ivfpq_ann_topk(
     if index is not None:
         # prebuilt (save_ivfpq_index/load_ivfpq_index): centroids, codebooks
         # and the coded corpus were all paid at build time — bit-identical
-        # to the inline build (shared golden oracle)
-        cent, books, coded = index
+        # to the inline build (shared golden oracle). A 4th element is the
+        # index meta (encoding convention); a bare 3-tuple (an inline-built
+        # index, e.g. the bench's) is raw-coded by construction.
+        if len(index) == 4:
+            cent, books, coded, idx_meta = index
+        else:
+            cent, books, coded = index
+            idx_meta = {"residual": False}
+        if bool(idx_meta.get("residual", False)) != residual:
+            raise ValueError(
+                f"prebuilt index codes are "
+                f"{'residual' if idx_meta.get('residual') else 'raw'}-encoded "
+                f"but residual={residual} was requested — ADC against the "
+                "other convention silently degrades recall; rebuild with "
+                f"save_ivfpq_index(residual={residual}) or match the flag"
+            )
         if n_probe is None:
             n_idx_cells = cent.count()
             n_probe = min(n_idx_cells, max(8, n_idx_cells // 16))
@@ -1011,21 +1044,13 @@ def ivfpq_ann_topk(
             codes = pq_encode(corpus, books, id_col, vec_col)
             coded = codes.join(cassign.select("neighbor_id", "cell"), "neighbor_id")
 
+    if refine is None:
+        refine = max(8, 2 * n_probe)
     S, C, ds = books.shape
     q_sel = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    rows = q_sel.limit(QUERY_BATCH_LIMIT + 1).collect()
-    if len(rows) > QUERY_BATCH_LIMIT:
-        raise ValueError(
-            f"query batch exceeds {QUERY_BATCH_LIMIT}; chunk the queries "
-            "(pq_ann_topk's hash-chunk guard shows the shape) or probe in waves"
-        )
-    rows.sort(key=lambda r: r["query_id"])
-    qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
-    qmat = np.array([r["qv"] for r in rows], dtype=np.float64)
-    qidx = {int(q): i for i, q in enumerate(qids)}
 
     from pyspark.sql.types import DoubleType as _D
 
@@ -1037,57 +1062,105 @@ def ivfpq_ann_topk(
         "qv",
     ).select("query_id", "cell")
 
+    n_q = q_sel.count()
+    n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
+    big_batch = n_chunks > 1
+    if big_batch:
+        # wave probing: the coded corpus and the probe assignment are
+        # paid once and cached across waves; only the per-wave ADC
+        # tables (≤ LIMIT·S·C doubles, resp. ≤ LIMIT·n_probe tables on
+        # the residual path) live on the driver at a time
+        coded = coded.persist()
+        qassign = qassign.persist()
     if residual:
-        # per-(query, probed cell) ADC tables: the query residual differs
-        # per cell. Bounded driver build: Q·n_probe tables of S×C doubles.
         cells_arr, cmat = _collect_centroids(cent)
         cell_pos = {int(c): i for i, c in enumerate(cells_arr)}
         key_mod = int(cells_arr.max()) + 1
-        pair_rows = qassign.collect()
-        keys, tabs = [], []
-        for r in pair_rows:
-            qres = qmat[qidx[int(r["query_id"])]] - cmat[cell_pos[int(r["cell"])]]
-            qs = qres.reshape(S, ds)
-            tabs.append(((qs[:, None, :] - books) ** 2).sum(-1))  # (S, C)
-            keys.append(int(r["query_id"]) * key_mod + int(r["cell"]))
-        order = np.argsort(np.array(keys, dtype=np.int64), kind="stable")
-        keys_sorted = np.array(keys, dtype=np.int64)[order]
-        tab_stack = np.stack([tabs[i] for i in order])  # (P, S, C)
+    chunk_expr = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))
+    parts = []
+    for ci in range(n_chunks):
+        qc = q_sel if n_chunks == 1 else q_sel.filter(chunk_expr == ci)
+        rows = qc.collect()
+        if not rows:
+            continue
+        rows.sort(key=lambda r: r["query_id"])
+        qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+        qmat = np.array([r["qv"] for r in rows], dtype=np.float64)
+        qidx = {int(q): i for i, q in enumerate(qids)}
+        qa = qassign if n_chunks == 1 else qassign.filter(chunk_expr == ci)
 
-        @F.pandas_udf(_D())
-        def _adist_res(qid: pd.Series, cell: pd.Series, code: pd.Series) -> pd.Series:
-            if qid.empty:
-                return pd.Series([], dtype=float)
-            c = np.array(code.tolist(), dtype=np.int64)  # (N, S)
-            key = qid.to_numpy(dtype=np.int64) * key_mod + cell.to_numpy(
-                dtype=np.int64
-            )
-            pi = np.searchsorted(keys_sorted, key)
-            srange = np.arange(S)
-            return pd.Series(tab_stack[pi[:, None], srange[None, :], c].sum(1))
+        if residual:
+            # per-(query, probed cell) ADC tables: the query residual
+            # differs per cell. Bounded driver build per wave.
+            pair_rows = qa.collect()
+            keys, tabs = [], []
+            for r in pair_rows:
+                qres = qmat[qidx[int(r["query_id"])]] - cmat[cell_pos[int(r["cell"])]]
+                qs = qres.reshape(S, ds)
+                tabs.append(((qs[:, None, :] - books) ** 2).sum(-1))  # (S, C)
+                keys.append(int(r["query_id"]) * key_mod + int(r["cell"]))
+            order = np.argsort(np.array(keys, dtype=np.int64), kind="stable")
+            keys_sorted = np.array(keys, dtype=np.int64)[order]
+            tab_stack = np.stack([tabs[i] for i in order])  # (P, S, C)
 
-        adist = _adist_res("query_id", "cell", "codes")
-    else:
-        qsub = qmat.reshape(qmat.shape[0], S, ds)
-        qtab = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)  # (Q,S,C)
+            def _make_res(keys_sorted, tab_stack):
+                @F.pandas_udf(_D())
+                def _adist_res(
+                    qid: pd.Series, cell: pd.Series, code: pd.Series
+                ) -> pd.Series:
+                    if qid.empty:
+                        return pd.Series([], dtype=float)
+                    c = np.array(code.tolist(), dtype=np.int64)  # (N, S)
+                    key = qid.to_numpy(dtype=np.int64) * key_mod + cell.to_numpy(
+                        dtype=np.int64
+                    )
+                    pi = np.searchsorted(keys_sorted, key)
+                    srange = np.arange(S)
+                    return pd.Series(
+                        tab_stack[pi[:, None], srange[None, :], c].sum(1)
+                    )
 
-        @F.pandas_udf(_D())
-        def _adist(qid: pd.Series, code: pd.Series) -> pd.Series:
-            if qid.empty:
-                return pd.Series([], dtype=float)
-            c = np.array(code.tolist(), dtype=np.int64)  # (N, S)
-            qi = qid.map(qidx).to_numpy(dtype=np.int64)
-            srange = np.arange(S)
-            return pd.Series(qtab[qi[:, None], srange[None, :], c].sum(1))
+                return _adist_res
 
-        adist = _adist("query_id", "codes")
+            adist = _make_res(keys_sorted, tab_stack)("query_id", "cell", "codes")
+        else:
+            qsub = qmat.reshape(qmat.shape[0], S, ds)
+            qtab = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
 
-    cand = (
-        F.broadcast(qassign)
-        .join(coded, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", adist.alias("adist"))
-    )
+            def _make_raw(qidx, qtab):
+                @F.pandas_udf(_D())
+                def _adist(qid: pd.Series, code: pd.Series) -> pd.Series:
+                    if qid.empty:
+                        return pd.Series([], dtype=float)
+                    c = np.array(code.tolist(), dtype=np.int64)  # (N, S)
+                    qi = qid.map(qidx).to_numpy(dtype=np.int64)
+                    srange = np.arange(S)
+                    return pd.Series(qtab[qi[:, None], srange[None, :], c].sum(1))
+
+                return _adist
+
+            adist = _make_raw(qidx, qtab)("query_id", "codes")
+
+        parts.append(
+            F.broadcast(qa)
+            .join(coded, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", adist.alias("adist"))
+        )
+    if not parts:  # zero queries: empty result, correct schema
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    if big_batch:
+        # materialize the bounded candidate set (≤ n_q × refine·k-ish
+        # rows per wave's top) so the cached corpus codes can be
+        # released before returning (the pq_ann_topk protocol)
+        cand = cand.localCheckpoint(eager=True)
+        coded.unpersist()
+        qassign.unpersist()
     m = refine * k
     wa = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
     survivors = (
@@ -1103,7 +1176,7 @@ def ivfpq_ann_topk(
     )
     scored = (
         survivors.join(c, "neighbor_id")
-        .join(F.broadcast(q_sel), "query_id")
+        .join(q_sel if big_batch else F.broadcast(q_sel), "query_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -1406,9 +1479,10 @@ def save_ivfpq_index(
     path: str,
     n_cells: int | None = 16,
     n_subspaces: int = 8,
-    n_centroids: int = 16,
+    n_centroids: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Build + persist the composed IVF-PQ index: coarse centroids, PQ
     codebooks, and the coded corpus as (neighbor_id, codes, cell) rows —
@@ -1416,19 +1490,31 @@ def save_ivfpq_index(
     join is co-located and a query reads only its probed cells' files.
     The expensive parts (Lloyd training, the encode scan, the cell
     assignment) all happen HERE, once. ``n_cells=None`` auto-sizes via
-    :func:`ivf_defaults`."""
+    :func:`ivf_defaults`.
+
+    The encoding convention (``residual=``) is PERSISTED in ``path/meta``
+    and validated by ``ivfpq_ann_topk(index=…, residual=…)`` — probing
+    raw codes with residual ADC tables (or vice versa) computes wrong
+    approximate distances with no error, so the index carries its own
+    convention rather than trusting the caller to remember it."""
     if n_cells is None:
         n_cells, _ = ivf_defaults(corpus.count())
     cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
     cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
-    books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
+    if residual:
+        books = pq_codebooks_residual(
+            corpus, cent, n_subspaces, n_centroids, id_col, vec_col
+        )
+    else:
+        books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
     S, C, _ds = books.shape
     rows = [
         (int(s), int(c), [float(x) for x in books[s, c]])
         for s in range(S)
         for c in range(C)
     ]
-    corpus.sparkSession.createDataFrame(
+    spark = corpus.sparkSession
+    spark.createDataFrame(
         rows, "subspace int, centroid int, features array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
     cassign = ivf_assign(
@@ -1438,15 +1524,54 @@ def save_ivfpq_index(
         "neighbor_id",
         "cv",
     ).select("neighbor_id", "cell")
-    coded = pq_encode(corpus, books, id_col, vec_col).join(cassign, "neighbor_id")
+    coded = _ivfpq_encode(corpus, cent, cassign, books, id_col, vec_col, residual)
     coded.write.mode("overwrite").parquet(path + "/coded")
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def _ivfpq_encode(
+    vectors: DataFrame,
+    cent: DataFrame,
+    cassign: DataFrame,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    residual: bool,
+) -> DataFrame:
+    """(neighbor_id, codes, cell) rows for ``vectors`` under either code
+    convention — the shared encode step of save/upsert. ``cassign`` must
+    be the 1-nearest assignment of exactly these vectors."""
+    if residual:
+        with_res = (
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            )
+            .join(cassign, "neighbor_id")
+            .join(F.broadcast(cent), "cell")
+            .select(
+                "neighbor_id",
+                "cell",
+                F.zip_with(
+                    F.col("cv"), F.col("centroid"), lambda x, y: x - y
+                ).alias("__resid"),
+            )
+        )
+        return pq_encode(with_res, books, "neighbor_id", "__resid").join(
+            with_res.select("neighbor_id", "cell"), "neighbor_id"
+        )
+    return pq_encode(vectors, books, id_col, vec_col).join(cassign, "neighbor_id")
 
 
 def load_ivfpq_index(
     spark, path: str
-) -> tuple[DataFrame, np.ndarray, DataFrame]:
-    """→ (centroids, codebooks ndarray, coded corpus) for
-    ``ivfpq_ann_topk(index=…)``."""
+) -> tuple[DataFrame, np.ndarray, DataFrame, dict]:
+    """→ (centroids, codebooks ndarray, coded corpus, meta) for
+    ``ivfpq_ann_topk(index=…)``. ``meta['residual']`` is the persisted
+    encoding convention (False for indexes written before the meta file
+    existed — those were always raw-coded)."""
     rows = spark.read.parquet(path + "/codebooks").collect()
     S = max(r["subspace"] for r in rows) + 1
     C = max(r["centroid"] for r in rows) + 1
@@ -1454,10 +1579,16 @@ def load_ivfpq_index(
     books = np.zeros((S, C, ds), dtype=np.float64)
     for r in rows:
         books[r["subspace"], r["centroid"]] = r["features"]
+    try:
+        meta_rows = spark.read.parquet(path + "/meta").collect()
+        meta = {"residual": bool(meta_rows[0]["residual"])}
+    except Exception:  # pre-meta index layout: raw by construction
+        meta = {"residual": False}
     return (
         spark.read.parquet(path + "/centroids"),
         books,
         spark.read.parquet(path + "/coded"),
+        meta,
     )
 
 
@@ -1470,13 +1601,15 @@ def upsert_ivfpq_index(
 ) -> None:
     """Incremental IVF-PQ maintenance: assign + encode ONLY the new
     vectors against the PERSISTED centroids/codebooks and append their
-    (neighbor_id, codes, cell) rows — the raw-vector-code convention is
-    exactly what makes this a pure append (residual codes would couple
-    codes to cells and force re-encodes on any reassignment). Row-
-    identical to a from-scratch encode of the union corpus with the same
-    centroids+codebooks; retrain (save_ivfpq_index) when cell skew or
-    quantization drift degrades recall."""
-    cent, books, _coded = load_ivfpq_index(spark, path)
+    (neighbor_id, codes, cell) rows, under the index's PERSISTED code
+    convention. Raw codes make this a pure append trivially; residual
+    codes are ALSO append-safe here because an upsert never re-assigns
+    existing rows — each appended row's code is computed against its own
+    (frozen) cell centroid. Row-identical to a from-scratch encode of
+    the union corpus with the same centroids+codebooks; retrain
+    (save_ivfpq_index) when cell skew or quantization drift degrades
+    recall."""
+    cent, books, _coded, meta = load_ivfpq_index(spark, path)
     cassign = ivf_assign(
         new_vectors.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -1486,7 +1619,9 @@ def upsert_ivfpq_index(
         "neighbor_id",
         "cv",
     ).select("neighbor_id", "cell")
-    add = pq_encode(new_vectors, books, id_col, vec_col).join(cassign, "neighbor_id")
+    add = _ivfpq_encode(
+        new_vectors, cent, cassign, books, id_col, vec_col, meta["residual"]
+    )
     add.write.mode("append").parquet(path + "/coded")
 
 

@@ -198,14 +198,21 @@ def first_wins(df: DataFrame, key, id_col: str = "doc_id") -> DataFrame:
     branch to (key, id), but if the key derivation itself is expensive
     (an HTML extraction) that's 2× scan work traded for never funneling a
     hot key into one task's sort. Materialize upstream if the derivation
-    dominates."""
+    dominates.
+
+    NULL-key contract: all NULL keys form ONE group (the lowest-id NULL
+    row survives) — matching the ``row_number`` window this replaces,
+    where NULL is an ordinary partition value. ``groupBy`` already puts
+    NULLs in one group; the join-back uses ``eqNullSafe`` so those rows
+    still match their winner instead of being dropped by NULL != NULL."""
     kc = key if isinstance(key, Column) else F.col(key)
     tagged = df.withColumn("__fw_key", kc)
     winners = tagged.groupBy("__fw_key").agg(F.min(id_col).alias("__fw_winner"))
+    w = winners.withColumnRenamed("__fw_key", "__fw_wkey")
     return (
-        tagged.join(winners, "__fw_key")
+        tagged.join(w, tagged["__fw_key"].eqNullSafe(w["__fw_wkey"]))
         .filter(F.col(id_col) == F.col("__fw_winner"))
-        .drop("__fw_key", "__fw_winner")
+        .drop("__fw_key", "__fw_wkey", "__fw_winner")
     )
 
 

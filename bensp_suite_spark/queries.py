@@ -939,8 +939,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-Spark reference recomputes assignment, codes, probe and rerank)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
+    # sizes pinned to the golden's (tiny-corpus) config — the PRODUCTION
+    # defaults are n_centroids=256 / refine=max(8, 2·n_probe), asserted
+    # against a recall floor by the bench's 100k probe
     return SIM.ivfpq_ann_topk(
-        queries_df, emb, k=5, n_cells=16, n_probe=2, refine=4
+        queries_df, emb, k=5, n_cells=16, n_probe=2, n_centroids=16, refine=4
     )
 
 
@@ -956,7 +959,8 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return SIM.ivfpq_ann_topk(
-        queries_df, emb, k=5, n_cells=16, n_probe=2, refine=4, residual=True
+        queries_df, emb, k=5, n_cells=16, n_probe=2, n_centroids=16, refine=4,
+        residual=True,
     )
 
 
@@ -4576,7 +4580,7 @@ def ann_ivfpq_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ANN_INDEX_CACHE.get(("ivfpq", sf_dir))
     if path is None:
         path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/ivfpq"
-        SIM.save_ivfpq_index(emb, path, n_cells=16)
+        SIM.save_ivfpq_index(emb, path, n_cells=16, n_centroids=16)
         _ANN_INDEX_CACHE[("ivfpq", sf_dir)] = path
     idx = SIM.load_ivfpq_index(spark, path)
     return SIM.ivfpq_ann_topk(q, emb, k=5, n_probe=2, refine=4, index=idx)

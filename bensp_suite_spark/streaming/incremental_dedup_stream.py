@@ -133,6 +133,13 @@ def compact_signature_state(
     merged = 0
     for table, col in (("hashes", "content_hash"), ("sims", "hist_sim")):
         root = _pp.join(sig_dir, table)
+        bak0 = root + "._compact_old"
+        if _os.path.exists(bak0) and not _os.path.exists(root):
+            # a crash between the two swap renames left the table root
+            # missing — restore the old root before doing anything else
+            # (the interrupted merge's tmp dir is cleaned below and the
+            # merge simply re-runs)
+            _os.rename(bak0, root)
         parts = [
             p
             for p in _glob.glob(_os.path.join(root, "batch_id=*"))
@@ -284,12 +291,18 @@ def stream_incremental_dedup(
                         m=band_bloom[1],
                         k=band_bloom[2],
                     )
+                    # max_hamming must ride along on EVERY rewrite: the
+                    # sink's geometry guard above drops any band bloom
+                    # whose meta lacks/mismatches it, so omitting it here
+                    # would silently disable the NEAR prefilter from the
+                    # next batch on (flags identical — only perf lost)
                     _write_packed_bloom(
                         sig_dir,
                         bloom_merge_packed(band_bloom[0], add_b),
                         band_bloom[1],
                         band_bloom[2],
                         name="band_bloom",
+                        max_hamming=max_hamming,
                     )
             finally:
                 flags.unpersist()

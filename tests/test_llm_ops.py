@@ -736,7 +736,7 @@ def test_ivfpq_all_cells_high_refine_equals_bruteforce(spark):
         map(
             tuple,
             SIM.ivfpq_ann_topk(
-                queries, emb, k=5, n_cells=4, n_probe=4, refine=16
+                queries, emb, k=5, n_cells=4, n_probe=4, n_centroids=16, refine=16
             ).collect(),
         )
     )
@@ -772,9 +772,10 @@ def test_ivfpq_upsert_equals_full_encode(spark, tmp_path):
     base = emb.filter(F.col("vec_id") < 400)
     extra = emb.filter(F.col("vec_id") >= 400)
     path = str(tmp_path / "ivfpq")
-    SIM.save_ivfpq_index(base, path, n_cells=8)
+    SIM.save_ivfpq_index(base, path, n_cells=8, n_centroids=16)
     SIM.upsert_ivfpq_index(spark, path, extra)
-    cent, books, coded_up = SIM.load_ivfpq_index(spark, path)
+    cent, books, coded_up, meta = SIM.load_ivfpq_index(spark, path)
+    assert meta == {"residual": False}
     cassign = SIM.ivf_assign(
         emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
         cent, 1, "neighbor_id", "cv",
@@ -807,7 +808,8 @@ def test_ivfpq_residual_exact_at_full_probe_and_beats_raw(spark):
         map(
             tuple,
             SIM.ivfpq_ann_topk(
-                q, small, k=5, n_cells=4, n_probe=4, refine=16, residual=True
+                q, small, k=5, n_cells=4, n_probe=4, n_centroids=16, refine=16,
+                residual=True,
             ).collect(),
         )
     )
@@ -822,8 +824,85 @@ def test_ivfpq_residual_exact_at_full_probe_and_beats_raw(spark):
         a = {
             (r.query_id, r.neighbor_id)
             for r in SIM.ivfpq_ann_topk(
-                qs, emb, k=5, n_cells=16, n_probe=4, refine=8, residual=residual
+                qs, emb, k=5, n_cells=16, n_probe=4, n_centroids=16, refine=8,
+                residual=residual,
             ).collect()
         }
         return len(a & brute) / len(brute)
     assert rec(True) >= rec(False)
+
+
+def test_ivfpq_wave_probing_parity(spark, monkeypatch):
+    """Above QUERY_BATCH_LIMIT ivfpq_ann_topk probes in hash-chunked
+    WAVES (no caller-side chunking, no ValueError): per-wave ADC tables
+    stay bounded while the coded corpus is cached across waves. The
+    waved path must be result-identical to the single-wave path on both
+    code conventions — the ADC scan never looks across queries, so the
+    union is exact."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    for residual in (False, True):
+        kw = dict(k=5, n_cells=8, n_probe=3, n_centroids=16, refine=6,
+                  residual=residual)
+        base = sorted(map(tuple, SIM.ivfpq_ann_topk(q, emb, **kw).collect()))
+        monkeypatch.setattr(SIM, "QUERY_BATCH_LIMIT", 3)
+        waved = sorted(map(tuple, SIM.ivfpq_ann_topk(q, emb, **kw).collect()))
+        monkeypatch.undo()
+        assert waved == base
+
+
+def test_ivfpq_residual_index_roundtrip_and_convention_guard(spark, tmp_path):
+    """save_ivfpq_index(residual=True) persists residual-coded rows AND
+    the convention in meta; loading + probing with residual=True matches
+    the inline residual build, upsert appends residual codes, and a
+    mismatched residual= flag raises instead of silently computing ADC
+    against the wrong convention (the r7 ADVICE finding)."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    q = emb.filter(F.col("vec_id") < 5)
+    # full-corpus index: probe must equal the inline residual build (same
+    # training corpus → identical deterministic codebooks)
+    path = str(tmp_path / "ivfpq_res")
+    SIM.save_ivfpq_index(emb, path, n_cells=8, n_centroids=16, residual=True)
+    idx = SIM.load_ivfpq_index(spark, path)
+    assert idx[3] == {"residual": True}
+    via_idx = sorted(map(tuple, SIM.ivfpq_ann_topk(
+        q, emb, k=5, n_probe=2, refine=4, index=idx, residual=True
+    ).collect()))
+    inline = sorted(map(tuple, SIM.ivfpq_ann_topk(
+        q, emb, k=5, n_cells=8, n_probe=2, n_centroids=16, refine=4,
+        residual=True,
+    ).collect()))
+    assert via_idx == inline
+    with _pytest.raises(ValueError, match="residual"):
+        SIM.ivfpq_ann_topk(q, emb, k=5, n_probe=2, index=idx, residual=False)
+    # upsert appends residual codes against the FROZEN base centroids/
+    # codebooks: coded table == from-scratch encode of the union with the
+    # same persisted artifacts
+    up_path = str(tmp_path / "ivfpq_res_up")
+    SIM.save_ivfpq_index(base, up_path, n_cells=8, n_centroids=16, residual=True)
+    SIM.upsert_ivfpq_index(spark, up_path, extra)
+    cent, books, coded_up, meta = SIM.load_ivfpq_index(spark, up_path)
+    assert meta == {"residual": True}
+    cassign = SIM.ivf_assign(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("cv")),
+        cent, 1, "neighbor_id", "cv",
+    ).select("neighbor_id", "cell")
+    coded_full = SIM._ivfpq_encode(
+        emb, cent, cassign, books, "vec_id", "embedding", True
+    )
+    got = {(r["neighbor_id"], tuple(r["codes"]), r["cell"])
+           for r in coded_up.collect()}
+    want = {(r["neighbor_id"], tuple(r["codes"]), r["cell"])
+            for r in coded_full.collect()}
+    assert got == want
+    # and the other direction: a raw index probed with residual=True
+    raw_path = str(tmp_path / "ivfpq_raw")
+    SIM.save_ivfpq_index(base, raw_path, n_cells=8, n_centroids=16)
+    raw_idx = SIM.load_ivfpq_index(spark, raw_path)
+    with _pytest.raises(ValueError, match="raw"):
+        SIM.ivfpq_ann_topk(q, emb, k=5, n_probe=2, index=raw_idx, residual=True)

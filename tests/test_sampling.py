@@ -645,6 +645,13 @@ def test_first_wins_equals_window_and_handles_hot_key(spark):
     # expression keys work too (the web pipeline's content-hash stage)
     got_expr = {tuple(r) for r in first_wins(df, F.upper(F.col("key"))).collect()}
     assert got_expr == want
+    # NULL keys form ONE group (lowest-id NULL row survives) — matching
+    # the row_number window this replaces; a plain equi-join-back would
+    # silently DROP them (NULL != NULL), the r7 ADVICE finding
+    nrows = [(1, "a"), (2, None), (3, None), (4, "b"), (5, None)]
+    ndf = spark.createDataFrame(nrows, "doc_id long, key string")
+    got_null = {tuple(r) for r in first_wins(ndf, "key").collect()}
+    assert got_null == {(1, "a"), (2, None), (4, "b")}
 
 
 def test_bloom_merge_packed_or_equals_pack_of_union(spark):

@@ -1194,6 +1194,14 @@ def test_stream_incremental_dedup_compaction_and_bloom_preserve_flags(spark, tmp
     assert plain_parts == 4            # seed + 3 batches, unbounded
     assert rolled_parts <= 3           # roll-up fired mid-stream
     assert os.path.exists(os.path.join(base_b, "sig", "bloom.bin"))
+    # the per-batch band-bloom advance must PRESERVE the max_hamming meta:
+    # the sink's geometry guard drops any band bloom without it, which
+    # would silently disable the NEAR prefilter for every later batch
+    # (the r7 ADVICE medium finding — flags identical either way, so only
+    # this meta assertion can catch it)
+    import json as _json
+    with open(os.path.join(base_b, "sig", "band_bloom.json")) as fh:
+        assert _json.load(fh).get("max_hamming") == 3
 
     # replay the whole stream over the SAME checkpoint: commit markers make
     # it a no-op — state partition count and flags unchanged
@@ -1212,3 +1220,47 @@ def test_stream_incremental_dedup_compaction_and_bloom_preserve_flags(spark, tmp
         .drop("batch_id").collect()
     }
     assert replay == plain
+
+
+def test_compact_signature_state_self_heals_interrupted_swap(spark, tmp_path):
+    """compact_signature_state's swap is two renames (root→bak, tmp→root);
+    a crash between them leaves the table root MISSING. On the next entry
+    the function must restore the leftover bak as the root and re-run the
+    merge — without the self-heal, the state read fails and manual
+    recovery is needed (the r7 ADVICE finding)."""
+    import os
+    import shutil
+
+    from bensp_suite_spark.streaming.incremental_dedup_stream import (
+        SEED_BATCH_ID,
+        compact_signature_state,
+        seed_signatures,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"doc {i} text body") for i in range(10)],
+        "doc_id long, text string",
+    )
+    sig = str(tmp_path / "sig")
+    seed_signatures(hist, sig, use_bloom=False)
+    # fabricate two committed batch partitions by copying the seed
+    for table in ("hashes", "sims"):
+        seed_part = os.path.join(sig, table, f"batch_id={SEED_BATCH_ID}")
+        for b in (0, 1):
+            shutil.copytree(seed_part, os.path.join(sig, table, f"batch_id={b}"))
+    want = {
+        r["content_hash"]
+        for r in spark.read.parquet(os.path.join(sig, "hashes")).collect()
+    }
+    # simulate the crash window: root renamed to bak, tmp never promoted
+    hashes_root = os.path.join(sig, "hashes")
+    os.rename(hashes_root, hashes_root + "._compact_old")
+    assert not os.path.exists(hashes_root)
+    merged = compact_signature_state(spark, sig, {0, 1})
+    assert merged >= 3  # seed + 2 batches merged after the heal
+    got_df = spark.read.parquet(hashes_root)  # root exists again
+    assert {r["content_hash"] for r in got_df.collect()} == want
+    n_parts = len(
+        [p for p in os.listdir(hashes_root) if p.startswith("batch_id=")]
+    )
+    assert n_parts == 1
