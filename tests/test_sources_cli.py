@@ -196,6 +196,76 @@ def test_zip_ingestion_matches_tar_semantics(spark, tmpdir):
         binaryfiles.read_zip_members(spark, bad_dir).collect()
 
 
+def test_warc_ingestion_records_and_pages(spark, tmpdir):
+    """WARC source: record iteration over plain AND per-record-gzipped
+    archives, within-file record indexes over ALL record types, HTTP
+    envelope parsing on response records (status/content-type/body),
+    read_warc_pages' 2xx-html filter, and typed errors on malformed
+    framing — the S2 archive-member shape for the crawl container."""
+    import pytest
+
+    from bensp_suite_spark.sources import warc as W
+
+    html = b"<html><body>Hello crawl</body></html>"
+    recs = [
+        ("warcinfo", None, b"software: test\r\n"),
+        ("request", "https://ex.com/a", b"GET /a HTTP/1.1\r\n\r\n"),
+        ("response", "https://ex.com/a", W.build_http_response(html)),
+        (
+            "response",
+            "https://ex.com/gone",
+            W.build_http_response(b"nope", status=404),
+        ),
+        (
+            "response",
+            "https://ex.com/d.json",
+            W.build_http_response(b"{}", content_type="application/json"),
+        ),
+    ]
+    with open(os.path.join(tmpdir, "x.warc"), "wb") as fh:
+        fh.write(W.build_warc_bytes(recs))
+    with open(os.path.join(tmpdir, "y.warc.gz"), "wb") as fh:
+        fh.write(
+            W.build_warc_bytes(
+                [("response", "https://ex.org/b", W.build_http_response(html))],
+                gzip_records=True,
+            )
+        )
+    rows = W.read_warc_records(spark, str(tmpdir)).collect()
+    by_key = {(r.warc_name, r.record_idx): r for r in rows}
+    assert len(rows) == 6
+    assert by_key[("x.warc", 0)].record_type == "warcinfo"
+    assert by_key[("x.warc", 0)].http_status is None
+    r2 = by_key[("x.warc", 2)]
+    assert (r2.record_type, r2.http_status, r2.content_type) == (
+        "response", 200, "text/html",
+    )
+    assert bytes(r2.payload) == html
+    assert by_key[("x.warc", 3)].http_status == 404
+    assert bytes(by_key[("y.warc.gz", 0)].payload) == html  # gz round-trip
+    # pages: only 2xx text/html responses survive, html decoded
+    pages = W.read_warc_pages(spark, str(tmpdir)).collect()
+    assert {(p.warc_name, p.record_idx, p.url) for p in pages} == {
+        ("x.warc", 2, "https://ex.com/a"),
+        ("y.warc.gz", 0, "https://ex.org/b"),
+    }
+    assert all(p.html == html.decode() for p in pages)
+    # malformed framing raises with the file named
+    bad = os.path.join(tmpdir, "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "junk.warc"), "wb") as fh:
+        fh.write(b"NOT-A-WARC\r\n\r\n")
+    with pytest.raises(Exception, match="bad WARC version"):
+        W.read_warc_records(spark, bad).collect()
+    # truncated body (Content-Length past EOF) raises too
+    trunc = W.build_warc_bytes([("response", "https://ex.com/t",
+                                 W.build_http_response(html))])[:-20]
+    with open(os.path.join(bad, "junk.warc"), "wb") as fh:
+        fh.write(trunc)
+    with pytest.raises(Exception, match="exceeds file"):
+        W.read_warc_records(spark, bad).collect()
+
+
 def test_dedup_sweep_harness(spark):
     """testbed-t1 analog: the sweep grid runs and produces sane metrics."""
     from bensp_suite_spark.bench.sweeps import SweepConfig, run_dedup_sweep, summarize
