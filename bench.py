@@ -755,6 +755,62 @@ def main() -> None:
     bl_bits.unpersist()
     bl_cand.unpersist()
 
+    # the SIZE-AWARE GATE's crossover, measured: the exact check as
+    # probe-then-join vs plain join at history sizes straddling
+    # BLOOM_GATE_MIN_HISTORY (250k ≈ the broadcast-join threshold in hash
+    # rows). Below it the plain join broadcasts and the probe is pure
+    # overhead; above it the join shuffles and the probe's row reduction
+    # pays — incremental_dedup now picks the form automatically from the
+    # bitset's own fill-ratio cardinality estimate (recorded as est_n).
+    from bensp_suite_spark.operators import dedup_text as DTB
+
+    gate_xover = {"gate_min_history": DTB.BLOOM_GATE_MIN_HISTORY}
+    xn_cand = 2_000_000
+    for h_n in (50_000, 500_000, 5_000_000):
+        xh = spark.range(h_n).select(
+            F.md5(F.col("id").cast("string")).alias("hh")
+        ).persist(StorageLevel.MEMORY_ONLY)
+        xh.count()
+        xp = SKB.bloom_pack(SKB.bloom_bits(xh, "hh", m=bl_m, k=bl_k), bl_m)
+        xc = spark.range(xn_cand).select(
+            F.when(
+                F.col("id") % 100 == 0,
+                F.md5(((F.col("id") / 100).cast("long") % h_n).cast("string")),
+            )
+            .otherwise(F.md5(F.concat(F.lit("new-"), F.col("id").cast("string"))))
+            .alias("ch")
+        ).persist(StorageLevel.MEMORY_ONLY)
+        xc.count()
+        plain_sec = probe_sec = None
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            n_plain = xc.join(xh, xc.ch == xh.hh, "left_semi").count()
+            if _rep:
+                plain_sec = round(time.perf_counter() - t0, 4)
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            n_probe = (
+                SKB.bloom_maybe_contains_packed(xc, "ch", xp, m=bl_m, k=bl_k)
+                .filter("bloom_maybe")
+                .join(xh, F.col("ch") == xh.hh, "left_semi")
+                .count()
+            )
+            if _rep:
+                probe_sec = round(time.perf_counter() - t0, 4)
+        assert n_plain == n_probe, "gate crossover probe changed the dup count"
+        gate_xover[f"h{h_n}"] = {
+            "plain_join_sec": plain_sec,
+            "probe_then_join_sec": probe_sec,
+            "est_n": round(SKB.bloom_cardinality_packed(xp, bl_m, bl_k)),
+            "gated_to_probe": bool(
+                SKB.bloom_cardinality_packed(xp, bl_m, bl_k)
+                >= DTB.BLOOM_GATE_MIN_HISTORY
+            ),
+        }
+        xh.unpersist()
+        xc.unpersist()
+    bloom_prefilter["gate_crossover"] = gate_xover
+
     # URL/crawl skew: 16M payload-carrying rows with one canonical URL /
     # one host owning 95% — the crawl-shaped hot key at the row count
     # where single-task behavior matters (the 4M narrow fixture measured

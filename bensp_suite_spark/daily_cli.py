@@ -100,7 +100,12 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--no-advance", action="store_true",
                     help="flag only; leave the signature tables untouched")
     st.add_argument("--no-bloom", action="store_true",
-                    help="skip the packed-bloom prefilter (flags identical)")
+                    help="skip the packed-bloom prefilter entirely (flags "
+                         "identical). Rarely needed since r8: the probe is "
+                         "SIZE-GATED — below ~250k estimated history keys "
+                         "incremental_dedup skips it automatically because "
+                         "the exact join broadcasts anyway "
+                         "(dedup_text.BLOOM_GATE_MIN_HISTORY)")
     st.add_argument("-t", "--threads", type=int, default=None)
     st.add_argument("-v", "--verbose", action="store_true")
 

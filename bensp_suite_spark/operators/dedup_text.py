@@ -856,6 +856,17 @@ def advance_signatures(
 #: history cardinality; k=4 matches the sketch family default
 BLOOM_M, BLOOM_K = 1 << 20, 4
 
+#: history-size gate for the bloom prefilter: below this many (estimated)
+#: history keys the probe is pure overhead — a ≤250k-row hash table is
+#: under Spark's broadcast-join threshold (≈10 MB at ~40 B/row), so the
+#: exact join is ALREADY a scan-local broadcast probe and the pandas
+#: bloom pass just adds a second pass over the batch (measured at sf0.01:
+#: prefiltered query 4.04 s vs 3.04 s plain, the r7 verdict's finding).
+#: Above it, the join shuffles and the probe's 98%+ row reduction pays.
+#: The estimate comes from the bitset's own fill ratio
+#: (:func:`sketches.bloom_cardinality_packed`) — no extra state reads.
+BLOOM_GATE_MIN_HISTORY = 250_000
+
 
 def history_bloom(
     hist_h: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K
@@ -918,6 +929,7 @@ def incremental_dedup(
     history_band_bloom_packed: bytes | None = None,
     bloom_m: int = BLOOM_M,
     bloom_k: int = BLOOM_K,
+    bloom_gate_min_history: int = BLOOM_GATE_MIN_HISTORY,
 ) -> DataFrame:
     """Dedup a NEW batch against a HISTORICAL corpus — the daily-crawl-
     increment pattern: a new document is dropped if it exactly matches any
@@ -952,12 +964,39 @@ def incremental_dedup(
     NEAR check's counterpart: a bitset over the history's SimHash band
     values pre-filters the new batch's bands before the banded equi-join
     — same zero-false-negative parity (an absent band cannot join), same
-    OR-advance maintenance."""
+    OR-advance maintenance.
+
+    SIZE-AWARE GATE (``bloom_gate_min_history``): each bloom is USED only
+    when its own fill-ratio cardinality estimate clears the gate — below
+    it the history side broadcast-joins anyway and the probe is a pure
+    extra pass over the batch (see ``BLOOM_GATE_MIN_HISTORY``). The
+    daily/streaming loops therefore pass their blooms unconditionally and
+    the right form picks itself as history grows, with flags identical by
+    the zero-false-negative argument either way. Pass ``0`` to force the
+    probe (the oracle-parity proof query does)."""
     if history_sig is None:
         if history is None:
             raise ValueError("pass either history or history_sig")
         history_sig = history_signatures(history)
     hist_h, hist_s = history_sig
+
+    if bloom_gate_min_history:
+        from .sketches import bloom_cardinality_packed
+
+        if (
+            history_bloom_packed is not None
+            and bloom_cardinality_packed(history_bloom_packed, bloom_m, bloom_k)
+            < bloom_gate_min_history
+        ):
+            history_bloom_packed = None
+        if (
+            history_band_bloom_packed is not None
+            and bloom_cardinality_packed(
+                history_band_bloom_packed, bloom_m, bloom_k
+            )
+            < bloom_gate_min_history
+        ):
+            history_band_bloom_packed = None
 
     t = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     new_h = new_docs.select("doc_id", F.md5(t).alias("content_hash"))

@@ -177,6 +177,26 @@ def bloom_pack(bits: DataFrame, m: int) -> bytes:
     return np.packbits(arr).tobytes()
 
 
+def bloom_cardinality_packed(packed: bytes, m: int, k: int) -> float:
+    """Estimated number of distinct keys inserted into a packed bitset —
+    the standard fill-ratio inversion n ≈ -(m/k)·ln(1 − X/m) with X = set
+    bits. A driver-local numpy popcount (microseconds even at 2³⁰ bits),
+    so a loop can make SIZE-AWARE decisions (e.g. skip the probe below
+    the gate where the exact join is broadcast-cheap anyway) from the
+    bloom alone — no extra state reads, replay-safe because the bitset
+    itself is OR-advanced idempotently. Returns +inf on a saturated
+    bitset (every bit set ⇒ the estimate diverges; treat as 'huge')."""
+    import math
+
+    # per-byte popcount LUT — O(bytes) with no 8× unpacked intermediate
+    # (a 2³⁰-bit filter is 128 MB; unpackbits would materialize 1 GB)
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+    x = int(lut[np.frombuffer(packed, dtype=np.uint8)].sum(dtype=np.int64))
+    if x >= m:
+        return float("inf")
+    return -(m / k) * math.log1p(-x / m)
+
+
 def bloom_merge_packed(*packed: bytes) -> bytes:
     """Union of packed bitsets (same m): bitwise OR — the property that
     lets a daily loop ADVANCE its history bloom by OR-ing in each day's

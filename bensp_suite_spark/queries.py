@@ -4226,7 +4226,15 @@ def dedup_incremental_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataF
     bitset over the history's SimHash band values guards the banded
     near-dup join the same way. Same fixture and same oracle as
     dedup_incremental_batch: identical flags prove both prefilters are
-    lossless (zero false negatives by construction)."""
+    lossless (zero false negatives by construction).
+
+    Since r8 the probe is SIZE-GATED (BLOOM_GATE_MIN_HISTORY): at this
+    fixture's toy history the estimated cardinality is far below the
+    gate, so incremental_dedup auto-skips the probe (the history side
+    broadcast-joins anyway — the r7 verdict measured the forced probe at
+    +1 s pure overhead here) and this query costs ~the plain one. The
+    probe path itself stays oracle-proven by
+    dedup_incremental_bloom_forced (gate=0)."""
     docs = _t(spark, sf_dir, "documents")
     history = docs.select("doc_id", "text")
     words = F.split(F.trim(F.col("text")), r"\s+")
@@ -4259,6 +4267,58 @@ def dedup_incremental_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataF
         history_band_bloom_packed=band_packed,
         bloom_m=m,
         bloom_k=k,
+    )
+
+
+# SAME oracle a third time: with the size gate FORCED OFF the probes
+# actually run at toy scale, so this is the query that oracle-proves the
+# probe path's zero-false-negative parity (the gated query above proves
+# the gate; this one proves the probe) — a deliberate parity proof, not
+# a perf claim (the bench extra carries the scale case: 98.91% join-input
+# reduction at 10M rows).
+@query(
+    "dedup_incremental_bloom_forced",
+    oracle=DT.incremental_dedup_oracle_sql(_INCR_HISTORY_SQL, _INCR_NEW_SQL),
+)
+def dedup_incremental_bloom_forced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_bloom_prefilter with ``bloom_gate_min_history=0``:
+    both packed-Bloom probes (exact-hash and SimHash-band) execute even
+    though the fixture history is far below the gate — flags must still
+    equal the plain query's (zero false negatives by construction), and
+    the shared oracle verifies exactly that."""
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    keep = F.greatest(F.size(words) - 3, F.lit(1))
+    jitter = docs.select(
+        (F.col("doc_id") + DT.AUG_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, keep), " ").alias("text"),
+    )
+    exact_copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2 * DT.AUG_OFFSET).alias("doc_id"), "text"
+    )
+    from .session import pooled_persist
+
+    new_batch = pooled_persist(
+        jitter.unionByName(exact_copies), "q.dedup_incr_bloom.new_batch"
+    )
+    hist_h, hist_s = DT.history_signatures(history)
+    sig = (
+        pooled_persist(hist_h, "q.dedup_incr_bloom.hist_hashes"),
+        pooled_persist(hist_s, "q.dedup_incr_bloom.hist_sims"),
+    )
+    m, k = 1 << 16, 4
+    packed = DT.history_bloom(sig[0], m=m, k=k)
+    band_packed = DT.history_band_bloom(sig[1], max_hamming=3, m=m, k=k)
+    return DT.incremental_dedup(
+        new_batch,
+        max_hamming=3,
+        history_sig=sig,
+        history_bloom_packed=packed,
+        history_band_bloom_packed=band_packed,
+        bloom_m=m,
+        bloom_k=k,
+        bloom_gate_min_history=0,
     )
 
 

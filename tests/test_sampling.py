@@ -700,11 +700,14 @@ def test_incremental_dedup_bloom_prefilter_flag_parity(spark):
     m, k = 1 << 12, 4
     packed = history_bloom(sig[0], m=m, k=k)
     band_packed = history_band_bloom(sig[1], max_hamming=3, m=m, k=k)
+    # gate forced off (0): at 60 history docs the size gate would skip
+    # the probe, and this test exists to prove the PROBE path's parity
     bloomed = {
         tuple(r)
         for r in incremental_dedup(
             new, history_sig=sig, history_bloom_packed=packed,
             history_band_bloom_packed=band_packed, bloom_m=m, bloom_k=k,
+            bloom_gate_min_history=0,
         ).collect()
     }
     assert bloomed == plain
@@ -714,10 +717,43 @@ def test_incremental_dedup_bloom_prefilter_flag_parity(spark):
         for r in incremental_dedup(
             new, history_sig=sig, history_bloom_packed=allset,
             history_band_bloom_packed=allset, bloom_m=m, bloom_k=k,
+            bloom_gate_min_history=0,
         ).collect()
     }
     assert worst == plain
     assert any(r[2] for r in plain) and any(r[3] for r in plain)
+    # the DEFAULT gate: a toy-history bloom estimates far below 250k, so
+    # the probe self-disables (flags identical — same rows again)
+    gated = {
+        tuple(r)
+        for r in incremental_dedup(
+            new, history_sig=sig, history_bloom_packed=packed,
+            history_band_bloom_packed=band_packed, bloom_m=m, bloom_k=k,
+        ).collect()
+    }
+    assert gated == plain
+
+
+def test_bloom_cardinality_estimate_and_gate(spark):
+    """bloom_cardinality_packed inverts the fill ratio to ~the true
+    insert count (within 15% at moderate fill), saturated bitsets
+    estimate +inf (the stale-state worst case must NOT be gated off),
+    and the BLOOM_GATE_MIN_HISTORY constant sits where the exact join
+    stops being broadcastable."""
+    from bensp_suite_spark.operators import sketches as SK
+    from bensp_suite_spark.operators.dedup_text import BLOOM_GATE_MIN_HISTORY
+
+    m, k = 1 << 16, 4
+    for n in (100, 2000):
+        df = spark.createDataFrame([(f"v{i}",) for i in range(n)], "v string")
+        packed = SK.bloom_pack(SK.bloom_bits(df, "v", m=m, k=k), m)
+        est = SK.bloom_cardinality_packed(packed, m, k)
+        assert abs(est - n) / n < 0.15, (n, est)
+        assert est < BLOOM_GATE_MIN_HISTORY
+    assert SK.bloom_cardinality_packed(b"\xff" * (m // 8), m, k) == float("inf")
+    assert SK.bloom_cardinality_packed(b"\x00" * (m // 8), m, k) == 0.0
+    # the gate ≈ broadcast-join threshold in 32-byte-hash rows (10 MB)
+    assert 100_000 <= BLOOM_GATE_MIN_HISTORY <= 1_000_000
 
 
 def test_semantic_dedup_auto_sizing(spark):
