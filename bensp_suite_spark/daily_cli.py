@@ -12,14 +12,34 @@ schedules:
       [--step-id ID] [--max-hamming N] [--no-advance] [--no-bloom] [-t N] [-v]
 
   # occasionally: merge the per-step state partitions (the small-file /
-  # listing bound for a loop that has run many days)
-  python -m bensp_suite_spark.daily_cli compact SIG_DIR [-t N] [-v]
+  # listing bound for a loop that has run many days), optionally expiring
+  # hashes whose newest sighting is older than a cutoff day
+  python -m bensp_suite_spark.daily_cli compact SIG_DIR [--expire-before D]
+
+RETENTION (``step --day N`` + ``compact --expire-before D``): each step
+stamps its appended hash rows with ``last_seen = N`` and ALSO appends a
+(hash, N) re-sighting row per exact-dup match, so a hash stays alive
+while copies of it keep arriving; compaction keeps a hash iff
+``max(last_seen) >= D``. Semantics, stated exactly: expiry applies to
+the EXACT-dup state — a re-crawled expired doc no longer flags
+``exact_dup`` and its hash re-enters the state with the new day; INSIDE
+the window exact-dup flags equal a full-history run (every hash sighted
+in the window is retained). SimHash fingerprints do NOT expire (their
+growth tracks survivors, not the window), so near-dup behavior is
+byte-identical to full history — which also means a re-crawled expired
+doc whose fingerprint still near-matches surviving state is rejected
+via the NEAR path, not kept; full forget-this-content semantics would
+need the near join to report which history fingerprint matched
+(re-sighting for sims), left for a future round. The packed bloom is
+rebuilt from the surviving hashes at expiry (OR can't unset bits).
 
 SIG_DIR holds the signature state:
-  hashes/step=<id>/   distinct normalized content md5s (``content_hash``),
-                      written WITH a parquet bloom filter on the column —
-                      point lookups against the winners table skip row
-                      groups (operators/layout.write_with_bloom)
+  hashes/step=<id>/   distinct normalized content md5s (``content_hash``)
+                      + ``last_seen`` (day of newest sighting; 0 when
+                      ``--day`` is not used), written WITH a parquet bloom
+                      filter on the column — point lookups against the
+                      winners table skip row groups
+                      (operators/layout.write_with_bloom)
   sims/step=<id>/     per-doc SimHash fingerprints (``hist_sim``)
   bloom.bin+.json     packed Bloom bitset over the hashes — the probe-
                       before-join prefilter (dedup_text.history_bloom),
@@ -106,14 +126,34 @@ def main(argv: list[str] | None = None) -> int:
                          "incremental_dedup skips it automatically because "
                          "the exact join broadcasts anyway "
                          "(dedup_text.BLOOM_GATE_MIN_HISTORY)")
+    st.add_argument("--day", type=int, default=None,
+                    help="the step's day number, stamped as last_seen on "
+                         "the appended hash rows AND on re-sighting rows "
+                         "for exact-dup matches — enables retention: a "
+                         "hash stays alive while copies of it keep "
+                         "arriving. Replays must pass the SAME day "
+                         "(step-id idempotency already enforces this). "
+                         "Omit to keep the legacy survivors-only append")
     st.add_argument("-t", "--threads", type=int, default=None)
     st.add_argument("-v", "--verbose", action="store_true")
 
     cp = sub.add_parser(
         "compact",
-        help="merge committed step partitions into one (file-count bound)",
+        help="merge committed step partitions into one (file-count bound), "
+             "optionally expiring hashes not seen since a cutoff day",
     )
     cp.add_argument("sig_dir", help="signature-state directory")
+    cp.add_argument("--expire-before", type=int, default=None, metavar="DAY",
+                    help="retention cutoff: drop content hashes whose newest "
+                         "sighting (max last_seen across rows; legacy rows "
+                         "count as day 0) is < DAY. An expired hash "
+                         "re-crawled later no longer flags exact_dup and "
+                         "re-enters the state with the new day; only the "
+                         "EXACT-dup state expires — SimHash fingerprints "
+                         "never do, so near-dup behavior stays identical "
+                         "to full history (see module doc). The packed "
+                         "bloom is REBUILT from the surviving hashes (bits "
+                         "can't be unset by OR)")
     cp.add_argument("-t", "--threads", type=int, default=None)
     cp.add_argument("-v", "--verbose", action="store_true")
 
@@ -155,6 +195,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "init":
         hist = spark.read.parquet(args.history)
         h, s = history_signatures(hist)
+        # day-0 sighting stamp — the retention clock starts here
+        h = h.withColumn("last_seen", F.lit(0).cast("long"))
         write_with_bloom(h, _part(hashes_dir, "init"), ["content_hash"])
         s.write.mode("overwrite").parquet(_part(sims_dir, "init"))
         _write_bloom(
@@ -212,7 +254,27 @@ def main(argv: list[str] | None = None) -> int:
             for stale in (tmp, bak):
                 if os.path.exists(stale):
                     shutil.rmtree(stale)
-            merged = spark.read.parquet(*parts).select(col).distinct().coalesce(1)
+            raw = spark.read.option("mergeSchema", "true").parquet(*parts)
+            if root == hashes_dir:
+                # collapse sightings to the NEWEST per hash (legacy rows
+                # without the column count as day 0), then apply the
+                # retention cutoff — the expiry filter lives exactly in
+                # the compaction swap so it shares its crash protocol
+                ls = (
+                    F.coalesce(F.col("last_seen"), F.lit(0))
+                    if "last_seen" in raw.columns
+                    else F.lit(0)
+                )
+                merged = raw.groupBy(col).agg(
+                    F.max(ls).cast("long").alias("last_seen")
+                )
+                if args.expire_before is not None:
+                    merged = merged.filter(
+                        F.col("last_seen") >= args.expire_before
+                    )
+                merged = merged.coalesce(1)
+            else:
+                merged = raw.select(col).distinct().coalesce(1)
             out_part = os.path.join(tmp, "step=init")
             if blooms:
                 write_with_bloom(merged, out_part, [col])
@@ -226,14 +288,33 @@ def main(argv: list[str] | None = None) -> int:
             os.rename(root, bak)
             os.rename(tmp, root)
             shutil.rmtree(bak)
+        if args.expire_before is not None and _read_bloom(args.sig_dir):
+            # expired bits can't be unset by OR — rebuild the bitset from
+            # the surviving hashes so the prefilter tracks the state (a
+            # stale over-full bloom would stay CORRECT — false positives
+            # resolve in the exact join — just progressively useless)
+            old = _read_bloom(args.sig_dir)
+            _write_bloom(
+                args.sig_dir,
+                history_bloom(
+                    spark.read.parquet(hashes_dir), m=old[1], k=old[2]
+                ),
+                old[1],
+                old[2],
+            )
         files_after = len(
             glob.glob(os.path.join(args.sig_dir, "*", "**", "*.parquet"), recursive=True)
         )
         if args.verbose:
             print(
                 f"compact: {files_before} -> {files_after} files, "
-                f"{len(committed)} committed steps merged "
-                f"in {time.perf_counter() - t0:.2f}s"
+                f"{len(committed)} committed steps merged"
+                + (
+                    f", hashes expired before day {args.expire_before}"
+                    if args.expire_before is not None
+                    else ""
+                )
+                + f" in {time.perf_counter() - t0:.2f}s"
             )
         spark.stop()
         return 0
@@ -285,6 +366,27 @@ def main(argv: list[str] | None = None) -> int:
             "left_semi",
         )
         day_h, day_s = history_signatures(survivors)
+        day_h = day_h.withColumn(
+            "last_seen", F.lit(args.day or 0).cast("long")
+        )
+        if args.day is not None:
+            # retention sightings: an exact-dup match means its history
+            # hash was SEEN today — append a (hash, day) row so the
+            # compaction cutoff keeps re-crawled content alive. Disjoint
+            # from the survivor hashes (an exact dup is never kept), and
+            # duplicate-tolerant downstream (the exact check is EXISTS
+            # semantics; compaction max-collapses per hash). Near-dup
+            # rejects contribute NOTHING — their novel hashes must not
+            # enter the state (a later exact copy of a rejected doc has
+            # to flag near_dup again, not exact_dup).
+            resight = (
+                spark.read.parquet(args.flags_out)
+                .filter(F.col("exact_dup"))
+                .select("content_hash")
+                .distinct()
+                .withColumn("last_seen", F.lit(args.day).cast("long"))
+            )
+            day_h = day_h.unionByName(resight)
         write_with_bloom(day_h, _part(hashes_dir, step_id), ["content_hash"])
         day_s.write.mode("overwrite").parquet(_part(sims_dir, step_id))
         if bloom is not None:

@@ -722,6 +722,91 @@ def test_daily_cli_state_grows_by_survivors_and_accumulates(spark, tmpdir):
     assert got == want
 
 
+def test_daily_cli_retention_expires_unseen_hashes(spark, tmpdir):
+    """Signature retention: steps run with --day stamp last_seen and
+    append exact-dup re-sightings; `compact --expire-before D` drops
+    hashes whose newest sighting is < D (state bounded under a rolling
+    window) while a hash KEPT ALIVE by re-sightings survives. Inside the
+    window flags match a full-history run; an expired hash re-crawled
+    flags NEW."""
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [(1, "stale doc never seen again words"),
+         (2, "evergreen doc recrawled daily words")],
+        "doc_id long, text string",
+    )
+    # day 1: an exact copy of doc 2 (re-sighting) + one fresh doc
+    d1 = spark.createDataFrame(
+        [(100, "evergreen doc recrawled daily words"),
+         (101, "fresh day one doc about comets")],
+        "doc_id long, text string",
+    )
+    # day 2 (post-expiry): copies of the stale doc, the evergreen doc,
+    # and the day-1 survivor
+    d2 = spark.createDataFrame(
+        [(200, "stale doc never seen again words"),
+         (201, "evergreen doc recrawled daily words"),
+         (202, "fresh day one doc about comets")],
+        "doc_id long, text string",
+    )
+    paths = {n: os.path.join(tmpdir, n) for n in
+             ("hist", "d1", "d2", "sig", "f1", "f2")}
+    hist.write.parquet(paths["hist"])
+    d1.write.parquet(paths["d1"])
+    d2.write.parquet(paths["d2"])
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "bensp_suite_spark.daily_cli", *argv],
+            capture_output=True, text=True, env=env, cwd=cwd,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    run("init", paths["hist"], paths["sig"])
+    run("step", paths["d1"], paths["sig"], paths["f1"], "--day", "1")
+    hashes = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(paths["sig"], "hashes")
+    )
+    # 2 init hashes + 1 survivor hash + 1 re-sighting row (evergreen@1)
+    assert hashes.count() == 4
+    by_hash = {
+        r["content_hash"]: r["last_seen"]
+        for r in hashes.groupBy("content_hash")
+        .agg(F.max(F.coalesce("last_seen", F.lit(0))).alias("last_seen"))
+        .collect()
+    }
+    assert sorted(by_hash.values()) == [0, 1, 1]  # stale@0, evergreen@1, fresh@1
+    # expire everything not seen since day 1: the stale hash (last 0) goes,
+    # the evergreen hash survives because the day-1 re-sighting refreshed it
+    run("compact", paths["sig"], "--expire-before", "1")
+    hashes2 = spark.read.parquet(os.path.join(paths["sig"], "hashes"))
+    assert hashes2.count() == 2  # bounded: exactly the in-window hashes
+    run("step", paths["d2"], paths["sig"], paths["f2"], "--day", "2")
+    f2 = {r["doc_id"]: r for r in spark.read.parquet(paths["f2"]).collect()}
+    # the documented semantics, exactly: the expired stale doc re-crawled
+    # no longer flags exact_dup (the exact state forgot it) — but its
+    # init-doc fingerprint never expires, so it is still rejected via the
+    # NEAR path (near-dup behavior identical to full history)
+    assert not f2[200]["exact_dup"]
+    assert f2[200]["near_dup"] and not f2[200]["is_kept"]
+    # in-window content still dedupes exactly as full history would
+    assert f2[201]["exact_dup"] and not f2[201]["is_kept"]
+    assert f2[202]["exact_dup"] and not f2[202]["is_kept"]
+    # and the expired hash RE-ENTERED the state with day 2? No — doc 200
+    # was rejected (near), so nothing was appended for it; assert instead
+    # that state stays bounded: hashes = in-window set + day-2 sightings
+    hashes3 = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(paths["sig"], "hashes")
+    )
+    # 2 in-window + 2 re-sighting rows (evergreen@2, fresh@2); the stale
+    # hash contributes nothing (its copy was near-rejected)
+    assert hashes3.count() == 4
+    assert hashes3.select("content_hash").distinct().count() == 2
+
+
 def test_ddp_parser_never_crashes_on_arbitrary_bytes(spark):
     """Hostile-bytes contract for the .ddp interchange parser (same as
     the media decoders): arbitrary bytes and bit-flipped valid archives
