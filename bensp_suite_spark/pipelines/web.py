@@ -67,3 +67,68 @@ def curate_web_corpus(
     # stage 4: exact content dedup (first-wins on the normalized hash,
     # skew-safe — the hot-content analog of stage 1)
     return first_wins(extracted, _content_hash(F.col("text")))
+
+
+def crawl_frontier(
+    pages: DataFrame, quota_per_host: int = 5, iterations: int = 3
+) -> DataFrame:
+    """The frontier SCHEDULER's feed, composed end to end: (doc_id, url,
+    html) crawled pages → a prioritized fetch list (host, url, rank,
+    slot) of NOT-YET-CRAWLED canonical URLs.
+
+        extract_links → host→host edges → integer PageRank
+                      → uncrawled dst anti-join → per-host quota
+
+    Candidates are the distinct canonicalized link targets minus the
+    distinct canonicalized sources (what we already hold); each carries
+    its destination host's PageRank (0 for hosts with no outbound edges
+    yet — never seen as a source), and at most ``quota_per_host`` URLs
+    per host survive (politeness: one host can't flood the fetch queue
+    no matter how many distinct URLs point at it). ``slot`` is the
+    deterministic within-host position (URL order), so a scheduler can
+    interleave hosts by (rank desc, slot) without re-sorting.
+
+    Plan shape at 100 TB: extraction is scan-stage column work; the rank
+    loop shuffles only the host edge list (tiny — hosts, not pages); the
+    anti-join and quota shuffle canonical URL strings only, never HTML.
+    The quota's rank-filter window compiles to WindowGroupLimit (per-
+    partition top-k before the final per-host pass), so a hot host's
+    candidates never materialize as one task's full sort."""
+    from ..operators.urls import extract_links
+
+    links = extract_links(pages)
+    # referenced three times (edges, crawled set, candidates): pin the
+    # extracted edge list once — at scale this is the materialized
+    # link-graph table a crawler maintains anyway
+    links = links.localCheckpoint(eager=True)
+    from ..operators.graph import pagerank_int
+
+    edges = (
+        links.select(
+            url_host(F.col("src")).alias("src"),
+            url_host(F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = pagerank_int(edges, iterations=iterations)
+    crawled = links.select(F.col("src").alias("url")).distinct()
+    cand = (
+        links.select(F.col("dst").alias("url"))
+        .distinct()
+        .join(crawled, "url", "left_anti")
+        .select("url", url_host(F.col("url")).alias("host"))
+    )
+    joined = cand.join(
+        F.broadcast(ranks.withColumnRenamed("node", "host")), "host", "left"
+    ).select(
+        "host", "url", F.coalesce(F.col("rank"), F.lit(0)).cast("long").alias("rank")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        joined.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= quota_per_host)
+        .select("host", "url", "rank", "slot")
+    )

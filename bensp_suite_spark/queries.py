@@ -5270,6 +5270,45 @@ def web_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.pagerank_int(edges, iterations=3)
 
 
+_FRONTIER_QUOTA = 5
+_FRONTIER_PR_SQL = GR.pagerank_int_oracle_sql(_LG_EDGES_SQL, iterations=3)
+_FRONTIER_ORACLE = f"""
+WITH links AS ({_LG_SQL}),
+cand AS (
+  SELECT DISTINCT dst AS url FROM links
+  WHERE dst NOT IN (SELECT DISTINCT src FROM links)
+),
+hosted AS (SELECT url, {URL.url_host_sql('url')} AS host FROM cand),
+ranks AS (SELECT node, rank FROM ({_FRONTIER_PR_SQL})),
+j AS (
+  SELECT h.host, h.url, CAST(COALESCE(r.rank, 0) AS BIGINT) AS rank
+  FROM hosted h LEFT JOIN ranks r ON h.host = r.node
+)
+SELECT host, url, rank, CAST(rn AS INT) AS slot FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS rn FROM j
+) WHERE rn <= {_FRONTIER_QUOTA}
+"""
+
+
+@query("pipeline_crawl_frontier", oracle=_FRONTIER_ORACLE)
+def pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl FRONTIER composed as one pipeline (pipelines/web.py's
+    crawl_frontier) — the capstone of the web family: link extraction
+    from raw HTML → host→host edges → integer-exact PageRank → anti-join
+    against the already-crawled canonical URL set → per-host fetch quota.
+    Output is the prioritized fetch list a 100 TB scheduler drains:
+    (host, url, rank, slot), at most 5 URLs per host, rank carrying the
+    host's link authority, slot the deterministic within-host position.
+    Every stage's SQL mirror composes into one oracle (the PageRank
+    recurrence nested as a subquery), so the whole frontier — extraction,
+    canonicalization, ranking, scheduling — is engine-exact."""
+    from .pipelines.web import crawl_frontier
+
+    return crawl_frontier(
+        _link_graph_pages(spark, sf_dir), quota_per_host=_FRONTIER_QUOTA
+    )
+
+
 @query("stream_link_graph", oracle=_LG_SQL)
 def stream_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph extraction applied to a STREAM of crawled pages: the

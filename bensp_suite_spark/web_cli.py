@@ -13,12 +13,18 @@
   python -m bensp_suite_spark.web_cli curate PAGES_PARQUET OUT_PARQUET \
       [--max-per-domain N] [--block HOST ...] [-t N] [-v]
 
+  # build the prioritized fetch list: links → host PageRank → uncrawled
+  # anti-join → per-host quota (pipelines/web.crawl_frontier)
+  python -m bensp_suite_spark.web_cli frontier PAGES_PARQUET OUT_PARQUET \
+      [--quota N] [--iterations N] [-t N] [-v]
+
 PAGES_PARQUET needs (doc_id, url, html). ``linkgraph`` emits one row per
 absolute http(s) anchor — (doc_id, src, dst, anchor), both endpoints
 canonicalized. ``rank`` reads a links parquet (the linkgraph output),
 collapses it to distinct host→host edges and writes integer-exact
 PageRank scores (host, rank). ``curate`` writes the surviving documents
-(doc_id, host, canonical_url, title, text).
+(doc_id, host, canonical_url, title, text). ``frontier`` writes the
+fetch queue (host, url, rank, slot).
 """
 
 from __future__ import annotations
@@ -49,12 +55,19 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--block", action="append", default=[],
                     help="blocklisted host (repeatable)")
 
-    for p in (lg, rk, cu):
+    fr = sub.add_parser("frontier", help="prioritized uncrawled fetch list")
+    fr.add_argument("pages", help="input pages parquet (doc_id, url, html)")
+    fr.add_argument("output", help="output frontier parquet (host, url, rank, slot)")
+    fr.add_argument("--quota", type=int, default=5,
+                    help="max URLs scheduled per host")
+    fr.add_argument("--iterations", type=int, default=3)
+
+    for p in (lg, rk, cu, fr):
         p.add_argument("-t", "--threads", type=int, default=None)
         p.add_argument("-v", "--verbose", action="store_true")
 
     args = ap.parse_args(argv)
-    src = args.pages if args.cmd in ("linkgraph", "curate") else args.links
+    src = args.pages if args.cmd in ("linkgraph", "curate", "frontier") else args.links
     if not os.path.exists(src):
         print(f"error: input not found: {src}", file=sys.stderr)
         return 2
@@ -102,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"rank: {n} hosts scored ({args.iterations} iterations) "
                 f"in {time.perf_counter() - t0:.2f}s -> {args.output}"
             )
-    else:  # curate
+    elif args.cmd == "curate":
         from .pipelines.web import curate_web_corpus
 
         pages = spark.read.parquet(args.pages)
@@ -116,6 +129,22 @@ def main(argv: list[str] | None = None) -> int:
             n = spark.read.parquet(args.output).count()
             print(
                 f"curate: {pages.count()} pages -> {n} documents "
+                f"in {time.perf_counter() - t0:.2f}s -> {args.output}"
+            )
+    else:  # frontier
+        from .pipelines.web import crawl_frontier
+
+        pages = spark.read.parquet(args.pages)
+        out = crawl_frontier(
+            pages, quota_per_host=args.quota, iterations=args.iterations
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        if args.verbose:
+            n = spark.read.parquet(args.output).count()
+            hosts = spark.read.parquet(args.output).select("host").distinct().count()
+            print(
+                f"frontier: {n} fetch slots across {hosts} hosts "
+                f"(quota {args.quota}) "
                 f"in {time.perf_counter() - t0:.2f}s -> {args.output}"
             )
     spark.stop()

@@ -995,3 +995,27 @@ def test_web_cli_linkgraph_rank_curate(spark, tmpdir):
     }
     assert got_cur == want_cur
     assert all(h != "src2.example.com" for _, h, *_ in got_cur)
+
+    # frontier: prioritized uncrawled fetch list == the library pipeline,
+    # quota binds, and no already-crawled canonical URL is scheduled
+    from bensp_suite_spark.operators.urls import canonical_url
+    from bensp_suite_spark.pipelines.web import crawl_frontier
+
+    fr_path = os.path.join(tmpdir, "frontier")
+    run("frontier", paths["pages"], fr_path, "--quota", "3",
+        "--iterations", "2")
+    got_fr = {tuple(r) for r in spark.read.parquet(fr_path).collect()}
+    want_fr = {
+        tuple(r)
+        for r in crawl_frontier(pages, quota_per_host=3, iterations=2).collect()
+    }
+    assert got_fr == want_fr and got_fr
+    per_host = {}
+    for host, _url, _rank, slot in got_fr:
+        per_host[host] = max(per_host.get(host, 0), slot)
+    assert all(s <= 3 for s in per_host.values())
+    crawled = {
+        r["cu"]
+        for r in pages.select(canonical_url(F.col("url")).alias("cu")).collect()
+    }
+    assert all(url not in crawled for _h, url, _r, _s in got_fr)
