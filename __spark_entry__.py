@@ -93,32 +93,32 @@ _PRIORITY = [
 # re-checked by the external driver (a later regression would go unseen);
 # with it, the window is priority + never-verified + a staleness-ordered
 # slice of the greens, so the whole registry is re-audited every few
-# rounds. 50 keeps the ~170-query registry's full external re-audit cycle
+# rounds. 55 keeps the ~185-query registry's full external re-audit cycle
 # under ~3.5 rounds even when a round adds ~10 new queries.
-_REVERIFY_QUOTA = 50
+_REVERIFY_QUOTA = 55
 
 #: previously-green queries whose IMPLEMENTATION changed this round —
 #: forced to the head of the re-verify slice so the external driver
 #: re-checks them in the same round as the change, regardless of where
 #: the rotation happens to be. Clear when the round's changes land green.
 _FORCE_REVERIFY = [
-    # r7: incremental-dedup exact check → duplicate-tolerant semi join,
-    # bloom wiring in the streaming loop
+    # r8: first_wins NULL-safe join-back (eqNullSafe) — both consumers
+    "url_canonical_dedup",
+    "pipeline_web_curation",
+    # r8: size-aware bloom gate inside incremental_dedup (the prefilter
+    # query now auto-skips the probe at toy history) + streaming bloom
+    # hoist + band-bloom max_hamming meta fix
     "dedup_incremental_batch",
+    "dedup_incremental_bloom_prefilter",
+    "stream_incremental_dedup",
     "pipeline_daily_increment",
     "pipeline_daily_increment_day2",
     "pipeline_daily_increment_day3",
-    "stream_incremental_dedup",
-    # r7: canonical_url pre-fragment query extraction; two-phase domain
-    # cap; web pipeline first-wins → skew-safe agg+join-back
-    "url_canonical_dedup",
-    "url_domain_cap",
-    "pipeline_web_curation",
-    # r7: semantic_dedup auto-sizing (n_cells=None → ivf_defaults);
-    # ivf_ann_topk inline n_probe clamp (prebuilt path)
-    "dedup_semantic",
-    "ann_ivf_prebuilt_topk",
-    "ann_ivf_upsert_topk",
+    # r8: ivfpq wave-probing restructure + explicit n_centroids pins +
+    # prebuilt-index meta (4-tuple) + refine auto-scaling
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_prebuilt_topk",
 ]
 
 

@@ -214,6 +214,14 @@ def stream_incremental_dedup(
             if _os.path.basename(p).lstrip("-").isdigit()
         }
 
+    # bloom state is read from disk ONCE per run and carried in memory
+    # across batches — this sink is the only writer, so the in-memory
+    # copy is always the newest committed-or-ahead state (an ahead copy
+    # from a crashed batch only adds maybe-bits, same argument as the
+    # on-disk protocol). Hoisting the per-batch read/parse was the r7
+    # drift item; the per-batch WRITE stays (durability for restart).
+    _blooms: dict = {"loaded": False, "bloom": None, "band": None}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         marker = _pp.join(commits_dir, str(batch_id))
         if _fs(marker).exists(_hpath(marker)):
@@ -232,14 +240,20 @@ def stream_incremental_dedup(
             .filter(F.col("batch_id") < batch_id)
             .drop("batch_id")
         )
-        bloom = _read_packed_bloom(sig_dir)
-        band_bloom = _read_packed_bloom(sig_dir, "band_bloom")
-        if band_bloom is not None:
-            # band geometry follows max_hamming; a mismatched bloom would
-            # have false negatives — drop it (flags stay correct, slower)
-            with open(_os.path.join(sig_dir, "band_bloom.json")) as fh:
-                if _json.load(fh).get("max_hamming") != max_hamming:
-                    band_bloom = None
+        if not _blooms["loaded"]:
+            _blooms["bloom"] = _read_packed_bloom(sig_dir)
+            band = _read_packed_bloom(sig_dir, "band_bloom")
+            if band is not None:
+                # band geometry follows max_hamming; a mismatched bloom
+                # would have false negatives — drop it (flags stay
+                # correct, slower)
+                with open(_os.path.join(sig_dir, "band_bloom.json")) as fh:
+                    if _json.load(fh).get("max_hamming") != max_hamming:
+                        band = None
+            _blooms["band"] = band
+            _blooms["loaded"] = True
+        bloom = _blooms["bloom"]
+        band_bloom = _blooms["band"]
         batch_df = batch_df.persist()
         try:
             flags = incremental_dedup(
@@ -274,12 +288,9 @@ def stream_incremental_dedup(
                     )
                     # OR is idempotent: a replayed advance re-ORs the same
                     # bits; a stale bloom only costs extra maybe-rows
-                    _write_packed_bloom(
-                        sig_dir,
-                        bloom_merge_packed(bloom[0], add),
-                        bloom[1],
-                        bloom[2],
-                    )
+                    merged_b = bloom_merge_packed(bloom[0], add)
+                    _write_packed_bloom(sig_dir, merged_b, bloom[1], bloom[2])
+                    _blooms["bloom"] = (merged_b, bloom[1], bloom[2])
                 if band_bloom is not None:
                     from ..operators.sketches import bloom_merge_packed
 
@@ -296,14 +307,16 @@ def stream_incremental_dedup(
                     # whose meta lacks/mismatches it, so omitting it here
                     # would silently disable the NEAR prefilter from the
                     # next batch on (flags identical — only perf lost)
+                    merged_bb = bloom_merge_packed(band_bloom[0], add_b)
                     _write_packed_bloom(
                         sig_dir,
-                        bloom_merge_packed(band_bloom[0], add_b),
+                        merged_bb,
                         band_bloom[1],
                         band_bloom[2],
                         name="band_bloom",
                         max_hamming=max_hamming,
                     )
+                    _blooms["band"] = (merged_bb, band_bloom[1], band_bloom[2])
             finally:
                 flags.unpersist()
         finally:
