@@ -967,6 +967,26 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# golden pins the resolved auto sizes: ivf_defaults(500) = (22, 8), 8-bit
+# codebooks (the r8 production default), refine = max(8, 2·8) = 16. Guarded
+# the same way as ann_ivf_auto_topk's pin (test_ivf_defaults_rule).
+@query("ann_ivfpq_auto_topk", oracle=None)
+def ann_ivfpq_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with EVERYTHING auto-sized — the call a production user
+    makes: n_cells/n_probe from ivf_defaults (√N rule, probe floor 8),
+    8-bit codebooks (n_centroids=256 — the r7 verdict's headline fix;
+    the old 4-bit default measured recall@10 0.30 on the bench's 100k
+    probe), and refine scaling with the probe width (max(8, 2·n_probe) —
+    ADC quantization error binds IVF-PQ recall, so the exact re-rank
+    window must widen as more cells are probed; measured 0.802 vs 0.663
+    at the old static refine). Golden-pinned at the resolved sizes from
+    the independent numpy reference; the bench asserts the 0.75 recall
+    floor at these defaults every round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivfpq_ann_topk(queries_df, emb, k=5, n_cells=None, n_probe=None)
+
+
 @query("ann_ivf_topk", oracle=SIM.ivf_topk_oracle_sql(k=5, max_query_id=8, n_cells=16, n_probe=2))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN: nearest-cell assignment, n_probe cells per

@@ -807,6 +807,51 @@ def test_daily_cli_retention_expires_unseen_hashes(spark, tmpdir):
     assert hashes3.select("content_hash").distinct().count() == 2
 
 
+def test_warc_parser_never_crashes_on_arbitrary_bytes():
+    """Hostile-bytes contract for the WARC parser (same as the ddp/mp4
+    decoders): arbitrary bytes, bit-flipped valid archives, and
+    truncations either parse or raise typed ValueError — never raw
+    index/key/struct errors. Valid archives round-trip through the
+    writer."""
+    from hypothesis import given, settings, strategies as st
+
+    from bensp_suite_spark.sources.warc import (
+        build_http_response,
+        build_warc_bytes,
+        iter_warc_records,
+        parse_http_response,
+    )
+
+    valid = build_warc_bytes(
+        [
+            ("warcinfo", None, b"software: fuzz\r\n"),
+            ("response", "https://ex.com/a",
+             build_http_response(b"<html>x</html>")),
+        ]
+    )
+    # the writer/parser pair round-trips
+    recs = list(iter_warc_records(valid))
+    assert [r[1]["warc-type"] for r in recs] == ["warcinfo", "response"]
+    st_, ct, payload = parse_http_response(recs[1][2])
+    assert (st_, ct, payload) == (200, "text/html", b"<html>x</html>")
+
+    mutants = st.tuples(
+        st.integers(0, len(valid) - 1), st.integers(0, 255)
+    ).map(lambda t: valid[: t[0]] + bytes([t[1]]) + valid[t[0] + 1 :])
+    truncations = st.integers(0, len(valid) - 1).map(lambda n: valid[:n])
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.one_of(st.binary(max_size=96), mutants, truncations))
+    def check(buf):
+        try:
+            for _idx, _hdr, block in iter_warc_records(buf):
+                parse_http_response(block)  # must never raise at all
+        except ValueError:
+            pass
+
+    check()
+
+
 def test_ddp_parser_never_crashes_on_arbitrary_bytes(spark):
     """Hostile-bytes contract for the .ddp interchange parser (same as
     the media decoders): arbitrary bytes and bit-flipped valid archives

@@ -892,6 +892,17 @@ def multimodal_video_dedup_avi(sf_dir: str):
     return cols, rows
 
 
+def ann_ivfpq_auto_topk(sf_dir: str):
+    """IVF-PQ at the r8 PRODUCTION defaults, auto-sized for the sf0.01
+    500-vector corpus: ivf_defaults(500) = (22, 8), 8-bit codebooks
+    (n_centroids=256), refine = max(8, 2·n_probe) = 16 — pins the whole
+    auto-sizing chain, not just the quantizer (mirrors
+    similarity.ivfpq_ann_topk with n_cells=None/n_probe=None/refine=None)."""
+    return ann_ivfpq_topk(
+        sf_dir, k=5, n_cells=22, n_probe=8, n_centroids=256, refine=16
+    )
+
+
 REFERENCE_FNS = {
     "cdc_dedup_stats": cdc_dedup_stats,
     "cdc_chunk_histogram": cdc_chunk_histogram,
@@ -900,6 +911,7 @@ REFERENCE_FNS = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
+    "ann_ivfpq_auto_topk": ann_ivfpq_auto_topk,
     "ferret_topk_multiregion": ferret_topk_multiregion,
     "multimodal_image_search": multimodal_image_search,
     "multimodal_image_search_png": multimodal_image_search_png,
