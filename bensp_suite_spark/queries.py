@@ -3810,6 +3810,75 @@ def source_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _warc_pages_golden() -> str:
+    import hashlib
+
+    rows = []
+    for fname, _gz, recs in _WARC_FILES:
+        for idx, (rtype, uri, status, ctype, payload) in enumerate(recs):
+            if (
+                rtype != "response"
+                or status is None
+                or not (200 <= status < 300)
+                or not (ctype or "").startswith("text/html")
+            ):
+                continue
+            rows.append(
+                f"('{fname}', CAST({idx} AS BIGINT), '{uri}', "
+                f"'{hashlib.md5(payload).hexdigest()}')"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") v(warc_name, record_idx, url, html_md5)"
+    )
+
+
+@query("stream_warc_pages", oracle=_warc_pages_golden())
+def stream_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest as a live-crawl STREAM: the same fixture segments as
+    source_warc_scan arrive one file per trigger (a fetcher dropping
+    finished .warc.gz segments into a landing dir), read_warc_pages
+    (streaming=True) expands records per micro-batch, and the drained
+    page rows — 2xx text/html responses only, warcinfo/request/metadata
+    and non-html responses filtered — must equal the batch reader's
+    exactly (record iteration never spans batches: a segment is one
+    binaryFile row). Golden pinned from the literal fixture spec."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .sources.warc import (
+        build_http_response,
+        build_warc_bytes,
+        read_warc_pages,
+    )
+    from .streaming.event_streams import run_to_parquet
+
+    with _fixture_build("stream_warc_pages"):
+        base = tempfile.mkdtemp(prefix="bensp_warc_stream_")
+        src = _os.path.join(base, "src")
+        _os.makedirs(src)
+        for fname, gz, recs in _WARC_FILES:
+            triples = []
+            for rtype, uri, status, ctype, payload in recs:
+                block = (
+                    build_http_response(payload, status, ctype)
+                    if status is not None
+                    else payload
+                )
+                triples.append((rtype, uri, block))
+            with open(_os.path.join(src, fname), "wb") as fh:
+                fh.write(build_warc_bytes(triples, gzip_records=gz))
+    pages = read_warc_pages(
+        spark, src, streaming=True, max_files_per_trigger=1
+    ).select("warc_name", "record_idx", "url", F.md5("html").alias("html_md5"))
+    run_to_parquet(pages, f"{base}/out", f"{base}/ckpt")
+    result = spark.read.parquet(f"{base}/out").localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 @query(
     "source_csv_scan",
     oracle="""

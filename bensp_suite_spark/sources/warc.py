@@ -110,7 +110,11 @@ def parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
 
 
 def read_warc_records(
-    spark: SparkSession, path: str, glob: str = "*.warc*"
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    streaming: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """→ one row per WARC record across every ``*.warc`` / ``*.warc.gz``
     under ``path``: (warc_path, warc_name, record_idx, record_type, url,
@@ -118,7 +122,15 @@ def read_warc_records(
     envelope is parsed off (status + Content-Type surfaced, payload =
     body bytes); other record types carry their raw block as payload.
     ``record_idx`` is the within-file record position over ALL records —
-    with (warc_name, record_idx) a row addresses its record exactly."""
+    with (warc_name, record_idx) a row addresses its record exactly.
+
+    ``streaming=True`` reads the same directory as a file STREAM (new
+    segments landing → new micro-batches) — the live-crawl shape: a
+    fetcher drops finished ``.warc.gz`` segments, the stream expands
+    records per trigger, and every downstream page operator is stateless
+    scan work, so batch and stream extract identical rows from identical
+    segments (a whole file is always one trigger's row — record
+    iteration never spans batches)."""
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,
@@ -129,9 +141,19 @@ def read_warc_records(
         StructType,
     )
 
-    files = (
-        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
-    )
+    reader = spark.readStream if streaming else spark.read
+    reader = reader.format("binaryFile").option("pathGlobFilter", glob)
+    if streaming:
+        # streaming sources need the (fixed) binaryFile schema up front
+        reader = reader.schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+    files = reader.load(path)
 
     schema = StructType(
         [
@@ -179,15 +201,20 @@ def read_warc_records(
 
 
 def read_warc_pages(
-    spark: SparkSession, path: str, glob: str = "*.warc*"
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    streaming: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """The crawl-pipeline feed: 2xx ``text/html`` response records as
     (warc_name, record_idx, url, html) rows — plug ``url``/``html``
     straight into ``pipelines.web.curate_web_corpus`` or
     ``operators.urls.extract_links``. HTML decodes as UTF-8 with
     replacement (crawl reality: declared charsets lie; the text-analysis
-    operators normalize downstream)."""
-    recs = read_warc_records(spark, path, glob)
+    operators normalize downstream). ``streaming=True`` → the same rows
+    from a file stream (see :func:`read_warc_records`)."""
+    recs = read_warc_records(spark, path, glob, streaming, max_files_per_trigger)
     return (
         recs.filter(
             (F.col("record_type") == "response")
