@@ -17,21 +17,22 @@ schedules:
   python -m bensp_suite_spark.daily_cli compact SIG_DIR [--expire-before D]
 
 RETENTION (``step --day N`` + ``compact --expire-before D``): each step
-stamps its appended hash rows with ``last_seen = N`` and ALSO appends a
-(hash, N) re-sighting row per exact-dup match, so a hash stays alive
-while copies of it keep arriving; compaction keeps a hash iff
-``max(last_seen) >= D``. Semantics, stated exactly: expiry applies to
-the EXACT-dup state — a re-crawled expired doc no longer flags
-``exact_dup`` and its hash re-enters the state with the new day; INSIDE
-the window exact-dup flags equal a full-history run (every hash sighted
-in the window is retained). SimHash fingerprints do NOT expire (their
-growth tracks survivors, not the window), so near-dup behavior is
-byte-identical to full history — which also means a re-crawled expired
-doc whose fingerprint still near-matches surviving state is rejected
-via the NEAR path, not kept; full forget-this-content semantics would
-need the near join to report which history fingerprint matched
-(re-sighting for sims), left for a future round. The packed bloom is
-rebuilt from the surviving hashes at expiry (OR can't unset bits).
+stamps its appended rows with ``last_seen = N`` and ALSO appends
+re-sighting rows — (hash, N) per exact-dup match, and (fingerprint, N)
+per history fingerprint the batch near-matches
+(``dedup_text.matched_history_sims``, a second banded pass that only
+runs with ``--day``) — so content stays alive while copies of it keep
+arriving, exactly or near. Compaction keeps a value iff
+``max(last_seen) >= D`` in BOTH tables. Semantics, stated exactly: a
+doc whose content was last sighted before the cutoff is FORGOTTEN — a
+later re-crawl flags neither exact_dup nor near_dup (genuinely new; its
+signatures re-enter the state with the new day); for content sighted
+inside the window, flags equal a full-history run. One conservative
+edge: a case-variant exact dup whose raw-text simhash drifted past
+max_hamming re-sights only the hash, so its FINGERPRINT can expire
+while the hash lives (a later near-variant then flags new — never a
+wrong dup). Both packed blooms are rebuilt from the surviving state at
+expiry (OR can't unset bits).
 
 SIG_DIR holds the signature state:
   hashes/step=<id>/   distinct normalized content md5s (``content_hash``)
@@ -128,12 +129,13 @@ def main(argv: list[str] | None = None) -> int:
                          "(dedup_text.BLOOM_GATE_MIN_HISTORY)")
     st.add_argument("--day", type=int, default=None,
                     help="the step's day number, stamped as last_seen on "
-                         "the appended hash rows AND on re-sighting rows "
-                         "for exact-dup matches — enables retention: a "
-                         "hash stays alive while copies of it keep "
-                         "arriving. Replays must pass the SAME day "
-                         "(step-id idempotency already enforces this). "
-                         "Omit to keep the legacy survivors-only append")
+                         "the appended rows AND on re-sighting rows "
+                         "(exact-dup hashes; near-matched fingerprints) — "
+                         "enables retention: content stays alive while "
+                         "copies of it keep arriving. Replays must pass "
+                         "the SAME day (step-id idempotency already "
+                         "enforces this). Omit to keep the legacy "
+                         "survivors-only append")
     st.add_argument("-t", "--threads", type=int, default=None)
     st.add_argument("-v", "--verbose", action="store_true")
 
@@ -144,16 +146,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     cp.add_argument("sig_dir", help="signature-state directory")
     cp.add_argument("--expire-before", type=int, default=None, metavar="DAY",
-                    help="retention cutoff: drop content hashes whose newest "
-                         "sighting (max last_seen across rows; legacy rows "
-                         "count as day 0) is < DAY. An expired hash "
-                         "re-crawled later no longer flags exact_dup and "
-                         "re-enters the state with the new day; only the "
-                         "EXACT-dup state expires — SimHash fingerprints "
-                         "never do, so near-dup behavior stays identical "
-                         "to full history (see module doc). The packed "
-                         "bloom is REBUILT from the surviving hashes (bits "
-                         "can't be unset by OR)")
+                    help="retention cutoff: drop hashes AND fingerprints "
+                         "whose newest sighting (max last_seen across rows; "
+                         "legacy rows count as day 0) is < DAY. Forgotten "
+                         "content re-crawled later is genuinely NEW (flags "
+                         "neither exact_dup nor near_dup, re-enters the "
+                         "state with the new day); in-window content "
+                         "dedupes exactly as full history would (see "
+                         "module doc). Both packed blooms are REBUILT from "
+                         "the surviving state (bits can't be unset by OR)")
     cp.add_argument("-t", "--threads", type=int, default=None)
     cp.add_argument("-v", "--verbose", action="store_true")
 
@@ -197,6 +198,7 @@ def main(argv: list[str] | None = None) -> int:
         h, s = history_signatures(hist)
         # day-0 sighting stamp — the retention clock starts here
         h = h.withColumn("last_seen", F.lit(0).cast("long"))
+        s = s.withColumn("last_seen", F.lit(0).cast("long"))
         write_with_bloom(h, _part(hashes_dir, "init"), ["content_hash"])
         s.write.mode("overwrite").parquet(_part(sims_dir, "init"))
         _write_bloom(
@@ -255,26 +257,24 @@ def main(argv: list[str] | None = None) -> int:
                 if os.path.exists(stale):
                     shutil.rmtree(stale)
             raw = spark.read.option("mergeSchema", "true").parquet(*parts)
-            if root == hashes_dir:
-                # collapse sightings to the NEWEST per hash (legacy rows
-                # without the column count as day 0), then apply the
-                # retention cutoff — the expiry filter lives exactly in
-                # the compaction swap so it shares its crash protocol
-                ls = (
-                    F.coalesce(F.col("last_seen"), F.lit(0))
-                    if "last_seen" in raw.columns
-                    else F.lit(0)
-                )
-                merged = raw.groupBy(col).agg(
-                    F.max(ls).cast("long").alias("last_seen")
-                )
-                if args.expire_before is not None:
-                    merged = merged.filter(
-                        F.col("last_seen") >= args.expire_before
-                    )
-                merged = merged.coalesce(1)
-            else:
-                merged = raw.select(col).distinct().coalesce(1)
+            # collapse sightings to the NEWEST per value (legacy rows
+            # without the column count as day 0), then apply the
+            # retention cutoff — the expiry filter lives exactly in the
+            # compaction swap so it shares its crash protocol. Both
+            # tables expire: hashes by exact re-sightings, fingerprints
+            # by matched_history_sims re-sightings (step --day writes
+            # both), so a re-crawled EXPIRED doc is new end to end.
+            ls = (
+                F.coalesce(F.col("last_seen"), F.lit(0))
+                if "last_seen" in raw.columns
+                else F.lit(0)
+            )
+            merged = raw.groupBy(col).agg(
+                F.max(ls).cast("long").alias("last_seen")
+            )
+            if args.expire_before is not None:
+                merged = merged.filter(F.col("last_seen") >= args.expire_before)
+            merged = merged.coalesce(1)
             out_part = os.path.join(tmp, "step=init")
             if blooms:
                 write_with_bloom(merged, out_part, [col])
@@ -289,10 +289,10 @@ def main(argv: list[str] | None = None) -> int:
             os.rename(tmp, root)
             shutil.rmtree(bak)
         if args.expire_before is not None and _read_bloom(args.sig_dir):
-            # expired bits can't be unset by OR — rebuild the bitset from
-            # the surviving hashes so the prefilter tracks the state (a
-            # stale over-full bloom would stay CORRECT — false positives
-            # resolve in the exact join — just progressively useless)
+            # expired bits can't be unset by OR — rebuild the bitsets from
+            # the surviving state so the prefilters track it (a stale
+            # over-full bloom would stay CORRECT — false positives
+            # resolve in the joins — just progressively useless)
             old = _read_bloom(args.sig_dir)
             _write_bloom(
                 args.sig_dir,
@@ -302,6 +302,23 @@ def main(argv: list[str] | None = None) -> int:
                 old[1],
                 old[2],
             )
+            old_bb = _read_bloom(args.sig_dir, "band_bloom")
+            if old_bb is not None:
+                with open(os.path.join(args.sig_dir, "band_bloom.json")) as fh:
+                    bb_mh = json.load(fh).get("max_hamming", 3)
+                _write_bloom(
+                    args.sig_dir,
+                    history_band_bloom(
+                        spark.read.parquet(sims_dir),
+                        max_hamming=bb_mh,
+                        m=old_bb[1],
+                        k=old_bb[2],
+                    ),
+                    old_bb[1],
+                    old_bb[2],
+                    name="band_bloom",
+                    max_hamming=bb_mh,
+                )
         files_after = len(
             glob.glob(os.path.join(args.sig_dir, "*", "**", "*.parquet"), recursive=True)
         )
@@ -369,6 +386,9 @@ def main(argv: list[str] | None = None) -> int:
         day_h = day_h.withColumn(
             "last_seen", F.lit(args.day or 0).cast("long")
         )
+        day_s = day_s.withColumn(
+            "last_seen", F.lit(args.day or 0).cast("long")
+        )
         if args.day is not None:
             # retention sightings: an exact-dup match means its history
             # hash was SEEN today — append a (hash, day) row so the
@@ -376,9 +396,9 @@ def main(argv: list[str] | None = None) -> int:
             # from the survivor hashes (an exact dup is never kept), and
             # duplicate-tolerant downstream (the exact check is EXISTS
             # semantics; compaction max-collapses per hash). Near-dup
-            # rejects contribute NOTHING — their novel hashes must not
-            # enter the state (a later exact copy of a rejected doc has
-            # to flag near_dup again, not exact_dup).
+            # rejects contribute NOTHING to the hash table — their novel
+            # hashes must not enter the state (a later exact copy of a
+            # rejected doc has to flag near_dup again, not exact_dup).
             resight = (
                 spark.read.parquet(args.flags_out)
                 .filter(F.col("exact_dup"))
@@ -387,6 +407,17 @@ def main(argv: list[str] | None = None) -> int:
                 .withColumn("last_seen", F.lit(args.day).cast("long"))
             )
             day_h = day_h.unionByName(resight)
+            # fingerprint sightings: every history fingerprint the batch
+            # near-matches (exact copies land here too at hamming 0) —
+            # the second banded pass is the price of retention, and only
+            # runs when --day is given. Appending matched values (not
+            # novel ones) cannot change any future near-dup flag.
+            from .operators.dedup_text import matched_history_sims
+
+            sim_resight = matched_history_sims(
+                batch, sig[1], max_hamming=args.max_hamming
+            ).withColumn("last_seen", F.lit(args.day).cast("long"))
+            day_s = day_s.unionByName(sim_resight)
         write_with_bloom(day_h, _part(hashes_dir, step_id), ["content_hash"])
         day_s.write.mode("overwrite").parquet(_part(sims_dir, step_id))
         if bloom is not None:

@@ -920,6 +920,54 @@ def history_band_bloom(
     return bloom_pack(bloom_bits(keys, "__bkey", m=m, k=k), m)
 
 
+def matched_history_sims(
+    new_docs: DataFrame, hist_s: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """→ the DISTINCT history fingerprints (``hist_sim``) that at least
+    one doc of ``new_docs`` near-matches (banded equi-join + exact
+    hamming refine — the same candidate generation as the NEAR check in
+    :func:`incremental_dedup`, keeping the matched HISTORY side instead
+    of the flagged batch side). The retention loop's sighting signal for
+    the fingerprint table: content that keeps being re-crawled — exactly
+    or near — keeps its fingerprint alive, so ``compact
+    --expire-before`` can expire the rest and a re-crawled EXPIRED doc
+    is genuinely new end to end. An exact dup re-sights its fingerprint
+    through this same join when its raw text is identical (hamming 0);
+    a case-variant exact dup whose simhash drifted past max_hamming
+    re-sights only the hash — documented edge, flags stay conservative."""
+    bands = _simhash_bands(max_hamming)
+    new_s = simhash(new_docs)
+
+    def banded(df, col):
+        arr = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col(col), sh)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .alias("band_val"),
+                )
+                for i, (sh, w) in enumerate(bands)
+            ])
+        ).alias("b")
+        return df.select(*df.columns, arr).select(
+            *df.columns, "b.band_idx", "b.band_val"
+        )
+
+    cand = banded(new_s.select("simhash"), "simhash").join(
+        banded(hist_s.select("hist_sim"), "hist_sim"),
+        on=["band_idx", "band_val"],
+    )
+    return (
+        cand.filter(
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("hist_sim")))
+            <= max_hamming
+        )
+        .select("hist_sim")
+        .distinct()
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     history: DataFrame | None = None,

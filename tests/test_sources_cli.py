@@ -724,11 +724,12 @@ def test_daily_cli_state_grows_by_survivors_and_accumulates(spark, tmpdir):
 
 def test_daily_cli_retention_expires_unseen_hashes(spark, tmpdir):
     """Signature retention: steps run with --day stamp last_seen and
-    append exact-dup re-sightings; `compact --expire-before D` drops
-    hashes whose newest sighting is < D (state bounded under a rolling
-    window) while a hash KEPT ALIVE by re-sightings survives. Inside the
-    window flags match a full-history run; an expired hash re-crawled
-    flags NEW."""
+    append re-sightings (exact-dup hashes AND near-matched
+    fingerprints); `compact --expire-before D` drops BOTH tables' values
+    whose newest sighting is < D (state bounded under a rolling window)
+    while content kept alive by re-sightings survives. Inside the window
+    flags match a full-history run; FORGOTTEN content re-crawled is
+    genuinely NEW — neither exact_dup nor near_dup."""
     from pyspark.sql import functions as F
 
     hist = spark.createDataFrame(
@@ -779,32 +780,45 @@ def test_daily_cli_retention_expires_unseen_hashes(spark, tmpdir):
         .collect()
     }
     assert sorted(by_hash.values()) == [0, 1, 1]  # stale@0, evergreen@1, fresh@1
-    # expire everything not seen since day 1: the stale hash (last 0) goes,
-    # the evergreen hash survives because the day-1 re-sighting refreshed it
+    # the fingerprint table got re-sighting rows too: doc 100 (exact copy
+    # of evergreen doc 2, hamming 0) near-matched doc 2's fingerprint
+    sims = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(paths["sig"], "sims")
+    )
+    assert sims.count() == 4  # 2 init + 1 survivor (101) + 1 re-sighting
+    # expire everything not seen since day 1: the stale doc's hash AND
+    # fingerprint (last 0) go; the evergreen doc's survive because the
+    # day-1 re-sightings refreshed both
     run("compact", paths["sig"], "--expire-before", "1")
     hashes2 = spark.read.parquet(os.path.join(paths["sig"], "hashes"))
     assert hashes2.count() == 2  # bounded: exactly the in-window hashes
+    sims2 = spark.read.parquet(os.path.join(paths["sig"], "sims"))
+    assert sims2.count() == 2   # bounded the same way
     run("step", paths["d2"], paths["sig"], paths["f2"], "--day", "2")
     f2 = {r["doc_id"]: r for r in spark.read.parquet(paths["f2"]).collect()}
-    # the documented semantics, exactly: the expired stale doc re-crawled
-    # no longer flags exact_dup (the exact state forgot it) — but its
-    # init-doc fingerprint never expires, so it is still rejected via the
-    # NEAR path (near-dup behavior identical to full history)
-    assert not f2[200]["exact_dup"]
-    assert f2[200]["near_dup"] and not f2[200]["is_kept"]
+    # the forget semantics end to end: the expired stale doc re-crawled
+    # is genuinely NEW — the exact state forgot its hash AND the near
+    # state forgot its fingerprint
+    assert not f2[200]["exact_dup"] and not f2[200]["near_dup"]
+    assert f2[200]["is_kept"]
     # in-window content still dedupes exactly as full history would
     assert f2[201]["exact_dup"] and not f2[201]["is_kept"]
     assert f2[202]["exact_dup"] and not f2[202]["is_kept"]
-    # and the expired hash RE-ENTERED the state with day 2? No — doc 200
-    # was rejected (near), so nothing was appended for it; assert instead
-    # that state stays bounded: hashes = in-window set + day-2 sightings
+    # forgotten content re-enters the state with the new day: doc 200
+    # survived, so its hash + fingerprint are back (stamped day 2)
     hashes3 = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(paths["sig"], "hashes")
     )
-    # 2 in-window + 2 re-sighting rows (evergreen@2, fresh@2); the stale
-    # hash contributes nothing (its copy was near-rejected)
-    assert hashes3.count() == 4
-    assert hashes3.select("content_hash").distinct().count() == 2
+    # 2 in-window + survivor(200)@2 + 2 re-sighting rows (201, 202)
+    assert hashes3.count() == 5
+    assert hashes3.select("content_hash").distinct().count() == 3
+    by_hash2 = {
+        r["content_hash"]: r["last_seen"]
+        for r in hashes3.groupBy("content_hash")
+        .agg(F.max(F.coalesce("last_seen", F.lit(0))).alias("last_seen"))
+        .collect()
+    }
+    assert sorted(by_hash2.values()) == [2, 2, 2]  # every hash sighted day 2
 
 
 def test_warc_parser_never_crashes_on_arbitrary_bytes():
