@@ -66,6 +66,14 @@ REPRESENTATIVE = [
     "dedup_strip_boilerplate",
     "sketch_kmv_jaccard",
     "url_domain_cap",
+    # r8: forced bloom probes (gate off — the probe path itself must be
+    # layout-pure), auto-sized IVF-PQ (wave + refine scaling), the
+    # composed crawl frontier (anti-join + quota window), and the WARC
+    # round trip (member expansion must not depend on file splits)
+    "dedup_incremental_bloom_forced",
+    "ann_ivfpq_auto_topk",
+    "pipeline_crawl_frontier",
+    "pipeline_warc_curation",
 ]
 
 
