@@ -758,10 +758,19 @@ def main() -> None:
     # the SIZE-AWARE GATE's crossover, measured: the exact check as
     # probe-then-join vs plain join at history sizes straddling
     # BLOOM_GATE_MIN_HISTORY (250k ≈ the broadcast-join threshold in hash
-    # rows). Below it the plain join broadcasts and the probe is pure
-    # overhead; above it the join shuffles and the probe's row reduction
-    # pays — incremental_dedup now picks the form automatically from the
+    # rows); incremental_dedup picks the form automatically from the
     # bitset's own fill-ratio cardinality estimate (recorded as est_n).
+    # HONEST LOCAL READING (r8: plain 0.32/0.57/0.98 s vs probe 1.27/
+    # 1.60/2.39 s at 50k/500k/5M): on this single-JVM host the plain
+    # join wins at EVERY size — the "shuffle" is an in-process exchange
+    # over page-cached frames, so the probe's extra Arrow pass never
+    # pays back locally. The gate is therefore set by the CLUSTER bound,
+    # not this wall clock: below ~250k rows the join is a broadcast on
+    # any deployment (probe = pure overhead, gated off); above it a real
+    # cluster shuffles the full batch over the network, and the probe's
+    # measured 98.9% join-input-row reduction is what it buys. The
+    # bounded local cost of keeping the probe on above the gate (~+1.4 s
+    # per 2M rows here) is the price of the scale-correct default.
     from bensp_suite_spark.operators import dedup_text as DTB
 
     gate_xover = {"gate_min_history": DTB.BLOOM_GATE_MIN_HISTORY}
