@@ -1281,6 +1281,132 @@ def matryoshka_topk_oracle_sql(
     """
 
 
+def binary_quant_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dims: int = 64,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization ANN — the 1-bit-per-dimension compression mode
+    production vector stores ship: each vector collapses to its sign
+    mask (dim i → bit i set iff ``v[i] > 0``; 64 dims = ONE 8-byte
+    long), the coarse pass ranks candidates by hamming distance
+    (``bit_count(qsig XOR csig)`` — one XOR+popcount instead of ``dims``
+    multiplies, and 32× less vector I/O at float32 storage), and the
+    exact full-precision cosine re-ranks the refine·k survivors.
+
+    The compute-side cut on the PRECISION axis, completing the family's
+    three orthogonal cuts: IVF cuts candidates (which vectors), PQ and
+    binary quantization cut per-candidate cost (how they're scanned),
+    matryoshka cuts dimensions. Like matryoshka, this operator is the
+    quantization cut alone — scan-shaped and fully SQL-expressible for
+    the oracle; compose with the IVF cell probe for the candidate cut
+    at corpus scale. Sign packing is a pure JVM column expression
+    (``shiftleft`` fold, no UDF), so the coarse pass lives inside
+    whole-stage codegen.
+
+    Hamming ties break toward the lower neighbor id; the re-rank uses
+    the family's rounded-cosine + id tiebreaks, so results are
+    engine-exact against the DuckDB mirror
+    (:func:`binary_quant_topk_oracle_sql`)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+
+    def sig(col: str):
+        # bit 63 lands on the long's sign bit — fine: XOR/bit_count are
+        # bit-pattern ops, the numeric value is never compared
+        return sum(
+            F.shiftleft(
+                (F.element_at(F.col(col), i + 1) > 0).cast("long"), i
+            )
+            for i in range(dims)
+        ).cast("long")
+
+    qs = q.withColumn("qsig", sig("qv"))
+    cs = c.withColumn("csig", sig("cv"))
+    ham = F.bit_count(F.col("qsig").bitwiseXOR(F.col("csig")))
+    cand = (
+        F.broadcast(qs)
+        .join(cs, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv", ham.alias("ham"))
+    )
+    m = refine * k
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("ham"), F.col("neighbor_id")
+    )
+    fine = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+    )
+    survivors = (
+        cand.withColumn("hrn", F.row_number().over(wc))
+        .filter(F.col("hrn") <= m)
+        .select("query_id", "neighbor_id", fine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def binary_quant_topk_oracle_sql(
+    k: int = 5, dims: int = 64, refine: int = 4, max_query_id: int = 8
+) -> str:
+    """DuckDB mirror of :func:`binary_quant_ann_topk` — hamming computed
+    per-element (no 64-bit packing, sidestepping BIGINT bit-63 overflow
+    in SQL) from the identical ``v[i] > 0`` sign predicate, identical
+    tiebreaks and rounded-cosine re-rank."""
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND({dot.format(a=a, b=b)} / "
+            f"(SQRT({dot.format(a=a, b=a)}) * SQRT({dot.format(a=b, b=b)})), 6)"
+        )
+
+    ham = (
+        f"list_reduce(list_prepend(0, list_transform(range(1, {dims} + 1), "
+        "i -> CASE WHEN (qv[i] > 0) <> (cv[i] > 0) THEN 1 ELSE 0 END)), "
+        "(x, y) -> x + y)"
+    )
+    m = refine * k
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {max_query_id}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    cand AS (
+      SELECT query_id, neighbor_id, qv, cv, {ham} AS ham
+      FROM q, c WHERE query_id <> neighbor_id
+    ),
+    surv AS (
+      SELECT query_id, neighbor_id, {cos('qv', 'cv')} AS cosine
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY ham, neighbor_id) AS hrn
+            FROM cand) WHERE hrn <= {m}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM surv) WHERE rank <= {k}
+    """
+
+
 def banded_hamming_pairs(
     hashes: DataFrame,
     id_col: str,

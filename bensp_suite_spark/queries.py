@@ -913,6 +913,25 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_binary_quant_topk",
+    oracle=SIM.binary_quant_topk_oracle_sql(k=5, dims=64, refine=4, max_query_id=8),
+)
+def ann_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN — 1 bit per dimension: vectors collapse to
+    their 64-bit sign masks (a pure shiftleft fold, no UDF), the coarse
+    pass is hamming distance (one XOR+popcount per pair instead of 64
+    multiplies, 32× less vector I/O than float32), exact cosine re-ranks
+    refine·k survivors. Completes the family's three orthogonal cuts —
+    IVF cuts candidates, PQ/binary-quant cut per-candidate cost,
+    matryoshka cuts dimensions — and like matryoshka it's the
+    quantization cut alone, fully SQL-mirrored (hamming recomputed
+    per-element in DuckDB from the same sign predicate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.binary_quant_ann_topk(queries_df, emb, k=5, dims=64, refine=4)
+
+
+@query(
     "ann_matryoshka_topk",
     oracle=SIM.matryoshka_topk_oracle_sql(k=5, dims=16, refine=4, max_query_id=8),
 )

@@ -832,6 +832,39 @@ def test_ivfpq_residual_exact_at_full_probe_and_beats_raw(spark):
     assert rec(True) >= rec(False)
 
 
+def test_binary_quant_full_refine_equals_bruteforce_and_recall(spark):
+    """Binary-quantization ANN degenerates to exact search when refine·k
+    covers the corpus (the hamming cut keeps everything and the exact
+    re-rank IS brute force — the family's correctness anchor), and at a
+    tight refine the sign-mask coarse pass still recalls most true
+    neighbors on the gaussian fixture (sign bits preserve direction)."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(
+        F.col("vec_id") < 80
+    )
+    q = emb.filter(F.col("vec_id") < 6)
+    exact = sorted(
+        map(tuple, SIM.cosine_topk_bruteforce(q, emb, k=5).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            SIM.binary_quant_ann_topk(q, emb, k=5, refine=16).collect(),
+        )
+    )
+    assert got == exact  # 16*5 = 80 >= corpus
+    full = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qs = full.filter(F.col("vec_id") < 12)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(qs, full, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.binary_quant_ann_topk(qs, full, k=5, refine=8).collect()
+    }
+    assert len(approx & brute) / len(brute) >= 0.5
+
+
 def test_ivfpq_wave_probing_parity(spark, monkeypatch):
     """Above QUERY_BATCH_LIMIT ivfpq_ann_topk probes in hash-chunked
     WAVES (no caller-side chunking, no ValueError): per-wave ADC tables
