@@ -1308,6 +1308,17 @@ def binary_quant_ann_topk(
     (``shiftleft`` fold, no UDF), so the coarse pass lives inside
     whole-stage codegen.
 
+    HONEST recall note, measured (r8, 100k×64d structureless gaussian —
+    the worst case): recall@10 = 0.14/0.30/0.40 at refine = 4/16/32.
+    One bit per dimension at 64 dims keeps too little angle information;
+    the mode earns its keep on the HIGH-dimensional embeddings real
+    rerankers emit (768-1536d, where sign masks concentrate — the
+    published regime) or as a cheap first cut ahead of a wider exact
+    re-rank. At 64 dims prefer IVF-PQ (recall 0.80 at the sized
+    defaults); this operator exists because the 1-bit mode is a real
+    production surface users will reach for, with its tradeoff stated
+    rather than discovered.
+
     Hamming ties break toward the lower neighbor id; the re-rank uses
     the family's rounded-cosine + id tiebreaks, so results are
     engine-exact against the DuckDB mirror

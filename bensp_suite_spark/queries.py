@@ -925,7 +925,11 @@ def ann_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF cuts candidates, PQ/binary-quant cut per-candidate cost,
     matryoshka cuts dimensions — and like matryoshka it's the
     quantization cut alone, fully SQL-mirrored (hamming recomputed
-    per-element in DuckDB from the same sign predicate)."""
+    per-element in DuckDB from the same sign predicate). Honest recall
+    at THIS fixture's 64 dims is refine-hungry (0.40@refine=32 on the
+    100k gaussian worst case, measured r8) — the 1-bit mode earns its
+    keep at the 768-1536d embeddings production rerankers emit; the
+    operator docstring states the tradeoff."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return SIM.binary_quant_ann_topk(queries_df, emb, k=5, dims=64, refine=4)

@@ -530,3 +530,26 @@ def test_kmv_topk_is_take_ordered_not_full_sort(spark):
     # (per-partition top-k + k-row driver merge), never a global sort
     plan = _plan(spark, "sketch_kmv_distinct")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_crawl_frontier_plan_quality(spark):
+    """The frontier's scale contract in the physical plan: the uncrawled
+    candidate set is a LeftAnti join on URL strings, the per-host quota
+    compiles to WindowGroupLimit (per-partition top-k — a hot host's
+    candidates never become one task's full sort), the host-rank join is
+    broadcast, and no Python UDF appears anywhere (extraction +
+    canonicalization are pure column expressions)."""
+    plan = _plan(spark, "pipeline_crawl_frontier")
+    assert "LeftAnti" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_binary_quant_sign_pack_is_jvm_side(spark):
+    """Binary-quantization ANN's sign packing and hamming coarse pass
+    must be pure JVM column work (shiftleft fold + bit_count on the
+    XOR) — no Python UDF; the query side is the broadcast build side."""
+    plan = _plan(spark, "ann_binary_quant_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
