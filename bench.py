@@ -475,6 +475,10 @@ def main() -> None:
         ("ivf_auto", lambda: _ivf(auto_probe)),
         ("ivf_p8", lambda: _ivf(8)),
         ("ivfpq_auto", lambda: _ivfpq(auto_probe)),
+        # SQ8 is the precision cut alone (full-corpus scan like brute —
+        # its win at scale is the 4× vector-I/O cut, not candidate
+        # pruning); timed here so the ladder's cost is on record
+        ("sq8", lambda: SIM_B.sq8_ann_topk(big_q, big_emb, k=10, refine=4)),
     ):
         best = None
         for _rep in range(3):
@@ -526,6 +530,20 @@ def main() -> None:
         f"{ann_scale['ivfpq_auto_recall_at10_100k']} fell below the 0.75 "
         f"floor (n_cells={auto_cells}, n_probe={auto_probe}, refine=auto) — "
         "the r7 gap (0.663 at static refine=16) must stay closed"
+    )
+    # SQ8 recall on the same worst-case corpus: 8-bit affine quantization
+    # is nearly lossless at 64 dims, so even refine=4 must stay ≈ exact —
+    # this is the ladder's "cheap and safe" rung and the floor says so
+    sq8_hits = (
+        SIM_B.sq8_ann_topk(big_q, big_emb, k=10, refine=4)
+        .select("query_id", "neighbor_id")
+        .join(brute_res, ["query_id", "neighbor_id"])
+        .count()
+    )
+    ann_scale["sq8_recall_at10_100k"] = round(sq8_hits / n_exact, 4)
+    assert ann_scale["sq8_recall_at10_100k"] >= 0.9, (
+        f"SQ8 recall@10 {ann_scale['sq8_recall_at10_100k']} fell below the "
+        "0.9 floor — 8-bit quantization should be nearly lossless at 64d"
     )
     ivfpq_coded.unpersist()
     assign.unpersist()

@@ -936,6 +936,28 @@ def ann_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_sq8_topk",
+    oracle=SIM.sq8_topk_oracle_sql(k=5, dims=64, refine=4, max_query_id=8),
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN — 8 bits per dimension, the
+    no-training point on the precision ladder between the 1-bit sign
+    mask and PQ: per-dim [min,max] trained in ONE aggregate pass (the
+    whole "codebook" is 2·dims doubles, mergeable across shards by
+    min/max — no Lloyd loop), affine dequantize as a pure JVM
+    ``zip_with`` expression, coarse rank by the FAISS-style asymmetric
+    distance (raw query × dequantized corpus), exact cosine re-rank of
+    refine·k. Fully SQL-mirrored: the DuckDB oracle recomputes the
+    identical quantize/dequantize in the identical float-op order
+    (ROUND half-away-from-zero ≡ Spark HALF_UP on the non-negative
+    argument). Unlike the 1-bit mode, 8 bits is nearly lossless at this
+    fixture's 64 dims — the 4× vector-I/O cut with recall ≈ 1.0."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.sq8_ann_topk(queries_df, emb, k=5, dims=64, refine=4)
+
+
+@query(
     "ann_matryoshka_topk",
     oracle=SIM.matryoshka_topk_oracle_sql(k=5, dims=16, refine=4, max_query_id=8),
 )

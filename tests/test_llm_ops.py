@@ -865,6 +865,37 @@ def test_binary_quant_full_refine_equals_bruteforce_and_recall(spark):
     assert len(approx & brute) / len(brute) >= 0.5
 
 
+def test_sq8_full_refine_equals_bruteforce_and_recall(spark):
+    """SQ8 ANN degenerates to exact search when refine·k covers the
+    corpus (the family's correctness anchor), and — unlike the 1-bit
+    mode — 8-bit affine quantization is nearly lossless at 64 dims, so
+    even a TIGHT refine recovers essentially all true neighbors on the
+    gaussian fixture."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(
+        F.col("vec_id") < 80
+    )
+    q = emb.filter(F.col("vec_id") < 6)
+    exact = sorted(
+        map(tuple, SIM.cosine_topk_bruteforce(q, emb, k=5).collect())
+    )
+    got = sorted(
+        map(tuple, SIM.sq8_ann_topk(q, emb, k=5, refine=16).collect())
+    )
+    assert got == exact  # 16*5 = 80 >= corpus
+    full = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qs = full.filter(F.col("vec_id") < 12)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(qs, full, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.sq8_ann_topk(qs, full, k=5, refine=2).collect()
+    }
+    # 8-bit quantization error is tiny: near-perfect recall at refine=2
+    assert len(approx & brute) / len(brute) >= 0.95
+
+
 def test_ivfpq_wave_probing_parity(spark, monkeypatch):
     """Above QUERY_BATCH_LIMIT ivfpq_ann_topk probes in hash-chunked
     WAVES (no caller-side chunking, no ValueError): per-wave ADC tables

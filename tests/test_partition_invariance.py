@@ -74,6 +74,11 @@ REPRESENTATIVE = [
     "ann_ivfpq_auto_topk",
     "pipeline_crawl_frontier",
     "pipeline_warc_curation",
+    # r8 late additions: the two scan-shaped quantization cuts — sign-mask
+    # hamming and SQ8 affine dequantize both fold over array columns, so
+    # the fold result must not depend on scan splits or shuffle width
+    "ann_binary_quant_topk",
+    "ann_sq8_topk",
 ]
 
 

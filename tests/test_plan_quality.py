@@ -553,3 +553,13 @@ def test_binary_quant_sign_pack_is_jvm_side(spark):
     plan = _plan(spark, "ann_binary_quant_topk")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sq8_dequantize_is_jvm_side(spark):
+    """SQ8 ANN's min/max training aggregate, affine dequantize, and
+    asymmetric-distance coarse pass must be pure JVM column work
+    (zip_with/aggregate higher-order functions) — no Python UDF; the
+    1-row stats frame and the query side are broadcast sides."""
+    plan = _plan(spark, "ann_sq8_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
