@@ -708,6 +708,7 @@ def cdc_round_trip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from .operators import dedup_text as DT  # noqa: E402
+from .operators import graph_ann as GA  # noqa: E402
 from .operators import similarity as SIM  # noqa: E402
 from .operators import text_analysis as TA  # noqa: E402
 
@@ -955,6 +956,27 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return SIM.sq8_ann_topk(queries_df, emb, k=5, dims=64, refine=4)
+
+
+@query("ann_nsw_topk", oracle=None)
+def ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded NSW proximity-GRAPH ANN — the index family HNSW-era
+    vector stores default to, and the engine's fourth orthogonal ANN
+    strategy next to hashing (LSH), cell probing (IVF) and quantization
+    (PQ/SQ8/binary): each corpus shard builds an independent
+    navigable-small-world graph inside one ``applyInPandas`` group
+    (Malkov et al. 2014; memory bounded by shard size, build
+    embarrassingly parallel, crash-safe per shard), every query
+    beam-searches every shard, and the exact JVM-side rounded cosine
+    re-ranks the nomination union — the Python graph nominates, it
+    never scores. Golden-pinned oracle (graph construction is
+    inherently iterative, not SQL); the pin is computed by the
+    independent numpy NSW in tools/golden_reference.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return GA.nsw_ann_topk(
+        queries_df, emb, k=5, n_shards=4, m=8, ef_build=24, ef_search=16
+    )
 
 
 @query(

@@ -970,3 +970,93 @@ def test_ivfpq_residual_index_roundtrip_and_convention_guard(spark, tmp_path):
     raw_idx = SIM.load_ivfpq_index(spark, raw_path)
     with _pytest.raises(ValueError, match="raw"):
         SIM.ivfpq_ann_topk(q, emb, k=5, n_probe=2, index=raw_idx, residual=True)
+
+
+def test_nsw_full_ef_equals_bruteforce_and_recall(spark):
+    """Sharded-NSW graph ANN degenerates to exact search when ef_search
+    covers each shard (the NSW graph is connected by construction —
+    every insert links to at least one earlier node — so an unbounded
+    beam visits the whole shard and the exact re-rank IS brute force:
+    the family's correctness anchor), and at the declared query's
+    production shape (m=8, ef_build=24, ef_search=16) the graph recalls
+    essentially all true neighbors on the gaussian fixture."""
+    from bensp_suite_spark.operators import graph_ann as GA
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(
+        F.col("vec_id") < 80
+    )
+    q = emb.filter(F.col("vec_id") < 6)
+    exact = sorted(
+        map(tuple, SIM.cosine_topk_bruteforce(q, emb, k=5).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            GA.nsw_ann_topk(
+                q, emb, k=5, n_shards=4, m=8, ef_build=24, ef_search=32
+            ).collect(),
+        )
+    )
+    assert got == exact  # ef 32 >= 20-node shards: beam == exhaustive
+    full = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qs = full.filter(F.col("vec_id") < 12)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(qs, full, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in GA.nsw_ann_topk(
+            qs, full, k=5, n_shards=4, m=8, ef_build=24, ef_search=16
+        ).collect()
+    }
+    assert len(approx & brute) / len(brute) >= 0.9
+
+
+def test_nsw_wave_probing_parity(spark, monkeypatch):
+    """Above QUERY_BATCH_LIMIT nsw_ann_topk collects queries in
+    hash-chunked waves; per-query beam searches never look across
+    queries, so the waved union must be result-identical to the
+    single-wave path."""
+    from bensp_suite_spark.operators import graph_ann as GA
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(
+        F.col("vec_id") < 120
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k=3, n_shards=3, m=6, ef_build=16, ef_search=12)
+    base = sorted(map(tuple, GA.nsw_ann_topk(q, emb, **kw).collect()))
+    monkeypatch.setattr(GA, "QUERY_BATCH_LIMIT", 3)
+    waved = sorted(map(tuple, GA.nsw_ann_topk(q, emb, **kw).collect()))
+    monkeypatch.undo()
+    assert waved == base
+
+
+def test_nsw_build_determinism_and_degree_cap(spark):
+    """The NSW adjacency is a pure function of the (ordered) shard
+    vectors — two builds are identical — and no node's degree exceeds
+    2·m (the prune keeps executor memory per node bounded)."""
+    import numpy as np
+
+    from bensp_suite_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((150, 16))
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    m = 5
+    a = GA.nsw_build(V, m=m, ef_build=12)
+    b = GA.nsw_build(V.copy(), m=m, ef_build=12)
+    assert a == b
+    assert max(len(x) for x in a) <= 2 * m
+    # connected by construction: BFS from 0 reaches every node
+    seen = {0}
+    frontier = [0]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in a[u]:
+                if v not in seen:
+                    seen.add(v)
+                    nxt.append(v)
+        frontier = nxt
+    assert len(seen) == len(V)

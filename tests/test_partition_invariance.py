@@ -79,6 +79,10 @@ REPRESENTATIVE = [
     # the fold result must not depend on scan splits or shuffle width
     "ann_binary_quant_topk",
     "ann_sq8_topk",
+    # sharded-NSW graph ANN: the applyInPandas shard worker sorts its
+    # group and the beam spec is order-pinned, so nominations must not
+    # depend on scan splits or shuffle width
+    "ann_nsw_topk",
 ]
 
 

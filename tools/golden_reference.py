@@ -903,6 +903,89 @@ def ann_ivfpq_auto_topk(sf_dir: str):
     )
 
 
+def _nsw_beam_ref(V, nbrs, qv, ef):
+    """Mirror of bensp_suite_spark.operators.graph_ann.nsw_beam_search —
+    the determinism spec lives in that module's docstring; keep the two
+    in lock-step."""
+    import heapq
+
+    d0 = -float(np.dot(V[0], qv))
+    visited = {0}
+    cand = [(d0, 0)]
+    w = [(-d0, 0)]
+    while cand:
+        d_c, c = heapq.heappop(cand)
+        d_worst, p_worst = -w[0][0], -w[0][1]
+        if len(w) >= ef and (d_c, c) > (d_worst, p_worst):
+            break
+        for nb in nbrs[c]:
+            if nb in visited:
+                continue
+            visited.add(nb)
+            d_nb = -float(np.dot(V[nb], qv))
+            if len(w) < ef:
+                heapq.heappush(w, (-d_nb, -nb))
+                heapq.heappush(cand, (d_nb, nb))
+            else:
+                d_worst, p_worst = -w[0][0], -w[0][1]
+                if (d_nb, nb) < (d_worst, p_worst):
+                    heapq.heapreplace(w, (-d_nb, -nb))
+                    heapq.heappush(cand, (d_nb, nb))
+    return sorted((-nd, -np_) for nd, np_ in w)
+
+
+def _nsw_build_ref(V, m, ef_build):
+    """Mirror of graph_ann.nsw_build (see its docstring for the spec)."""
+    n = len(V)
+    m_max = 2 * m
+    nbrs = [[] for _ in range(n)]
+    for i in range(1, n):
+        res = _nsw_beam_ref(V, nbrs, V[i], ef_build)
+        chosen = [p for _, p in res[: min(m, len(res))]]
+        for p in chosen:
+            nbrs[i].append(p)
+            nbrs[p].append(i)
+            if len(nbrs[p]) > m_max:
+                ds = sorted((-float(np.dot(V[p], V[x])), x) for x in nbrs[p])
+                nbrs[p] = sorted(x for _, x in ds[:m_max])
+            else:
+                nbrs[p].sort()
+        nbrs[i].sort()
+    return nbrs
+
+
+def ann_nsw_topk(sf_dir: str, k: int = 5, n_shards: int = 4, m: int = 8,
+                 ef_build: int = 24, ef_search: int = 16):
+    """Sharded-NSW graph ANN: per-shard deterministic NSW build + beam
+    nomination, exact rounded-cosine re-rank of the nomination union
+    (graph_ann.nsw_ann_topk's contract: Python nominates, cosine ranks)."""
+    ids, V = _embeddings(sf_dir)
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qmask = ids < 8
+    qids = ids[qmask]
+    Q = U[qmask]
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    # shard = vec_id % n_shards; positions in ascending vec_id order
+    cand: dict[int, set[int]] = {int(q): set() for q in qids}
+    for s in range(n_shards):
+        sids = np.array([int(v) for v in ids if v % n_shards == s], dtype=np.int64)
+        if len(sids) == 0:
+            continue
+        Vs = U[[id_to_row[int(v)] for v in sids]]
+        nbrs = _nsw_build_ref(Vs, m, ef_build)
+        for qi, qid in enumerate(qids):
+            for _, p in _nsw_beam_ref(Vs, nbrs, Q[qi], ef_search):
+                cand[int(qid)].add(int(sids[p]))
+    rows = []
+    for qid in qids:
+        cset = cand[int(qid)]
+        cset.discard(int(qid))
+        cids = np.array(sorted(cset), dtype=np.int64)
+        C = V[[id_to_row[int(c)] for c in cids]]
+        rows += _topk_rows(qid, cids, cosine_rounded(V[id_to_row[int(qid)]], C), k)
+    return ANN_COLS, rows
+
+
 REFERENCE_FNS = {
     "cdc_dedup_stats": cdc_dedup_stats,
     "cdc_chunk_histogram": cdc_chunk_histogram,
@@ -912,6 +995,7 @@ REFERENCE_FNS = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
     "ann_ivfpq_auto_topk": ann_ivfpq_auto_topk,
+    "ann_nsw_topk": ann_nsw_topk,
     "ferret_topk_multiregion": ferret_topk_multiregion,
     "multimodal_image_search": multimodal_image_search,
     "multimodal_image_search_png": multimodal_image_search_png,
