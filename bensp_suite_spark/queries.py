@@ -979,6 +979,25 @@ def ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_opq_topk", oracle=None)
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ANN (Ge et al. 2013): PQ's compressed-domain ADC scan run in a
+    LEARNED orthogonal rotation of the embedding space — eigenvalue-
+    allocation init + Procrustes/Lloyd alternation trained driver-side
+    on the bounded sample, the rotation then rides the encode UDF and
+    the query tables; the exact re-rank stays in the raw space. Same
+    code bytes as ann_pq_topk; the win is on corpora with low intrinsic
+    dimension (real neural embeddings — the bench asserts the low-rank
+    fixture win at 100k scale; isotropic gaussians like THIS fixture
+    don't benefit, documented in opq_rotation). Golden-pinned oracle
+    (eigh/SVD + Lloyd training is not SQL); pin computed by the
+    independent numpy OPQ in tools/golden_reference.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    rot = SIM.opq_rotation(emb, n_subspaces=8, n_centroids=16)
+    return SIM.pq_ann_topk(queries_df, emb, k=5, refine=10, rotation=rot)
+
+
 @query(
     "ann_matryoshka_topk",
     oracle=SIM.matryoshka_topk_oracle_sql(k=5, dims=16, refine=4, max_query_id=8),

@@ -83,6 +83,9 @@ REPRESENTATIVE = [
     # group and the beam spec is order-pinned, so nominations must not
     # depend on scan splits or shuffle width
     "ann_nsw_topk",
+    # OPQ: the rotation is applied row-wise (pinned gemv shape), so the
+    # codes must not depend on Arrow batch size or scan splits
+    "ann_opq_topk",
 ]
 
 

@@ -903,6 +903,99 @@ def ann_ivfpq_auto_topk(sf_dir: str):
     )
 
 
+def _pq_lloyd_ref(mat: np.ndarray, S: int, C: int, iters: int) -> np.ndarray:
+    """Mirror of similarity._pq_lloyd (init = first C rows' subvectors,
+    argmin ties -> lowest id, empty clusters keep their centroid)."""
+    ds = mat.shape[1] // S
+    sub = mat.reshape(mat.shape[0], S, ds)
+    books = sub[:C].transpose(1, 0, 2).copy()
+    for _ in range(iters):
+        for s_i in range(S):
+            x = sub[:, s_i, :]
+            d2 = ((x[:, None, :] - books[s_i][None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c_i in range(C):
+                members = x[assign == c_i]
+                if len(members):
+                    books[s_i, c_i] = members.mean(0)
+    return books
+
+
+def _rotate_rows_ref(mat: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """Mirror of similarity._rotate_rows — one (1×D)·(D×D) gemv per row,
+    pinned op shape (see that docstring for why batched gemm is unsafe)."""
+    return np.array([row @ R for row in mat], dtype=np.float64)
+
+
+def _opq_rotation_ref(X: np.ndarray, S: int, C: int, train_iters: int,
+                      opq_iters: int) -> np.ndarray:
+    """Mirror of similarity.opq_rotation (OPQ-P eigen-allocation init +
+    OPQ-NP alternation; keep in lock-step with that function)."""
+    d = X.shape[1]
+    ds = d // S
+    cov = X.T @ X / len(X)
+    lam, E = np.linalg.eigh(cov)
+    order = np.argsort(-lam, kind="stable")
+    lam, E = lam[order], E[:, order]
+    buckets = [[] for _ in range(S)]
+    sums = np.zeros(S)
+    for j in range(d):
+        s = min(
+            (s for s in range(S) if len(buckets[s]) < ds),
+            key=lambda s: (sums[s], s),
+        )
+        buckets[s].append(j)
+        sums[s] += np.log(max(float(lam[j]), 1e-12))
+    R = E[:, [j for b in buckets for j in b]]
+    for _ in range(opq_iters):
+        Xr = _rotate_rows_ref(X, R)
+        books = _pq_lloyd_ref(Xr, S, C, train_iters)
+        sub = Xr.reshape(Xr.shape[0], S, ds)
+        d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(-1)
+        xhat = np.stack(
+            [books[s][assign[:, s]] for s in range(S)], axis=1
+        ).reshape(X.shape[0], d)
+        U, _s, Vt = np.linalg.svd(X.T @ xhat)
+        R = U @ Vt
+    return R
+
+
+def ann_opq_topk(sf_dir: str, k: int = 5, n_subspaces: int = 8, n_centroids: int = 16,
+                 refine: int = 10, train_iters: int = 8, train_sample: int = 2048,
+                 opq_iters: int = 8):
+    """OPQ ANN: PQ's ADC scan in the LEARNED-ROTATION space (codes and
+    query tables rotated, exact raw-space cosine re-rank) — mirror of
+    similarity.pq_ann_topk(rotation=opq_rotation(...))."""
+    ids, V = _embeddings(sf_dir)
+    X = V[ids < train_sample]
+    R = _opq_rotation_ref(X, n_subspaces, n_centroids, train_iters, opq_iters)
+    Xr = _rotate_rows_ref(X, R)
+    books = _pq_lloyd_ref(Xr, n_subspaces, n_centroids, train_iters)
+    ds = V.shape[1] // n_subspaces
+    Vr = _rotate_rows_ref(V, R)
+    allsub = Vr.reshape(Vr.shape[0], n_subspaces, ds)
+    codes = ((allsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1).argmin(-1)
+    m = refine * k
+    srange = np.arange(n_subspaces)
+    rows = []
+    for qrow, qid in enumerate(ids):
+        if qid >= 8:
+            continue
+        qsub = Vr[qrow].reshape(n_subspaces, ds)
+        qtab = ((qsub[:, None, :] - books) ** 2).sum(-1)  # (S, C)
+        ad = qtab[srange[None, :], codes].sum(1)  # (N,)
+        mask = ids != qid
+        idx = np.nonzero(mask)[0]
+        top = idx[np.lexsort((ids[idx], ad[idx]))[:m]]
+        cids = ids[top]
+        order = np.argsort(cids, kind="stable")
+        cids = cids[order]
+        C = V[top][order]
+        rows += _topk_rows(qid, cids, cosine_rounded(V[qrow], C), k)
+    return ANN_COLS, rows
+
+
 def _nsw_beam_ref(V, nbrs, qv, ef):
     """Mirror of bensp_suite_spark.operators.graph_ann.nsw_beam_search —
     the determinism spec lives in that module's docstring; keep the two
@@ -996,6 +1089,7 @@ REFERENCE_FNS = {
     "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
     "ann_ivfpq_auto_topk": ann_ivfpq_auto_topk,
     "ann_nsw_topk": ann_nsw_topk,
+    "ann_opq_topk": ann_opq_topk,
     "ferret_topk_multiregion": ferret_topk_multiregion,
     "multimodal_image_search": multimodal_image_search,
     "multimodal_image_search_png": multimodal_image_search_png,
