@@ -471,6 +471,23 @@ def main() -> None:
             index=(cent, ivfpq_books, ivfpq_coded),
         )
 
+    # sharded-NSW graph: build ONCE (mkdb-offline frame like the other
+    # families — save_nsw_index exists for exactly this), probes pay only
+    # the beam searches. Build cost recorded as its own extra. Sizing per
+    # the r8 100k calibration: gaussian hubness at 64d needs m=12/ef
+    # 32/48 (m=8/ef 16 measured 0.487 recall).
+    t0 = time.perf_counter()
+    nsw_graph = GA_B.build_nsw_index(
+        big_emb, n_shards=32, m=12, ef_build=32
+    ).persist(StorageLevel.MEMORY_ONLY)
+    nsw_graph.count()
+    ann_scale["nsw_build_sec_100k"] = round(time.perf_counter() - t0, 2)
+
+    def _nsw():
+        return GA_B.nsw_ann_topk(
+            big_q, big_emb, k=10, ef_search=48, index=(nsw_graph, {}),
+        )
+
     for name, run in (
         ("brute", lambda: SIM_B.cosine_topk_bruteforce(big_q, big_emb, k=10)),
         ("ivf_auto", lambda: _ivf(auto_probe)),
@@ -480,15 +497,7 @@ def main() -> None:
         # its win at scale is the 4× vector-I/O cut, not candidate
         # pruning); timed here so the ladder's cost is on record
         ("sq8", lambda: SIM_B.sq8_ann_topk(big_q, big_emb, k=10, refine=4)),
-        # sharded-NSW graph ANN: timed INLINE — the per-call cost is
-        # dominated by the per-shard graph build (an index-persistence
-        # path would amortize it, mkdb-style; candidate for a later
-        # round). Sizing per the r8 100k calibration: gaussian hubness
-        # at 64d needs m=12/ef 32/48 (m=8/ef 16 measured 0.487).
-        ("nsw", lambda: GA_B.nsw_ann_topk(
-            big_q, big_emb, k=10, n_shards=32, m=12, ef_build=32,
-            ef_search=48,
-        )),
+        ("nsw", _nsw),
     ):
         best = None
         for _rep in range(3):
@@ -521,13 +530,7 @@ def main() -> None:
                 n_centroids=256, refine=None, residual=True,
             ),
         ),
-        (
-            "nsw",
-            lambda: GA_B.nsw_ann_topk(
-                big_q, big_emb, k=10, n_shards=32, m=12, ef_build=32,
-                ef_search=48,
-            ),
-        ),
+        ("nsw", _nsw),
     ):
         hits = (
             run()
@@ -555,6 +558,9 @@ def main() -> None:
     assert ann_scale["nsw_recall_at10_100k"] >= 0.85, (
         f"NSW recall@10 {ann_scale['nsw_recall_at10_100k']} fell below "
         "the 0.85 floor (n_shards=32, m=12, ef_build=32, ef_search=48)"
+    )
+    nsw_graph.unpersist()
+    _dummy = (
     )
     # SQ8 recall on the same worst-case corpus: 8-bit affine quantization
     # is nearly lossless at 64 dims, so even refine=4 must stay ≈ exact —

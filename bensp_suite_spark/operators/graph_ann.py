@@ -70,7 +70,15 @@ from pyspark.sql import functions as F
 
 from .similarity import QUERY_BATCH_LIMIT, _dot, _norm
 
-__all__ = ["nsw_build", "nsw_beam_search", "nsw_ann_topk"]
+__all__ = [
+    "nsw_build",
+    "nsw_beam_search",
+    "nsw_ann_topk",
+    "build_nsw_index",
+    "save_nsw_index",
+    "load_nsw_index",
+    "upsert_nsw_index",
+]
 
 
 def nsw_beam_search(
@@ -171,6 +179,205 @@ def _shard_candidates(
     return worker
 
 
+def build_nsw_index(
+    corpus: DataFrame,
+    n_shards: int = 4,
+    m: int = 8,
+    ef_build: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the per-shard NSW adjacency as a DataFrame:
+    (shard, pos, vec_id, cv, nbrs) where ``pos`` is the node's insertion
+    position (ascending vec_id within the shard — the determinism spec)
+    and ``nbrs`` holds shard-local neighbor positions. One
+    ``applyInPandas`` group per shard, exactly the inline build's
+    worker, so probing a saved index is bit-identical to the inline
+    path."""
+
+    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+        if len(V) == 0:
+            return pd.DataFrame(
+                {"shard": [], "pos": [], "vec_id": [], "cv": [], "nbrs": []}
+            )
+        U = V / np.linalg.norm(V, axis=1, keepdims=True)
+        nbrs = nsw_build(U, m=m, ef_build=ef_build)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].astype("int64"),
+                "pos": pd.Series(range(len(V)), dtype="int64"),
+                "vec_id": pdf["neighbor_id"].astype("int64"),
+                "cv": pdf["cv"],
+                "nbrs": [list(map(int, x)) for x in nbrs],
+            }
+        )
+
+    c_sel = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("shard", F.col("neighbor_id") % F.lit(n_shards))
+    return c_sel.groupBy("shard").applyInPandas(
+        worker,
+        "shard long, pos long, vec_id long, cv array<double>, nbrs array<long>",
+    )
+
+
+def save_nsw_index(
+    corpus: DataFrame,
+    path: str,
+    n_shards: int = 4,
+    m: int = 8,
+    ef_build: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + persist the sharded NSW graph (parquet partitioned by
+    shard, parameters alongside) — the mkdb-offline frame every other
+    index family here has: the build is paid once, probes pay only the
+    beam search. Rebuilding one shard after a lost ingest batch rewrites
+    one partition, never the index."""
+    idx = build_nsw_index(corpus, n_shards, m, ef_build, id_col, vec_col)
+    idx.write.mode("overwrite").partitionBy("shard").parquet(path + "/graph")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(n_shards), int(m), int(ef_build))], "n_shards int, m int, ef_build int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def load_nsw_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """→ (graph DataFrame, params) for ``nsw_ann_topk(index=…)``."""
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    return (
+        spark.read.parquet(path + "/graph"),
+        {
+            "n_shards": int(meta["n_shards"]),
+            "m": int(meta["m"]),
+            "ef_build": int(meta["ef_build"]),
+        },
+    )
+
+
+def upsert_nsw_index(
+    new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a saved NSW index by CONTINUING each
+    shard's deterministic insertion sequence (new nodes take positions
+    after the existing ones, ascending id; the degree-cap prune may
+    rewire existing nodes, so touched shard partitions are rewritten).
+
+    Append-only id discipline ⇒ exact rebuild equivalence: if every new
+    id is greater than every indexed id, the continued insertion order
+    IS the full rebuild's order, so the upserted graph is bit-identical
+    to ``save_nsw_index`` over the union (tested). Interleaved ids still
+    yield a valid NSW graph — insertion order is part of the graph's
+    identity, as in every incremental HNSW deployment — but not the
+    rebuild's; keep ingest batches id-monotone if you need replayable
+    parity."""
+    spark = new.sparkSession
+    graph, params = load_nsw_index(spark, path)
+    n_shards, m, ef_build = params["n_shards"], params["m"], params["ef_build"]
+    add = new.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("shard", F.col("vec_id") % F.lit(n_shards))
+    touched = [r["shard"] for r in add.select("shard").distinct().collect()]
+    if not touched:
+        return
+    old = graph.filter(F.col("shard").isin(touched)).select(
+        "shard", "pos", "vec_id", "cv", "nbrs"
+    )
+    merged = old.unionByName(
+        add.select(
+            "shard",
+            F.lit(None).cast("long").alias("pos"),
+            "vec_id",
+            "cv",
+            F.lit(None).cast("array<long>").alias("nbrs"),
+        )
+    )
+
+    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+        has_pos = pdf[pdf["pos"].notna()].sort_values("pos")
+        fresh = pdf[pdf["pos"].isna()].sort_values("vec_id")
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pd.concat([has_pos, fresh])["cv"]]
+        )
+        U = V / np.linalg.norm(V, axis=1, keepdims=True)
+        nbrs = [list(map(int, x)) for x in has_pos["nbrs"]]
+        n_old = len(nbrs)
+        nbrs += [[] for _ in range(len(fresh))]
+        m_max = 2 * m
+        for i in range(n_old, len(U)):
+            res = nsw_beam_search(U, nbrs, U[i], ef_build)
+            chosen = [p for _, p in res[: min(m, len(res))]]
+            for p in chosen:
+                nbrs[i].append(p)
+                nbrs[p].append(i)
+                if len(nbrs[p]) > m_max:
+                    ds = sorted(
+                        (-float(np.dot(U[p], U[x])), x) for x in nbrs[p]
+                    )
+                    nbrs[p] = sorted(x for _, x in ds[:m_max])
+                else:
+                    nbrs[p].sort()
+            nbrs[i].sort()
+        ids = pd.concat([has_pos, fresh])["vec_id"].to_numpy(dtype=np.int64)
+        cvs = list(pd.concat([has_pos, fresh])["cv"])
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(U), int(pdf["shard"].iloc[0]), dtype=np.int64),
+                "pos": np.arange(len(U), dtype=np.int64),
+                "vec_id": ids,
+                "cv": cvs,
+                "nbrs": nbrs,
+            }
+        )
+
+    rebuilt = merged.groupBy("shard").applyInPandas(
+        worker,
+        "shard long, pos long, vec_id long, cv array<double>, nbrs array<long>",
+    )
+    # rewrite ONLY the touched shard partitions (dynamic overwrite)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rebuilt.write.mode("overwrite").partitionBy("shard").parquet(path + "/graph")
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
+def _shard_index_search(qids: np.ndarray, qmat: np.ndarray, ef_search: int):
+    """Search worker over PREBUILT graph rows (pos/cv/nbrs) — identical
+    beam to the inline path; the graph build was paid at save time."""
+
+    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+        if len(V) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []})
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        nbrs = [list(map(int, x)) for x in pdf["nbrs"]]
+        out_q, out_n = [], []
+        for qi in range(len(qids)):
+            res = nsw_beam_search(V, nbrs, qmat[qi], ef_search)
+            for _, p in res:
+                out_q.append(int(qids[qi]))
+                out_n.append(int(ids[p]))
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return worker
+
+
 def nsw_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -181,6 +388,7 @@ def nsw_ann_topk(
     ef_search: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, dict] | None = None,
 ) -> DataFrame:
     """Sharded-NSW graph ANN top-k (see module docstring for the spec
     and the 100 TB sharding story).
@@ -189,10 +397,10 @@ def nsw_ann_topk(
     per query); the returned ranking is exact JVM-side cosine over the
     nomination union with the family's rounded-cosine + id tiebreaks —
     so recall is the only approximation, never the scores. Query
-    batches above QUERY_BATCH_LIMIT run in hash-chunked waves (the
-    shard graphs are rebuilt per wave — at that batch size the rebuild
-    amortizes; persist+reuse is the obvious next step if a workload
-    ever probes >100k queries repeatedly).
+    batches above QUERY_BATCH_LIMIT run in hash-chunked waves.
+    ``index=(graph_df, params)`` from :func:`load_nsw_index` skips the
+    per-call graph build (the mkdb-offline frame) — probing a saved
+    index is bit-identical to the inline path over the same corpus.
     """
     q_sel = queries.select(
         F.col(id_col).alias("query_id"),
@@ -216,12 +424,21 @@ def nsw_ann_topk(
         qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
         qmat = np.array([r["qv"] for r in rows], dtype=np.float64)
         qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-        cand_parts.append(
-            c_sel.groupBy("shard").applyInPandas(
-                _shard_candidates(qids, qmat, m, ef_build, ef_search),
-                "query_id long, neighbor_id long",
+        if index is not None:
+            graph_df, _params = index
+            cand_parts.append(
+                graph_df.groupBy("shard").applyInPandas(
+                    _shard_index_search(qids, qmat, ef_search),
+                    "query_id long, neighbor_id long",
+                )
             )
-        )
+        else:
+            cand_parts.append(
+                c_sel.groupBy("shard").applyInPandas(
+                    _shard_candidates(qids, qmat, m, ef_build, ef_search),
+                    "query_id long, neighbor_id long",
+                )
+            )
     cand = cand_parts[0]
     for extra in cand_parts[1:]:
         cand = cand.unionByName(extra)

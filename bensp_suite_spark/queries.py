@@ -4963,6 +4963,60 @@ def ann_ivfpq_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ann_ivfpq_prebuilt_topk"] = ORACLES["ann_ivfpq_topk"]
 
 
+@query("ann_nsw_prebuilt_topk", oracle=None)
+def ann_nsw_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-NSW graph ANN probing a PERSISTED index (save_nsw_index →
+    per-shard adjacency parquet partitioned by shard): the graph build —
+    the dominant per-call cost of the inline form — is paid at write
+    time; the query pays only the beam searches and the exact re-rank.
+    Probing a saved graph is bit-identical to the inline build over the
+    same corpus (parquet round-trips the doubles and the adjacency
+    exactly) — shares ann_nsw_topk's independent golden oracle."""
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = _ANN_INDEX_CACHE.get(("nsw", sf_dir))
+    if path is None:
+        path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/nsw"
+        GA.save_nsw_index(emb, path, n_shards=4, m=8, ef_build=24)
+        _ANN_INDEX_CACHE[("nsw", sf_dir)] = path
+    idx = GA.load_nsw_index(spark, path)
+    return GA.nsw_ann_topk(q, emb, k=5, ef_search=16, index=idx)
+
+
+ORACLES["ann_nsw_prebuilt_topk"] = ORACLES["ann_nsw_topk"]
+
+
+@query("ann_nsw_upsert_topk", oracle=None)
+def ann_nsw_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NSW maintenance under the value check: the graph is
+    built over the FIRST 400 vectors only, then the last 100 are
+    UPSERTED — each shard CONTINUES its deterministic insertion sequence
+    (the daily-ingest pattern; no full rebuild). Because the new ids are
+    all greater than the indexed ids, the continued insertion order is
+    exactly the full rebuild's order, so the upserted graph — and
+    therefore the probe — is bit-identical to the inline build over the
+    whole corpus: shares ann_nsw_topk's independent golden oracle."""
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = _ANN_INDEX_CACHE.get(("nsw_upsert", sf_dir))
+    if path is None:
+        path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/nsw_upsert"
+        GA.save_nsw_index(
+            emb.filter(F.col("vec_id") < 400), path, n_shards=4, m=8, ef_build=24
+        )
+        GA.upsert_nsw_index(emb.filter(F.col("vec_id") >= 400), path)
+        _ANN_INDEX_CACHE[("nsw_upsert", sf_dir)] = path
+    idx = GA.load_nsw_index(spark, path)
+    return GA.nsw_ann_topk(q, emb, k=5, ef_search=16, index=idx)
+
+
+ORACLES["ann_nsw_upsert_topk"] = ORACLES["ann_nsw_topk"]
+
+
 # ivf_defaults(1000) == (32, 8): the sf0.01 augmented corpus is 2×500
 # vectors, so the auto-sized oracle pins n_cells=32. The pin is guarded by
 # tests/test_llm_ops.py::test_ivf_defaults_rule (same mechanism as
