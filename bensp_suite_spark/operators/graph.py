@@ -124,3 +124,146 @@ def pagerank_int_oracle_sql(
         ",\n    ".join(parts)
         + f"\n    SELECT src AS node, rank FROM {prev}"
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Connected components over an undirected edge list → (node, rep)
+    where ``rep`` is the component's minimum node id. Shared kernel with
+    the near-dup cluster resolution (``dedup_text.near_dup_components``):
+    hash-to-min label propagation with pointer jumping — O(log diameter)
+    rounds, each one join + one aggregation, lineage truncated per round.
+    Exposed here as the general graph operator (site clusters over the
+    host link graph, entity groups over match pairs, …)."""
+    from .dedup_text import near_dup_components
+
+    return near_dup_components(edges, a=src, b=dst)
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts → (node, triangles) for every node on at
+    least one triangle.
+
+    Degree-ordered orientation (the scalable formulation): canonicalize
+    to undirected distinct edges, then orient every edge from its
+    lower-(degree, id) endpoint to the higher one. Each triangle has
+    exactly one node with two out-edges under this orientation, so the
+    wedge join enumerates every triangle once, and the join fan-out per
+    node is its ORIENTED out-degree — O(√m) max even for celebrity nodes,
+    instead of the raw-degree blowup a naive id-ordered wedge join
+    suffers on skewed graphs (the standard MapReduce-era result: Suri &
+    Vassilvitskii, WWW'11). Everything is equi-joins + one aggregation —
+    no UDF, no driver state; the DuckDB mirror
+    (:func:`triangle_count_oracle_sql`) runs the identical algebra."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from lower-(deg, id) to higher-(deg, id)
+    ed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("o")
+        )
+        .select("o.u", "o.v")
+    )
+    # wedges from the one low-endpoint per triangle; close with the third
+    # oriented edge (either direction between v1 and v2 — orientation of
+    # the closing edge depends on ITS endpoints' degrees)
+    w = (
+        ed.alias("e1")
+        .join(ed.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    closing = ed.select(
+        F.least(F.col("u"), F.col("v")).alias("y"),
+        F.greatest(F.col("u"), F.col("v")).alias("z"),
+    )
+    tri = w.join(closing, ["y", "z"])
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+
+
+def connected_components_oracle_sql(edges_sql: str) -> str:
+    """DuckDB mirror: min label reachable over the undirected closure."""
+    return f"""
+    WITH RECURSIVE raw AS ({edges_sql}),
+    edges AS (
+      SELECT src AS x, dst AS y FROM raw
+      UNION
+      SELECT dst AS x, src AS y FROM raw
+    ),
+    comp(node, rep) AS (
+      SELECT x, x FROM edges
+      UNION
+      SELECT e.x, c.rep FROM comp c JOIN edges e ON e.y = c.node
+    )
+    SELECT node, MIN(rep) AS rep FROM comp GROUP BY node
+    """
+
+
+def triangle_count_oracle_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`triangle_count` — the identical
+    degree-ordered orientation algebra."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+      ) GROUP BY n
+    ),
+    ed AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS v
+      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+    ),
+    w AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
+    ),
+    closing AS (SELECT LEAST(u, v) AS y, GREATEST(u, v) AS z FROM ed),
+    tri AS (SELECT x, w.y, w.z FROM w JOIN closing ON w.y = closing.y AND w.z = closing.z),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY node
+    """

@@ -6589,3 +6589,86 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# General graph algorithms (round 8): the CC kernel the near-dup resolution
+# uses, exposed as a first-class operator, plus degree-oriented triangle
+# counting — both over deterministic co-purchase graphs with full
+# SQL-mirrored oracles (the CC oracle is a recursive CTE).
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_PAIRS_SQL = """
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         COUNT(DISTINCT a.l_orderkey) AS n
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str, min_orders: int = 1):
+    """Distinct co-purchased part pairs (src < dst) seen in ≥ min_orders
+    orders — the basket-explode construction from copurchase_pairs (one
+    exchange on the order key; pair fan-out bounded by basket size)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("parts"), i + 2, F.size("parts")),
+                        lambda b: F.struct(a.alias("src"), b.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_orders)
+        .select("src", "dst")
+    )
+
+
+@query(
+    "graph_connected_components",
+    oracle=GR.connected_components_oracle_sql(
+        f"SELECT src, dst FROM ({_COPURCHASE_PAIRS_SQL}) WHERE n >= 2"
+    ),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as a first-class graph operator (the kernel
+    near-dup resolution clusters with, exposed for arbitrary edge lists):
+    hash-to-min label propagation with pointer jumping — O(log diameter)
+    rounds of one join + one aggregation, no driver-side graph. Edge set:
+    part pairs co-purchased in ≥2 orders (9 components / 1880 nodes at
+    sf0.01 — real merge work, unlike the single-component full graph).
+    The oracle is a DuckDB RECURSIVE CTE over the same edges, so label
+    convergence is checked against an independent traversal engine."""
+    edges = _copurchase_edges(spark, sf_dir, min_orders=2)
+    return GR.connected_components(edges)
+
+
+@query(
+    "graph_triangle_count",
+    oracle=GR.triangle_count_oracle_sql(
+        f"SELECT src, dst FROM ({_COPURCHASE_PAIRS_SQL})"
+    ),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph (115k edges /
+    413k triangles at sf0.01 — baskets are cliques, so the fixture is
+    triangle-dense). Degree-ordered orientation: every edge points from
+    its lower-(degree, id) endpoint, each triangle is enumerated at its
+    unique two-out-edge corner, and the wedge fan-out is the oriented
+    out-degree — O(√m) even on celebrity nodes (Suri & Vassilvitskii) —
+    so the plan survives skewed graphs at 100 TB. Pure equi-joins + one
+    aggregation, identical algebra in the DuckDB mirror."""
+    edges = _copurchase_edges(spark, sf_dir)
+    return GR.triangle_count(edges)

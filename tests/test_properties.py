@@ -242,3 +242,44 @@ def test_pagerank_int_matches_scalar_reference_and_is_layout_independent(spark):
         got = {r["node"]: r["rank"]
                for r in pagerank_int(variant, iterations=3).collect()}
         assert got == ranks
+
+
+def test_triangle_count_matches_brute_enumeration(spark):
+    """Degree-oriented triangle counting must equal the O(n³) brute
+    enumeration on a random graph (including nodes on zero triangles
+    being absent), and be invariant to edge direction/duplication in the
+    input."""
+    import itertools
+
+    from bensp_suite_spark.operators.graph import triangle_count
+
+    rng = np.random.default_rng(5)
+    n = 40
+    edges = [(int(a), int(b)) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.15]
+    # brute: count triangles per node
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = {}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                expect[v] = expect.get(v, 0) + 1
+    # feed edges messy: both directions + dups must not change the result
+    messy = edges + [(b, a) for a, b in edges] + edges[:7]
+    df = spark.createDataFrame(messy, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == expect
+
+
+def test_connected_components_known_partition(spark):
+    """connected_components labels every node with its component's min id
+    on a graph with known components (two chains + a singleton pair)."""
+    from bensp_suite_spark.operators.graph import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rep"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
