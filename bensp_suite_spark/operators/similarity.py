@@ -1340,6 +1340,111 @@ def matryoshka_ann_topk(
     )
 
 
+def pca_components(
+    corpus: DataFrame,
+    dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 2048,
+) -> np.ndarray:
+    """Top-``dims`` principal directions of the corpus' (uncentered —
+    cosine semantics) second-moment matrix, trained on the bounded
+    lowest-id sample (same contract as pq_codebooks/opq_rotation).
+    Returns (D, dims) float64. Deterministic: ``np.linalg.eigh`` of the
+    same matrix, descending eigenvalue order with a stable sort."""
+    rows = (
+        corpus.filter(F.col(id_col) < train_sample)
+        .orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    cov = X.T @ X / len(X)
+    lam, E = np.linalg.eigh(cov)
+    order = np.argsort(-lam, kind="stable")
+    return E[:, order[:dims]].copy()
+
+
+def pca_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dims: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-to-fine ANN on the dimension axis with a LEARNED cut:
+    project to the top-``dims`` principal components (trained on the
+    bounded sample), rank candidates by projected cosine, exact
+    full-dimension re-rank of refine·k. The companion to
+    :func:`matryoshka_ann_topk`: the prefix slice is free but only
+    information-dense when the embeddings were MRL-TRAINED; PCA earns
+    the same 4× first-pass arithmetic/IO cut for ARBITRARY embeddings —
+    on a low-intrinsic-dimension corpus the top-16 components carry
+    nearly all variance while the first 16 raw coordinates carry ~1/4
+    of it (tested: pca recall strictly beats the prefix slice on the
+    low-rank fixture).
+
+    The projection is a row-wise pinned-shape gemv inside one Arrow
+    pass (`_rotate_rows` — batch-size-independent floats, the
+    partition-invariance contract); coarse and fine cosines are the
+    family's JVM column math with rounded-cosine + id tiebreaks, so the
+    Python stage only produces the projected VECTORS, never scores."""
+    comps = pca_components(corpus, dims, id_col, vec_col)
+
+    from pyspark.sql.types import ArrayType as _AT
+    from pyspark.sql.types import DoubleType as _DT
+
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(corpus.sparkSession)
+
+    @F.pandas_udf(_AT(_DT()))
+    def project(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        v = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series(list(_rotate_rows(v, comps)))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("pq", project(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("pv", project(F.col("cv")))
+    coarse = F.round(
+        _dot(F.col("pq"), F.col("pv")) / (_norm(F.col("pq")) * _norm(F.col("pv"))), 6
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv", coarse.alias("coarse"))
+    )
+    m = refine * k
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse").desc(), F.col("neighbor_id")
+    )
+    fine = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+    )
+    survivors = (
+        cand.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= m)
+        .select("query_id", "neighbor_id", fine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def matryoshka_topk_oracle_sql(
     k: int = 5, dims: int = 16, refine: int = 4, max_query_id: int = 8
 ) -> str:

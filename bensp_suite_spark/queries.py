@@ -998,6 +998,23 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_ann_topk(queries_df, emb, k=5, refine=10, rotation=rot)
 
 
+@query("ann_pca_topk", oracle=None)
+def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimension-cut ANN — the learned counterpart to the
+    matryoshka prefix slice: project to the top-16 principal components
+    (eigh of the uncentered second moment over the bounded sample,
+    row-wise pinned-shape gemv projection), coarse-rank by projected
+    cosine, exact 64-dim re-rank. The prefix slice is only
+    information-dense when embeddings were MRL-trained; PCA earns the
+    same 4× first-pass cut for arbitrary embeddings (on the low-rank
+    fixture the learned cut strictly beats the prefix — tested).
+    Golden-pinned oracle (eigendecomposition is not SQL); pin computed
+    by the independent numpy PCA in tools/golden_reference.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.pca_ann_topk(queries_df, emb, k=5, dims=16, refine=4)
+
+
 @query(
     "ann_matryoshka_topk",
     oracle=SIM.matryoshka_topk_oracle_sql(k=5, dims=16, refine=4, max_query_id=8),

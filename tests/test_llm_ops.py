@@ -1127,3 +1127,41 @@ def test_opq_beats_pq_on_lowrank_corpus(spark):
     r_pq = len(pq & brute) / len(brute)
     r_opq = len(opq & brute) / len(brute)
     assert r_opq > r_pq, f"opq {r_opq} must beat pq {r_pq} on low-rank data"
+
+
+def test_pca_full_refine_equals_bruteforce_and_beats_prefix_on_lowrank(spark):
+    """PCA dimension-cut ANN degenerates to exact search when refine·k
+    covers the corpus (the cut changes only coarse ORDER; the exact
+    re-rank is raw-space — the family's anchor), and on a
+    low-intrinsic-dimension corpus the LEARNED 16-dim cut recalls
+    strictly more true neighbors than the naive 16-dim prefix slice
+    (matryoshka without MRL training) — the operator's reason to
+    exist."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(
+        F.col("vec_id") < 80
+    )
+    q = emb.filter(F.col("vec_id") < 6)
+    exact = sorted(
+        map(tuple, SIM.cosine_topk_bruteforce(q, emb, k=5).collect())
+    )
+    got = sorted(
+        map(tuple, SIM.pca_ann_topk(q, emb, k=5, dims=16, refine=16).collect())
+    )
+    assert got == exact  # 16*5 = 80 >= corpus
+    lr = _lowrank_emb(spark)
+    qs = lr.filter(F.col("vec_id") < 30)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(qs, lr, k=5).collect()
+    }
+    prefix = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.matryoshka_ann_topk(qs, lr, k=5, dims=16, refine=2).collect()
+    }
+    pca = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.pca_ann_topk(qs, lr, k=5, dims=16, refine=2).collect()
+    }
+    r_prefix = len(prefix & brute) / len(brute)
+    r_pca = len(pca & brute) / len(brute)
+    assert r_pca > r_prefix, f"pca {r_pca} must beat prefix {r_prefix}"

@@ -86,6 +86,8 @@ REPRESENTATIVE = [
     # OPQ: the rotation is applied row-wise (pinned gemv shape), so the
     # codes must not depend on Arrow batch size or scan splits
     "ann_opq_topk",
+    # PCA cut: same row-wise projection contract as OPQ
+    "ann_pca_topk",
 ]
 
 

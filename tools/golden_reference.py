@@ -996,6 +996,36 @@ def ann_opq_topk(sf_dir: str, k: int = 5, n_subspaces: int = 8, n_centroids: int
     return ANN_COLS, rows
 
 
+def ann_pca_topk(sf_dir: str, k: int = 5, dims: int = 16, refine: int = 4,
+                 train_sample: int = 2048):
+    """PCA dimension-cut ANN: mirror of similarity.pca_ann_topk —
+    top-dims eigenvectors of the uncentered second moment (bounded
+    sample), row-wise projection, projected-cosine coarse cut, exact
+    raw-space re-rank."""
+    ids, V = _embeddings(sf_dir)
+    X = V[ids < train_sample]
+    cov = X.T @ X / len(X)
+    lam, E = np.linalg.eigh(cov)
+    order = np.argsort(-lam, kind="stable")
+    comps = E[:, order[:dims]].copy()
+    P = _rotate_rows_ref(V, comps)  # (N, dims) row-wise pinned gemv
+    m = refine * k
+    rows = []
+    for qrow, qid in enumerate(ids):
+        if qid >= 8:
+            continue
+        mask = ids != qid
+        idx = np.nonzero(mask)[0]
+        coarse = cosine_rounded(P[qrow], P[idx])
+        top = idx[np.lexsort((ids[idx], -coarse))[:m]]
+        cids = ids[top]
+        order2 = np.argsort(cids, kind="stable")
+        cids = cids[order2]
+        C = V[top][order2]
+        rows += _topk_rows(qid, cids, cosine_rounded(V[qrow], C), k)
+    return ANN_COLS, rows
+
+
 def _nsw_beam_ref(V, nbrs, qv, ef):
     """Mirror of bensp_suite_spark.operators.graph_ann.nsw_beam_search —
     the determinism spec lives in that module's docstring; keep the two
@@ -1090,6 +1120,7 @@ REFERENCE_FNS = {
     "ann_ivfpq_auto_topk": ann_ivfpq_auto_topk,
     "ann_nsw_topk": ann_nsw_topk,
     "ann_opq_topk": ann_opq_topk,
+    "ann_pca_topk": ann_pca_topk,
     "ferret_topk_multiregion": ferret_topk_multiregion,
     "multimodal_image_search": multimodal_image_search,
     "multimodal_image_search_png": multimodal_image_search_png,
