@@ -1299,6 +1299,50 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AV.audio_near_dup_pairs(audio, max_hamming=3)
 
 
+@query("multimodal_audio_snippet_search")
+def multimodal_audio_snippet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-audio-snippet (Wang 2003 landmark fingerprinting — the
+    "Shazam" method, the audio analog of the ferret image search): 8
+    two-second tracks are landmark-indexed (spectrogram-peak pairs →
+    24-bit hashes, ONE mapInPandas decode pass); four snippets — three
+    cut at different offsets from different tracks plus one
+    amplitude-HALVED cut (the relative peak threshold makes the
+    constellation gain-invariant) — each recover their source track and
+    exact frame offset by hash-join + offset-consistency voting, all JVM
+    after extraction. The planted truth is ~1000 votes vs a ≤5-vote
+    collision floor. Golden-pinned via the independent pure-Python vote
+    mirror over the scalar kernel (codec-independent framing, like the
+    other multimodal pins)."""
+    import numpy as np
+
+    from .multimodal import audio_landmarks as AL
+    from .multimodal import audio_video as AV
+
+    tracks = []
+    rows = []
+    for i in range(8):
+        rng = np.random.default_rng(140 + i)
+        env = rng.uniform(0.1, 1.0, 129).repeat(256)[:32768]
+        sig = (rng.uniform(-1, 1, 32768) * env * 12000).astype(np.int16)
+        tracks.append(sig)
+        rows.append((i, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(sig)))
+    corpus = spark.createDataFrame(rows, AV.AUDIO_TABLE_SCHEMA).coalesce(4)
+    snip_rows = [
+        (0, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(tracks[0][2560:10752])),
+        (1, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(tracks[1][5120:13312])),
+        (2, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(tracks[2][10240:18432])),
+        (
+            3,
+            "pcm-s16le",
+            16000,
+            1,
+            AV.encode_pcm_s16le((tracks[0][4096:12288] // 2).astype(np.int16)),
+        ),
+    ]
+    snips = spark.createDataFrame(snip_rows, AV.AUDIO_TABLE_SCHEMA).coalesce(2)
+    return AL.snippet_match(snips, AL.extract_landmarks(corpus), k=1)
+
+
 @query("multimodal_audio_dedup_wav")
 def multimodal_audio_dedup_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio near-dup pipeline over a REAL container format: the same

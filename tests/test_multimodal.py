@@ -1159,3 +1159,44 @@ def test_fmp4_trex_default_sample_size_fallback():
 
     with pytest.raises(ValueError, match="no size"):
         M.demux_mp4(broken)
+
+
+def test_audio_snippet_search_recovers_planted_offsets(spark):
+    """Landmark fingerprinting ground truth (independent of the golden
+    pin): a snippet cut at sample offset o from track i must match
+    (i, o // HOP) as its TOP result with a vote count orders of
+    magnitude above the collision floor, including an amplitude-halved
+    cut (relative peak threshold ⇒ gain-invariant constellation)."""
+    import numpy as np
+
+    from bensp_suite_spark.multimodal import audio_landmarks as AL
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    tracks, rows = [], []
+    for i in range(4):
+        rng = np.random.default_rng(700 + i)
+        env = rng.uniform(0.1, 1.0, 129).repeat(256)[:32768]
+        sig = (rng.uniform(-1, 1, 32768) * env * 12000).astype(np.int16)
+        tracks.append(sig)
+        rows.append((i, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(sig)))
+    corpus = spark.createDataFrame(rows, AV.AUDIO_TABLE_SCHEMA)
+    cuts = {0: (1, 7680), 1: (3, 12800), 2: (1, 512)}
+    snips = [
+        (q, "pcm-s16le", 16000, 1,
+         AV.encode_pcm_s16le(tracks[t][o:o + 8192]))
+        for q, (t, o) in cuts.items()
+    ] + [
+        (9, "pcm-s16le", 16000, 1,
+         AV.encode_pcm_s16le((tracks[0][2560:10752] // 2).astype(np.int16)))
+    ]
+    sdf = spark.createDataFrame(snips, AV.AUDIO_TABLE_SCHEMA)
+    got = {
+        r["query_id"]: (r["media_id"], r["offset"], r["votes"])
+        for r in AL.snippet_match(sdf, AL.extract_landmarks(corpus), k=1).collect()
+    }
+    for q, (t, o) in cuts.items():
+        mid, off, votes = got[q]
+        assert (mid, off) == (t, o // AL.HOP)
+        assert votes > 100
+    mid, off, votes = got[9]
+    assert (mid, off) == (0, 2560 // AL.HOP) and votes > 100

@@ -808,6 +808,57 @@ def multimodal_audio_dedup_flac(sf_dir: str):
     return HAMMING_COLS, _brute_hamming_pairs(hashes, 3)
 
 
+def multimodal_audio_snippet_search(sf_dir: str, k: int = 1, min_votes: int = 2):
+    """queries.multimodal_audio_snippet_search fixture rule (seeds 140+i,
+    three offset cuts + one half-gain cut) + landmark kernel, with the
+    hash-join/offset-vote/top-k mirrored in pure Python dicts."""
+    from bensp_suite_spark.multimodal.audio_landmarks import landmark_kernel
+    from bensp_suite_spark.multimodal.audio_video import (
+        decode_audio,
+        encode_pcm_s16le,
+    )
+
+    tracks = []
+    for i in range(8):
+        rng = np.random.default_rng(140 + i)
+        env = rng.uniform(0.1, 1.0, 129).repeat(256)[:32768]
+        sig = (rng.uniform(-1, 1, 32768) * env * 12000).astype(np.int16)
+        tracks.append(sig)
+    index: dict[int, list[tuple[int, int]]] = {}
+    for mid, sig in enumerate(tracks):
+        decoded = decode_audio(encode_pcm_s16le(sig), "pcm-s16le")
+        for h, t in landmark_kernel(decoded):
+            index.setdefault(h, []).append((mid, t))
+    snips = [
+        (0, tracks[0][2560:10752]),
+        (1, tracks[1][5120:13312]),
+        (2, tracks[2][10240:18432]),
+        (3, (tracks[0][4096:12288] // 2).astype(np.int16)),
+    ]
+    rows = []
+    for qid, s in snips:
+        decoded = decode_audio(encode_pcm_s16le(s), "pcm-s16le")
+        votes: dict[tuple[int, int], int] = {}
+        for h, qt in landmark_kernel(decoded):
+            for mid, t in index.get(h, ()):
+                key = (mid, t - qt)
+                votes[key] = votes.get(key, 0) + 1
+        ranked = sorted(
+            ((v, mid, off) for (mid, off), v in votes.items() if v >= min_votes),
+            key=lambda x: (-x[0], x[1], x[2]),
+        )[:k]
+        for r, (v, mid, off) in enumerate(ranked):
+            rows.append((qid, mid, off, v, r + 1))
+    cols = [
+        ("query_id", "BIGINT"),
+        ("media_id", "BIGINT"),
+        ("offset", "BIGINT"),
+        ("votes", "BIGINT"),
+        ("rank", "INTEGER"),
+    ]
+    return cols, rows
+
+
 def multimodal_video_dedup(sf_dir: str, every_n: int = 5, min_matching_frames: int = 3):
     """queries.multimodal_video_dedup fixture rule (seeds 70+i, +10
     brightness re-renders) + frame-sampled dHash pair evidence."""
@@ -1130,6 +1181,7 @@ REFERENCE_FNS = {
     "multimodal_audio_dedup": multimodal_audio_dedup,
     "multimodal_audio_dedup_wav": multimodal_audio_dedup_wav,
     "multimodal_audio_dedup_flac": multimodal_audio_dedup_flac,
+    "multimodal_audio_snippet_search": multimodal_audio_snippet_search,
     "multimodal_video_dedup": multimodal_video_dedup,
     "multimodal_video_dedup_avi": multimodal_video_dedup_avi,
     "multimodal_video_dedup_mp4": multimodal_video_dedup_mp4,
