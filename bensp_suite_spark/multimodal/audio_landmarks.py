@@ -169,14 +169,14 @@ def snippet_match(
     )
     j = corpus_landmarks.join(F.broadcast(q_lm), "lm_hash")
     votes = j.groupBy(
-        "query_id", "media_id", (F.col("t") - F.col("qt")).alias("offset")
+        "query_id", "media_id", (F.col("t") - F.col("qt")).alias("offset_frames")
     ).agg(F.count(F.lit(1)).alias("votes"))
     w = Window.partitionBy("query_id").orderBy(
-        F.col("votes").desc(), F.col("media_id"), F.col("offset")
+        F.col("votes").desc(), F.col("media_id"), F.col("offset_frames")
     )
     return (
         votes.filter(F.col("votes") >= min_votes)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "media_id", "offset", "votes", "rank")
+        .select("query_id", "media_id", "offset_frames", "votes", "rank")
     )

@@ -1191,7 +1191,7 @@ def test_audio_snippet_search_recovers_planted_offsets(spark):
     ]
     sdf = spark.createDataFrame(snips, AV.AUDIO_TABLE_SCHEMA)
     got = {
-        r["query_id"]: (r["media_id"], r["offset"], r["votes"])
+        r["query_id"]: (r["media_id"], r["offset_frames"], r["votes"])
         for r in AL.snippet_match(sdf, AL.extract_landmarks(corpus), k=1).collect()
     }
     for q, (t, o) in cuts.items():

@@ -852,7 +852,7 @@ def multimodal_audio_snippet_search(sf_dir: str, k: int = 1, min_votes: int = 2)
     cols = [
         ("query_id", "BIGINT"),
         ("media_id", "BIGINT"),
-        ("offset", "BIGINT"),
+        ("offset_frames", "BIGINT"),
         ("votes", "BIGINT"),
         ("rank", "INTEGER"),
     ]
