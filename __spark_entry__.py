@@ -93,9 +93,9 @@ _PRIORITY = [
 # re-checked by the external driver (a later regression would go unseen);
 # with it, the window is priority + never-verified + a staleness-ordered
 # slice of the greens, so the whole registry is re-audited every few
-# rounds. 55 keeps the ~185-query registry's full external re-audit cycle
-# under ~3.5 rounds even when a round adds ~10 new queries.
-_REVERIFY_QUOTA = 55
+# rounds. 60 keeps the ~197-query registry's full external re-audit cycle
+# under ~3.5 rounds even when a round adds ~10-15 new queries.
+_REVERIFY_QUOTA = 60
 
 #: previously-green queries whose IMPLEMENTATION changed this round —
 #: forced to the head of the re-verify slice so the external driver
@@ -119,6 +119,11 @@ _FORCE_REVERIFY = [
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_prebuilt_topk",
+    # r8 (late): pq_codebooks/pq_encode/pq_ann_topk grew the OPQ
+    # rotation= pass-through (default None = old behavior, but the hot
+    # path changed files — re-check the plain PQ queries in-round)
+    "ann_pq_topk",
+    "ann_pq_prebuilt_topk",
 ]
 
 

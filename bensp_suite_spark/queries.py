@@ -1343,6 +1343,63 @@ def multimodal_audio_snippet_search(spark: SparkSession, sf_dir: str) -> DataFra
     return AL.snippet_match(snips, AL.extract_landmarks(corpus), k=1)
 
 
+@query("stream_audio_snippet_search", oracle=None)
+def stream_audio_snippet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-snippet over a STREAM of snippets against the static
+    landmark index (streaming/ann_stream.stream_snippet_match — the live
+    "what is playing" service shape): the same four snippets arrive as a
+    2-file stream (one trigger each), each micro-batch runs the batch
+    match exactly (extraction is stateless per snippet; the vote needs
+    only that snippet's landmarks), so the drained result set must equal
+    the batch query bit-for-bit — shares
+    multimodal_audio_snippet_search's golden oracle VERBATIM."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from .multimodal import audio_landmarks as AL
+    from .multimodal import audio_video as AV
+    from .streaming.ann_stream import stream_snippet_match
+
+    tracks = []
+    rows = []
+    for i in range(8):
+        rng = np.random.default_rng(140 + i)
+        env = rng.uniform(0.1, 1.0, 129).repeat(256)[:32768]
+        sig = (rng.uniform(-1, 1, 32768) * env * 12000).astype(np.int16)
+        tracks.append(sig)
+        rows.append((i, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(sig)))
+    corpus = spark.createDataFrame(rows, AV.AUDIO_TABLE_SCHEMA).coalesce(4)
+    snip_rows = [
+        (0, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(tracks[0][2560:10752])),
+        (1, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(tracks[1][5120:13312])),
+        (2, "pcm-s16le", 16000, 1, AV.encode_pcm_s16le(tracks[2][10240:18432])),
+        (
+            3,
+            "pcm-s16le",
+            16000,
+            1,
+            AV.encode_pcm_s16le((tracks[0][4096:12288] // 2).astype(np.int16)),
+        ),
+    ]
+    with _fixture_build("stream_audio_snippet_search"):
+        base = tempfile.mkdtemp(prefix="bensp_stream_snip_")
+        spark.createDataFrame(snip_rows, AV.AUDIO_TABLE_SCHEMA).repartition(
+            2
+        ).write.mode("overwrite").parquet(f"{base}/src")
+        index = AL.extract_landmarks(corpus).localCheckpoint(eager=True)
+    stream = (
+        spark.readStream.schema(AV.AUDIO_TABLE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    stream_snippet_match(spark, stream, index, f"{base}/out", f"{base}/ckpt")
+    result = spark.read.parquet(f"{base}/out").localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 @query("multimodal_audio_dedup_wav")
 def multimodal_audio_dedup_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio near-dup pipeline over a REAL container format: the same
@@ -5076,6 +5133,10 @@ def ann_nsw_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ann_nsw_upsert_topk"] = ORACLES["ann_nsw_topk"]
+
+# the streaming snippet search drains to the identical result set as the
+# batch query (per-batch match is exact) — shares its golden VERBATIM
+ORACLES["stream_audio_snippet_search"] = ORACLES["multimodal_audio_snippet_search"]
 
 
 # ivf_defaults(1000) == (32, 8): the sf0.01 augmented corpus is 2×500

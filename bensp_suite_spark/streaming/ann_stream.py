@@ -45,3 +45,40 @@ def stream_ann_topk(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_snippet_match(
+    spark: SparkSession,
+    snippet_stream: DataFrame,
+    corpus_landmarks: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 1,
+    min_votes: int = 2,
+    await_termination: bool = True,
+):
+    """Query-by-audio-snippet over a STREAM of snippets against a static
+    landmark index (multimodal/audio_landmarks.snippet_match per
+    micro-batch — the live "what is playing" service shape): landmark
+    extraction is stateless per snippet, the hash join + offset vote +
+    top-k need only that snippet's landmarks, so per-batch results are
+    exact regardless of trigger sizing. Appends
+    (query_id, media_id, offset_frames, votes, rank) to a parquet sink."""
+    from ..multimodal.audio_landmarks import snippet_match
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        snippet_match(
+            batch_df, corpus_landmarks, k=k, min_votes=min_votes
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        snippet_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
