@@ -529,3 +529,44 @@ def video_near_dup_pairs(
         .agg(F.count_distinct("id_a", "id_b").alias("n_matching_frames"))
         .filter(F.col("n_matching_frames") >= min_matching_frames)
     )
+
+
+def clip_match(
+    clips: DataFrame,
+    corpus_hashes: DataFrame,
+    k: int = 1,
+    min_votes: int = 2,
+) -> DataFrame:
+    """Video clip localization — the video analog of the audio landmark
+    snippet search: dHash every clip frame, equi-join the corpus
+    frame-hash index (``video_frame_dhashes(corpus, every_n=1)``), vote
+    on (query, video, frame-offset), top-k by (votes desc, media_id,
+    offset). A clip of n frames cut from a corpus video lands n votes at
+    its true offset while hash collisions scatter — the same
+    offset-consistency argument as the audio landmarks, with the 64-bit
+    frame dHash as the local feature. Exact-hash join here (re-encoded
+    clips would swap in the banded hamming join from
+    ``video_near_dup_pairs``); everything after the one decode pass is
+    JVM join + aggregation + window."""
+    q = video_frame_dhashes(clips, every_n=1).select(
+        F.col("media_id").alias("query_id"),
+        F.col("frame_idx").alias("qidx"),
+        "dhash",
+    )
+    j = corpus_hashes.join(F.broadcast(q), "dhash")
+    votes = j.groupBy(
+        "query_id",
+        "media_id",
+        (F.col("frame_idx") - F.col("qidx")).cast("long").alias("offset_frames"),
+    ).agg(F.count(F.lit(1)).alias("votes"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("media_id"), F.col("offset_frames")
+    )
+    return (
+        votes.filter(F.col("votes") >= min_votes)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "media_id", "offset_frames", "votes", "rank")
+    )

@@ -1456,6 +1456,37 @@ def multimodal_audio_dedup_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AV.audio_near_dup_pairs(audio, max_hamming=3)
 
 
+@query("multimodal_video_clip_search")
+def multimodal_video_clip_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video clip localization (the video analog of the audio landmark
+    snippet search): 4 noise-frame videos are frame-hash-indexed (dHash
+    of EVERY frame, one decode pass); three clips cut at different
+    offsets each recover their source video and exact frame offset by
+    hash-join + offset-consistency voting — a clip of 8 frames lands 8
+    votes at its true (video, offset) while collisions scatter.
+    Golden-pinned via the independent pure-Python vote mirror over the
+    dHash kernel (codec-independent framing)."""
+    import numpy as np
+
+    from .multimodal import audio_video as AV
+
+    vids = []
+    rows = []
+    for i in range(4):
+        rng = np.random.default_rng(210 + i)
+        frames = rng.integers(0, 200, (24, 24, 24, 3)).astype(np.uint8)
+        vids.append(frames)
+        rows.append((i, "raw-frames", 24, 24, 24, AV.encode_raw_video(frames)))
+    corpus = spark.createDataFrame(rows, AV.VIDEO_TABLE_SCHEMA).coalesce(2)
+    cuts = [(0, 1, 7), (1, 3, 0), (2, 0, 16)]
+    clip_rows = [
+        (q, "raw-frames", 24, 24, 8, AV.encode_raw_video(vids[v][o : o + 8]))
+        for q, v, o in cuts
+    ]
+    clips = spark.createDataFrame(clip_rows, AV.VIDEO_TABLE_SCHEMA).coalesce(2)
+    return AV.clip_match(clips, AV.video_frame_dhashes(corpus, every_n=1), k=1)
+
+
 @query("multimodal_video_dedup")
 def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup detection: 5 noise-frame videos + 2 planted

@@ -1200,3 +1200,37 @@ def test_audio_snippet_search_recovers_planted_offsets(spark):
         assert votes > 100
     mid, off, votes = got[9]
     assert (mid, off) == (0, 2560 // AL.HOP) and votes > 100
+
+
+def test_video_clip_search_recovers_planted_offsets(spark):
+    """Clip localization ground truth (independent of the golden pin): an
+    n-frame clip cut at frame offset o from video v must match (v, o) as
+    its top result with exactly n votes (exact dHash equality on exact
+    frame copies)."""
+    import numpy as np
+
+    from bensp_suite_spark.multimodal import audio_video as AV
+
+    vids, rows = [], []
+    for i in range(3):
+        rng = np.random.default_rng(800 + i)
+        frames = rng.integers(0, 200, (20, 24, 24, 3)).astype(np.uint8)
+        vids.append(frames)
+        rows.append((i, "raw-frames", 24, 24, 20, AV.encode_raw_video(frames)))
+    corpus = spark.createDataFrame(rows, AV.VIDEO_TABLE_SCHEMA)
+    cuts = {0: (2, 5, 6), 1: (0, 11, 9)}
+    clips = spark.createDataFrame(
+        [
+            (q, "raw-frames", 24, 24, n, AV.encode_raw_video(vids[v][o:o + n]))
+            for q, (v, o, n) in cuts.items()
+        ],
+        AV.VIDEO_TABLE_SCHEMA,
+    )
+    got = {
+        r["query_id"]: (r["media_id"], r["offset_frames"], r["votes"])
+        for r in AV.clip_match(
+            clips, AV.video_frame_dhashes(corpus, every_n=1), k=1
+        ).collect()
+    }
+    for q, (v, o, n) in cuts.items():
+        assert got[q] == (v, o, n)

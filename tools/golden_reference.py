@@ -859,6 +859,50 @@ def multimodal_audio_snippet_search(sf_dir: str, k: int = 1, min_votes: int = 2)
     return cols, rows
 
 
+def multimodal_video_clip_search(sf_dir: str, k: int = 1, min_votes: int = 2):
+    """queries.multimodal_video_clip_search fixture rule (seeds 210+i,
+    three 8-frame cuts) + dHash kernel, the hash-join/offset-vote/top-k
+    mirrored in pure Python dicts."""
+    from bensp_suite_spark.multimodal.audio_video import (
+        decode_video,
+        encode_raw_video,
+    )
+    from bensp_suite_spark.multimodal.images import dhash_kernel
+
+    vids = []
+    for i in range(4):
+        rng = np.random.default_rng(210 + i)
+        vids.append(rng.integers(0, 200, (24, 24, 24, 3)).astype(np.uint8))
+    index: dict[int, list[tuple[int, int]]] = {}
+    for mid, frames in enumerate(vids):
+        decoded = decode_video(encode_raw_video(frames), "raw-frames")
+        for idx in range(decoded.shape[0]):
+            index.setdefault(dhash_kernel(decoded[idx]), []).append((mid, idx))
+    cuts = [(0, 1, 7), (1, 3, 0), (2, 0, 16)]
+    rows = []
+    for qid, v, o in cuts:
+        decoded = decode_video(encode_raw_video(vids[v][o : o + 8]), "raw-frames")
+        votes: dict[tuple[int, int], int] = {}
+        for qidx in range(decoded.shape[0]):
+            for mid, idx in index.get(dhash_kernel(decoded[qidx]), ()):
+                key = (mid, idx - qidx)
+                votes[key] = votes.get(key, 0) + 1
+        ranked = sorted(
+            ((n, mid, off) for (mid, off), n in votes.items() if n >= min_votes),
+            key=lambda x: (-x[0], x[1], x[2]),
+        )[:k]
+        for r, (n, mid, off) in enumerate(ranked):
+            rows.append((qid, mid, off, n, r + 1))
+    cols = [
+        ("query_id", "BIGINT"),
+        ("media_id", "BIGINT"),
+        ("offset_frames", "BIGINT"),
+        ("votes", "BIGINT"),
+        ("rank", "INTEGER"),
+    ]
+    return cols, rows
+
+
 def multimodal_video_dedup(sf_dir: str, every_n: int = 5, min_matching_frames: int = 3):
     """queries.multimodal_video_dedup fixture rule (seeds 70+i, +10
     brightness re-renders) + frame-sampled dHash pair evidence."""
@@ -1182,6 +1226,7 @@ REFERENCE_FNS = {
     "multimodal_audio_dedup_wav": multimodal_audio_dedup_wav,
     "multimodal_audio_dedup_flac": multimodal_audio_dedup_flac,
     "multimodal_audio_snippet_search": multimodal_audio_snippet_search,
+    "multimodal_video_clip_search": multimodal_video_clip_search,
     "multimodal_video_dedup": multimodal_video_dedup,
     "multimodal_video_dedup_avi": multimodal_video_dedup_avi,
     "multimodal_video_dedup_mp4": multimodal_video_dedup_mp4,
