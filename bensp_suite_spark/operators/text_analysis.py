@@ -275,3 +275,135 @@ def redact_pii(
     for tag, regex in sorted(patterns.items()):
         out = F.regexp_replace(out, regex, tag)
     return df.withColumn("redacted", out)
+
+
+# ---------------------------------------------------------------------------
+# Trained BPE (Sennrich et al. 2016): learn merges once on a bounded
+# driver-side sample (how every production vocab is built — GPT-2's was
+# trained offline, then applied corpus-wide), tokenize the corpus with the
+# learned ranks in one Arrow pass. Pure integer/string ops — no floats —
+# so the golden oracle pins exactly on any engine.
+# ---------------------------------------------------------------------------
+
+BPE_END = "</w>"
+
+
+def _bpe_words(text: str) -> list[tuple[str, ...]]:
+    """Whitespace pre-tokenization → per-word symbol tuples (chars + the
+    end-of-word marker)."""
+    return [
+        tuple(w) + (BPE_END,) for w in text.split() if w
+    ]
+
+
+def bpe_train(
+    corpus: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_sample: int = 256,
+) -> list[tuple[str, str]]:
+    """Learn BPE merges on the lowest-id ``train_sample`` documents
+    (bounded driver work, the family's sampling contract). Deterministic:
+    each round merges the pair with the highest total count, ties broken
+    by the lexicographically smallest pair; stops early when no pair
+    repeats. Returns the ordered merge list — the vocabulary."""
+    rows = (
+        corpus.filter(F.col(id_col) < train_sample)
+        .orderBy(id_col)
+        .select(F.col(text_col).alias("t"))
+        .collect()
+    )
+    freqs: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        for w in _bpe_words(r["t"] or ""):
+            freqs[w] = freqs.get(w, 0) + 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, n in freqs.items():
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged: dict[tuple[str, ...], int] = {}
+        for w, n in freqs.items():
+            out = []
+            i = 0
+            while i < len(w):
+                if i < len(w) - 1 and (w[i], w[i + 1]) == best:
+                    out.append(w[i] + w[i + 1])
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            nw = tuple(out)
+            merged[nw] = merged.get(nw, 0) + n
+        freqs = merged
+    return merges
+
+
+def bpe_apply_word(word: tuple[str, ...], ranks: dict[tuple[str, str], int]):
+    """Greedy lowest-rank-first merging of one word — the standard BPE
+    tokenize loop (always merge the best-ranked pair present; ties in
+    rank are impossible, ranks are unique)."""
+    w = list(word)
+    while len(w) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(w) - 1):
+            r = ranks.get((w[i], w[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        w[best_i : best_i + 2] = [w[best_i] + w[best_i + 1]]
+    return w
+
+
+def bpe_tokenize_stats(
+    corpus: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_chars, n_words, n_bpe_tokens) per document with the
+    LEARNED vocabulary applied — one Arrow pass, ranks broadcast in the
+    closure (a 200-merge vocab is a few KB; a 50k production vocab is
+    still closure-sized). n_bpe_tokens is the number the training-data
+    budget actually pays for."""
+    import pandas as pd
+
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(corpus.sparkSession)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def gen(batches):
+        for pdf in batches:
+            ids, ncs, nws, nts = [], [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                words = _bpe_words(t)
+                ids.append(int(did))
+                ncs.append(len(t))
+                nws.append(len(words))
+                nts.append(sum(len(bpe_apply_word(w, ranks)) for w in words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_chars": pd.Series(ncs, dtype="int64"),
+                    "n_words": pd.Series(nws, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(nts, dtype="int64"),
+                }
+            )
+
+    return corpus.select(id_col, text_col).mapInPandas(
+        gen, "doc_id long, n_chars long, n_words long, n_bpe_tokens long"
+    )

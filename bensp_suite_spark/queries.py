@@ -745,6 +745,24 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.bpe_token_count(_t(spark, sf_dir, "documents"))
 
 
+@query("text_bpe_trained_tokenize", oracle=None)
+def text_bpe_trained_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED BPE (Sennrich 2016) — the real thing next to the
+    regex pre-tokenizer counts: merges learned once on the bounded
+    lowest-id sample (max-count pair per round, lexicographic
+    tie-break — how every production vocab is built offline; 40 merges
+    leaves this corpus mid-merge at ~3.1 tokens/word, between chars and
+    whole words, so the tokenization is non-degenerate), then the whole
+    corpus tokenized with the learned ranks in one Arrow pass.
+    Output is the per-document (chars, words, BPE tokens) budget table —
+    the number an LLM training pipeline actually pays for. All integer/
+    string ops, no floats; golden-pinned by the independent pure-Python
+    BPE in tools/golden_reference.py."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = TA.bpe_train(docs, n_merges=40)
+    return TA.bpe_tokenize_stats(docs, merges)
+
+
 @query(
     "text_quality_score",
     oracle="""

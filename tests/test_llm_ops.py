@@ -1165,3 +1165,33 @@ def test_pca_full_refine_equals_bruteforce_and_beats_prefix_on_lowrank(spark):
     r_prefix = len(prefix & brute) / len(brute)
     r_pca = len(pca & brute) / len(brute)
     assert r_pca > r_prefix, f"pca {r_pca} must beat prefix {r_prefix}"
+
+
+def test_bpe_train_tokenize_properties(spark):
+    """Trained BPE invariants: merges are learned (non-empty, unique),
+    token counts sit strictly between whole words and raw symbols for
+    multi-char words, more merges never increases the token count, and
+    merging is lossless (concatenating a word's tokens reproduces the
+    word + end marker)."""
+    from bensp_suite_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    m40 = TA.bpe_train(docs, n_merges=40)
+    m80 = TA.bpe_train(docs, n_merges=80)
+    assert 0 < len(m40) <= 40 and len(set(m40)) == len(m40)
+    assert m80[: len(m40)] == m40  # training is a prefix-stable sequence
+    stats40 = {r["doc_id"]: r for r in TA.bpe_tokenize_stats(docs, m40).collect()}
+    stats80 = {r["doc_id"]: r for r in TA.bpe_tokenize_stats(docs, m80).collect()}
+    assert all(
+        stats80[d]["n_bpe_tokens"] <= stats40[d]["n_bpe_tokens"] for d in stats40
+    )
+    some_between = 0
+    for d, r in stats40.items():
+        assert r["n_words"] <= r["n_bpe_tokens"]
+        if r["n_words"] < r["n_bpe_tokens"] < r["n_chars"]:
+            some_between += 1
+    assert some_between > 400  # mid-merge on essentially every doc
+    ranks = {p: i for i, p in enumerate(m40)}
+    for w in ("window", "customer", "spark"):
+        toks = TA.bpe_apply_word(tuple(w) + (TA.BPE_END,), ranks)
+        assert "".join(toks) == w + TA.BPE_END

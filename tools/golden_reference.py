@@ -1121,6 +1121,71 @@ def ann_pca_topk(sf_dir: str, k: int = 5, dims: int = 16, refine: int = 4,
     return ANN_COLS, rows
 
 
+def text_bpe_trained_tokenize(sf_dir: str, n_merges: int = 40,
+                              train_sample: int = 256):
+    """Mirror of queries.text_bpe_trained_tokenize over the shared
+    pure-Python BPE kernels (bpe_train's merge loop re-run here from the
+    DuckDB scan; apply via the same greedy ranked loop)."""
+    from bensp_suite_spark.operators.text_analysis import (
+        _bpe_words,
+        bpe_apply_word,
+    )
+
+    docs = _documents(sf_dir)
+    freqs: dict[tuple[str, ...], int] = {}
+    for did, text in docs:
+        if did < train_sample:
+            for w in _bpe_words(text or ""):
+                freqs[w] = freqs.get(w, 0) + 1
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, n in freqs.items():
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged: dict[tuple[str, ...], int] = {}
+        for w, n in freqs.items():
+            out = []
+            i = 0
+            while i < len(w):
+                if i < len(w) - 1 and (w[i], w[i + 1]) == best:
+                    out.append(w[i] + w[i + 1])
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            nw = tuple(out)
+            merged[nw] = merged.get(nw, 0) + n
+        freqs = merged
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = []
+    for did, text in docs:
+        t = text or ""
+        words = _bpe_words(t)
+        rows.append(
+            (
+                did,
+                len(t),
+                len(words),
+                sum(len(bpe_apply_word(w, ranks)) for w in words),
+            )
+        )
+    cols = [
+        ("doc_id", "BIGINT"),
+        ("n_chars", "BIGINT"),
+        ("n_words", "BIGINT"),
+        ("n_bpe_tokens", "BIGINT"),
+    ]
+    return cols, rows
+
+
 def _nsw_beam_ref(V, nbrs, qv, ef):
     """Mirror of bensp_suite_spark.operators.graph_ann.nsw_beam_search —
     the determinism spec lives in that module's docstring; keep the two
@@ -1214,6 +1279,7 @@ REFERENCE_FNS = {
     "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
     "ann_ivfpq_auto_topk": ann_ivfpq_auto_topk,
     "ann_nsw_topk": ann_nsw_topk,
+    "text_bpe_trained_tokenize": text_bpe_trained_tokenize,
     "ann_opq_topk": ann_opq_topk,
     "ann_pca_topk": ann_pca_topk,
     "ferret_topk_multiregion": ferret_topk_multiregion,
