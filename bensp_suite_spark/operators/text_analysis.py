@@ -407,3 +407,99 @@ def bpe_tokenize_stats(
     return corpus.select(id_col, text_col).mapInPandas(
         gen, "doc_id long, n_chars long, n_words long, n_bpe_tokens long"
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model quality scoring (the CCNet/KenLM-style signal,
+# distributable form): train bigram/unigram counts over a reference slice
+# with plain groupBy aggregations — the LM table shuffles counts, never
+# text — then score every document by its add-one-smoothed mean bigram
+# log-probability via a join against the LM. Low (very negative) scores
+# flag gibberish / boilerplate / out-of-domain text; the standard
+# pretraining-corpus quality filter shape.
+# ---------------------------------------------------------------------------
+
+LOGP_MICRO = 1_000_000
+
+
+def _word_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, prev, cur) word-bigram rows — lowercased whitespace words,
+    narrow explode (no shuffle)."""
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), words.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    lambda w, i: F.struct(
+                        w.alias("prev"),
+                        F.element_at(F.col("ws"), i + 2).alias("cur"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("_id", "bg.prev", "bg.cur")
+    )
+
+
+def ngram_lm_train(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_max_id: int = 256,
+) -> tuple[DataFrame, DataFrame, int]:
+    """→ (bigram counts, unigram counts, vocab size) over the reference
+    slice (ids < train_max_id). Pure groupBy aggregations — at 100 TB the
+    LM is a count table you'd write once and broadcast/bucket, exactly
+    like a production KenLM artifact."""
+    train = corpus.filter(F.col(id_col) < train_max_id)
+    bg = _word_bigrams(train, text_col, id_col)
+    bigrams = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    unigrams = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = bg.select("cur").union(bg.select("prev")).distinct().count()
+    return bigrams, unigrams, int(vocab)
+
+
+def ngram_lm_score(
+    corpus: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    vocab: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_bigrams, sum_logp_micro): per-document total add-one-
+    smoothed bigram log-probability, ln((c_bg+1)/(c_uni+V)), each term
+    ROUNDed to 6 decimals then summed EXACTLY in integer micro-units —
+    the sum is order-free, so the result value-hashes identically at any
+    parallelism (the repo's decimal-exact float contract). Unseen
+    bigrams/contexts degrade to ln(1/V)-ish mass like any add-one LM.
+    Plan: two broadcast-able joins against the count tables + one
+    aggregation; document text never shuffles."""
+    bg = _word_bigrams(corpus, text_col, id_col)
+    # ONE rounding: ln(p)·1e6 → ROUND(…, 0) → long. (Rounding to 6
+    # decimals and THEN multiplying would re-introduce float error ahead
+    # of the cast; HALF_UP-at-zero-decimals is mirrored exactly by the
+    # golden's spark_round(x, 0) — both round away from zero.)
+    logp_micro = F.round(
+        F.log(
+            (F.coalesce(F.col("c_bg"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col("c_uni"), F.lit(0)) + F.lit(float(vocab)))
+        )
+        * F.lit(float(LOGP_MICRO)),
+        0,
+    ).cast("long")
+    scored = (
+        bg.join(F.broadcast(bigrams), ["prev", "cur"], "left")
+        .join(F.broadcast(unigrams), ["prev"], "left")
+        .select("_id", logp_micro.alias("lp_micro"))
+    )
+    return scored.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_micro").cast("long").alias("sum_logp_micro"),
+    )

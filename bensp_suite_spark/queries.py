@@ -763,6 +763,23 @@ def text_bpe_trained_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.bpe_tokenize_stats(docs, merges)
 
 
+@query("text_ngram_lm_score", oracle=None)
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model quality scoring — the CCNet/KenLM-style
+    pretraining filter signal in distributable form: bigram/unigram
+    counts trained over the reference slice (ids < 256) with plain
+    groupBy aggregations (the LM shuffles counts, never text), every
+    document scored by its total add-one-smoothed bigram log-probability
+    via two broadcast joins. Each ln term is rounded ONCE into integer
+    micro-units so the per-doc sum is order-free and value-hashes at any
+    parallelism. Golden-pinned (cross-engine ln ulp parity is not a SQL
+    contract; the pin is computed by the independent pure-Python LM in
+    tools/golden_reference.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    bigrams, unigrams, vocab = TA.ngram_lm_train(docs, train_max_id=256)
+    return TA.ngram_lm_score(docs, bigrams, unigrams, vocab)
+
+
 @query(
     "text_quality_score",
     oracle="""

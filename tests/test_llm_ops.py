@@ -1195,3 +1195,39 @@ def test_bpe_train_tokenize_properties(spark):
     for w in ("window", "customer", "spark"):
         toks = TA.bpe_apply_word(tuple(w) + (TA.BPE_END,), ranks)
         assert "".join(toks) == w + TA.BPE_END
+
+
+def test_ngram_lm_score_separates_gibberish(spark):
+    """The LM quality signal must DISCRIMINATE: an in-domain document
+    (words drawn from the corpus vocabulary) scores a higher mean bigram
+    log-probability than a gibberish document of the same length — the
+    property the CCNet-style filter relies on."""
+    from bensp_suite_spark.operators import text_analysis as TA
+
+    # train on a corpus WITH bigram structure (the sf fixture's documents
+    # are uniform word soup — every bigram is ~equally likely there, so
+    # no LM could separate; real text is the structured case). Training
+    # docs repeat a strong phrase pattern with small variation.
+    train_rows = [
+        (i, "the quick brown fox jumps over the lazy dog again and again")
+        for i in range(40)
+    ] + [(50 + i, "the lazy dog sleeps under the quick brown fox") for i in range(20)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bigrams, unigrams, vocab = TA.ngram_lm_train(train, train_max_id=1000)
+    probe = spark.createDataFrame(
+        [
+            (9001, "the quick brown fox jumps over the lazy dog"),
+            # same in-vocabulary WORDS, scrambled order — unseen bigrams:
+            # the LM must flag broken word ORDER, not just OOV tokens
+            (9002, "fox the dog brown lazy jumps quick the over dog"),
+            # full OOV gibberish
+            (9003, "zxqv kjw pplx mnbv qqrz ttyu iiop asdg hjkl zzyx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["sum_logp_micro"] / r["n_bigrams"]
+        for r in TA.ngram_lm_score(probe, bigrams, unigrams, vocab).collect()
+    }
+    assert got[9001] > got[9002] + 1_000_000  # ≥1 nat/bigram separation
+    assert got[9001] > got[9003] + 1_000_000

@@ -1186,6 +1186,57 @@ def text_bpe_trained_tokenize(sf_dir: str, n_merges: int = 40,
     return cols, rows
 
 
+def text_ngram_lm_score(sf_dir: str, train_max_id: int = 256):
+    """Mirror of queries.text_ngram_lm_score: pure-Python bigram LM
+    (lowercased whitespace words, add-one smoothing), per-term
+    spark_round(ln·1e6, 0) micro-units, exact integer sums."""
+    import math
+    import re
+
+    def words(t: str) -> list[str]:
+        t = re.sub(r"\s+", " ", (t or "").strip().lower())
+        return [w for w in t.split(" ")] if t else []
+
+    docs = _documents(sf_dir)
+    c_bg: dict[tuple[str, str], int] = {}
+    c_uni: dict[str, int] = {}
+    vocab: set[str] = set()
+    for did, text in docs:
+        if did >= train_max_id:
+            continue
+        ws = words(text)
+        if len(ws) < 2:
+            continue
+        for i in range(len(ws) - 1):
+            p, c = ws[i], ws[i + 1]
+            c_bg[(p, c)] = c_bg.get((p, c), 0) + 1
+            c_uni[p] = c_uni.get(p, 0) + 1
+            vocab.add(p)
+            vocab.add(c)
+    V = len(vocab)
+    rows = []
+    for did, text in docs:
+        ws = words(text)
+        if len(ws) < 2:
+            continue
+        n = 0
+        total = 0
+        for i in range(len(ws) - 1):
+            p, c = ws[i], ws[i + 1]
+            lp = math.log(
+                (c_bg.get((p, c), 0) + 1.0) / (c_uni.get(p, 0) + float(V))
+            )
+            total += int(spark_round(lp * 1_000_000.0, 0))
+            n += 1
+        rows.append((did, n, total))
+    cols = [
+        ("doc_id", "BIGINT"),
+        ("n_bigrams", "BIGINT"),
+        ("sum_logp_micro", "BIGINT"),
+    ]
+    return cols, rows
+
+
 def _nsw_beam_ref(V, nbrs, qv, ef):
     """Mirror of bensp_suite_spark.operators.graph_ann.nsw_beam_search —
     the determinism spec lives in that module's docstring; keep the two
@@ -1280,6 +1331,7 @@ REFERENCE_FNS = {
     "ann_ivfpq_auto_topk": ann_ivfpq_auto_topk,
     "ann_nsw_topk": ann_nsw_topk,
     "text_bpe_trained_tokenize": text_bpe_trained_tokenize,
+    "text_ngram_lm_score": text_ngram_lm_score,
     "ann_opq_topk": ann_opq_topk,
     "ann_pca_topk": ann_pca_topk,
     "ferret_topk_multiregion": ferret_topk_multiregion,
