@@ -2307,3 +2307,79 @@ def semantic_dedup_oracle_sql(n_cells: int = 16, threshold: float = 0.99) -> str
                          AND {cos} >= {threshold}) AS is_kept
     FROM assigned a
     """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (Cormack et al. 2009) — combine the candidate
+# rankings of several ANN families into one list. Integer points
+# (round(1e6/(k0+rank))) so the per-candidate sum is order-free and the
+# fused ranking value-hashes identically at any parallelism / any engine.
+# ---------------------------------------------------------------------------
+
+RRF_K0 = 60
+RRF_MICRO = 1_000_000
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    k0: int = RRF_K0,
+) -> DataFrame:
+    """Fuse (query_id, neighbor_id, rank) lists: each list contributes
+    ``round(1e6 / (k0 + rank))`` integer points per candidate; candidates
+    are summed across lists and the top-k per query returned by
+    (points desc, list-coverage desc, neighbor_id). The standard
+    zero-training way to combine retrieval strategies with incomparable
+    scores (cosine vs hamming vs ADC) — only RANKS cross the boundary.
+    One union + one aggregation + one window; at scale each input is
+    already a per-query top-k, so the fused exchange is k·|lists| rows
+    per query."""
+    pts = F.round(F.lit(float(RRF_MICRO)) / (F.lit(k0) + F.col("rank")), 0).cast(
+        "long"
+    )
+    parts = [
+        r.select("query_id", "neighbor_id", pts.alias("pts")) for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy("query_id", "neighbor_id").agg(
+        F.sum("pts").cast("long").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("n_lists").desc(), F.col("neighbor_id")
+    )
+    return (
+        agg.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select("query_id", "neighbor_id", "fused_rank", "rrf_micro", "n_lists")
+    )
+
+
+def rrf_fusion_oracle_sql(list_sqls: list[str], k: int = 5, k0: int = RRF_K0) -> str:
+    """DuckDB mirror of :func:`rrf_fuse` over the given ranking SQLs
+    (each must yield query_id, neighbor_id, rank)."""
+    ctes = ",\n".join(
+        f"l{i} AS ({sql})" for i, sql in enumerate(list_sqls)
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT query_id, neighbor_id, CAST(ROUND({RRF_MICRO}.0 / ({k0} + rank), 0) AS BIGINT) AS pts FROM l{i}"
+        for i in range(len(list_sqls))
+    )
+    return f"""
+    WITH {ctes},
+    pooled AS ({unions}),
+    agg AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(pts) AS BIGINT) AS rrf_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM pooled GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, fused_rank, rrf_micro, n_lists FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY rrf_micro DESC, n_lists DESC, neighbor_id) AS INTEGER) AS fused_rank
+      FROM agg
+    ) WHERE fused_rank <= {k}
+    """

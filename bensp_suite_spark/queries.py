@@ -1051,6 +1051,38 @@ def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_rrf_fusion",
+    oracle=SIM.rrf_fusion_oracle_sql(
+        [
+            SIM.ivf_topk_oracle_sql(k=5, max_query_id=8, n_cells=16, n_probe=2),
+            SIM.matryoshka_topk_oracle_sql(k=5, dims=16, refine=4, max_query_id=8),
+            SIM.sq8_topk_oracle_sql(k=5, dims=64, refine=4, max_query_id=8),
+        ],
+        k=5,
+    ),
+)
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank FUSION of three ANN families with incomparable
+    scores — IVF (cosine over probed cells), matryoshka (truncated-dim
+    cosine), SQ8 (asymmetric quantized distance): only the RANKS cross
+    the family boundary, each contributing round(1e6/(60+rank)) integer
+    points (order-free sums — parallelism-proof hash). The standard
+    zero-training ensemble for hybrid retrieval; the oracle composes the
+    three families' exact SQL mirrors through the identical fusion
+    algebra."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return SIM.rrf_fuse(
+        [
+            SIM.ivf_ann_topk(q, emb, k=5, n_cells=16, n_probe=2),
+            SIM.matryoshka_ann_topk(q, emb, k=5, dims=16, refine=4),
+            SIM.sq8_ann_topk(q, emb, k=5, dims=64, refine=4),
+        ],
+        k=5,
+    )
+
+
+@query(
     "ann_matryoshka_topk",
     oracle=SIM.matryoshka_topk_oracle_sql(k=5, dims=16, refine=4, max_query_id=8),
 )
