@@ -563,3 +563,40 @@ def test_sq8_dequantize_is_jvm_side(spark):
     plan = _plan(spark, "ann_sq8_topk")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rrf_fusion_adds_no_python(spark):
+    """The RRF fusion algebra (union + integer-point agg + window) must
+    add NO Python stage of its own: fused over the all-JVM families
+    (matryoshka + SQ8 + binary-quant) the whole plan compiles without a
+    Python stage. (The declared query fuses IVF too, whose cell
+    assignment is a pandas UDF — that stage belongs to IVF, not to the
+    fusion.)"""
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark import plans as PL2
+    from bensp_suite_spark.operators import similarity as SIM
+    from bensp_suite_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    fused = SIM.rrf_fuse(
+        [
+            SIM.matryoshka_ann_topk(q, emb, k=5, dims=16, refine=4),
+            SIM.sq8_ann_topk(q, emb, k=5, dims=64, refine=4),
+            SIM.binary_quant_ann_topk(q, emb, k=5, dims=64, refine=4),
+        ],
+        k=5,
+    )
+    plan = PL2.executed_plan(fused)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_count_is_jvm_equijoins(spark):
+    """Degree-oriented triangle counting must compile to pure JVM
+    equi-joins (SortMergeJoin/BroadcastHashJoin on the wedge and closing
+    edges) — no Python stage, no nested-loop join anywhere (the
+    cartesian blowup the orientation exists to avoid)."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
