@@ -6827,11 +6827,18 @@ _COPURCHASE_PAIRS_SQL = """
 """
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str, min_orders: int = 1):
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_orders: int = 1, part_cap: int | None = None
+):
     """Distinct co-purchased part pairs (src < dst) seen in ≥ min_orders
     orders — the basket-explode construction from copurchase_pairs (one
-    exchange on the order key; pair fan-out bounded by basket size)."""
+    exchange on the order key; pair fan-out bounded by basket size).
+    ``part_cap`` bounds the node universe (filter pushed to the scan) —
+    the triangle fixture uses it so enumeration cost tracks the capped
+    subgraph, not the raw scale factor."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    if part_cap is not None:
+        li = li.filter(F.col("l_partkey") < part_cap)
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
@@ -6875,10 +6882,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.connected_components(edges)
 
 
+_TRI_PAIRS_SQL = _COPURCHASE_PAIRS_SQL.replace(
+    "GROUP BY 1, 2", "WHERE a.l_partkey < 2000 AND b.l_partkey < 2000 GROUP BY 1, 2"
+)
+
+
 @query(
     "graph_triangle_count",
     oracle=GR.triangle_count_oracle_sql(
-        f"SELECT src, dst FROM ({_COPURCHASE_PAIRS_SQL})"
+        f"SELECT src, dst FROM ({_TRI_PAIRS_SQL})"
     ),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6889,6 +6901,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique two-out-edge corner, and the wedge fan-out is the oriented
     out-degree — O(√m) even on celebrity nodes (Suri & Vassilvitskii) —
     so the plan survives skewed graphs at 100 TB. Pure equi-joins + one
-    aggregation, identical algebra in the DuckDB mirror."""
-    edges = _copurchase_edges(spark, sf_dir)
+    aggregation, identical algebra in the DuckDB mirror. The node
+    universe is capped at part id < 2000 (a no-op at sf0.01, where the
+    whole result is oracle-checked) so enumeration cost tracks the
+    capped subgraph, not the raw scale factor."""
+    edges = _copurchase_edges(spark, sf_dir, part_cap=2000)
     return GR.triangle_count(edges)
