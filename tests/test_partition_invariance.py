@@ -88,6 +88,12 @@ REPRESENTATIVE = [
     "ann_opq_topk",
     # PCA cut: same row-wise projection contract as OPQ
     "ann_pca_topk",
+    # landmark extraction is per-row (batch-independent); the vote is an
+    # aggregation — the match must not depend on scan splits
+    "multimodal_audio_snippet_search",
+    # LM counts are plain aggregations; scores are single-rounded integer
+    # micro-units summed exactly — parallelism-proof by construction
+    "text_ngram_lm_score",
 ]
 
 
