@@ -3569,6 +3569,66 @@ def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_rolling_anomalies",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type, ts,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER win
+                  AS DECIMAL(38,2)) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  OVER win AS DECIMAL(38,4)) AS s2
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, CAST(v AS DOUBLE) AS value
+    FROM w
+    WHERE n >= 20
+      AND (v * n - s) * (v * n - s) > 9 * (n * s2 - s * s)
+    ORDER BY event_id
+    """,
+)
+def ts_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per event class — the
+    monitoring primitive over event streams: each value is compared to
+    the trailing-50-row window's mean/std of ITS OWN class, flagged when
+    |v−μ| > 3σ with ≥20 samples of history. The test is evaluated in
+    EXACT decimal algebra — ``(v·n − s)² > 9(n·s2 − s²)`` avoids both
+    the sqrt and any float accumulation, so the flag set value-hashes
+    identically at any parallelism and in any engine (the repo's
+    decimal-exact float contract, no rounding anywhere). One window
+    pass, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "event_type",
+        v.alias("v"),
+        F.count(F.lit(1)).over(win).cast("long").alias("n"),
+        F.sum(v).over(win).cast("decimal(38,2)").alias("s"),
+        F.sum(v * v).over(win).cast("decimal(38,4)").alias("s2"),
+    )
+    lhs = (F.col("v") * F.col("n") - F.col("s")) * (
+        F.col("v") * F.col("n") - F.col("s")
+    )
+    rhs = F.lit(9) * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+    return (
+        w.filter((F.col("n") >= 20) & (lhs > rhs))
+        .select(
+            "event_id", "event_type", F.col("v").cast("double").alias("value")
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
     "ts_ohlc_hourly",
     oracle="""
     WITH o AS (
@@ -5231,6 +5291,48 @@ def ann_nsw_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ann_nsw_upsert_topk"] = ORACLES["ann_nsw_topk"]
+
+
+@query("stream_ann_nsw_topk", oracle=None)
+def stream_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming graph-ANN: the 8 query vectors arrive as a 2-file
+    stream and probe the PREBUILT sharded-NSW index per micro-batch
+    (streaming/ann_stream.stream_nsw_topk) — per-query beams never look
+    across queries, so the drained result set equals the batch probe at
+    any trigger sizing: shares ann_nsw_topk's independent golden oracle
+    VERBATIM."""
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = _ANN_INDEX_CACHE.get(("nsw", sf_dir))
+    if path is None:
+        import tempfile as _tf
+
+        path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/nsw"
+        GA.save_nsw_index(emb, path, n_shards=4, m=8, ef_build=24)
+        _ANN_INDEX_CACHE[("nsw", sf_dir)] = path
+    idx = GA.load_nsw_index(spark, path)
+    from .streaming.ann_stream import stream_nsw_topk
+
+    with _fixture_build("stream_ann_nsw_topk"):
+        base = tempfile.mkdtemp(prefix="bensp_stream_nsw_")
+        q.repartition(2).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    stream_nsw_topk(
+        spark, stream, emb, idx, f"{base}/out", f"{base}/ckpt", k=5, ef_search=16
+    )
+    result = spark.read.parquet(f"{base}/out").localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["stream_ann_nsw_topk"] = ORACLES["ann_nsw_topk"]
 
 # the streaming snippet search drains to the identical result set as the
 # batch query (per-batch match is exact) — shares its golden VERBATIM

@@ -82,3 +82,39 @@ def stream_snippet_match(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_nsw_topk(
+    spark: SparkSession,
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    index,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    ef_search: int = 16,
+    await_termination: bool = True,
+):
+    """Streaming graph-ANN probe: query vectors arrive on a stream and
+    beam-search a PREBUILT sharded-NSW index (graph_ann.load_nsw_index)
+    per micro-batch — the build was paid offline, each batch pays only
+    the beams + the exact re-rank, so the drained result set equals the
+    batch probe regardless of trigger sizing."""
+    from ..operators.graph_ann import nsw_ann_topk
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        nsw_ann_topk(
+            batch_df, corpus, k=k, ef_search=ef_search, index=index
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        query_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
