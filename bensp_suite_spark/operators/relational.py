@@ -309,3 +309,54 @@ def merge_partial_aggs(
     return out.groupBy(*keys).agg(
         *[_MERGE_FNS[how](F.col(c)).alias(c) for c, how in spec.items()]
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str],
+) -> DataFrame:
+    """Snapshot diff — "what changed between yesterday's corpus and
+    today's": one FULL OUTER equi-join on the key columns, row status by
+    null-side and column-wise null-safe comparison. → (keys…, status)
+    with status ∈ {added, removed, changed}; unchanged rows are dropped
+    (the usual 99% — the diff result is small even when the snapshots
+    are huge, and the join is the only exchange). At 100 TB bucket both
+    snapshots by the key for a shuffle-free sort-merge diff; the column
+    compares are plain JVM predicates (no hashing, so the DuckDB oracle
+    mirrors them with IS DISTINCT FROM exactly)."""
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_oc_{c}") for c in compare],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_nc_{c}") for c in compare],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    changed = None
+    for c in compare:
+        d = ~F.col(f"_oc_{c}").eqNullSafe(F.col(f"_nc_{c}"))
+        changed = d if changed is None else (changed | d)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        j.select(
+            *[
+                F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+                for k in keys
+            ],
+            status.alias("status"),
+        )
+        .filter(F.col("status").isNotNull())
+    )

@@ -3569,6 +3569,57 @@ def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_diff_documents",
+    oracle="""
+    WITH new_snap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 31 = 0 THEN text || ' EDITED' ELSE text END AS text
+      FROM documents WHERE doc_id % 97 <> 3
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 113 = 5
+    ),
+    j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+             END AS status
+      FROM documents o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, status FROM j WHERE status IS NOT NULL
+    """,
+)
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the change feed a
+    daily pipeline consumes (re-embed changed docs, retire removed ones,
+    ingest added ones): today's snapshot is derived deterministically
+    from the documents table (every 97th doc dropped, every 31st edited,
+    every 113th re-added under a new id), and ``relational.table_diff``
+    reports (doc_id, added|removed|changed) via ONE full-outer join with
+    null-safe column compares — no hashing, so the oracle mirrors the
+    compare with IS DISTINCT FROM exactly; unchanged rows never leave
+    the join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_snap = (
+        docs.filter(F.col("doc_id") % 97 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" EDITED"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 113 == 5).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return R.table_diff(docs, new_snap, keys=["doc_id"], compare=["text"])
+
+
+@query(
     "ts_rolling_anomalies",
     oracle="""
     WITH w AS (
