@@ -11,7 +11,7 @@ identically across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword sets for the stopword-hit language heuristic.
@@ -503,3 +503,59 @@ def ngram_lm_score(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("lp_micro").cast("long").alias("sum_logp_micro"),
     )
+
+
+def token_distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    top: int = 20,
+) -> DataFrame:
+    """Corpus drift report — which tokens drove the shift between two
+    snapshots: per-token KL contribution ``p_new · ln(p_new / p_old)``
+    with add-one smoothing over the union vocabulary, micro-rounded per
+    term (order-free integer sums — the LM-score contract), top
+    ``top`` contributors by (contribution desc, token). Counts are plain
+    groupBy aggregations; the only join is old-vs-new token counts —
+    vocabulary-sized, never corpus-sized. The monitoring primitive for
+    "did today's crawl change distribution" gates."""
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        words = F.explode(
+            F.split(
+                F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+                " ",
+            )
+        )
+        return (
+            df.select(words.alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    co = counts(old, "c_old")
+    cn = counts(new, "c_new")
+    j = co.join(cn, "token", "full_outer").select(
+        "token",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    tot = j.agg(
+        F.sum("c_old").alias("t_old"),
+        F.sum("c_new").alias("t_new"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    withp = j.crossJoin(F.broadcast(tot))
+    p_new = (F.col("c_new") + F.lit(1.0)) / (F.col("t_new") + F.col("v"))
+    p_old = (F.col("c_old") + F.lit(1.0)) / (F.col("t_old") + F.col("v"))
+    contrib = F.round(p_new * F.log(p_new / p_old) * F.lit(1e9), 0).cast("long")
+    # heavy cut first: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition top-N + driver merge — no single-partition window
+    # over the full vocabulary); the rank window then sees ≤ top rows
+    topped = (
+        withp.select("token", "c_old", "c_new", contrib.alias("kl_nano"))
+        .orderBy(F.col("kl_nano").desc(), "token")
+        .limit(top)
+    )
+    w = Window.orderBy(F.col("kl_nano").desc(), F.col("token"))
+    return topped.withColumn("drift_rank", F.row_number().over(w))

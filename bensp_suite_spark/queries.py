@@ -3568,6 +3568,30 @@ def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("corpus_token_drift", oracle=None)
+def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DRIFT report between two snapshot halves — the "did
+    today's crawl change distribution" monitoring gate: per-token KL
+    contribution p_new·ln(p_new/p_old) with add-one smoothing over the
+    union vocabulary, micro-rounded per term (order-free integer sums),
+    top-20 contributors. The fixture plants real drift: the new half
+    appends a token unseen in the old half to every 5th document, and
+    that token must surface as the #1 contributor (asserted in tests).
+    Counts are plain aggregations; the only join is vocabulary-sized.
+    Golden-pinned (cross-engine ln, the LM-score precedent)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" driftword"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TA.token_distribution_drift(old, new, top=20)
+
+
 @query(
     "snapshot_diff_documents",
     oracle="""

@@ -1237,6 +1237,54 @@ def text_ngram_lm_score(sf_dir: str, train_max_id: int = 256):
     return cols, rows
 
 
+def corpus_token_drift(sf_dir: str, top: int = 20):
+    """Mirror of queries.corpus_token_drift: pure-Python token counts
+    over the two snapshot halves (new half plants ' driftword' on every
+    5th doc), add-one-smoothed per-token KL contribution in nano units
+    (spark_round(x·1e9, 0)), top-20 by (kl desc, token)."""
+    import math
+    import re
+
+    def words(t: str) -> list[str]:
+        t = re.sub(r"\s+", " ", (t or "").strip().lower())
+        return [w for w in t.split(" ") if w] if t else []
+
+    docs = _documents(sf_dir)
+    c_old: dict[str, int] = {}
+    c_new: dict[str, int] = {}
+    for did, text in docs:
+        if did < 250:
+            for w in words(text):
+                c_old[w] = c_old.get(w, 0) + 1
+        else:
+            t = text or ""
+            if did % 5 == 0:
+                t = t + " driftword"
+            for w in words(t):
+                c_new[w] = c_new.get(w, 0) + 1
+    vocab = sorted(set(c_old) | set(c_new))
+    V = len(vocab)
+    t_old = sum(c_old.values())
+    t_new = sum(c_new.values())
+    rows = []
+    for tok in vocab:
+        co, cn2 = c_old.get(tok, 0), c_new.get(tok, 0)
+        p_new = (cn2 + 1.0) / (t_new + V)
+        p_old = (co + 1.0) / (t_old + V)
+        kl = int(spark_round(p_new * math.log(p_new / p_old) * 1e9, 0))
+        rows.append((tok, co, cn2, kl))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    out = [(t, co, cn2, kl, i + 1) for i, (t, co, cn2, kl) in enumerate(rows[:top])]
+    cols = [
+        ("token", "VARCHAR"),
+        ("c_old", "BIGINT"),
+        ("c_new", "BIGINT"),
+        ("kl_nano", "BIGINT"),
+        ("drift_rank", "INTEGER"),
+    ]
+    return cols, out
+
+
 def _nsw_beam_ref(V, nbrs, qv, ef):
     """Mirror of bensp_suite_spark.operators.graph_ann.nsw_beam_search —
     the determinism spec lives in that module's docstring; keep the two
@@ -1332,6 +1380,7 @@ REFERENCE_FNS = {
     "ann_nsw_topk": ann_nsw_topk,
     "text_bpe_trained_tokenize": text_bpe_trained_tokenize,
     "text_ngram_lm_score": text_ngram_lm_score,
+    "corpus_token_drift": corpus_token_drift,
     "ann_opq_topk": ann_opq_topk,
     "ann_pca_topk": ann_pca_topk,
     "ferret_topk_multiregion": ferret_topk_multiregion,
