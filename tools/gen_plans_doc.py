@@ -76,6 +76,20 @@ SHOWCASE = [
      "build side against the cell-coded corpus (candidates ∝ probed "
      "cells), ADC is one Arrow-batched gather, and the exact rerank "
      "touches only refine·k survivors per query."),
+    ("ann_nsw_topk",
+     "Sharded-NSW graph ANN: one `FlatMapGroupsInPandas` per shard "
+     "builds+searches its graph (memory bounded by shard size, never "
+     "corpus size); the nominations re-rank with broadcast JVM cosine — "
+     "Python nominates, Catalyst scores."),
+    ("graph_triangle_count",
+     "Degree-oriented triangle counting: pure equi-joins (no cartesian / "
+     "nested-loop anywhere) — the wedge join's fan-out is the ORIENTED "
+     "out-degree, O(√m) even on celebrity nodes; the scan is pruned by "
+     "the pushed part-cap filter."),
+    ("ann_rrf_fusion",
+     "Reciprocal-rank fusion of three ANN families: the fusion itself is "
+     "union + integer-point agg + window — no Python stage added beyond "
+     "the member families' own (the JVM families fuse fully codegen'd)."),
 ]
 
 
@@ -94,12 +108,24 @@ def main() -> None:
         "this file shows them. Regenerate after plan-affecting changes.",
         "",
     ]
+    # A showcase section is the OPERATOR TREE + the scale-relevant node
+    # details, not a full expression dump: queries built from deep
+    # higher-order array lambdas (the basket explode) format to thousands
+    # of lines of expression text that drown the plan shape. Cap each
+    # section; the full plan is always one .explain("formatted") away.
+    max_lines = 400
     for name, note in SHOWCASE:
         df = Q.QUERIES[name](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
-        )
-        out += [f"## {name}", "", note, "", "```", plan.rstrip(), "```", ""]
+        ).rstrip()
+        plines = plan.split("\n")
+        if len(plines) > max_lines:
+            plan = "\n".join(
+                plines[:max_lines]
+                + [f"... [{len(plines) - max_lines} detail lines truncated]"]
+            )
+        out += [f"## {name}", "", note, "", "```", plan, "```", ""]
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
     print(f"wrote PLANS.md ({len(SHOWCASE)} plans)")
