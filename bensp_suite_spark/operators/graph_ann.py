@@ -74,6 +74,7 @@ __all__ = [
     "nsw_build",
     "nsw_beam_search",
     "nsw_ann_topk",
+    "nsw_routed_ann_topk",
     "build_nsw_index",
     "save_nsw_index",
     "load_nsw_index",
@@ -177,6 +178,135 @@ def _shard_candidates(
         )
 
     return worker
+
+
+def _exact_rerank(cand: DataFrame, q_sel: DataFrame, c_sel: DataFrame, k: int) -> DataFrame:
+    """The family tail: exact JVM rounded-cosine over the nomination
+    union, top-k by (cos desc, id) — Python nominates, Catalyst scores."""
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+    )
+    scored = (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q_sel), "query_id")
+        .join(c_sel.select("neighbor_id", "cv"), "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def nsw_routed_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    ef_build: int = 24,
+    ef_search: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ROUTED sharded NSW — the candidate cut composed with the
+    graph cut: shards are the coarse quantizer's cells (deterministic
+    lowest-id centroids, the IVF family's assignment — identical
+    fold-order math), and each query beam-searches ONLY its ``n_probe``
+    nearest cells' graphs instead of every shard. At 10¹¹ vectors this
+    is the production topology: S = corpus/shard_budget cell-shards,
+    per-query work = n_probe beams — independent of S — so adding
+    corpus adds shards without adding per-query cost (the plain
+    ``nsw_ann_topk`` fan-out grows with S; this one doesn't). Recall is
+    bounded by cell recall exactly like IVF, recovered with n_probe.
+    Same contract as the family: graphs nominate, exact JVM cosine
+    scores; golden-pinned by the independent numpy mirror."""
+    from .similarity import ivf_assign, ivf_centroids
+
+    q_sel = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c_sel = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cassign = ivf_assign(c_sel, cent, 1, "neighbor_id", "cv").select(
+        "neighbor_id", "cell"
+    )
+    sharded = c_sel.join(cassign, "neighbor_id").withColumnRenamed("cell", "shard")
+    qassign = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        cent,
+        n_probe,
+        "query_id",
+        "qv",
+    ).select("query_id", "cell")
+
+    n_q = q_sel.count()
+    n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
+    chunk_expr = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))
+    cand_parts = []
+    for ci in range(n_chunks):
+        qc = q_sel if n_chunks == 1 else q_sel.filter(chunk_expr == ci)
+        rows = qc.collect()
+        if not rows:
+            continue
+        rows.sort(key=lambda r: r["query_id"])
+        qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+        qmat = np.array([r["qv"] for r in rows], dtype=np.float64)
+        qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        qidx = {int(q): i for i, q in enumerate(qids)}
+        qa = qassign if n_chunks == 1 else qassign.filter(chunk_expr == ci)
+        probes: dict[int, list[int]] = {}
+        for r in qa.collect():
+            probes.setdefault(int(r["cell"]), []).append(qidx[int(r["query_id"])])
+
+        def make_worker(probes=probes, qids=qids, qmat=qmat):
+            def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+                cell = int(pdf["shard"].iloc[0])
+                probing = sorted(probes.get(cell, []))
+                if not probing:
+                    return pd.DataFrame(
+                        {
+                            "query_id": pd.Series([], dtype="int64"),
+                            "neighbor_id": pd.Series([], dtype="int64"),
+                        }
+                    )
+                pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+                ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+                V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+                V = V / np.linalg.norm(V, axis=1, keepdims=True)
+                nbrs = nsw_build(V, m=m, ef_build=ef_build)
+                out_q, out_n = [], []
+                for qi in probing:
+                    for _, p in nsw_beam_search(V, nbrs, qmat[qi], ef_search):
+                        out_q.append(int(qids[qi]))
+                        out_n.append(int(ids[p]))
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(out_q, dtype="int64"),
+                        "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    }
+                )
+
+            return worker
+
+        cand_parts.append(
+            sharded.groupBy("shard").applyInPandas(
+                make_worker(), "query_id long, neighbor_id long"
+            )
+        )
+    cand = cand_parts[0]
+    for extra in cand_parts[1:]:
+        cand = cand.unionByName(extra)
+    return _exact_rerank(cand, q_sel, c_sel, k)
 
 
 def build_nsw_index(

@@ -1014,6 +1014,24 @@ def ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_nsw_routed_topk", oracle=None)
+def ann_nsw_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ROUTED sharded NSW — the candidate cut composed with the
+    graph cut: shards are the coarse quantizer's cells and each query
+    beam-searches only its 2 nearest cells' graphs (instead of every
+    shard). The production topology at 10^11 vectors: per-query work is
+    n_probe beams regardless of shard COUNT, so corpus growth adds
+    shards without adding per-query cost; recall is bounded by cell
+    recall exactly like IVF. Golden-pinned by the independent numpy
+    mirror (cell assignment shares the IVF families' fold-order math)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return GA.nsw_routed_ann_topk(
+        queries_df, emb, k=5, n_cells=8, n_probe=2, m=8, ef_build=24,
+        ef_search=16,
+    )
+
+
 @query("ann_opq_topk", oracle=None)
 def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN (Ge et al. 2013): PQ's compressed-domain ADC scan run in a

@@ -1231,3 +1231,33 @@ def test_ngram_lm_score_separates_gibberish(spark):
     }
     assert got[9001] > got[9002] + 1_000_000  # ≥1 nat/bigram separation
     assert got[9001] > got[9003] + 1_000_000
+
+
+def test_nsw_routed_recall_and_probe_scaling(spark):
+    """Routed NSW: recall at n_probe=2 over 8 cells is already high on
+    the gaussian fixture, and probing ALL cells recovers at least the
+    plain (id-mod) sharding's recall — the candidate cut trades recall
+    for fan-out exactly like IVF, recovered with n_probe."""
+    from bensp_suite_spark.operators import graph_ann as GA
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 12)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(qs, emb, k=5).collect()
+    }
+
+    def rec(n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in GA.nsw_routed_ann_topk(
+                qs, emb, k=5, n_cells=8, n_probe=n_probe, m=8,
+                ef_build=24, ef_search=16,
+            ).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    r2, r8 = rec(2), rec(8)
+    assert r8 >= r2
+    assert r2 >= 0.6  # 2-of-8 cells on gaussians: the IVF-like floor
+    assert r8 >= 0.9  # full probe ≈ the unrouted graph search
