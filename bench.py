@@ -531,6 +531,20 @@ def main() -> None:
             ),
         ),
         ("nsw", _nsw),
+        # IVF-routed NSW: the candidate cut composed with the graph cut —
+        # per-query work = n_probe beams regardless of shard count.
+        # Untimed (the inline form rebuilds probed cells per call; the
+        # prebuilt routed path is the obvious next step): the point here
+        # is the recall-for-fan-out trade on the gaussian worst case,
+        # 12-of-32 cells ≈ 2.7× beam cut (r8 calibration: 0.813 vs the
+        # full fan-out's 0.926).
+        (
+            "nsw_routed",
+            lambda: GA_B.nsw_routed_ann_topk(
+                big_q, big_emb, k=10, n_cells=32, n_probe=12, m=12,
+                ef_build=32, ef_search=48,
+            ),
+        ),
     ):
         hits = (
             run()
@@ -559,9 +573,12 @@ def main() -> None:
         f"NSW recall@10 {ann_scale['nsw_recall_at10_100k']} fell below "
         "the 0.85 floor (n_shards=32, m=12, ef_build=32, ef_search=48)"
     )
-    nsw_graph.unpersist()
-    _dummy = (
+    assert ann_scale["nsw_routed_recall_at10_100k"] >= 0.7, (
+        f"routed-NSW recall@10 {ann_scale['nsw_routed_recall_at10_100k']} "
+        "fell below the 0.7 floor (n_cells=32, n_probe=12 — the IVF-like "
+        "cell-recall bound; raise n_probe if the fixture changes)"
     )
+    nsw_graph.unpersist()
     # SQ8 recall on the same worst-case corpus: 8-bit affine quantization
     # is nearly lossless at 64 dims, so even refine=4 must stay ≈ exact —
     # this is the ladder's "cheap and safe" rung and the floor says so
