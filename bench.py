@@ -533,8 +533,9 @@ def main() -> None:
         ("nsw", _nsw),
         # IVF-routed NSW: the candidate cut composed with the graph cut —
         # per-query work = n_probe beams regardless of shard count.
-        # Untimed (the inline form rebuilds probed cells per call; the
-        # prebuilt routed path is the obvious next step): the point here
+        # Untimed (the inline form rebuilds probed cells per call;
+        # save_nsw_routed_index persists the routed build — the declared
+        # prebuilt query proves bit-parity): the point here
         # is the recall-for-fan-out trade on the gaussian worst case,
         # 12-of-32 cells ≈ 2.7× beam cut (r8 calibration: 0.813 vs the
         # full fan-out's 0.926).

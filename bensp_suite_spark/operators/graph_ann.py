@@ -79,6 +79,8 @@ __all__ = [
     "save_nsw_index",
     "load_nsw_index",
     "upsert_nsw_index",
+    "save_nsw_routed_index",
+    "load_nsw_routed_index",
 ]
 
 
@@ -213,6 +215,7 @@ def nsw_routed_ann_topk(
     ef_search: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame, dict] | None = None,
 ) -> DataFrame:
     """IVF-ROUTED sharded NSW — the candidate cut composed with the
     graph cut: shards are the coarse quantizer's cells (deterministic
@@ -236,11 +239,19 @@ def nsw_routed_ann_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
-    cassign = ivf_assign(c_sel, cent, 1, "neighbor_id", "cv").select(
-        "neighbor_id", "cell"
-    )
-    sharded = c_sel.join(cassign, "neighbor_id").withColumnRenamed("cell", "shard")
+    if index is not None:
+        # prebuilt routed index (save_nsw_routed_index): centroids route
+        # the queries, per-cell graphs were built at save time
+        cent, graph_df, _params = index
+        sharded = None
+    else:
+        cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+        cassign = ivf_assign(c_sel, cent, 1, "neighbor_id", "cv").select(
+            "neighbor_id", "cell"
+        )
+        sharded = c_sel.join(cassign, "neighbor_id").withColumnRenamed(
+            "cell", "shard"
+        )
     qassign = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         cent,
@@ -268,7 +279,7 @@ def nsw_routed_ann_topk(
         for r in qa.collect():
             probes.setdefault(int(r["cell"]), []).append(qidx[int(r["query_id"])])
 
-        def make_worker(probes=probes, qids=qids, qmat=qmat):
+        def make_worker(probes=probes, qids=qids, qmat=qmat, prebuilt=(index is not None)):
             def worker(pdf: pd.DataFrame) -> pd.DataFrame:
                 cell = int(pdf["shard"].iloc[0])
                 probing = sorted(probes.get(cell, []))
@@ -279,11 +290,22 @@ def nsw_routed_ann_topk(
                             "neighbor_id": pd.Series([], dtype="int64"),
                         }
                     )
-                pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
-                ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-                V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
-                V = V / np.linalg.norm(V, axis=1, keepdims=True)
-                nbrs = nsw_build(V, m=m, ef_build=ef_build)
+                if prebuilt:
+                    pdf = pdf.sort_values("pos").reset_index(drop=True)
+                    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                    V = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+                    )
+                    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+                    nbrs = [list(map(int, x)) for x in pdf["nbrs"]]
+                else:
+                    pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+                    ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+                    V = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+                    )
+                    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+                    nbrs = nsw_build(V, m=m, ef_build=ef_build)
                 out_q, out_n = [], []
                 for qi in probing:
                     for _, p in nsw_beam_search(V, nbrs, qmat[qi], ef_search):
@@ -298,8 +320,9 @@ def nsw_routed_ann_topk(
 
             return worker
 
+        src = graph_df if index is not None else sharded
         cand_parts.append(
-            sharded.groupBy("shard").applyInPandas(
+            src.groupBy("shard").applyInPandas(
                 make_worker(), "query_id long, neighbor_id long"
             )
         )
@@ -351,6 +374,78 @@ def build_nsw_index(
     return c_sel.groupBy("shard").applyInPandas(
         worker,
         "shard long, pos long, vec_id long, cv array<double>, nbrs array<long>",
+    )
+
+
+def save_nsw_routed_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 8,
+    ef_build: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + persist the IVF-ROUTED NSW index: the coarse centroids
+    (for query routing at probe time) plus one NSW graph per CELL, as
+    shard-partitioned parquet — the mkdb-offline frame for
+    :func:`nsw_routed_ann_topk`. Probing a saved routed index is
+    bit-identical to the inline routed build (same deterministic cell
+    assignment, same per-cell insertion order)."""
+    from .similarity import ivf_assign, ivf_centroids
+
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    c_sel = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    sharded = (
+        c_sel.join(
+            ivf_assign(c_sel, cent, 1, "neighbor_id", "cv").select(
+                "neighbor_id", "cell"
+            ),
+            "neighbor_id",
+        ).withColumnRenamed("cell", "shard")
+    )
+
+    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+        U = V / np.linalg.norm(V, axis=1, keepdims=True)
+        nbrs = nsw_build(U, m=m, ef_build=ef_build)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].astype("int64"),
+                "pos": pd.Series(range(len(V)), dtype="int64"),
+                "vec_id": pdf["neighbor_id"].astype("int64"),
+                "cv": pdf["cv"],
+                "nbrs": [list(map(int, x)) for x in nbrs],
+            }
+        )
+
+    idx = sharded.groupBy("shard").applyInPandas(
+        worker,
+        "shard long, pos long, vec_id long, cv array<double>, nbrs array<long>",
+    )
+    idx.write.mode("overwrite").partitionBy("shard").parquet(path + "/graph")
+    cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(n_cells), int(m), int(ef_build))], "n_cells int, m int, ef_build int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def load_nsw_routed_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """→ (centroids, graph, params) for ``nsw_routed_ann_topk(index=…)``."""
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    return (
+        spark.read.parquet(path + "/centroids"),
+        spark.read.parquet(path + "/graph"),
+        {
+            "n_cells": int(meta["n_cells"]),
+            "m": int(meta["m"]),
+            "ef_build": int(meta["ef_build"]),
+        },
     )
 
 

@@ -5427,6 +5427,32 @@ def stream_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["stream_ann_nsw_topk"] = ORACLES["ann_nsw_topk"]
 
+
+@query("ann_nsw_routed_prebuilt_topk", oracle=None)
+def ann_nsw_routed_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed NSW probing a PERSISTED routed index
+    (save_nsw_routed_index → centroids + one graph per cell, parquet
+    partitioned by cell): routing centroids, cell assignment and every
+    cell graph were paid at write time; the query pays n_probe beams +
+    the exact re-rank. Bit-identical to the inline routed build — shares
+    ann_nsw_routed_topk's independent golden oracle."""
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = _ANN_INDEX_CACHE.get(("nsw_routed", sf_dir))
+    if path is None:
+        path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/nsw_routed"
+        GA.save_nsw_routed_index(emb, path, n_cells=8, m=8, ef_build=24)
+        _ANN_INDEX_CACHE[("nsw_routed", sf_dir)] = path
+    idx = GA.load_nsw_routed_index(spark, path)
+    return GA.nsw_routed_ann_topk(
+        q, emb, k=5, n_probe=2, ef_search=16, index=idx
+    )
+
+
+ORACLES["ann_nsw_routed_prebuilt_topk"] = ORACLES["ann_nsw_routed_topk"]
+
 # the streaming snippet search drains to the identical result set as the
 # batch query (per-batch match is exact) — shares its golden VERBATIM
 ORACLES["stream_audio_snippet_search"] = ORACLES["multimodal_audio_snippet_search"]
