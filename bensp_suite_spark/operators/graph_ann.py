@@ -537,7 +537,11 @@ def upsert_nsw_index(
         n_old = len(nbrs)
         nbrs += [[] for _ in range(len(fresh))]
         m_max = 2 * m
-        for i in range(n_old, len(U)):
+        # A previously-empty shard must seed exactly like nsw_build: the
+        # first node gets no edges (nsw_build starts at i=1), otherwise a
+        # self-beam would return the node itself and create a [0,0]
+        # self-loop, breaking rebuild bit-parity for that shard.
+        for i in range(max(n_old, 1), len(U)):
             res = nsw_beam_search(U, nbrs, U[i], ef_build)
             chosen = [p for _, p in res[: min(m, len(res))]]
             for p in chosen:
@@ -567,12 +571,24 @@ def upsert_nsw_index(
         worker,
         "shard long, pos long, vec_id long, cv array<double>, nbrs array<long>",
     )
-    # rewrite ONLY the touched shard partitions (dynamic overwrite)
+    # Materialize the merged result BEFORE overwriting: the plan reads
+    # path+'/graph' and the write targets the same path — self-overwrite
+    # of a read path is fragile across Spark versions (can raise or lose
+    # data on a mid-commit failure). localCheckpoint truncates lineage so
+    # the write no longer scans the source parquet.
+    rebuilt = rebuilt.localCheckpoint(eager=True)
+    # rewrite ONLY the touched shard partitions (dynamic overwrite);
+    # save/restore the caller's prior mode rather than unset (which would
+    # flip a session-global 'dynamic' back to the cluster default).
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         rebuilt.write.mode("overwrite").partitionBy("shard").parquet(path + "/graph")
     finally:
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        if prior is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
 
 
 def _shard_index_search(qids: np.ndarray, qmat: np.ndarray, ef_search: int):

@@ -1480,7 +1480,9 @@ def stream_audio_snippet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/src")
     )
     stream_snippet_match(spark, stream, index, f"{base}/out", f"{base}/ckpt")
-    result = spark.read.parquet(f"{base}/out").localCheckpoint(eager=True)
+    from .streaming.ann_stream import read_sink
+
+    result = read_sink(spark, f"{base}/out").localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return result
 
@@ -4063,7 +4065,7 @@ def stream_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANS.stream_ann_topk(
         spark, stream, emb, f"{base}/out", f"{base}/ckpt", k=5, mode="bruteforce"
     )
-    result = spark.read.parquet(f"{base}/out").localCheckpoint(eager=True)
+    result = ANS.read_sink(spark, f"{base}/out").localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return result
 
@@ -5420,7 +5422,9 @@ def stream_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_nsw_topk(
         spark, stream, emb, idx, f"{base}/out", f"{base}/ckpt", k=5, ef_search=16
     )
-    result = spark.read.parquet(f"{base}/out").localCheckpoint(eager=True)
+    from .streaming.ann_stream import read_sink
+
+    result = read_sink(spark, f"{base}/out").localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return result
 

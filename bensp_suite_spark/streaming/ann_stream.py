@@ -14,6 +14,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _write_batch(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Idempotent micro-batch sink: each batch owns the partition
+    directory ``out_dir/batch_id=<id>`` and OVERWRITES it, so a
+    micro-batch retried after a sink-side failure replaces its own
+    half-written output instead of appending duplicates (plain
+    mode("append") would double rows on retry and break the
+    "drained result equals the batch golden verbatim" contract).
+    Readers see batch_id as a discovered partition column — drop it."""
+    df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+
+def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read a `_write_batch` sink back without the batch_id partition
+    column (arrival batching is an execution detail, not a result)."""
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
 def stream_ann_topk(
     spark: SparkSession,
     query_stream: DataFrame,
@@ -34,7 +51,7 @@ def stream_ann_topk(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        fn(batch_df, corpus, k=k).write.mode("append").parquet(out_dir)
+        _write_batch(fn(batch_df, corpus, k=k), out_dir, batch_id)
 
     q = (
         query_stream.writeStream.foreachBatch(sink)
@@ -69,9 +86,11 @@ def stream_snippet_match(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        snippet_match(
-            batch_df, corpus_landmarks, k=k, min_votes=min_votes
-        ).write.mode("append").parquet(out_dir)
+        _write_batch(
+            snippet_match(batch_df, corpus_landmarks, k=k, min_votes=min_votes),
+            out_dir,
+            batch_id,
+        )
 
     q = (
         snippet_stream.writeStream.foreachBatch(sink)
@@ -105,9 +124,11 @@ def stream_nsw_topk(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        nsw_ann_topk(
-            batch_df, corpus, k=k, ef_search=ef_search, index=index
-        ).write.mode("append").parquet(out_dir)
+        _write_batch(
+            nsw_ann_topk(batch_df, corpus, k=k, ef_search=ef_search, index=index),
+            out_dir,
+            batch_id,
+        )
 
     q = (
         query_stream.writeStream.foreachBatch(sink)

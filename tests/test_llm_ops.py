@@ -1062,6 +1062,49 @@ def test_nsw_build_determinism_and_degree_cap(spark):
     assert len(seen) == len(V)
 
 
+def test_nsw_upsert_empty_shard_matches_rebuild(spark, tmp_path):
+    """Upserting into a shard that had ZERO rows at save time must seed
+    exactly like nsw_build — the shard's first node gets no edges (the
+    build loop starts at i=1). Before the r9 fix the insert loop started
+    at i=0 over the empty graph, the self-beam returned the node itself
+    and nbrs[0] became a [0,0] self-loop, silently breaking the
+    documented rebuild bit-parity for that shard."""
+    from bensp_suite_spark.operators import graph_ann as GA
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    n_shards = 4
+    # initial load has NO ids with residue 2 → shard 2 is empty on disk;
+    # the upsert batch lands entirely (and only) in that empty shard
+    base = emb.filter((F.col("vec_id") < 60) & (F.col("vec_id") % n_shards != 2))
+    add = emb.filter(
+        (F.col("vec_id") >= 60)
+        & (F.col("vec_id") < 100)
+        & (F.col("vec_id") % n_shards == 2)
+    )
+    path = str(tmp_path / "nsw_empty")
+    GA.save_nsw_index(base, path, n_shards=n_shards, m=8, ef_build=24)
+    GA.upsert_nsw_index(add, path)
+    up_graph, _ = GA.load_nsw_index(spark, path)
+
+    full_path = str(tmp_path / "nsw_full")
+    GA.save_nsw_index(
+        base.unionByName(add), full_path, n_shards=n_shards, m=8, ef_build=24
+    )
+    full_graph, _ = GA.load_nsw_index(spark, full_path)
+
+    got = {
+        (r["shard"], r["pos"]): (r["vec_id"], list(r["nbrs"]))
+        for r in up_graph.collect()
+    }
+    want = {
+        (r["shard"], r["pos"]): (r["vec_id"], list(r["nbrs"]))
+        for r in full_graph.collect()
+    }
+    assert got == want  # bit-identical to the full rebuild, all shards
+    # and no node anywhere links to itself
+    assert all(pos not in nbrs for (_, pos), (_, nbrs) in got.items())
+
+
 def _lowrank_emb(spark, n=3000, rank=12, dim=64, seed=23):
     """Low-intrinsic-dimension fixture — the documented shape of real
     neural embeddings and the regime OPQ's rotation exists for."""

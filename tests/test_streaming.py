@@ -377,6 +377,25 @@ def test_streaming_ann_matches_batch(spark, tmpdir):
     assert want.select(*key).exceptAll(got.select(*key)).count() == 0
 
 
+def test_stream_ann_sink_idempotent_on_retry(spark, tmpdir):
+    """A micro-batch retried after a sink-side failure must REPLACE its
+    own prior (possibly partial) output, not append a second copy — each
+    batch owns its batch_id partition directory (ADVICE r8)."""
+    from bensp_suite_spark.operators import similarity as SIM
+    from bensp_suite_spark.streaming import ann_stream
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    res = SIM.cosine_topk_bruteforce(emb.filter("vec_id < 4"), emb, k=5)
+    out = os.path.join(tmpdir, "out")
+    ann_stream._write_batch(res, out, 3)
+    ann_stream._write_batch(res, out, 3)  # simulated micro-batch retry
+    got = ann_stream.read_sink(spark, out)
+    assert "batch_id" not in got.columns
+    assert got.count() == res.count()
+    key = ["query_id", "neighbor_id", "rank", "cosine"]
+    assert got.select(*key).exceptAll(res.select(*key)).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # Stream-stream interval join + streaming session windows
 # (streaming/event_streams.py)
