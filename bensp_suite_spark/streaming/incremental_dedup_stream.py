@@ -37,6 +37,28 @@ Two scale features beyond the r6 shape:
   ``batch_id=-1 < N`` visibility and the exact check is a duplicate-
   tolerant semi join. LOCAL-FS protocol (rename swap), same as
   ``operators/layout.compact_small_files``.
+- **Retention** (``retention_window=W``, requires ``compact_every``) —
+  ``daily_cli``'s forget semantics at micro-batch cadence, where the
+  batch id IS the day number: every batch stamps its appended rows with
+  ``last_seen = batch_id`` and ALSO appends re-sighting rows — (hash,
+  batch) per exact-dup match and (fingerprint, batch) per history
+  fingerprint the batch near-matches (``matched_history_sims``) — so
+  content stays alive while copies of it keep arriving. The expiry
+  filter lives INSIDE the compaction roll-up (sharing its crash
+  protocol): each roll-up keeps a value iff ``max(last_seen) >=
+  batch_id − W`` in BOTH tables, then REBUILDS both packed blooms from
+  the surviving state (OR can't unset bits). A continuously-running
+  crawl-dedup stream is therefore bounded by the rolling window instead
+  of growing state forever; content whose newest sighting fell out of
+  the window is FORGOTTEN — a later re-crawl flags neither exact_dup
+  nor near_dup (genuinely new, re-enters the state with the new batch),
+  while in-window content dedupes exactly as a full-history run would.
+  Legacy un-stamped rows count as ``last_seen = -1`` (the seed batch),
+  so enabling retention over pre-retention state expires un-re-sighted
+  legacy content at the first roll-up — same rule as daily_cli's
+  "legacy rows count as day 0". Replays stay byte-identical: the stamp
+  is the deterministic batch id and re-sightings are a function of the
+  same ``batch_id < N`` state prefix the flags are.
 """
 
 from __future__ import annotations
@@ -70,8 +92,12 @@ def seed_signatures(
     """Write the day-0 signature state (the stream's only raw-history
     scan) as the ``batch_id=-1`` partitions the stream builds on, plus
     the packed history bloom when ``use_bloom``. An empty history frame
-    seeds an empty-but-schema'd state."""
+    seeds an empty-but-schema'd state. Rows are stamped ``last_seen =
+    -1`` (the seed batch id) — the retention clock starts here; without
+    ``retention_window`` the column is carried but never consulted."""
     h, s = history_signatures(history)
+    h = h.withColumn("last_seen", F.lit(SEED_BATCH_ID).cast("long"))
+    s = s.withColumn("last_seen", F.lit(SEED_BATCH_ID).cast("long"))
     seed_h = _pp.join(sig_dir, "hashes", f"batch_id={SEED_BATCH_ID}")
     h.write.mode("overwrite").parquet(seed_h)
     s.write.mode("overwrite").parquet(
@@ -121,15 +147,62 @@ def _read_packed_bloom(
         return fh.read(), int(meta["m"]), int(meta["k"])
 
 
+def _rebuild_blooms_after_expiry(
+    spark: SparkSession, sig_dir: str, blooms_cache: dict, max_hamming: int
+) -> None:
+    """After an EXPIRING compaction the packed bitsets must be rebuilt
+    from the surviving state — expired bits can't be unset by OR (a stale
+    over-full bloom would stay CORRECT, just progressively useless).
+    Keeps the existing geometry and refreshes the sink's in-memory copy
+    so later batches probe the rebuilt sets."""
+    old = _read_packed_bloom(sig_dir)
+    if old is not None:
+        rebuilt = history_bloom(
+            spark.read.parquet(_pp.join(sig_dir, "hashes")).select(
+                "content_hash"
+            ),
+            m=old[1],
+            k=old[2],
+        )
+        _write_packed_bloom(sig_dir, rebuilt, old[1], old[2])
+        blooms_cache["bloom"] = (rebuilt, old[1], old[2])
+    old_bb = _read_packed_bloom(sig_dir, "band_bloom")
+    if old_bb is not None:
+        # rebuild with the SINK's banding — the geometry the probes use
+        # (a disk meta from a different max_hamming would be dropped by
+        # the sink's guard anyway; rebuilding here re-aligns it)
+        rebuilt_bb = history_band_bloom(
+            spark.read.parquet(_pp.join(sig_dir, "sims")).select("hist_sim"),
+            max_hamming=max_hamming,
+            m=old_bb[1],
+            k=old_bb[2],
+        )
+        _write_packed_bloom(
+            sig_dir,
+            rebuilt_bb,
+            old_bb[1],
+            old_bb[2],
+            name="band_bloom",
+            max_hamming=max_hamming,
+        )
+        blooms_cache["band"] = (rebuilt_bb, old_bb[1], old_bb[2])
+
+
 def compact_signature_state(
-    spark: SparkSession, sig_dir: str, committed_ids: set[int]
+    spark: SparkSession, sig_dir: str, committed_ids: set[int],
+    expire_before: int | None = None,
 ) -> int:
     """Merge the committed per-batch partitions (plus the old seed) into
     ONE seed partition per table; → number of partitions merged. Crashed
     uncommitted partials stay where they are (their replay overwrites
-    them). distinct() at merge time restores the tables' set semantics
-    after any crash-window double-appends; flags were already safe in
-    the interim because the exact check is a semi join."""
+    them). Sightings collapse to the NEWEST per value (legacy rows
+    without ``last_seen`` count as the seed batch, −1), restoring the
+    tables' set semantics after any crash-window double-appends; flags
+    were already safe in the interim because the exact check is a semi
+    join. ``expire_before`` applies the retention cutoff inside the same
+    swap: values whose newest sighting is ``< expire_before`` are
+    dropped from BOTH tables (the caller rebuilds the packed blooms —
+    OR can't unset bits)."""
     merged = 0
     for table, col in (("hashes", "content_hash"), ("sims", "hist_sim")):
         root = _pp.join(sig_dir, table)
@@ -152,11 +225,17 @@ def compact_signature_state(
         for stale in (tmp, bak):
             if _os.path.exists(stale):
                 _shutil.rmtree(stale)
+        raw = spark.read.option("mergeSchema", "true").parquet(*parts)
+        ls = (
+            F.coalesce(F.col("last_seen"), F.lit(SEED_BATCH_ID))
+            if "last_seen" in raw.columns
+            else F.lit(SEED_BATCH_ID)
+        )
+        out = raw.groupBy(col).agg(F.max(ls).cast("long").alias("last_seen"))
+        if expire_before is not None:
+            out = out.filter(F.col("last_seen") >= expire_before)
         (
-            spark.read.parquet(*parts)
-            .select(col)
-            .distinct()
-            .coalesce(1)
+            out.coalesce(1)
             .write.mode("overwrite")
             .parquet(_os.path.join(tmp, f"batch_id={SEED_BATCH_ID}"))
         )
@@ -178,6 +257,7 @@ def stream_incremental_dedup(
     checkpoint_dir: str,
     max_hamming: int = 3,
     compact_every: int | None = 64,
+    retention_window: int | None = None,
 ) -> None:
     """Run the stream to completion (availableNow): flags land under
     ``out_dir/batch_id=N``; the signature state under ``sig_dir`` ends
@@ -186,7 +266,16 @@ def stream_incremental_dedup(
     first (the probe below fails loudly otherwise — silently starting
     from empty state would mark historical duplicates as kept).
     ``compact_every`` bounds the state partition count (see module doc);
-    ``None`` disables the roll-up."""
+    ``None`` disables the roll-up. ``retention_window=W`` enables the
+    forget semantics (module doc: last_seen stamps + re-sighting rows
+    per batch; expiry cutoff ``batch_id − W`` applied inside each
+    roll-up, blooms rebuilt after) — state is then bounded by the
+    rolling window instead of growing with the stream's lifetime."""
+    if retention_window is not None and compact_every is None:
+        raise ValueError(
+            "retention_window requires compact_every — the expiry filter "
+            "lives inside the compaction roll-up (daily_cli's protocol)"
+        )
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
 
@@ -229,16 +318,30 @@ def stream_incremental_dedup(
         if compact_every is not None:
             n_parts = len(_glob.glob(_os.path.join(hashes_dir, "batch_id=*")))
             if n_parts >= compact_every:
-                compact_signature_state(spark, sig_dir, _committed_ids())
+                expire = (
+                    batch_id - retention_window
+                    if retention_window is not None
+                    else None
+                )
+                compact_signature_state(
+                    spark, sig_dir, _committed_ids(), expire_before=expire
+                )
+                if expire is not None:
+                    _rebuild_blooms_after_expiry(
+                        spark, sig_dir, _blooms, max_hamming
+                    )
+        # select exactly the signature columns: the exact/near checks need
+        # nothing else, so the parquet scan prunes last_seen and mixed
+        # (legacy vs stamped) partition schemas never need mergeSchema
         hist_h = (
             spark.read.parquet(hashes_dir)
             .filter(F.col("batch_id") < batch_id)
-            .drop("batch_id")
+            .select("content_hash")
         )
         hist_s = (
             spark.read.parquet(sims_dir)
             .filter(F.col("batch_id") < batch_id)
-            .drop("batch_id")
+            .select("hist_sim")
         )
         if not _blooms["loaded"]:
             _blooms["bloom"] = _read_packed_bloom(sig_dir)
@@ -275,6 +378,34 @@ def stream_incremental_dedup(
                     "left_semi",
                 )
                 day_h, day_s = history_signatures(survivors)
+                day_h = day_h.withColumn(
+                    "last_seen", F.lit(batch_id).cast("long")
+                )
+                day_s = day_s.withColumn(
+                    "last_seen", F.lit(batch_id).cast("long")
+                )
+                if retention_window is not None:
+                    # re-sighting rows (daily_cli's --day protocol at
+                    # batch cadence): an exact-dup match means its history
+                    # hash was SEEN this batch; every history fingerprint
+                    # the batch near-matches was seen too. Both are
+                    # deterministic functions of the same batch_id < N
+                    # state prefix the flags are, so replays rewrite
+                    # identical rows. Near-dup REJECTS contribute nothing
+                    # (their novel hashes must not enter the state).
+                    resight_h = (
+                        flags.filter(F.col("exact_dup"))
+                        .select("content_hash")
+                        .distinct()
+                        .withColumn("last_seen", F.lit(batch_id).cast("long"))
+                    )
+                    day_h = day_h.unionByName(resight_h)
+                    from ..operators.dedup_text import matched_history_sims
+
+                    resight_s = matched_history_sims(
+                        batch_df, hist_s, max_hamming=max_hamming
+                    ).withColumn("last_seen", F.lit(batch_id).cast("long"))
+                    day_s = day_s.unionByName(resight_s)
                 batch_h_dir = _pp.join(hashes_dir, f"batch_id={batch_id}")
                 day_h.write.mode("overwrite").parquet(batch_h_dir)
                 day_s.write.mode("overwrite").parquet(

@@ -1241,6 +1241,191 @@ def test_stream_incremental_dedup_compaction_and_bloom_preserve_flags(spark, tmp
     assert replay == plain
 
 
+def _write_slices(spark, base, slices):
+    """mtime-pinned single-file slices — the established time-ordered
+    replay fixture shape."""
+    import glob
+    import os
+    import shutil
+
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, rows in enumerate(slices):
+        sl = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = os.path.join(base, f"w{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = os.path.join(src, f"s{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return src
+
+
+def test_stream_incremental_dedup_retention_bounds_state_and_forgets(
+    spark, tmp_path
+):
+    """Streaming retention (retention_window=W): state stays bounded by
+    the rolling window over many batches; content re-sighted inside the
+    window (exactly OR near) dedupes exactly as full history would;
+    content whose newest sighting fell out of the window is FORGOTTEN —
+    its later re-crawl flags neither exact_dup nor near_dup (genuinely
+    new) and re-enters the state with the new batch. Blooms are rebuilt
+    after each expiring roll-up, so the prefilter tracks the surviving
+    state. A full replay over the same checkpoint is a no-op."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.streaming.incremental_dedup_stream import (
+        SEED_BATCH_ID,
+        seed_signatures,
+        stream_incremental_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "stale seed doc never seen again words"),
+         (2, "evergreen doc recrawled every batch words")],
+        "doc_id long, text string",
+    )
+    evergreen = "evergreen doc recrawled every batch words"
+    fresh = "batch zero doc about comets"
+    slices = [
+        # batch 0: re-sights the evergreen seed doc + one fresh doc
+        [(100, evergreen), (101, fresh)],
+        # batch 1: re-sights evergreen + a NEAR variant of batch 0's
+        # fresh doc (keeps its FINGERPRINT alive via matched_history_sims
+        # even though its hash is never exactly re-sighted)
+        [(200, evergreen), (201, fresh + " xx")],
+        # batch 2 — its roll-up cutoff is 0, expiring the never-re-sighted
+        # seed rows (stamped −1): the stale doc re-crawled is genuinely
+        # NEW and re-enters the state @2; evergreen stays exact_dup
+        [(300, "stale seed doc never seen again words"),
+         (301, evergreen)],
+        # batch 3 — roll-up cutoff 1: fresh's HASH (last exact sighting
+        # batch 0) expires, but its FINGERPRINT (near-matched at batch 1)
+        # lives → an exact re-crawl flags near_dup, not exact_dup (the
+        # documented conservative edge, now streaming)
+        [(400, fresh), (401, evergreen)],
+    ]
+    base = str(tmp_path / "ret")
+    os.makedirs(base)
+    src = _write_slices(spark, base, slices)
+    sig = os.path.join(base, "sig")
+    seed_signatures(hist, sig, use_bloom=True)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_incremental_dedup(
+            spark, stream, sig, os.path.join(base, "out"),
+            os.path.join(base, "ckpt"), compact_every=2, retention_window=2,
+        )
+        return {
+            r["doc_id"]: (r["exact_dup"], r["near_dup"], r["is_kept"])
+            for r in spark.read.parquet(os.path.join(base, "out")).collect()
+        }
+
+    flags = run()
+    # in-window semantics = full history (batches 0 and 1 see everything);
+    # an exact copy is also a near-dup at hamming 0, so only exact_dup
+    # and is_kept pin identity
+    assert (flags[100][0], flags[100][2]) == (True, False)
+    assert flags[101][2]                       # fresh → kept
+    assert (flags[200][0], flags[200][2]) == (True, False)
+    assert flags[201] == (False, True, False)  # near variant of in-state doc
+    # forget semantics at batch 2 (cutoff 0: seed rows stamped −1 expire
+    # unless re-sighted):
+    assert flags[300] == (False, False, True)  # stale seed doc: forgotten
+    assert (flags[301][0], flags[301][2]) == (True, False)
+    # batch 3 (cutoff 1): fresh's hash forgot, its fingerprint remembers
+    assert flags[400] == (False, True, False)
+    assert (flags[401][0], flags[401][2]) == (True, False)
+
+    # boundedness: the rolled partition no longer carries fresh's hash
+    # (expired at the batch-3 roll-up; its near-dup re-crawl was rejected,
+    # so it never re-entered), and the partition count is bounded
+    fresh_hash = spark.createDataFrame([(0, fresh)], "doc_id long, text string").select(
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+        .alias("h")
+    ).collect()[0]["h"]
+    hashes_all = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(sig, "hashes")
+    )
+    assert (
+        hashes_all.filter(F.col("content_hash") == fresh_hash).count() == 0
+    )
+    # the forgotten-then-recrawled stale doc re-entered stamped @2
+    stale_hash = hist.filter("doc_id = 1").select(
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+        .alias("h")
+    ).collect()[0]["h"]
+    stale_rows = hashes_all.filter(
+        F.col("content_hash") == stale_hash
+    ).collect()
+    assert stale_rows and all(r["last_seen"] >= 2 for r in stale_rows)
+    n_parts = len(glob.glob(os.path.join(sig, "hashes", "batch_id=*")))
+    assert n_parts <= 3
+
+    # replay over the same checkpoint: commit markers make it a no-op
+    assert run() == flags
+
+
+def test_stream_retention_state_bounded_under_rolling_window(spark, tmp_path):
+    """Boundedness proper: N batches of fully-novel content through a
+    retention window W — the surviving hash state after the run carries
+    only the last ~W batches' content, not the stream's lifetime (the
+    unbounded-keyed-state fix for a continuously-running crawl dedup)."""
+    import glob
+    import os
+
+    from bensp_suite_spark.streaming.incremental_dedup_stream import (
+        seed_signatures,
+        stream_incremental_dedup,
+    )
+
+    n_batches, per_batch, window = 8, 5, 2
+    slices = [
+        [(b * 100 + i, f"unique doc {b}-{i} " + " ".join(
+            f"w{b}{i}{j}" for j in range(6)))
+         for i in range(per_batch)]
+        for b in range(n_batches)
+    ]
+    base = str(tmp_path / "bound")
+    os.makedirs(base)
+    src = _write_slices(spark, base, slices)
+    sig = os.path.join(base, "sig")
+    seed_signatures(
+        spark.createDataFrame([], "doc_id long, text string"), sig,
+        use_bloom=False,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_incremental_dedup(
+        spark, stream, sig, os.path.join(base, "out"),
+        os.path.join(base, "ckpt"), compact_every=2, retention_window=window,
+    )
+    total_ever = n_batches * per_batch
+    state_rows = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(sig, "hashes")
+    ).count()
+    # without retention the state would hold all 40 hashes; with W=2 and
+    # roll-ups every 2 batches it holds at most the batches since the
+    # last cutoff (cutoff advances with batch_id, so ≤ W + compact_every
+    # batches' worth survive)
+    assert state_rows <= (window + 2) * per_batch
+    assert state_rows < total_ever
+    # every doc was novel → all kept
+    out = spark.read.parquet(os.path.join(base, "out"))
+    assert out.filter("is_kept").count() == total_ever
+
+
 def test_compact_signature_state_self_heals_interrupted_swap(spark, tmp_path):
     """compact_signature_state's swap is two renames (root→bak, tmp→root);
     a crash between them leaves the table root MISSING. On the next entry
