@@ -61,31 +61,10 @@ def _green_last_round() -> dict[str, int]:
 # Surfaces whose driver rows are the most informative this round (newly
 # added queries / previously rows-only families) — checked ahead of the
 # other never-verified names so they cannot fall outside the driver's
-# fixed-size check window.
-_PRIORITY = [
-    "multimodal_audio_dedup_flac",
-    "multimodal_image_search_jpeg",
-    "stream_interval_join",
-    "stream_interval_join_outer",
-    "stream_session_windows",
-    "graph_pagerank_copurchase",
-    "skew_salted_distinct_users",
-    "stream_per_key_quota",
-    "stream_topk_per_key",
-    "source_csv_scan",
-    "source_jsonl_scan",
-    "ann_ivf_upsert_topk",
-    "stream_passage_dedup",
-    "stream_exact_doc_dedup",
-    "stream_ann_brute_topk",
-    "multimodal_image_search_png",
-    "multimodal_audio_dedup_wav",
-    "multimodal_video_dedup_avi",
-    "layout_zorder_key",
-    "dedup_incremental_batch",
-    "cdc_ddp_datasource_scan",
-    "multimodal_image_phash_dedup",
-]
+# fixed-size check window. Trimmed to empty in r9: every former member is
+# green and never-verified names auto-front anyway, so keeping them only
+# stole rotation slots from the staleness walk (VERDICT r8 item 6).
+_PRIORITY: list[str] = []
 
 
 # How many previously-green names to pull back into the driver's check
@@ -93,37 +72,28 @@ _PRIORITY = [
 # re-checked by the external driver (a later regression would go unseen);
 # with it, the window is priority + never-verified + a staleness-ordered
 # slice of the greens, so the whole registry is re-audited every few
-# rounds. 60 keeps the ~197-query registry's full external re-audit cycle
-# under ~3.5 rounds even when a round adds ~10-15 new queries.
-_REVERIFY_QUOTA = 60
+# rounds. 70 keeps the ~210-query registry's full external re-audit cycle
+# at ~3 rounds even when a round adds ~10-15 new queries (VERDICT r8:
+# 30 greens had gone >4 rounds since their last external check at 60).
+_REVERIFY_QUOTA = 70
 
 #: previously-green queries whose IMPLEMENTATION changed this round —
 #: forced to the head of the re-verify slice so the external driver
 #: re-checks them in the same round as the change, regardless of where
 #: the rotation happens to be. Clear when the round's changes land green.
 _FORCE_REVERIFY = [
-    # r8: first_wins NULL-safe join-back (eqNullSafe) — both consumers
-    "url_canonical_dedup",
-    "pipeline_web_curation",
-    # r8: size-aware bloom gate inside incremental_dedup (the prefilter
-    # query now auto-skips the probe at toy history) + streaming bloom
-    # hoist + band-bloom max_hamming meta fix
-    "dedup_incremental_batch",
-    "dedup_incremental_bloom_prefilter",
+    # r9: ANN stream sinks now write per-batch_id partitions (idempotent
+    # retry) and readers drop the partition column
+    "stream_ann_brute_topk",
+    "stream_ann_nsw_topk",
+    "stream_audio_snippet_search",
+    # r9: upsert_nsw_index empty-shard seeding fix + materialize-before-
+    # overwrite + conf restore
+    "ann_nsw_upsert_topk",
+    # r9: streaming incremental dedup grew retention (seed/append rows now
+    # carry last_seen; compaction collapses sightings via groupBy-max
+    # instead of distinct; sink reads select exact signature columns)
     "stream_incremental_dedup",
-    "pipeline_daily_increment",
-    "pipeline_daily_increment_day2",
-    "pipeline_daily_increment_day3",
-    # r8: ivfpq wave-probing restructure + explicit n_centroids pins +
-    # prebuilt-index meta (4-tuple) + refine auto-scaling
-    "ann_ivfpq_topk",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_prebuilt_topk",
-    # r8 (late): pq_codebooks/pq_encode/pq_ann_topk grew the OPQ
-    # rotation= pass-through (default None = old behavior, but the hot
-    # path changed files — re-check the plain PQ queries in-round)
-    "ann_pq_topk",
-    "ann_pq_prebuilt_topk",
 ]
 
 

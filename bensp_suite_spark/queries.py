@@ -7036,6 +7036,155 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# --- streaming incremental dedup WITH RETENTION (r9) -----------------------
+# Three time-ordered slices over an EMPTY seed, compact_every=2,
+# retention_window=1 — batch ids are the days, roll-ups fire at batches 1
+# and 2 with cutoffs 0 and 1:
+#   A (batch 0): 80 docs of slice-unique md5-token text → all kept (vs ∅)
+#   B (batch 1): 80 more, token-disjoint from A          → all kept
+#   C (batch 2): exact copies of A + copies of B + fresh content.
+#                The batch-2 roll-up (cutoff 1) EXPIRES slice-A content
+#                (last_seen 0, never re-sighted — B shares no tokens), so
+#                C's copies of A flag KEPT (genuinely new — the forget
+#                semantics the retention loop exists for), while copies
+#                of in-window B flag exact_dup (full-history behavior).
+# Texts are md5 tokens keyed by (slice, doc, position) — zero token
+# overlap across docs or slices, so the post-expiry state history at each
+# batch is the closed-form ∅ → A → B (no re-sightings to model), and the
+# md5 construction is engine-portable (Spark md5 == DuckDB md5). The
+# documents table supplies only the doc_id spine. A NON-retention run
+# would flag C's A-copies exact_dup, so the oracle pins the forget
+# behavior itself, not just per-batch flags. (Near-dup retention — the
+# re-sighting/fingerprint machinery — is pytest-covered where the fixture
+# can control hamming distances directly; this driver row pins the state
+# lifecycle.)
+def _sr_tokens_sql(tag: str, mult: int, n: int) -> str:
+    toks = " || ' ' || ".join(
+        f"md5('{tag}-' || doc_id || '-{k}')" for k in range(1, 4)
+    )
+    return f"""
+      SELECT doc_id + {mult * DT.AUG_OFFSET} AS doc_id, {toks} AS text
+      FROM documents WHERE doc_id < {n}
+    """
+
+
+_SR_N = 80
+_SR_EMPTY_SQL = "SELECT doc_id, text FROM documents WHERE FALSE"
+_SR_A_SQL = _sr_tokens_sql("ra", 1, _SR_N)
+_SR_B_SQL = _sr_tokens_sql("rb", 3, _SR_N)
+_SR_C_SQL = f"""
+  SELECT doc_id + {6 * DT.AUG_OFFSET} AS doc_id, text FROM ({_SR_A_SQL})
+  UNION ALL
+  SELECT doc_id + {5 * DT.AUG_OFFSET} AS doc_id, text FROM ({_SR_B_SQL})
+  UNION ALL
+  {_sr_tokens_sql("rc", 9, _SR_N)}
+"""
+_SR_ORACLE = f"""
+SELECT * FROM ({DT.incremental_dedup_oracle_sql(_SR_EMPTY_SQL, _SR_A_SQL)})
+UNION ALL
+SELECT * FROM ({DT.incremental_dedup_oracle_sql(_SR_A_SQL, _SR_B_SQL)})
+UNION ALL
+SELECT * FROM ({DT.incremental_dedup_oracle_sql(_SR_B_SQL, _SR_C_SQL)})
+"""
+
+
+@query("stream_incremental_dedup_retention", oracle=_SR_ORACLE)
+def stream_incremental_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental-dedup loop with RETENTION
+    (streaming/incremental_dedup_stream, retention_window=1): batch ids
+    are the days; every batch stamps last_seen + re-sighting rows, and
+    each compaction roll-up expires content whose newest sighting fell
+    out of the window, rebuilding both packed blooms. Slice C plants
+    exact copies of slice-A survivors AFTER their expiry — they can only
+    flag KEPT if the roll-up genuinely forgot them (a non-retention run
+    flags them exact_dup), and copies of in-window slice-B survivors must
+    still flag exact_dup — so the composed oracle pins the forget
+    semantics end to end, not just per-batch flags. State is bounded by
+    the rolling window: the production fix for a continuously-running
+    crawl-dedup stream whose keyed state otherwise grows forever
+    (reference analog: the unbounded dedup hashtable,
+    apps/dedup/src/encoder.c:1520)."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming.incremental_dedup_stream import (
+        seed_signatures,
+        stream_incremental_dedup as _run,
+    )
+
+    spine = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def tokens(tag: str, mult: int) -> DataFrame:
+        toks = [
+            F.md5(
+                F.concat(
+                    F.lit(f"{tag}-"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f"-{k}"),
+                )
+            )
+            for k in range(1, 4)
+        ]
+        return spine.filter(F.col("doc_id") < _SR_N).select(
+            (F.col("doc_id") + mult * DT.AUG_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+        )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    base = tempfile.mkdtemp(prefix="bensp_stream_ret_")
+    with _fixture_build("stream_incremental_dedup_retention"):
+        slice_a = tokens("ra", 1)
+        slice_b = tokens("rb", 3)
+        # offsets mirror _SR_C_SQL exactly: A-copies at +6·AUG on top of
+        # A's +1·AUG (→ 7·AUG range), B-copies at +5·AUG on top of
+        # B's +3·AUG (→ 8·AUG range), fresh at 9·AUG
+        slice_c = (
+            slice_a.select(
+                (F.col("doc_id") + 6 * DT.AUG_OFFSET).alias("doc_id"), "text"
+            )
+            .unionByName(
+                slice_b.select(
+                    (F.col("doc_id") + 5 * DT.AUG_OFFSET).alias("doc_id"),
+                    "text",
+                )
+            )
+            .unionByName(tokens("rc", 9))
+        )
+        src = _os.path.join(base, "src")
+        _os.makedirs(src)
+        for i, sl in enumerate((slice_a, slice_b, slice_c)):
+            tmp = _os.path.join(base, f"w{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = _os.path.join(src, f"slice{i}.parquet")
+            shutil.move(part, dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        seed_signatures(empty, _os.path.join(base, "sig"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _run(
+        spark,
+        stream,
+        _os.path.join(base, "sig"),
+        _os.path.join(base, "out"),
+        _os.path.join(base, "ckpt"),
+        compact_every=2,
+        retention_window=1,
+    )
+    result = (
+        spark.read.parquet(_os.path.join(base, "out"))
+        .drop("batch_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 # ---------------------------------------------------------------------------
 # General graph algorithms (round 8): the CC kernel the near-dup resolution
 # uses, exposed as a first-class operator, plus degree-oriented triangle
