@@ -7185,6 +7185,112 @@ def stream_incremental_dedup_retention(spark: SparkSession, sf_dir: str) -> Data
     return result
 
 
+@query("pipeline_warc_daily", oracle=None)
+def pipeline_warc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END production crawl shape: day-N WARC segments land in
+    a directory, stream one segment per trigger through the real ingest
+    path (read_warc_pages streaming=True: response filter + HTTP envelope
+    parse + UTF-8 decode), text is recovered with the curation pipeline's
+    extract_html_text, and the rows feed the RETENTION-enabled
+    incremental-dedup loop (compact_every=2, retention_window=1) — crawl
+    → curate → dedup-with-expiry in one declared query. The three
+    segments carry exactly stream_incremental_dedup_retention's slices
+    wrapped in HTML+HTTP+WARC envelopes (doc ids reconstruct from
+    (segment, record position) — at scale the id IS that pair), so it
+    SHARES that query's composed forget-semantics oracle verbatim: a hash
+    mismatch anywhere in the WARC round trip, the HTML extraction, or
+    the retention state machine fails the pin."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .operators.text_analysis import extract_html_text
+    from .sources.warc import (
+        build_http_response,
+        build_warc_bytes,
+        read_warc_pages,
+    )
+    from .streaming.incremental_dedup_stream import (
+        seed_signatures,
+        stream_incremental_dedup as _run,
+    )
+
+    def day_texts(tag: str) -> list[str]:
+        import hashlib
+
+        return [
+            " ".join(
+                hashlib.md5(f"{tag}-{i}-{k}".encode()).hexdigest()
+                for k in range(1, 4)
+            )
+            for i in range(_SR_N)
+        ]
+
+    a_texts, b_texts, c_fresh = day_texts("ra"), day_texts("rb"), day_texts("rc")
+    days = [a_texts, b_texts, a_texts + b_texts + c_fresh]
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    base = tempfile.mkdtemp(prefix="bensp_warc_daily_")
+    with _fixture_build("pipeline_warc_daily"):
+        src = _os.path.join(base, "src")
+        _os.makedirs(src)
+        for day, texts in enumerate(days):
+            recs = [("warcinfo", None, b"software: bensp-fixture\r\n")] + [
+                (
+                    "response",
+                    f"https://crawl.example.com/d{day}/{i}",
+                    build_http_response(
+                        f"<html><body><p>{t}</p></body></html>".encode()
+                    ),
+                )
+                for i, t in enumerate(texts)
+            ]
+            fname = f"day-{day:05d}.warc" + (".gz" if day == 1 else "")
+            dst = _os.path.join(src, fname)
+            with open(dst, "wb") as fh:
+                fh.write(build_warc_bytes(recs, gzip_records=(day == 1)))
+            _os.utime(dst, (1_700_000_000 + day, 1_700_000_000 + day))
+        seed_signatures(empty, _os.path.join(base, "sig"))
+    pages = read_warc_pages(spark, src, streaming=True, max_files_per_trigger=1)
+    # doc ids reconstruct stream_incremental_dedup_retention's scheme from
+    # (segment, record position): day 0 → +1·AUG, day 1 → +3·AUG, day 2 →
+    # A-copies +7·AUG / B-copies +8·AUG / fresh +9·AUG by position
+    day_no = F.regexp_extract("warc_name", r"day-(\d+)", 1).cast("long")
+    pos = F.col("record_idx") - 1  # warcinfo occupies idx 0
+    aug = F.lit(DT.AUG_OFFSET)
+    doc_id = (
+        F.when(day_no == 0, aug + pos)
+        .when(day_no == 1, 3 * aug + pos)
+        .otherwise(
+            F.when(pos < _SR_N, 7 * aug + pos)
+            .when(pos < 2 * _SR_N, 8 * aug + (pos - _SR_N))
+            .otherwise(9 * aug + (pos - 2 * _SR_N))
+        )
+    )
+    docs_stream = pages.select(
+        doc_id.alias("doc_id"),
+        extract_html_text(F.col("html")).alias("text"),
+    )
+    _run(
+        spark,
+        docs_stream,
+        _os.path.join(base, "sig"),
+        _os.path.join(base, "out"),
+        _os.path.join(base, "ckpt"),
+        compact_every=2,
+        retention_window=1,
+    )
+    result = (
+        spark.read.parquet(_os.path.join(base, "out"))
+        .drop("batch_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["pipeline_warc_daily"] = ORACLES["stream_incremental_dedup_retention"]
+
+
 # ---------------------------------------------------------------------------
 # General graph algorithms (round 8): the CC kernel the near-dup resolution
 # uses, exposed as a first-class operator, plus degree-oriented triangle
