@@ -546,6 +546,19 @@ def main() -> None:
                 ef_build=32, ef_search=48,
             ),
         ),
+        # SPANN boundary spill at the SAME 12-of-32 probe budget: closure
+        # assignment puts cell-boundary vectors in every cell within
+        # (1+eps) of their nearest, recovering the routed topology's
+        # recall tax for a bounded state blow-up (spill factor recorded
+        # below; r9 calibration at 20k: eps=0.05 → 3.0× state,
+        # 0.866 → 0.963 recall).
+        (
+            "nsw_routed_spill",
+            lambda: GA_B.nsw_routed_ann_topk(
+                big_q, big_emb, k=10, n_cells=32, n_probe=12, m=12,
+                ef_build=32, ef_search=48, spill_eps=0.05,
+            ),
+        ),
     ):
         hits = (
             run()
@@ -578,6 +591,23 @@ def main() -> None:
         f"routed-NSW recall@10 {ann_scale['nsw_routed_recall_at10_100k']} "
         "fell below the 0.7 floor (n_cells=32, n_probe=12 — the IVF-like "
         "cell-recall bound; raise n_probe if the fixture changes)"
+    )
+    # the spill's contract: recall ≥ 0.85 at the SAME probe budget the
+    # unspilled topology pays 0.7-0.82 for, and the state cost on record
+    cent32 = SIM_B.ivf_centroids(big_emb, 32)
+    n_spill = SIM_B.ivf_assign_spill(
+        big_emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        ),
+        cent32, 0.05, "neighbor_id", "cv",
+    ).count()
+    ann_scale["nsw_routed_spill_factor_100k"] = round(n_spill / 100_000, 2)
+    assert ann_scale["nsw_routed_spill_recall_at10_100k"] >= 0.85, (
+        f"spilled routed-NSW recall@10 "
+        f"{ann_scale['nsw_routed_spill_recall_at10_100k']} fell below the "
+        "0.85 floor (eps=0.05, n_probe=12/32 — boundary spill must close "
+        "the routed topology's recall gap at the same probe budget)"
     )
     nsw_graph.unpersist()
     # SQ8 recall on the same worst-case corpus: 8-bit affine quantization

@@ -216,6 +216,7 @@ def nsw_routed_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: tuple[DataFrame, DataFrame, dict] | None = None,
+    spill_eps: float = 0.0,
 ) -> DataFrame:
     """IVF-ROUTED sharded NSW — the candidate cut composed with the
     graph cut: shards are the coarse quantizer's cells (deterministic
@@ -226,10 +227,18 @@ def nsw_routed_ann_topk(
     per-query work = n_probe beams — independent of S — so adding
     corpus adds shards without adding per-query cost (the plain
     ``nsw_ann_topk`` fan-out grows with S; this one doesn't). Recall is
-    bounded by cell recall exactly like IVF, recovered with n_probe.
+    bounded by cell recall exactly like IVF, recovered with n_probe —
+    or, at a FIXED probe budget, with ``spill_eps`` (SPANN closure
+    assignment, ``similarity.ivf_assign_spill``): boundary vectors join
+    every cell within (1+eps) of their nearest, so cell-boundary
+    neighbors stop costing recall for the price of a bounded state
+    blow-up (the spill factor — measured by the bench each round).
     Same contract as the family: graphs nominate, exact JVM cosine
-    scores; golden-pinned by the independent numpy mirror."""
-    from .similarity import ivf_assign, ivf_centroids
+    scores; golden-pinned by the independent numpy mirror. A prebuilt
+    ``index`` carries its own spill factor in meta (the graphs were
+    built over the spilled membership); ``spill_eps`` here only affects
+    the inline build."""
+    from .similarity import ivf_assign, ivf_assign_spill, ivf_centroids
 
     q_sel = queries.select(
         F.col(id_col).alias("query_id"),
@@ -244,14 +253,21 @@ def nsw_routed_ann_topk(
         # the queries, per-cell graphs were built at save time
         cent, graph_df, _params = index
         sharded = None
+        spilled = float(_params.get("spill_eps", 0.0)) > 0.0
     else:
         cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
-        cassign = ivf_assign(c_sel, cent, 1, "neighbor_id", "cv").select(
-            "neighbor_id", "cell"
-        )
+        if spill_eps > 0.0:
+            cassign = ivf_assign_spill(
+                c_sel, cent, spill_eps, "neighbor_id", "cv"
+            ).select("neighbor_id", "cell")
+        else:
+            cassign = ivf_assign(c_sel, cent, 1, "neighbor_id", "cv").select(
+                "neighbor_id", "cell"
+            )
         sharded = c_sel.join(cassign, "neighbor_id").withColumnRenamed(
             "cell", "shard"
         )
+        spilled = spill_eps > 0.0
     qassign = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         cent,
@@ -329,6 +345,11 @@ def nsw_routed_ann_topk(
     cand = cand_parts[0]
     for extra in cand_parts[1:]:
         cand = cand.unionByName(extra)
+    if spilled:
+        # closure assignment puts boundary vectors in several probed
+        # cells — collapse duplicate nominations before the rank window
+        # (a duplicate surviving to row_number would occupy two ranks)
+        cand = cand.distinct()
     return _exact_rerank(cand, q_sel, c_sel, k)
 
 
@@ -385,25 +406,32 @@ def save_nsw_routed_index(
     ef_build: int = 24,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    spill_eps: float = 0.0,
 ) -> None:
     """Build + persist the IVF-ROUTED NSW index: the coarse centroids
     (for query routing at probe time) plus one NSW graph per CELL, as
     shard-partitioned parquet — the mkdb-offline frame for
     :func:`nsw_routed_ann_topk`. Probing a saved routed index is
     bit-identical to the inline routed build (same deterministic cell
-    assignment, same per-cell insertion order)."""
-    from .similarity import ivf_assign, ivf_centroids
+    assignment, same per-cell insertion order). ``spill_eps`` builds the
+    cell graphs over the SPANN closure assignment (boundary vectors join
+    every cell within (1+eps) of their nearest) and is persisted in the
+    meta so the probe knows to collapse duplicate nominations."""
+    from .similarity import ivf_assign, ivf_assign_spill, ivf_centroids
 
     cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
     c_sel = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
+    assign = (
+        ivf_assign_spill(c_sel, cent, spill_eps, "neighbor_id", "cv")
+        if spill_eps > 0.0
+        else ivf_assign(c_sel, cent, 1, "neighbor_id", "cv")
+    )
     sharded = (
         c_sel.join(
-            ivf_assign(c_sel, cent, 1, "neighbor_id", "cv").select(
-                "neighbor_id", "cell"
-            ),
+            assign.select("neighbor_id", "cell"),
             "neighbor_id",
         ).withColumnRenamed("cell", "shard")
     )
@@ -431,20 +459,25 @@ def save_nsw_routed_index(
     cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     spark = corpus.sparkSession
     spark.createDataFrame(
-        [(int(n_cells), int(m), int(ef_build))], "n_cells int, m int, ef_build int"
+        [(int(n_cells), int(m), int(ef_build), float(spill_eps))],
+        "n_cells int, m int, ef_build int, spill_eps double",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
 def load_nsw_routed_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
     """→ (centroids, graph, params) for ``nsw_routed_ann_topk(index=…)``."""
     meta = spark.read.parquet(path + "/meta").collect()[0]
+    row = meta.asDict()
     return (
         spark.read.parquet(path + "/centroids"),
         spark.read.parquet(path + "/graph"),
         {
-            "n_cells": int(meta["n_cells"]),
-            "m": int(meta["m"]),
-            "ef_build": int(meta["ef_build"]),
+            "n_cells": int(row["n_cells"]),
+            "m": int(row["m"]),
+            "ef_build": int(row["ef_build"]),
+            # pre-r9 indexes have no spill column — they were built with
+            # the plain nearest-cell assignment
+            "spill_eps": float(row.get("spill_eps", 0.0) or 0.0),
         },
     )
 

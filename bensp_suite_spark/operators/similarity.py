@@ -434,6 +434,50 @@ def ivf_assign(
     )
 
 
+def ivf_assign_spill(
+    df: DataFrame,
+    centroids: DataFrame,
+    eps: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """SPANN-style closure assignment (Chen et al. 2021, §4.2): a vector
+    joins its nearest cell AND every cell whose (L2) distance is within
+    (1+eps) of the nearest — so cell-BOUNDARY vectors live in all the
+    cells a nearby query might probe, and boundary neighbors stop
+    costing recall at a fixed probe budget. On squared distances the
+    rule is ``d2 <= (1+eps)² · d2_min`` (monotone-equivalent). eps=0
+    degenerates to the plain nearest-cell assignment. Same vectorized
+    pass and dimension-at-a-time fold order as :func:`ivf_assign`
+    (deterministic, oracle-mirrored); cells emit ascending."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(df.sparkSession)
+    cents = centroids.select("cell", "centroid").collect()
+    order = np.argsort([row["cell"] for row in cents], kind="stable")
+    cells = np.array([cents[i]["cell"] for i in order], dtype=np.int64)
+    cmat = np.array([cents[i]["centroid"] for i in order], dtype=np.float64)
+    thresh = (1.0 + float(eps)) ** 2
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def closure(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        v = np.array(vecs.tolist(), dtype=np.float64)  # (N, D)
+        acc = np.zeros((v.shape[0], cmat.shape[0]), dtype=np.float64)
+        for i in range(cmat.shape[1]):  # dim order = the oracle's fold order
+            d = v[:, i, None] - cmat[None, :, i]
+            acc += d * d
+        keep = acc <= thresh * acc.min(axis=1, keepdims=True)
+        return pd.Series([cells[row] for row in keep])
+
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(closure(F.col(vec_col).cast("array<double>"))).alias("cell"),
+    )
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1032,6 +1032,25 @@ def ann_nsw_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_nsw_routed_spill_topk", oracle=None)
+def ann_nsw_routed_spill_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed NSW with SPANN-style BOUNDARY SPILL (closure assignment,
+    Chen et al. 2021): a corpus vector joins every cell within (1+eps)
+    of its nearest centroid, so cell-boundary neighbors — the routed
+    topology's recall tax — appear in all the cells a nearby query
+    probes. Same probe budget as ann_nsw_routed_topk (2 of 8 cells);
+    recall recovered for a bounded state blow-up (the spill factor,
+    measured by the bench's 100k probe each round). Duplicate
+    nominations collapse before the rank window. Golden-pinned by the
+    independent numpy mirror of the closure rule."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return GA.nsw_routed_ann_topk(
+        queries_df, emb, k=5, n_cells=8, n_probe=2, m=8, ef_build=24,
+        ef_search=16, spill_eps=0.25,
+    )
+
+
 @query("ann_opq_topk", oracle=None)
 def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN (Ge et al. 2013): PQ's compressed-domain ADC scan run in a
@@ -5456,6 +5475,33 @@ def ann_nsw_routed_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ann_nsw_routed_prebuilt_topk"] = ORACLES["ann_nsw_routed_topk"]
+
+
+@query("ann_nsw_routed_spill_prebuilt_topk", oracle=None)
+def ann_nsw_routed_spill_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-spilled routed NSW probing a PERSISTED index: the SPANN
+    closure assignment and every (spilled) cell graph were paid at write
+    time, the spill factor rides the meta so the probe collapses
+    duplicate nominations. Bit-identical to the inline spilled build —
+    shares ann_nsw_routed_spill_topk's independent golden oracle."""
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = _ANN_INDEX_CACHE.get(("nsw_routed_spill", sf_dir))
+    if path is None:
+        path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/nsw_routed_spill"
+        GA.save_nsw_routed_index(
+            emb, path, n_cells=8, m=8, ef_build=24, spill_eps=0.25
+        )
+        _ANN_INDEX_CACHE[("nsw_routed_spill", sf_dir)] = path
+    idx = GA.load_nsw_routed_index(spark, path)
+    return GA.nsw_routed_ann_topk(
+        q, emb, k=5, n_probe=2, ef_search=16, index=idx
+    )
+
+
+ORACLES["ann_nsw_routed_spill_prebuilt_topk"] = ORACLES["ann_nsw_routed_spill_topk"]
 
 # the streaming snippet search drains to the identical result set as the
 # batch query (per-batch match is exact) — shares its golden VERBATIM

@@ -1304,3 +1304,81 @@ def test_nsw_routed_recall_and_probe_scaling(spark):
     assert r8 >= r2
     assert r2 >= 0.6  # 2-of-8 cells on gaussians: the IVF-like floor
     assert r8 >= 0.9  # full probe ≈ the unrouted graph search
+
+
+def test_nsw_routed_spill_recovers_recall_and_stays_well_formed(spark, tmp_path):
+    """SPANN boundary spill: closure assignment at the SAME probe budget
+    recalls at least as much as the plain routed topology (boundary
+    neighbors now live in the probed cells), eps=0 degenerates to the
+    nearest-cell assignment exactly, duplicate nominations never occupy
+    two ranks, and a prebuilt spilled index is bit-identical to the
+    inline spilled build."""
+    from bensp_suite_spark.operators import graph_ann as GA
+    from bensp_suite_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_spill,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 12)
+    kw = dict(k=5, n_cells=8, n_probe=2, m=8, ef_build=24, ef_search=16)
+
+    # eps=0 == plain nearest-cell assignment, row for row
+    cent = ivf_centroids(emb, 8)
+    c_sel = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    plain = {
+        (r["neighbor_id"], r["cell"])
+        for r in ivf_assign(c_sel, cent, 1, "neighbor_id", "cv").collect()
+    }
+    eps0 = {
+        (r["neighbor_id"], r["cell"])
+        for r in ivf_assign_spill(c_sel, cent, 0.0, "neighbor_id", "cv").collect()
+    }
+    assert eps0 == plain
+    # spilled membership is a superset containing the nearest cell
+    spilled = ivf_assign_spill(c_sel, cent, 0.25, "neighbor_id", "cv")
+    sp = {
+        (r["neighbor_id"], r["cell"]) for r in spilled.collect()
+    }
+    assert plain <= sp and len(sp) > len(plain)
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(qs, emb, k=5).collect()
+    }
+
+    def rec(res):
+        got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+        return len(got & brute) / len(brute)
+
+    base = rec(GA.nsw_routed_ann_topk(qs, emb, **kw))
+    spill_res = GA.nsw_routed_ann_topk(qs, emb, spill_eps=0.25, **kw)
+    rows = spill_res.collect()
+    assert rec(spill_res) >= base
+    # well-formed: every query has exactly k distinct ranks, no neighbor
+    # appears twice for a query (the duplicate-nomination collapse)
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+        assert len({x["neighbor_id"] for x in rs}) == len(rs)
+
+    # prebuilt spilled index: bit-identical probe
+    path = str(tmp_path / "routed_spill")
+    GA.save_nsw_routed_index(emb, path, n_cells=8, m=8, ef_build=24, spill_eps=0.25)
+    idx = GA.load_nsw_routed_index(spark, path)
+    assert idx[2]["spill_eps"] == 0.25
+    pre = sorted(
+        map(
+            tuple,
+            GA.nsw_routed_ann_topk(
+                qs, emb, k=5, n_probe=2, ef_search=16, index=idx
+            ).collect(),
+        )
+    )
+    assert pre == sorted(map(tuple, rows))

@@ -1378,6 +1378,50 @@ def ann_nsw_routed_topk(sf_dir: str, k: int = 5, n_cells: int = 8,
     return ANN_COLS, rows
 
 
+def ann_nsw_routed_spill_topk(sf_dir: str, k: int = 5, n_cells: int = 8,
+                              n_probe: int = 2, m: int = 8, ef_build: int = 24,
+                              ef_search: int = 16, spill_eps: float = 0.25):
+    """IVF-routed NSW with SPANN closure assignment: a corpus vector
+    joins every cell whose squared distance is within (1+eps)² of its
+    nearest (mirror of similarity.ivf_assign_spill), so boundary
+    neighbors appear in all the probed cells. Queries route exactly as
+    the unspilled mirror; the candidate set dedups by construction."""
+    ids, V = _embeddings(sf_dir)
+    cent = V[ids < n_cells]
+    cd2 = ((V[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    keep = cd2 <= (1.0 + spill_eps) ** 2 * cd2.min(axis=1, keepdims=True)
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    qmask = ids < 8
+    qids = ids[qmask]
+    Q = U[qmask]
+    shards: dict[int, tuple[np.ndarray, np.ndarray, list]] = {}
+    for cell in range(n_cells):
+        sids = ids[keep[:, cell]]
+        if len(sids) == 0:
+            continue
+        sids = np.sort(sids)
+        Vs = U[[id_to_row[int(v)] for v in sids]]
+        shards[cell] = (sids, Vs, _nsw_build_ref(Vs, m, ef_build))
+    rows = []
+    for qi, qid in enumerate(qids):
+        qrow = id_to_row[int(qid)]
+        qd2 = ((V[qrow][None, :] - cent) ** 2).sum(-1)
+        probed = np.argsort(qd2, kind="stable")[:n_probe]
+        cset: set[int] = set()
+        for cell in probed:
+            if int(cell) not in shards:
+                continue
+            sids, Vs, nbrs = shards[int(cell)]
+            for _, p in _nsw_beam_ref(Vs, nbrs, Q[qi], ef_search):
+                cset.add(int(sids[p]))
+        cset.discard(int(qid))
+        cids = np.array(sorted(cset), dtype=np.int64)
+        C = V[[id_to_row[int(c)] for c in cids]]
+        rows += _topk_rows(qid, cids, cosine_rounded(V[qrow], C), k)
+    return ANN_COLS, rows
+
+
 def ann_nsw_topk(sf_dir: str, k: int = 5, n_shards: int = 4, m: int = 8,
                  ef_build: int = 24, ef_search: int = 16):
     """Sharded-NSW graph ANN: per-shard deterministic NSW build + beam
@@ -1421,6 +1465,7 @@ REFERENCE_FNS = {
     "ann_ivfpq_auto_topk": ann_ivfpq_auto_topk,
     "ann_nsw_topk": ann_nsw_topk,
     "ann_nsw_routed_topk": ann_nsw_routed_topk,
+    "ann_nsw_routed_spill_topk": ann_nsw_routed_spill_topk,
     "text_bpe_trained_tokenize": text_bpe_trained_tokenize,
     "text_ngram_lm_score": text_ngram_lm_score,
     "corpus_token_drift": corpus_token_drift,
