@@ -609,6 +609,54 @@ def main() -> None:
         "0.85 floor (eps=0.05, n_probe=12/32 — boundary spill must close "
         "the routed topology's recall gap at the same probe budget)"
     )
+    # DiskANN rung: PQ-compressed cell graphs — persist BOTH the raw and
+    # the code-compressed routed index at 100k, record the measured
+    # on-disk shard payload cut and the ADC-beamed recall. ADC noise is
+    # paid in beam width, never in answers: ef 48→128 (r9 calibration:
+    # ef 64/96/128/192 → 0.689/0.736/0.778/0.819) — each ADC distance is
+    # an 8-byte table gather instead of a 64-double dot, so the widened
+    # beam still nets out far cheaper where shards are memory-bound.
+    import shutil as _sh
+    import tempfile as _tf
+
+    _pq_base = _tf.mkdtemp(prefix="bensp_pq_idx_")
+    GA_B.save_nsw_routed_index(
+        big_emb, _pq_base + "/raw", n_cells=32, m=12, ef_build=32
+    )
+    GA_B.save_nsw_routed_pq_index(
+        big_emb, _pq_base + "/pq", n_cells=32, m=12, ef_build=32,
+        n_subspaces=8, n_centroids=256,
+    )
+
+    def _dir_mb(p):
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return round(total / 1e6, 1)
+
+    ann_scale["nsw_routed_raw_graph_mb_100k"] = _dir_mb(_pq_base + "/raw/graph")
+    ann_scale["nsw_routed_pq_graph_mb_100k"] = _dir_mb(_pq_base + "/pq/graph")
+    pq_idx = GA_B.load_nsw_routed_pq_index(spark, _pq_base + "/pq")
+    pq_hits = (
+        GA_B.nsw_routed_pq_ann_topk(
+            big_q, big_emb, pq_idx, k=10, n_probe=12, ef_search=128
+        )
+        .select("query_id", "neighbor_id")
+        .join(brute_res, ["query_id", "neighbor_id"])
+        .count()
+    )
+    ann_scale["nsw_routed_pq_recall_at10_100k"] = round(pq_hits / n_exact, 4)
+    _sh.rmtree(_pq_base, ignore_errors=True)
+    assert ann_scale["nsw_routed_pq_recall_at10_100k"] >= 0.75, (
+        f"PQ-routed-NSW recall@10 "
+        f"{ann_scale['nsw_routed_pq_recall_at10_100k']} fell below the 0.75 "
+        "floor (8-bit codes, n_probe=12/32, ef=128 — the code-sized shards "
+        "must hold near the routed family's recall)"
+    )
+    assert (
+        ann_scale["nsw_routed_pq_graph_mb_100k"]
+        < ann_scale["nsw_routed_raw_graph_mb_100k"] / 3
+    ), "PQ shards must be a small fraction of the raw-vector shards"
     nsw_graph.unpersist()
     # SQ8 recall on the same worst-case corpus: 8-bit affine quantization
     # is nearly lossless at 64 dims, so even refine=4 must stay ≈ exact —

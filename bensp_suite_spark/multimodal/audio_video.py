@@ -536,24 +536,72 @@ def clip_match(
     corpus_hashes: DataFrame,
     k: int = 1,
     min_votes: int = 2,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Video clip localization — the video analog of the audio landmark
-    snippet search: dHash every clip frame, equi-join the corpus
-    frame-hash index (``video_frame_dhashes(corpus, every_n=1)``), vote
-    on (query, video, frame-offset), top-k by (votes desc, media_id,
+    snippet search: dHash every clip frame, join the corpus frame-hash
+    index (``video_frame_dhashes(corpus, every_n=1)``), vote on
+    (query, video, frame-offset), top-k by (votes desc, media_id,
     offset). A clip of n frames cut from a corpus video lands n votes at
     its true offset while hash collisions scatter — the same
     offset-consistency argument as the audio landmarks, with the 64-bit
-    frame dHash as the local feature. Exact-hash join here (re-encoded
-    clips would swap in the banded hamming join from
-    ``video_near_dup_pairs``); everything after the one decode pass is
-    JVM join + aggregation + window."""
+    frame dHash as the local feature.
+
+    ``max_hamming=None`` is the exact-copy path (hash equi-join).
+    ``max_hamming=h`` handles RE-ENCODED / transcoded clips — the common
+    case in web video dedup, where lossy re-compression perturbs pixel
+    values and flips a few dHash bits per frame: both sides band their
+    64-bit hashes into ``h+1`` slices (pigeonhole: ≤h flipped bits leave
+    one band intact, so the banded equi-join has PERFECT recall at ≤h),
+    candidates refine with an exact JVM ``bit_count(xor)``, and a frame
+    pair matching in several bands collapses to ONE vote. Everything
+    after the one decode pass stays JVM join + aggregation + window; the
+    banded shuffle carries 8-byte hashes + band keys, never pixels."""
     q = video_frame_dhashes(clips, every_n=1).select(
         F.col("media_id").alias("query_id"),
         F.col("frame_idx").alias("qidx"),
         "dhash",
     )
-    j = corpus_hashes.join(F.broadcast(q), "dhash")
+    if max_hamming is None:
+        j = corpus_hashes.join(F.broadcast(q), "dhash").select(
+            "query_id", "qidx", "media_id", "frame_idx"
+        )
+    else:
+        # smallest band count dividing 64 that still pigeonholes h flips
+        n_bands = next(nb for nb in (1, 2, 4, 8, 16, 32, 64) if nb > max_hamming)
+        width = 64 // n_bands
+        mask = (1 << width) - 1
+
+        def banded(df, hcol):
+            return df.select(
+                *df.columns,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("band_idx"),
+                                F.shiftrightunsigned(F.col(hcol), width * i)
+                                .bitwiseAND(F.lit(mask))
+                                .alias("band_val"),
+                            )
+                            for i in range(n_bands)
+                        ]
+                    )
+                ).alias("b"),
+            ).select(*df.columns, "b.band_idx", "b.band_val")
+
+        cq = banded(q.withColumnRenamed("dhash", "qhash"), "qhash")
+        j = (
+            banded(corpus_hashes, "dhash")
+            .join(F.broadcast(cq), ["band_idx", "band_val"])
+            .filter(
+                F.bit_count(F.col("dhash").bitwiseXOR(F.col("qhash")))
+                <= max_hamming
+            )
+            # a pair sharing several intact bands must vote ONCE
+            .select("query_id", "qidx", "media_id", "frame_idx")
+            .distinct()
+        )
     votes = j.groupBy(
         "query_id",
         "media_id",

@@ -73,14 +73,18 @@ from .similarity import QUERY_BATCH_LIMIT, _dot, _norm
 __all__ = [
     "nsw_build",
     "nsw_beam_search",
+    "nsw_beam_search_adc",
     "nsw_ann_topk",
     "nsw_routed_ann_topk",
+    "nsw_routed_pq_ann_topk",
     "build_nsw_index",
     "save_nsw_index",
     "load_nsw_index",
     "upsert_nsw_index",
     "save_nsw_routed_index",
     "load_nsw_routed_index",
+    "save_nsw_routed_pq_index",
+    "load_nsw_routed_pq_index",
 ]
 
 
@@ -115,6 +119,50 @@ def nsw_beam_search(
                 continue
             visited.add(nb)
             d_nb = -float(np.dot(V[nb], qv))
+            if len(w) < ef:
+                heapq.heappush(w, (-d_nb, -nb))
+                heapq.heappush(cand, (d_nb, nb))
+            else:
+                d_worst, p_worst = -w[0][0], -w[0][1]
+                if (d_nb, nb) < (d_worst, p_worst):
+                    heapq.heapreplace(w, (-d_nb, -nb))
+                    heapq.heappush(cand, (d_nb, nb))
+    return sorted((-nd, -np_) for nd, np_ in w)
+
+
+def nsw_beam_search_adc(
+    codes: np.ndarray,
+    nbrs: list[list[int]],
+    table: np.ndarray,
+    ef: int,
+) -> list[tuple[float, int]]:
+    """:func:`nsw_beam_search` with ADC distances — the DiskANN search
+    model: node distance is the PQ approximation
+    ``-Σ_s table[s, codes[node, s]]`` (``table`` is the query's (S, C)
+    inner-product table against the codebooks), so the beam touches only
+    8-byte codes instead of raw vectors. Traversal/admission/termination
+    rules are IDENTICAL to the raw beam (this function is part of the
+    determinism spec the golden reference mirrors); the raw vectors are
+    only needed afterwards, by the exact re-rank of the survivors."""
+    srange = np.arange(table.shape[0])
+
+    def d(p: int) -> float:
+        return -float(table[srange, codes[p]].sum())
+
+    d0 = d(0)
+    visited = {0}
+    cand: list[tuple[float, int]] = [(d0, 0)]
+    w: list[tuple[float, int]] = [(-d0, 0)]
+    while cand:
+        d_c, c = heapq.heappop(cand)
+        d_worst, p_worst = -w[0][0], -w[0][1]
+        if len(w) >= ef and (d_c, c) > (d_worst, p_worst):
+            break
+        for nb in nbrs[c]:
+            if nb in visited:
+                continue
+            visited.add(nb)
+            d_nb = d(nb)
             if len(w) < ef:
                 heapq.heappush(w, (-d_nb, -nb))
                 heapq.heappush(cand, (d_nb, nb))
@@ -480,6 +528,253 @@ def load_nsw_routed_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]
             "spill_eps": float(row.get("spill_eps", 0.0) or 0.0),
         },
     )
+
+
+def _unit_pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    train_sample: int = 2048,
+) -> np.ndarray:
+    """PQ codebooks trained on UNIT-normalized vectors — the coding space
+    of the graph beams (NSW distances are dots of unit vectors, so the
+    ADC approximation must quantize the same space). Normalization
+    happens DRIVER-SIDE in numpy (``np.linalg.norm``) so the codebooks,
+    the per-cell encode and the independent golden mirror share one IEEE
+    op sequence end to end. Bounded driver sample, same contract as
+    ``similarity.pq_codebooks``."""
+    from .similarity import _pq_lloyd
+
+    rows = (
+        corpus.filter(F.col(id_col) < train_sample)
+        .orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return _pq_lloyd(mat, n_subspaces, n_centroids, 8)
+
+
+def save_nsw_routed_pq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 8,
+    ef_build: int = 24,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spill_eps: float = 0.0,
+) -> None:
+    """Build + persist the PQ-COMPRESSED routed NSW index — the DiskANN
+    composition (Subramanya et al. 2019): the graph is built OFFLINE at
+    full precision (build quality costs nothing at probe time), but the
+    persisted cell shards store each node as (8-byte PQ codes, adjacency)
+    instead of raw float64 vectors — at 10¹¹ vectors the vector payload,
+    not the adjacency, dominates shard memory, and the codes cut it ~64×
+    (64 dims × 8 B → S bytes). Probes beam with ADC over the codes and
+    exact-rerank survivors from the RAW corpus table (which lives in the
+    lake anyway), so compression costs candidate QUALITY only — recall is
+    recovered by ef_search, never wrong answers. Codebooks train on unit
+    vectors (the beams' coding space) and persist beside the graph;
+    ``spill_eps`` composes the SPANN closure assignment."""
+    from .similarity import ivf_assign, ivf_assign_spill, ivf_centroids
+
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    books = _unit_pq_codebooks(corpus, n_subspaces, n_centroids, id_col, vec_col)
+    c_sel = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    assign = (
+        ivf_assign_spill(c_sel, cent, spill_eps, "neighbor_id", "cv")
+        if spill_eps > 0.0
+        else ivf_assign(c_sel, cent, 1, "neighbor_id", "cv")
+    )
+    sharded = c_sel.join(
+        assign.select("neighbor_id", "cell"), "neighbor_id"
+    ).withColumnRenamed("cell", "shard")
+    S, C, ds = books.shape
+
+    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+        U = V / np.linalg.norm(V, axis=1, keepdims=True)
+        nbrs = nsw_build(U, m=m, ef_build=ef_build)  # full-precision build
+        sub = U.reshape(U.shape[0], S, ds)
+        d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+        codes = d2.argmin(-1)  # (n, S); ties -> lowest centroid id
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].astype("int64"),
+                "pos": pd.Series(range(len(U)), dtype="int64"),
+                "vec_id": pdf["neighbor_id"].astype("int64"),
+                "codes": [list(map(int, c)) for c in codes],
+                "nbrs": [list(map(int, x)) for x in nbrs],
+            }
+        )
+
+    idx = sharded.groupBy("shard").applyInPandas(
+        worker,
+        "shard long, pos long, vec_id long, codes array<int>, nbrs array<long>",
+    )
+    idx.write.mode("overwrite").partitionBy("shard").parquet(path + "/graph")
+    cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [
+            (int(s), int(c), books[s, c].tolist())
+            for s in range(S)
+            for c in range(C)
+        ],
+        "s int, c int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/books")
+    spark.createDataFrame(
+        [(int(n_cells), int(m), int(ef_build), int(S), int(C), float(spill_eps))],
+        "n_cells int, m int, ef_build int, n_subspaces int, "
+        "n_centroids int, spill_eps double",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def load_nsw_routed_pq_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, np.ndarray, dict]:
+    """→ (centroids, graph, codebooks, params) for
+    ``nsw_routed_pq_ann_topk``. The codebook fetch is bounded (S·C
+    rows)."""
+    meta = spark.read.parquet(path + "/meta").collect()[0].asDict()
+    S, C = int(meta["n_subspaces"]), int(meta["n_centroids"])
+    brows = spark.read.parquet(path + "/books").collect()
+    books = np.zeros((S, C, len(brows[0]["vec"])), dtype=np.float64)
+    for r in brows:
+        books[int(r["s"]), int(r["c"])] = np.asarray(r["vec"], dtype=np.float64)
+    return (
+        spark.read.parquet(path + "/centroids"),
+        spark.read.parquet(path + "/graph"),
+        books,
+        {
+            "n_cells": int(meta["n_cells"]),
+            "m": int(meta["m"]),
+            "ef_build": int(meta["ef_build"]),
+            "spill_eps": float(meta.get("spill_eps", 0.0) or 0.0),
+        },
+    )
+
+
+def nsw_routed_pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index: tuple[DataFrame, DataFrame, np.ndarray, dict],
+    k: int = 5,
+    n_probe: int = 2,
+    ef_search: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a :func:`save_nsw_routed_pq_index` index: queries route to
+    their ``n_probe`` nearest cells (the routed family's assignment),
+    each probed cell beams with ADC over its nodes' PQ CODES
+    (:func:`nsw_beam_search_adc` — the shard holds no raw vectors), and
+    the nomination union exact-reranks against the raw corpus table.
+    Per-query cost: n_probe beams over 8-byte codes + refine-sized exact
+    cosine — the memory-bound rung of the routed ladder. Wave-chunked
+    above QUERY_BATCH_LIMIT like the whole family."""
+    from .similarity import ivf_assign
+
+    cent, graph_df, books, params = index
+    spilled = params.get("spill_eps", 0.0) > 0.0
+    S, C, ds = books.shape
+    q_sel = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c_sel = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    qassign = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        cent,
+        n_probe,
+        "query_id",
+        "qv",
+    ).select("query_id", "cell")
+    n_q = q_sel.count()
+    n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
+    chunk_expr = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))
+    cand_parts = []
+    for ci in range(n_chunks):
+        qc = q_sel if n_chunks == 1 else q_sel.filter(chunk_expr == ci)
+        rows = qc.collect()
+        if not rows:
+            continue
+        rows.sort(key=lambda r: r["query_id"])
+        qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+        qmat = np.array([r["qv"] for r in rows], dtype=np.float64)
+        qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        # per-query ADC tables against the unit-space codebooks:
+        # tab[q, s, c] = dot(q_s, books[s, c]) — elementwise-mul + sum,
+        # the exact op the golden mirror uses
+        qsub = qmat.reshape(qmat.shape[0], S, ds)
+        tables = (books[None, :, :, :] * qsub[:, :, None, :]).sum(-1)
+        qidx = {int(q): i for i, q in enumerate(qids)}
+        qa = qassign if n_chunks == 1 else qassign.filter(chunk_expr == ci)
+        probes: dict[int, list[int]] = {}
+        for r in qa.collect():
+            probes.setdefault(int(r["cell"]), []).append(qidx[int(r["query_id"])])
+
+        def make_worker(probes=probes, qids=qids, tables=tables):
+            def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+                cell = int(pdf["shard"].iloc[0])
+                probing = sorted(probes.get(cell, []))
+                if not probing:
+                    return pd.DataFrame(
+                        {
+                            "query_id": pd.Series([], dtype="int64"),
+                            "neighbor_id": pd.Series([], dtype="int64"),
+                        }
+                    )
+                pdf = pdf.sort_values("pos").reset_index(drop=True)
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                codes = np.array(
+                    [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+                )
+                nbrs = [list(map(int, x)) for x in pdf["nbrs"]]
+                out_q, out_n = [], []
+                for qi in probing:
+                    for _, p in nsw_beam_search_adc(
+                        codes, nbrs, tables[qi], ef_search
+                    ):
+                        out_q.append(int(qids[qi]))
+                        out_n.append(int(ids[p]))
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(out_q, dtype="int64"),
+                        "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    }
+                )
+
+            return worker
+
+        cand_parts.append(
+            graph_df.groupBy("shard").applyInPandas(
+                make_worker(), "query_id long, neighbor_id long"
+            )
+        )
+    if not cand_parts:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
+    cand = cand_parts[0]
+    for extra in cand_parts[1:]:
+        cand = cand.unionByName(extra)
+    if spilled:
+        cand = cand.distinct()
+    return _exact_rerank(cand, q_sel, c_sel, k)
 
 
 def save_nsw_index(

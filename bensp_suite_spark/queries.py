@@ -1051,6 +1051,40 @@ def ann_nsw_routed_spill_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_nsw_routed_pq_topk", oracle=None)
+def ann_nsw_routed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-COMPRESSED routed NSW — the DiskANN composition (Subramanya et
+    al. 2019) closing the routed family's memory story: the persisted
+    cell shards hold (8-byte PQ codes, adjacency) instead of raw float64
+    vectors (~64× vector-payload cut — at 10^11 vectors the payload, not
+    the adjacency, dominates shard memory), the graph was BUILT at full
+    precision offline, probes beam with ADC over the codes
+    (nsw_beam_search_adc), and survivors exact-rerank from the raw
+    corpus table. Compression costs candidate quality only — recovered
+    by ef_search, never wrong answers. Golden-pinned from the
+    independent numpy mirror of the whole composition (unit-space
+    codebook train, per-cell encode, ADC beams, exact rerank)."""
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = _ANN_INDEX_CACHE.get(("nsw_routed_pq", sf_dir))
+    if path is None:
+        path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/nsw_routed_pq"
+        GA.save_nsw_routed_pq_index(
+            emb, path, n_cells=8, m=8, ef_build=24, n_subspaces=8,
+            n_centroids=256,
+        )
+        _ANN_INDEX_CACHE[("nsw_routed_pq", sf_dir)] = path
+    idx = GA.load_nsw_routed_pq_index(spark, path)
+    # 8-bit codes + a wider beam than the raw probe: ADC noise is paid in
+    # beam width, never in answers (r9 calibration: C=256/ef=32 matches
+    # the raw routed probe's recall on this fixture; C=16/ef=16 was 0.55)
+    return GA.nsw_routed_pq_ann_topk(
+        q, emb, idx, k=5, n_probe=2, ef_search=32
+    )
+
+
 @query("ann_opq_topk", oracle=None)
 def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN (Ge et al. 2013): PQ's compressed-domain ADC scan run in a
@@ -1591,6 +1625,48 @@ def multimodal_video_clip_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     clips = spark.createDataFrame(clip_rows, AV.VIDEO_TABLE_SCHEMA).coalesce(2)
     return AV.clip_match(clips, AV.video_frame_dhashes(corpus, every_n=1), k=1)
+
+
+@query("multimodal_video_clip_search_reencoded")
+def multimodal_video_clip_search_reencoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip localization for RE-ENCODED clips — the common case in web
+    video dedup: the same three cuts as multimodal_video_clip_search,
+    then lossy-recompression-style perturbation (sparse ±20 pixel noise
+    on 30% of pixels, deterministic seeds) flips 0-5 dHash bits per
+    frame, so the exact hash join loses most of its votes; the
+    banded-hamming join (clip_match max_hamming=3 — the SimHash
+    pigeonhole machinery on the 64-bit frame hash) still recovers every
+    clip's source video and exact offset from the frames within budget.
+    Golden-pinned via the independent brute-force hamming≤3 vote mirror
+    (band recall is perfect at ≤h by pigeonhole, so the banded plan must
+    equal the exhaustive scan)."""
+    import numpy as np
+
+    from .multimodal import audio_video as AV
+
+    vids = []
+    rows = []
+    for i in range(4):
+        rng = np.random.default_rng(210 + i)
+        frames = rng.integers(0, 200, (24, 24, 24, 3)).astype(np.uint8)
+        vids.append(frames)
+        rows.append((i, "raw-frames", 24, 24, 24, AV.encode_raw_video(frames)))
+    corpus = spark.createDataFrame(rows, AV.VIDEO_TABLE_SCHEMA).coalesce(2)
+    cuts = [(0, 1, 7), (1, 3, 0), (2, 0, 16)]
+    clip_rows = []
+    for q, v, o in cuts:
+        cut = vids[v][o : o + 8].astype(np.int32)
+        nr = np.random.default_rng(500 + q)
+        mask = nr.random(cut.shape) < 0.3
+        noise = nr.integers(-20, 21, cut.shape) * mask
+        pert = np.clip(cut + noise, 0, 255).astype(np.uint8)
+        clip_rows.append(
+            (q, "raw-frames", 24, 24, 8, AV.encode_raw_video(pert))
+        )
+    clips = spark.createDataFrame(clip_rows, AV.VIDEO_TABLE_SCHEMA).coalesce(2)
+    return AV.clip_match(
+        clips, AV.video_frame_dhashes(corpus, every_n=1), k=1, max_hamming=3
+    )
 
 
 @query("multimodal_video_dedup")

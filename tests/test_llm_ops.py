@@ -1382,3 +1382,62 @@ def test_nsw_routed_spill_recovers_recall_and_stays_well_formed(spark, tmp_path)
         )
     )
     assert pre == sorted(map(tuple, rows))
+
+
+def test_nsw_routed_pq_index_compresses_without_losing_the_graph(spark, tmp_path):
+    """DiskANN composition: the PQ-compressed routed index stores the
+    SAME full-precision adjacency as the raw routed index (the build
+    never sees codes), each node's payload is S small ints instead of 64
+    float64s, and the ADC-beamed probe keeps recall near the raw beams'
+    on the gaussian fixture (compression costs candidate quality only —
+    the exact re-rank runs from the raw table either way)."""
+    from bensp_suite_spark.operators import graph_ann as GA
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 12)
+    raw_p = str(tmp_path / "raw")
+    pq_p = str(tmp_path / "pq")
+    GA.save_nsw_routed_index(emb, raw_p, n_cells=8, m=8, ef_build=24)
+    GA.save_nsw_routed_pq_index(
+        emb, pq_p, n_cells=8, m=8, ef_build=24, n_subspaces=8, n_centroids=256
+    )
+    raw_graph = spark.read.parquet(raw_p + "/graph")
+    pq_graph = spark.read.parquet(pq_p + "/graph")
+    raw_adj = {
+        (r["shard"], r["pos"]): (r["vec_id"], list(r["nbrs"]))
+        for r in raw_graph.collect()
+    }
+    pq_rows = pq_graph.collect()
+    pq_adj = {
+        (r["shard"], r["pos"]): (r["vec_id"], list(r["nbrs"])) for r in pq_rows
+    }
+    assert pq_adj == raw_adj  # full-precision build, identical adjacency
+    # payload: S code ints per node, all within [0, C)
+    assert all(
+        len(r["codes"]) == 8 and all(0 <= c < 256 for c in r["codes"])
+        for r in pq_rows
+    )
+    assert "cv" not in pq_graph.columns  # no raw vectors in the shards
+
+    idx = GA.load_nsw_routed_pq_index(spark, pq_p)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(qs, emb, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in GA.nsw_routed_pq_ann_topk(
+            qs, emb, idx, k=5, n_probe=2, ef_search=32
+        ).collect()
+    }
+    raw_idx = GA.load_nsw_routed_index(spark, raw_p)
+    raw_got = {
+        (r.query_id, r.neighbor_id)
+        for r in GA.nsw_routed_ann_topk(
+            qs, emb, k=5, n_probe=2, ef_search=16, index=raw_idx
+        ).collect()
+    }
+    pq_rec = len(got & brute) / len(brute)
+    raw_rec = len(raw_got & brute) / len(brute)
+    assert pq_rec >= raw_rec - 0.15  # ADC nomination loss is bounded
+    assert pq_rec >= 0.5

@@ -903,6 +903,64 @@ def multimodal_video_clip_search(sf_dir: str, k: int = 1, min_votes: int = 2):
     return cols, rows
 
 
+def multimodal_video_clip_search_reencoded(
+    sf_dir: str, k: int = 1, min_votes: int = 2, max_hamming: int = 3
+):
+    """queries.multimodal_video_clip_search_reencoded fixture rule (seeds
+    210+i corpus; cuts perturbed with seed-500+q sparse ±20 noise on 30%
+    of pixels) + the brute-force hamming≤h vote: the banded join's
+    pigeonhole recall is perfect at ≤h, so the Spark plan must equal
+    this exhaustive scan exactly."""
+    from bensp_suite_spark.multimodal.audio_video import (
+        decode_video,
+        encode_raw_video,
+    )
+    from bensp_suite_spark.multimodal.images import dhash_kernel
+
+    vids = []
+    for i in range(4):
+        rng = np.random.default_rng(210 + i)
+        vids.append(rng.integers(0, 200, (24, 24, 24, 3)).astype(np.uint8))
+    index: list[tuple[int, int, int]] = []  # (hash, media_id, frame_idx)
+    for mid, frames in enumerate(vids):
+        decoded = decode_video(encode_raw_video(frames), "raw-frames")
+        for idx in range(decoded.shape[0]):
+            index.append((dhash_kernel(decoded[idx]), mid, idx))
+    cuts = [(0, 1, 7), (1, 3, 0), (2, 0, 16)]
+    rows = []
+    for qid, v, o in cuts:
+        cut = vids[v][o : o + 8].astype(np.int32)
+        nr = np.random.default_rng(500 + qid)
+        mask = nr.random(cut.shape) < 0.3
+        noise = nr.integers(-20, 21, cut.shape) * mask
+        pert = np.clip(cut + noise, 0, 255).astype(np.uint8)
+        decoded = decode_video(encode_raw_video(pert), "raw-frames")
+        votes: dict[tuple[int, int], int] = {}
+        for qidx in range(decoded.shape[0]):
+            qh = dhash_kernel(decoded[qidx])
+            for h, mid, idx in index:
+                # dhash_kernel returns SIGNED two's-complement ints (the
+                # Spark LongType convention); mask the XOR to 64 bits or
+                # bin() of a negative miscounts
+                if bin((h ^ qh) & 0xFFFFFFFFFFFFFFFF).count("1") <= max_hamming:
+                    key = (mid, idx - qidx)
+                    votes[key] = votes.get(key, 0) + 1
+        ranked = sorted(
+            ((n, mid, off) for (mid, off), n in votes.items() if n >= min_votes),
+            key=lambda x: (-x[0], x[1], x[2]),
+        )[:k]
+        for r, (n, mid, off) in enumerate(ranked):
+            rows.append((qid, mid, off, n, r + 1))
+    cols = [
+        ("query_id", "BIGINT"),
+        ("media_id", "BIGINT"),
+        ("offset_frames", "BIGINT"),
+        ("votes", "BIGINT"),
+        ("rank", "INTEGER"),
+    ]
+    return cols, rows
+
+
 def multimodal_video_dedup(sf_dir: str, every_n: int = 5, min_matching_frames: int = 3):
     """queries.multimodal_video_dedup fixture rule (seeds 70+i, +10
     brightness re-renders) + frame-sampled dHash pair evidence."""
@@ -1422,6 +1480,96 @@ def ann_nsw_routed_spill_topk(sf_dir: str, k: int = 5, n_cells: int = 8,
     return ANN_COLS, rows
 
 
+def _nsw_beam_adc_ref(codes, nbrs, table, ef):
+    """Mirror of graph_ann.nsw_beam_search_adc — the raw beam with PQ
+    ADC distances (-Σ_s table[s, codes[node, s]])."""
+    import heapq
+
+    srange = np.arange(table.shape[0])
+
+    def d(p):
+        return -float(table[srange, codes[p]].sum())
+
+    d0 = d(0)
+    visited = {0}
+    cand = [(d0, 0)]
+    w = [(-d0, 0)]
+    while cand:
+        d_c, c = heapq.heappop(cand)
+        d_worst, p_worst = -w[0][0], -w[0][1]
+        if len(w) >= ef and (d_c, c) > (d_worst, p_worst):
+            break
+        for nb in nbrs[c]:
+            if nb in visited:
+                continue
+            visited.add(nb)
+            d_nb = d(nb)
+            if len(w) < ef:
+                heapq.heappush(w, (-d_nb, -nb))
+                heapq.heappush(cand, (d_nb, nb))
+            else:
+                d_worst, p_worst = -w[0][0], -w[0][1]
+                if (d_nb, nb) < (d_worst, p_worst):
+                    heapq.heapreplace(w, (-d_nb, -nb))
+                    heapq.heappush(cand, (d_nb, nb))
+    return sorted((-nd, -np_) for nd, np_ in w)
+
+
+def ann_nsw_routed_pq_topk(sf_dir: str, k: int = 5, n_cells: int = 8,
+                           n_probe: int = 2, m: int = 8, ef_build: int = 24,
+                           ef_search: int = 32, n_subspaces: int = 8,
+                           n_centroids: int = 256, train_sample: int = 2048):
+    """DiskANN-style PQ-compressed routed NSW: full-precision graph
+    build, ADC beams over unit-space PQ codes, exact rounded-cosine
+    re-rank from raw vectors — mirror of graph_ann.nsw_routed_pq_ann_topk
+    + save_nsw_routed_pq_index."""
+    ids, V = _embeddings(sf_dir)
+    cent = V[ids < n_cells]
+    cd2 = ((V[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    cell_of = cd2.argmin(1)
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    # codebooks on unit vectors, ids < train_sample ascending (the
+    # _unit_pq_codebooks contract)
+    train_ids = np.sort(ids[ids < train_sample])
+    T = V[[id_to_row[int(v)] for v in train_ids]]
+    T = T / np.linalg.norm(T, axis=1, keepdims=True)
+    books = _pq_lloyd_ref(T, n_subspaces, n_centroids, 8)
+    S, C, ds = books.shape
+    qmask = ids < 8
+    qids = ids[qmask]
+    Q = U[qmask]
+    shards = {}
+    for cell in range(n_cells):
+        sids = np.sort(ids[cell_of == cell])
+        if len(sids) == 0:
+            continue
+        Us = U[[id_to_row[int(v)] for v in sids]]
+        sub = Us.reshape(Us.shape[0], S, ds)
+        d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+        codes = d2.argmin(-1)
+        shards[cell] = (sids, codes, _nsw_build_ref(Us, m, ef_build))
+    rows = []
+    qsub = Q.reshape(Q.shape[0], S, ds)
+    tables = (books[None, :, :, :] * qsub[:, :, None, :]).sum(-1)
+    for qi, qid in enumerate(qids):
+        qrow = id_to_row[int(qid)]
+        qd2 = ((V[qrow][None, :] - cent) ** 2).sum(-1)
+        probed = np.argsort(qd2, kind="stable")[:n_probe]
+        cset: set[int] = set()
+        for cell in probed:
+            if int(cell) not in shards:
+                continue
+            sids, codes, nbrs = shards[int(cell)]
+            for _, p in _nsw_beam_adc_ref(codes, nbrs, tables[qi], ef_search):
+                cset.add(int(sids[p]))
+        cset.discard(int(qid))
+        cids = np.array(sorted(cset), dtype=np.int64)
+        Cm = V[[id_to_row[int(c)] for c in cids]]
+        rows += _topk_rows(qid, cids, cosine_rounded(V[qrow], Cm), k)
+    return ANN_COLS, rows
+
+
 def ann_nsw_topk(sf_dir: str, k: int = 5, n_shards: int = 4, m: int = 8,
                  ef_build: int = 24, ef_search: int = 16):
     """Sharded-NSW graph ANN: per-shard deterministic NSW build + beam
@@ -1466,6 +1614,7 @@ REFERENCE_FNS = {
     "ann_nsw_topk": ann_nsw_topk,
     "ann_nsw_routed_topk": ann_nsw_routed_topk,
     "ann_nsw_routed_spill_topk": ann_nsw_routed_spill_topk,
+    "ann_nsw_routed_pq_topk": ann_nsw_routed_pq_topk,
     "text_bpe_trained_tokenize": text_bpe_trained_tokenize,
     "text_ngram_lm_score": text_ngram_lm_score,
     "corpus_token_drift": corpus_token_drift,
@@ -1482,6 +1631,7 @@ REFERENCE_FNS = {
     "multimodal_audio_dedup_flac": multimodal_audio_dedup_flac,
     "multimodal_audio_snippet_search": multimodal_audio_snippet_search,
     "multimodal_video_clip_search": multimodal_video_clip_search,
+    "multimodal_video_clip_search_reencoded": multimodal_video_clip_search_reencoded,
     "multimodal_video_dedup": multimodal_video_dedup,
     "multimodal_video_dedup_avi": multimodal_video_dedup_avi,
     "multimodal_video_dedup_mp4": multimodal_video_dedup_mp4,
