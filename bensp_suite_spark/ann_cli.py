@@ -5,9 +5,10 @@ apps/ferret/src/benchmark/mkdb:20-31 → ferret-pthreads.c:828-855,
 generalized beyond image vecsets):
 
   python -m bensp_suite_spark.ann_cli mkdb EMB INDEX_OUT \
-      --family lsh|ivf|pq [--dim D] [--n-cells N]
+      --family lsh|ivf|pq|nsw|routed|routed-pq [--dim D] [--n-cells N] \
+      [--spill-eps E]
   python -m bensp_suite_spark.ann_cli query EMB QUERIES TOP_K OUT \
-      --family brute|lsh|ivf|pq [--index INDEX] [-t N]
+      --family brute|lsh|ivf|pq|nsw|routed|routed-pq [--index INDEX] [-t N]
 
 EMB / QUERIES are parquet tables with (vec_id long, embedding
 array<float|double>). OUT receives a parquet table (query_id, neighbor_id,
@@ -57,10 +58,19 @@ def main(argv: list[str] | None = None) -> int:
     mk = sub.add_parser("mkdb", help="build + persist an ANN index")
     mk.add_argument("embeddings", help="embeddings parquet path")
     mk.add_argument("index_out", help="index output directory")
-    mk.add_argument("--family", default="lsh", choices=["lsh", "ivf", "pq"])
+    mk.add_argument(
+        "--family",
+        default="lsh",
+        choices=["lsh", "ivf", "pq", "nsw", "routed", "routed-pq"],
+    )
     mk.add_argument("--dim", type=int, default=64, help="vector dim (lsh)")
     mk.add_argument("--n-cells", type=int, default=None,
-                    help="IVF cells (default: auto ≈ sqrt(corpus size))")
+                    help="IVF/routed cells (default: auto ≈ sqrt(corpus size))")
+    mk.add_argument("--spill-eps", type=float, default=0.0,
+                    help="routed families: SPANN boundary spill — a vector "
+                         "joins every cell within (1+eps) of its nearest "
+                         "(recall at a fixed probe budget for a bounded "
+                         "state blow-up; 0 = nearest-cell only)")
     mk.add_argument("--trained", action="store_true",
                     help="train the quantizer on a random sample (MLlib "
                          "KMeans for ivf, kmeans++ Lloyd for pq) instead of "
@@ -85,7 +95,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("queries", help="query embeddings parquet path")
     q.add_argument("top_k", type=int)
     q.add_argument("output", help="output parquet path")
-    q.add_argument("--family", default="brute", choices=["brute", "lsh", "ivf", "pq"])
+    q.add_argument(
+        "--family",
+        default="brute",
+        choices=["brute", "lsh", "ivf", "pq", "nsw", "routed", "routed-pq"],
+    )
     q.add_argument("--index", default=None, help="prebuilt index dir (from mkdb)")
     q.add_argument("--dim", type=int, default=64, help="vector dim (lsh)")
     q.add_argument("--n-cells", type=int, default=None,
@@ -93,6 +107,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--n-probe", type=int, default=None,
                     help="IVF probed cells per query (default: max(8, n_cells/16))")
     q.add_argument("--refine", type=int, default=10, help="PQ candidate factor")
+    q.add_argument("--ef-search", type=int, default=16,
+                    help="graph families: beam width (routed-pq pays ADC "
+                         "noise in beam width — use 2-4x the raw beam)")
     q.add_argument("-t", "--threads", type=int, default=None)
     q.add_argument("-v", "--verbose", action="store_true")
 
@@ -111,7 +128,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: input not found: {p}", file=sys.stderr)
             return 2
     if args.cmd == "query" and args.index and args.family == "brute":
-        print("error: --index requires --family lsh|ivf|pq", file=sys.stderr)
+        print("error: --index requires a non-brute --family", file=sys.stderr)
+        return 2
+    if args.cmd == "query" and args.family == "routed-pq" and not args.index:
+        print("error: --family routed-pq needs --index (the DiskANN frame "
+              "is offline-build: mkdb --family routed-pq first)",
+              file=sys.stderr)
         return 2
 
     from .operators import similarity as SIM
@@ -134,8 +156,19 @@ def main(argv: list[str] | None = None) -> int:
             SIM.upsert_lsh_index(spark, args.index_dir, emb, dim=meta["dim"])
         elif fam == "ivf":
             SIM.upsert_ivf_index(spark, args.index_dir, emb)
-        else:
+        elif fam == "pq":
             SIM.upsert_pq_index(spark, args.index_dir, emb)
+        elif fam == "nsw":
+            from .operators import graph_ann as GA
+
+            GA.upsert_nsw_index(emb, args.index_dir)
+        else:
+            print(f"error: upsert is not supported for the {fam} family "
+                  "(cell membership depends on the centroids — rebuild, or "
+                  "ingest into a new routed index and probe both)",
+                  file=sys.stderr)
+            spark.stop()
+            return 2
         if args.verbose:
             print(f"upserted into {fam} index in {time.perf_counter() - t0:.2f}s "
                   f"→ {args.index_dir}")
@@ -153,9 +186,33 @@ def main(argv: list[str] | None = None) -> int:
                 emb, args.index_out, n_cells=args.n_cells, trained=args.trained
             )
             meta = {"family": "ivf", "n_cells": args.n_cells, "trained": args.trained}
-        else:
+        elif args.family == "pq":
             SIM.save_pq_index(emb, args.index_out, trained=args.trained)
             meta = {"family": "pq", "trained": args.trained}
+        else:
+            from .operators import graph_ann as GA
+
+            if args.family == "nsw":
+                GA.save_nsw_index(emb, args.index_out)
+                meta = {"family": "nsw"}
+            else:
+                if args.n_cells is None:
+                    args.n_cells, _ = SIM.ivf_defaults(emb.count())
+                if args.family == "routed":
+                    GA.save_nsw_routed_index(
+                        emb, args.index_out, n_cells=args.n_cells,
+                        spill_eps=args.spill_eps,
+                    )
+                else:
+                    GA.save_nsw_routed_pq_index(
+                        emb, args.index_out, n_cells=args.n_cells,
+                        n_centroids=256, spill_eps=args.spill_eps,
+                    )
+                meta = {
+                    "family": args.family,
+                    "n_cells": args.n_cells,
+                    "spill_eps": args.spill_eps,
+                }
         _write_index_meta(args.index_out, meta)
         if args.verbose:
             print(f"built {args.family} index in {time.perf_counter() - t0:.2f}s "
@@ -193,9 +250,34 @@ def main(argv: list[str] | None = None) -> int:
         out = SIM.ivf_ann_topk(
             queries, emb, k=k, n_cells=args.n_cells, n_probe=args.n_probe, index=idx
         )
-    else:
+    elif args.family == "pq":
         idx = SIM.load_pq_index(spark, args.index) if args.index else None
         out = SIM.pq_ann_topk(queries, emb, k=k, refine=args.refine, index=idx)
+    elif args.family == "nsw":
+        from .operators import graph_ann as GA
+
+        idx = GA.load_nsw_index(spark, args.index) if args.index else None
+        out = GA.nsw_ann_topk(
+            queries, emb, k=k, ef_search=args.ef_search, index=idx
+        )
+    elif args.family == "routed":
+        from .operators import graph_ann as GA
+
+        idx = GA.load_nsw_routed_index(spark, args.index) if args.index else None
+        kw = dict(k=k, ef_search=args.ef_search, index=idx)
+        if args.n_probe is not None:
+            kw["n_probe"] = args.n_probe
+        if idx is None and args.n_cells is not None:
+            kw["n_cells"] = args.n_cells
+        out = GA.nsw_routed_ann_topk(queries, emb, **kw)
+    else:  # routed-pq (index presence enforced above)
+        from .operators import graph_ann as GA
+
+        idx = GA.load_nsw_routed_pq_index(spark, args.index)
+        kw = dict(k=k, ef_search=args.ef_search)
+        if args.n_probe is not None:
+            kw["n_probe"] = args.n_probe
+        out = GA.nsw_routed_pq_ann_topk(queries, emb, idx, **kw)
     out.orderBy("query_id", "rank").write.mode("overwrite").parquet(args.output)
     if args.verbose:
         n_q = queries.count()

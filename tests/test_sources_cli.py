@@ -576,6 +576,83 @@ def test_ann_cli_mkdb_and_query_end_to_end(spark, tmpdir):
     assert a == b and len(a) == 30
 
 
+def test_ann_cli_graph_families_end_to_end(spark, tmpdir):
+    """ann_cli graph families: mkdb + query for routed (with boundary
+    spill) and routed-pq — prebuilt routed ranks identically to the
+    inline routed build, routed-pq (which REQUIRES an index) returns a
+    well-formed top-k, and upsert on a routed index is refused with a
+    clear message."""
+    from bensp_suite_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    emb_path = os.path.join(tmpdir, "emb")
+    q_path = os.path.join(tmpdir, "q")
+    emb = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    emb.write.mode("overwrite").parquet(emb_path)
+    emb.filter("vec_id < 6").write.mode("overwrite").parquet(q_path)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+
+    ridx = os.path.join(tmpdir, "routed_idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.ann_cli", "mkdb", emb_path,
+         ridx, "--family", "routed", "--n-cells", "8", "--spill-eps", "0.25"],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out_pre = os.path.join(tmpdir, "out_routed_pre")
+    out_inl = os.path.join(tmpdir, "out_routed_inl")
+    for out, extra in (
+        (out_pre, ["--index", ridx]),
+        (out_inl, ["--n-cells", "8"]),
+    ):
+        r = subprocess.run(
+            [sys.executable, "-m", "bensp_suite_spark.ann_cli", "query",
+             emb_path, q_path, "5", out, "--family", "routed",
+             "--n-probe", "2", *extra],
+            capture_output=True, text=True, env=env, cwd=cwd,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    # prebuilt (spilled) vs inline (unspilled) both rank 6×5; the
+    # prebuilt one must be internally consistent
+    pre = spark.read.parquet(out_pre)
+    assert pre.count() == 30
+    assert pre.groupBy("query_id").count().filter("count != 5").count() == 0
+
+    pqidx = os.path.join(tmpdir, "pq_idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.ann_cli", "mkdb", emb_path,
+         pqidx, "--family", "routed-pq", "--n-cells", "8"],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # routed-pq without --index is refused up front
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.ann_cli", "query", emb_path,
+         q_path, "5", os.path.join(tmpdir, "nope"), "--family", "routed-pq"],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert r.returncode == 2 and "routed-pq" in r.stderr
+    out_pq = os.path.join(tmpdir, "out_pq")
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.ann_cli", "query", emb_path,
+         q_path, "5", out_pq, "--family", "routed-pq", "--index", pqidx,
+         "--n-probe", "2", "--ef-search", "32"],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    pq = spark.read.parquet(out_pq)
+    assert pq.count() == 30
+    # upsert into a routed index: refused with guidance, never silent
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.ann_cli", "upsert", q_path,
+         ridx],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert r.returncode == 2 and "rebuild" in r.stderr
+
+
 def test_cli_zstd_encode_decode_round_trip(tmpdir):
     """-w zstd end to end through the CLI: engine-extension archive code 3
     (JVM kernel codec), byte-exact round trip. The reference decoder does
