@@ -2244,6 +2244,83 @@ def upsert_pq_index(
     )
 
 
+def kcenter_sample(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center DIVERSITY sampling over an embedding column — the
+    coreset-selection op a curated fine-tuning set needs after dedup
+    (SemDeDup removes redundancy; this picks the k most mutually-distant
+    representatives): start from the lowest id, then repeatedly take the
+    point FARTHEST from every center chosen so far (the classic 2-approx
+    of the k-center objective; Gonzalez 1985). → (sel_order, vec_id,
+    d2_far) where d2_far is the squared L2 distance to the nearest prior
+    center at selection time (d2_far = 0.0 for the seed), ROUNDed to 6dp
+    — monotonically non-increasing by construction, and the coverage
+    radius of the whole corpus is ≤ the last value.
+
+    Plan shape: greedy k-center is inherently k-pass — each round is ONE
+    narrow Arrow pass (centers ride in the closure like IVF centroids;
+    distance to the nearest center, accumulated dimension-at-a-time in
+    index order — the oracle's fold contract) plus a 1-row struct-max agg
+    (ties → lowest id). Nothing shuffles, the corpus is scanned k times;
+    bounded k (coresets are 10²-10⁴ rows) is the contract, exactly like
+    FAISS's kmeans sampling. The selected matrix lives on the driver
+    (k·dim doubles)."""
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(1)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "sel_order int, vec_id long, d2_far double"
+        )
+    sel_ids = [int(rows[0][0])]
+    centers = [np.asarray(rows[0][1], dtype=np.float64)]
+    out = [(0, sel_ids[0], 0.0)]
+    c_sel = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    from pyspark.sql.types import DoubleType as _D
+
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(corpus.sparkSession)
+    for order in range(1, k):
+        cmat = np.stack(centers)
+
+        @F.pandas_udf(_D())
+        def d2min(vecs: pd.Series) -> pd.Series:
+            if vecs.empty:
+                return pd.Series([], dtype=float)
+            v = np.array(vecs.tolist(), dtype=np.float64)
+            acc = np.zeros((v.shape[0], cmat.shape[0]), dtype=np.float64)
+            for i in range(cmat.shape[1]):  # the oracle's fold order
+                d = v[:, i, None] - cmat[None, :, i]
+                acc += d * d
+            return pd.Series(acc.min(axis=1))
+
+        far = c_sel.select("vec_id", "cv", d2min(F.col("cv")).alias("d2"))
+        # struct max: farthest first, ties → lowest id (-id max = min id)
+        pick = far.agg(
+            F.max(F.struct(F.col("d2"), (-F.col("vec_id")).alias("nid"), F.col("cv")))
+            .alias("s")
+        ).collect()[0]["s"]
+        sel_ids.append(int(-pick["nid"]))
+        centers.append(np.asarray(pick["cv"], dtype=np.float64))
+        out.append((order, int(-pick["nid"]), float(pick["d2"])))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(o, i, float(np.round(d, 6))) for o, i, d in out],
+        "sel_order int, vec_id long, d2_far double",
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_cells: int | None = 16,

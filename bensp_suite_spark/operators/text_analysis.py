@@ -505,6 +505,120 @@ def ngram_lm_score(
     )
 
 
+def _class_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) rows — lowercased whitespace tokens, narrow explode
+    (the drift report's tokenization, shared by the NB classifier's train
+    and score sides so train/score vocabularies agree by construction)."""
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(words).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def nb_quality_train(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, int, int]:
+    """Train the fastText-style NAIVE-BAYES quality classifier — the
+    pretraining-data filter CCNet/LLaMA-class pipelines run ("does this
+    page look like the reference corpus or like crawl noise"), in its
+    distributable closed form: per-token log-likelihood ratios
+    ``ln((c_pos+1)/(N_pos+V)) − ln((c_neg+1)/(N_neg+V))`` with add-one
+    smoothing over the union vocabulary. Training is two token-count
+    aggregations + one vocabulary-sized full-outer join — counts shuffle,
+    text never does; at 100 TB the model is a token→LLR table you write
+    once and broadcast, exactly like a production fastText artifact.
+
+    → (llr table (token, llr_micro), unseen_micro, prior_micro): every
+    term is ROUNDed once into integer micro-units (the repo's
+    decimal-exact float contract — per-doc sums become order-free).
+    ``unseen_micro`` is the LLR of a token in NEITHER class (NOT zero —
+    add-one smoothing gives it ln(N_neg+V) − ln(N_pos+V)); ``prior_micro``
+    is the class-prior log-odds from the training doc counts."""
+    import math
+
+    tp = _class_tokens(pos, text_col, id_col)
+    tn = _class_tokens(neg, text_col, id_col)
+    cp = tp.groupBy("token").agg(F.count(F.lit(1)).alias("c_pos"))
+    cn = tn.groupBy("token").agg(F.count(F.lit(1)).alias("c_neg"))
+    joined = cp.join(cn, "token", "full_outer").select(
+        "token",
+        F.coalesce("c_pos", F.lit(0)).alias("c_pos"),
+        F.coalesce("c_neg", F.lit(0)).alias("c_neg"),
+    )
+    # three bounded scalars: class token totals + union vocabulary size
+    totals = joined.agg(
+        F.sum("c_pos").alias("np"), F.sum("c_neg").alias("nn"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    n_pos, n_neg, vocab = int(totals["np"]), int(totals["nn"]), int(totals["v"])
+    llr_micro = F.round(
+        (
+            F.log((F.col("c_pos") + F.lit(1.0)) / F.lit(float(n_pos + vocab)))
+            - F.log((F.col("c_neg") + F.lit(1.0)) / F.lit(float(n_neg + vocab)))
+        )
+        * F.lit(float(LOGP_MICRO)),
+        0,
+    ).cast("long")
+    llr = joined.select("token", llr_micro.alias("llr_micro"))
+    unseen_micro = int(
+        round(
+            (math.log(1.0 / (n_pos + vocab)) - math.log(1.0 / (n_neg + vocab)))
+            * LOGP_MICRO
+        )
+    )
+    d_pos, d_neg = pos.count(), neg.count()
+    prior_micro = int(
+        round(
+            (math.log(d_pos / (d_pos + d_neg)) - math.log(d_neg / (d_pos + d_neg)))
+            * LOGP_MICRO
+        )
+    )
+    return llr, unseen_micro, prior_micro
+
+
+def nb_quality_score(
+    docs: DataFrame,
+    llr: DataFrame,
+    unseen_micro: int,
+    prior_micro: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, score_micro, predicted_hq): per-document
+    naive-Bayes log-odds — prior + Σ token LLRs (unseen tokens take the
+    smoothed unseen constant, never zero), summed EXACTLY in integer
+    micro-units so the value hashes identically at any parallelism.
+    ``predicted_hq`` = score > 0, the keep/drop filter signal. Plan: one
+    broadcast join against the (vocabulary-sized) LLR table + one
+    aggregation; document text never shuffles."""
+    toks = _class_tokens(docs, text_col, id_col)
+    scored = toks.join(F.broadcast(llr), "token", "left").select(
+        "_id",
+        F.coalesce(F.col("llr_micro"), F.lit(unseen_micro)).alias("llr_micro"),
+    )
+    return (
+        scored.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("llr_micro") + F.lit(prior_micro))
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "score_micro",
+            (F.col("score_micro") > 0).alias("predicted_hq"),
+        )
+    )
+
+
 def token_distribution_drift(
     old: DataFrame,
     new: DataFrame,

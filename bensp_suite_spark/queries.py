@@ -780,6 +780,45 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.ngram_lm_score(docs, bigrams, unigrams, vocab)
 
 
+@query("text_nb_quality_classifier", oracle=None)
+def text_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style naive-Bayes quality classifier — the "does this
+    page look like the reference corpus" filter CCNet/LLaMA-class
+    pipelines train, in distributable closed form: per-token add-one
+    log-likelihood ratios (counts shuffle, text never does; the model is
+    a vocabulary-sized token→LLR table you'd broadcast at 100 TB).
+    Trained here on documents < 200 as the high-quality class vs their
+    TOKEN-REVERSED counterparts of ids [200,400) as crawl noise, then a
+    held-out set — natural docs [400,460) and reversed docs [400,460) at
+    +AUG ids — is scored: prior + Σ LLR in exact integer micro-units
+    (order-free sums), predicted_hq = log-odds > 0. Golden-pinned via
+    the independent pure-Python NB mirror (cross-engine ln ULP parity is
+    not a SQL contract — the LM-score precedent)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+    )
+    reversed_text = F.array_join(
+        F.transform(words, lambda w: F.reverse(w)), " "
+    )
+
+    def reversed_slice(lo: int, hi: int, offset: int = 0) -> DataFrame:
+        return docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            reversed_text.alias("text"),
+        )
+
+    pos = docs.filter(F.col("doc_id") < 200)
+    neg = reversed_slice(200, 400)
+    llr, unseen_micro, prior_micro = TA.nb_quality_train(pos, neg)
+    held = docs.filter(
+        (F.col("doc_id") >= 400) & (F.col("doc_id") < 460)
+    ).unionByName(reversed_slice(400, 460, DT.AUG_OFFSET))
+    return TA.nb_quality_score(held, llr, unseen_micro, prior_micro)
+
+
 @query(
     "text_quality_score",
     oracle="""
@@ -1049,6 +1088,21 @@ def ann_nsw_routed_spill_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_df, emb, k=5, n_cells=8, n_probe=2, m=8, ef_build=24,
         ef_search=16, spill_eps=0.25,
     )
+
+
+@query("sample_kcenter_diverse", oracle=None)
+def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center DIVERSITY sampling (Gonzalez 1985 — the coreset
+    selector a curated fine-tuning set runs after dedup: SemDeDup removes
+    redundancy, this picks the k most mutually-distant representatives):
+    seed = lowest id, then k−1 rounds of "farthest from every chosen
+    center", each round one narrow Arrow pass (centers ride the closure
+    like IVF centroids, fold-order distances) + a 1-row struct-max agg
+    with ties → lowest id. d2_far is non-increasing by construction and
+    bounds the corpus coverage radius. Golden-pinned from the
+    independent numpy mirror of the greedy loop."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.kcenter_sample(emb, k=10)
 
 
 @query("ann_nsw_routed_pq_topk", oracle=None)
@@ -7159,13 +7213,13 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- streaming incremental dedup WITH RETENTION (r9) -----------------------
-# Three time-ordered slices over an EMPTY seed, compact_every=2,
-# retention_window=1 — batch ids are the days, roll-ups fire at batches 1
-# and 2 with cutoffs 0 and 1:
+# Three time-ordered slices over an EMPTY seed, compact_every=3,
+# retention_window=1 — batch ids are the days; ONE roll-up fires at batch
+# 2 entry (3 state partitions) with cutoff 2−1 = 1:
 #   A (batch 0): 80 docs of slice-unique md5-token text → all kept (vs ∅)
 #   B (batch 1): 80 more, token-disjoint from A          → all kept
 #   C (batch 2): exact copies of A + copies of B + fresh content.
-#                The batch-2 roll-up (cutoff 1) EXPIRES slice-A content
+#                The roll-up (cutoff 1) EXPIRES slice-A content
 #                (last_seen 0, never re-sighted — B shares no tokens), so
 #                C's copies of A flag KEPT (genuinely new — the forget
 #                semantics the retention loop exists for), while copies
@@ -7283,7 +7337,11 @@ def stream_incremental_dedup_retention(spark: SparkSession, sf_dir: str) -> Data
             dst = _os.path.join(src, f"slice{i}.parquet")
             shutil.move(part, dst)
             _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        seed_signatures(empty, _os.path.join(base, "sig"))
+        # no blooms at toy scale: the size gate skips the probe below the
+        # broadcast crossover anyway, and each expiring roll-up would pay
+        # two full bitset rebuilds — the bloom+rebuild path is covered by
+        # tests/test_streaming.py; flags are identical either way
+        seed_signatures(empty, _os.path.join(base, "sig"), use_bloom=False)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -7295,7 +7353,7 @@ def stream_incremental_dedup_retention(spark: SparkSession, sf_dir: str) -> Data
         _os.path.join(base, "sig"),
         _os.path.join(base, "out"),
         _os.path.join(base, "ckpt"),
-        compact_every=2,
+        compact_every=3,
         retention_window=1,
     )
     result = (
@@ -7371,7 +7429,8 @@ def pipeline_warc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(dst, "wb") as fh:
                 fh.write(build_warc_bytes(recs, gzip_records=(day == 1)))
             _os.utime(dst, (1_700_000_000 + day, 1_700_000_000 + day))
-        seed_signatures(empty, _os.path.join(base, "sig"))
+        # blooms off for the same reason as stream_incremental_dedup_retention
+        seed_signatures(empty, _os.path.join(base, "sig"), use_bloom=False)
     pages = read_warc_pages(spark, src, streaming=True, max_files_per_trigger=1)
     # doc ids reconstruct stream_incremental_dedup_retention's scheme from
     # (segment, record position): day 0 → +1·AUG, day 1 → +3·AUG, day 2 →
@@ -7398,7 +7457,7 @@ def pipeline_warc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.join(base, "sig"),
         _os.path.join(base, "out"),
         _os.path.join(base, "ckpt"),
-        compact_every=2,
+        compact_every=3,
         retention_window=1,
     )
     result = (

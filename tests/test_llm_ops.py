@@ -1240,6 +1240,94 @@ def test_bpe_train_tokenize_properties(spark):
         assert "".join(toks) == w + TA.BPE_END
 
 
+def test_kcenter_sample_greedy_invariants(spark):
+    """Greedy k-center: the seed is the lowest id, selected ids are
+    distinct, d2_far is non-increasing (each pick is the farthest
+    remaining point, so coverage radius shrinks monotonically), and
+    every pick's d2_far matches a brute-force recompute against the
+    prior centers — plus the 2-approx sanity: after k picks no corpus
+    point is farther than the last d2_far from its nearest center."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    got = sorted(
+        (r["sel_order"], r["vec_id"], r["d2_far"])
+        for r in SIM.kcenter_sample(emb, k=8).collect()
+    )
+    assert got[0][1] == emb.agg(F.min("vec_id")).collect()[0][0]
+    ids = [g[1] for g in got]
+    assert len(set(ids)) == 8
+    d2s = [g[2] for g in got[1:]]
+    assert all(a >= b for a, b in zip(d2s, d2s[1:]))
+    # brute recompute
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    V = {i: v for i, v in rows.items()}
+    centers = []
+    for order, vid, d2 in got:
+        if order > 0:
+            acc = min(
+                float(sum((V[vid][i] - c[i]) ** 2 for i in range(len(c))))
+                for c in centers
+            )
+            assert abs(acc - d2) < 1e-6
+        centers.append(V[vid])
+    # coverage: no point farther than the last pick's distance (+eps)
+    last = got[-1][2]
+    worst = max(
+        min(float(((v - c) ** 2).sum()) for c in centers) for v in V.values()
+    )
+    assert worst <= last + 1e-6
+
+
+def test_nb_quality_classifier_discriminates_and_handles_unseen(spark):
+    """The NB quality filter must DISCRIMINATE: held-out documents from
+    the reference distribution classify high-quality, same-length
+    token-reversed noise classifies low — and a document made entirely
+    of NOVEL tokens scores exactly prior + n·unseen (the add-one unseen
+    constant, not zero: absent evidence still carries the class-size
+    asymmetry)."""
+    from bensp_suite_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+    )
+    rev = F.array_join(F.transform(words, lambda w: F.reverse(w)), " ")
+    pos = docs.filter("doc_id < 200")
+    neg = docs.filter("doc_id >= 200 and doc_id < 400").select(
+        "doc_id", rev.alias("text")
+    )
+    llr, unseen, prior = TA.nb_quality_train(pos, neg)
+    held_hq = docs.filter("doc_id >= 400 and doc_id < 440")
+    held_lq = held_hq.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), rev.alias("text")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in TA.nb_quality_score(
+            held_hq.unionByName(held_lq), llr, unseen, prior
+        ).collect()
+    }
+    hq = [r for d, r in got.items() if d < 10_000]
+    lq = [r for d, r in got.items() if d >= 10_000]
+    assert hq and lq
+    frac_hq = sum(1 for r in hq if r["predicted_hq"]) / len(hq)
+    frac_lq = sum(1 for r in lq if r["predicted_hq"]) / len(lq)
+    assert frac_hq >= 0.9 and frac_lq <= 0.1
+    # novel-token doc: score == prior + n·unseen exactly
+    novel = spark.createDataFrame(
+        [(1, "zzqx1 zzqx2 zzqx3")], "doc_id long, text string"
+    )
+    row = TA.nb_quality_score(novel, llr, unseen, prior).collect()[0]
+    assert row["score_micro"] == prior + 3 * unseen
+    assert row["n_tokens"] == 3
+
+
 def test_ngram_lm_score_separates_gibberish(spark):
     """The LM quality signal must DISCRIMINATE: an in-domain document
     (words drawn from the corpus vocabulary) scores a higher mean bigram

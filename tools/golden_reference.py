@@ -1295,6 +1295,118 @@ def text_ngram_lm_score(sf_dir: str, train_max_id: int = 256):
     return cols, rows
 
 
+def sample_kcenter_diverse(sf_dir: str, k: int = 10):
+    """Mirror of similarity.kcenter_sample (Gonzalez greedy k-center):
+    seed = lowest vec_id; each round picks argmax of min-d2-to-centers
+    (dimension-at-a-time fold order, ties → lowest id); d2_far np.round
+    6dp like the operator's driver-side rounding."""
+    ids, V = _embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    ids, V = ids[order], V[order]
+    sel = [0]
+    rows = [(0, int(ids[0]), 0.0)]
+    for r in range(1, k):
+        cmat = V[sel]
+        acc = np.zeros((V.shape[0], cmat.shape[0]), dtype=np.float64)
+        for i in range(cmat.shape[1]):
+            d = V[:, i, None] - cmat[None, :, i]
+            acc += d * d
+        d2 = acc.min(axis=1)
+        # argmax with ties → lowest id: ids ascending + argmax returns
+        # the FIRST max under a stable scan
+        pick = int(np.argmax(d2))
+        sel.append(pick)
+        rows.append((r, int(ids[pick]), float(np.round(d2[pick], 6))))
+    cols = [
+        ("sel_order", "INTEGER"),
+        ("vec_id", "BIGINT"),
+        ("d2_far", "DOUBLE"),
+    ]
+    return cols, rows
+
+
+def text_nb_quality_classifier(sf_dir: str):
+    """Mirror of queries.text_nb_quality_classifier: pure-Python
+    naive-Bayes — token counts per class over the same lowercased
+    whitespace tokenization, per-token LLR spark_round(·1e6, 0), unseen
+    constant and prior via the driver-side int(round(...)) expressions
+    the operator uses, exact integer sums."""
+    import math
+    import re
+
+    def words(t: str) -> list[str]:
+        t = re.sub(r"\s+", " ", (t or "").strip().lower())
+        return [w for w in t.split(" ") if w] if t else []
+
+    def rev(t: str) -> str:
+        t = re.sub(r"\s+", " ", (t or "").strip().lower())
+        return " ".join(w[::-1] for w in t.split(" ")) if t else ""
+
+    docs = _documents(sf_dir)
+    by_id = dict(docs)
+    c_pos: dict[str, int] = {}
+    c_neg: dict[str, int] = {}
+    n_docs_pos = n_docs_neg = 0
+    for did, text in docs:
+        if did < 200:
+            n_docs_pos += 1
+            for w in words(text):
+                c_pos[w] = c_pos.get(w, 0) + 1
+        elif did < 400:
+            n_docs_neg += 1
+            for w in words(rev(text)):
+                c_neg[w] = c_neg.get(w, 0) + 1
+    vocab = set(c_pos) | set(c_neg)
+    V = len(vocab)
+    n_pos = sum(c_pos.values())
+    n_neg = sum(c_neg.values())
+    llr = {
+        w: int(
+            spark_round(
+                (
+                    math.log((c_pos.get(w, 0) + 1.0) / float(n_pos + V))
+                    - math.log((c_neg.get(w, 0) + 1.0) / float(n_neg + V))
+                )
+                * 1_000_000.0,
+                0,
+            )
+        )
+        for w in vocab
+    }
+    unseen = int(
+        round(
+            (math.log(1.0 / (n_pos + V)) - math.log(1.0 / (n_neg + V)))
+            * 1_000_000
+        )
+    )
+    d = n_docs_pos + n_docs_neg
+    prior = int(
+        round(
+            (math.log(n_docs_pos / d) - math.log(n_docs_neg / d)) * 1_000_000
+        )
+    )
+    AUG = 1_000_000
+    held = [
+        (did, by_id[did]) for did in sorted(by_id) if 400 <= did < 460
+    ] + [
+        (did + AUG, rev(by_id[did])) for did in sorted(by_id) if 400 <= did < 460
+    ]
+    rows = []
+    for did, text in held:
+        ws = words(text)
+        if not ws:
+            continue
+        score = prior + sum(llr.get(w, unseen) for w in ws)
+        rows.append((did, len(ws), score, score > 0))
+    cols = [
+        ("doc_id", "BIGINT"),
+        ("n_tokens", "BIGINT"),
+        ("score_micro", "BIGINT"),
+        ("predicted_hq", "BOOLEAN"),
+    ]
+    return cols, rows
+
+
 def corpus_token_drift(sf_dir: str, top: int = 20):
     """Mirror of queries.corpus_token_drift: pure-Python token counts
     over the two snapshot halves (new half plants ' driftword' on every
@@ -1617,6 +1729,8 @@ REFERENCE_FNS = {
     "ann_nsw_routed_pq_topk": ann_nsw_routed_pq_topk,
     "text_bpe_trained_tokenize": text_bpe_trained_tokenize,
     "text_ngram_lm_score": text_ngram_lm_score,
+    "text_nb_quality_classifier": text_nb_quality_classifier,
+    "sample_kcenter_diverse": sample_kcenter_diverse,
     "corpus_token_drift": corpus_token_drift,
     "ann_opq_topk": ann_opq_topk,
     "ann_pca_topk": ann_pca_topk,
