@@ -87,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     up.add_argument("embeddings", help="NEW vectors parquet path")
     up.add_argument("index_dir", help="existing index directory (from mkdb)")
+    up.add_argument("--corpus", default=None,
+                    help="routed-pq only: the raw vector table holding the "
+                         "already-indexed vectors (shards store codes; the "
+                         "insertion continuation needs full precision)")
     up.add_argument("-t", "--threads", type=int, default=None)
     up.add_argument("-v", "--verbose", action="store_true")
 
@@ -162,13 +166,25 @@ def main(argv: list[str] | None = None) -> int:
             from .operators import graph_ann as GA
 
             GA.upsert_nsw_index(emb, args.index_dir)
-        else:
-            print(f"error: upsert is not supported for the {fam} family "
-                  "(cell membership depends on the centroids — rebuild, or "
-                  "ingest into a new routed index and probe both)",
-                  file=sys.stderr)
-            spark.stop()
-            return 2
+        elif fam == "routed":
+            from .operators import graph_ann as GA
+
+            GA.upsert_nsw_routed_index(emb, args.index_dir)
+        else:  # routed-pq: shards hold codes only — recover touched
+            # cells' raw vectors from --corpus (the lake table the exact
+            # re-rank reads anyway)
+            if not args.corpus:
+                print("error: routed-pq upsert needs --corpus RAW_TABLE "
+                      "(the shards hold codes, not vectors — insertion "
+                      "continues at full precision from the raw table)",
+                      file=sys.stderr)
+                spark.stop()
+                return 2
+            from .operators import graph_ann as GA
+
+            GA.upsert_nsw_routed_pq_index(
+                emb, spark.read.parquet(args.corpus), args.index_dir
+            )
         if args.verbose:
             print(f"upserted into {fam} index in {time.perf_counter() - t0:.2f}s "
                   f"→ {args.index_dir}")

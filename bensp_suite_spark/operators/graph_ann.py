@@ -83,8 +83,10 @@ __all__ = [
     "upsert_nsw_index",
     "save_nsw_routed_index",
     "load_nsw_routed_index",
+    "upsert_nsw_routed_index",
     "save_nsw_routed_pq_index",
     "load_nsw_routed_pq_index",
+    "upsert_nsw_routed_pq_index",
 ]
 
 
@@ -855,40 +857,11 @@ def upsert_nsw_index(
     )
 
     def worker(pdf: pd.DataFrame) -> pd.DataFrame:
-        has_pos = pdf[pdf["pos"].notna()].sort_values("pos")
-        fresh = pdf[pdf["pos"].isna()].sort_values("vec_id")
-        V = np.array(
-            [np.asarray(v, dtype=np.float64) for v in pd.concat([has_pos, fresh])["cv"]]
-        )
-        U = V / np.linalg.norm(V, axis=1, keepdims=True)
-        nbrs = [list(map(int, x)) for x in has_pos["nbrs"]]
-        n_old = len(nbrs)
-        nbrs += [[] for _ in range(len(fresh))]
-        m_max = 2 * m
-        # A previously-empty shard must seed exactly like nsw_build: the
-        # first node gets no edges (nsw_build starts at i=1), otherwise a
-        # self-beam would return the node itself and create a [0,0]
-        # self-loop, breaking rebuild bit-parity for that shard.
-        for i in range(max(n_old, 1), len(U)):
-            res = nsw_beam_search(U, nbrs, U[i], ef_build)
-            chosen = [p for _, p in res[: min(m, len(res))]]
-            for p in chosen:
-                nbrs[i].append(p)
-                nbrs[p].append(i)
-                if len(nbrs[p]) > m_max:
-                    ds = sorted(
-                        (-float(np.dot(U[p], U[x])), x) for x in nbrs[p]
-                    )
-                    nbrs[p] = sorted(x for _, x in ds[:m_max])
-                else:
-                    nbrs[p].sort()
-            nbrs[i].sort()
-        ids = pd.concat([has_pos, fresh])["vec_id"].to_numpy(dtype=np.int64)
-        cvs = list(pd.concat([has_pos, fresh])["cv"])
+        ids, _U, cvs, nbrs = _continue_insertion(pdf, m, ef_build)
         return pd.DataFrame(
             {
-                "shard": np.full(len(U), int(pdf["shard"].iloc[0]), dtype=np.int64),
-                "pos": np.arange(len(U), dtype=np.int64),
+                "shard": np.full(len(ids), int(pdf["shard"].iloc[0]), dtype=np.int64),
+                "pos": np.arange(len(ids), dtype=np.int64),
                 "vec_id": ids,
                 "cv": cvs,
                 "nbrs": nbrs,
@@ -899,24 +872,210 @@ def upsert_nsw_index(
         worker,
         "shard long, pos long, vec_id long, cv array<double>, nbrs array<long>",
     )
-    # Materialize the merged result BEFORE overwriting: the plan reads
-    # path+'/graph' and the write targets the same path — self-overwrite
-    # of a read path is fragile across Spark versions (can raise or lose
-    # data on a mid-commit failure). localCheckpoint truncates lineage so
-    # the write no longer scans the source parquet.
-    rebuilt = rebuilt.localCheckpoint(eager=True)
-    # rewrite ONLY the touched shard partitions (dynamic overwrite);
-    # save/restore the caller's prior mode rather than unset (which would
-    # flip a session-global 'dynamic' back to the cluster default).
+    _overwrite_touched_shards(spark, rebuilt, path + "/graph")
+
+
+def _overwrite_touched_shards(spark, df: DataFrame, graph_path: str) -> None:
+    """The upsert family's write protocol: materialize (the plan reads
+    the same path it overwrites), then dynamic-partition-overwrite ONLY
+    the touched shard partitions, restoring the caller's prior conf."""
+    df = df.localCheckpoint(eager=True)
     prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        rebuilt.write.mode("overwrite").partitionBy("shard").parquet(path + "/graph")
+        df.write.mode("overwrite").partitionBy("shard").parquet(graph_path)
     finally:
         if prior is None:
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+
+def _continue_insertion(pdf: pd.DataFrame, m: int, ef_build: int):
+    """Shared continue-the-sequence kernel for the upsert family: rows
+    with a pos are the existing graph (sorted by pos), null-pos rows are
+    fresh (sorted ascending vec_id, appended after). → (ids, U, nbrs).
+    A previously-empty shard seeds exactly like nsw_build (first node
+    gets no edges — the r9 self-loop fix)."""
+    has_pos = pdf[pdf["pos"].notna()].sort_values("pos")
+    fresh = pdf[pdf["pos"].isna()].sort_values("vec_id")
+    ordered = pd.concat([has_pos, fresh])
+    V = np.array([np.asarray(v, dtype=np.float64) for v in ordered["cv"]])
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    nbrs = [list(map(int, x)) for x in has_pos["nbrs"]]
+    n_old = len(nbrs)
+    nbrs += [[] for _ in range(len(fresh))]
+    m_max = 2 * m
+    for i in range(max(n_old, 1), len(U)):
+        res = nsw_beam_search(U, nbrs, U[i], ef_build)
+        chosen = [p for _, p in res[: min(m, len(res))]]
+        for p in chosen:
+            nbrs[i].append(p)
+            nbrs[p].append(i)
+            if len(nbrs[p]) > m_max:
+                ds = sorted((-float(np.dot(U[p], U[x])), x) for x in nbrs[p])
+                nbrs[p] = sorted(x for _, x in ds[:m_max])
+            else:
+                nbrs[p].sort()
+        nbrs[i].sort()
+    ids = ordered["vec_id"].to_numpy(dtype=np.int64)
+    return ids, U, list(ordered["cv"]), nbrs
+
+
+def upsert_nsw_routed_index(
+    new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a saved ROUTED index: assignment against the
+    PERSISTED centroids (spill-aware — the index's own spill_eps rides
+    its meta), then each touched cell CONTINUES its deterministic
+    insertion sequence; only touched cell partitions rewrite.
+
+    Rebuild equivalence: ``ivf_centroids`` is the deterministic
+    lowest-id rule, so if every new id is GREATER than every indexed id a
+    full ``save_nsw_routed_index`` over the union picks the SAME
+    centroids, the same cell membership, and the same per-cell insertion
+    order — the upserted index is bit-identical to the rebuild (tested).
+    Interleaved ids still yield a valid index against the frozen
+    centroids; keep ingest id-monotone for replayable parity."""
+    from .similarity import ivf_assign, ivf_assign_spill
+
+    spark = new.sparkSession
+    cent, graph, params = load_nsw_routed_index(spark, path)
+    m, ef_build = params["m"], params["ef_build"]
+    eps = params.get("spill_eps", 0.0)
+    n_sel = new.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    assign = (
+        ivf_assign_spill(n_sel, cent, eps, "vec_id", "cv")
+        if eps > 0.0
+        else ivf_assign(n_sel, cent, 1, "vec_id", "cv")
+    )
+    add = n_sel.join(assign.select("vec_id", "cell"), "vec_id").withColumnRenamed(
+        "cell", "shard"
+    )
+    touched = [r["shard"] for r in add.select("shard").distinct().collect()]
+    if not touched:
+        return
+    old = graph.filter(F.col("shard").isin(touched)).select(
+        "shard", "pos", "vec_id", "cv", "nbrs"
+    )
+    merged = old.unionByName(
+        add.select(
+            "shard",
+            F.lit(None).cast("long").alias("pos"),
+            "vec_id",
+            "cv",
+            F.lit(None).cast("array<long>").alias("nbrs"),
+        )
+    )
+
+    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, _U, cvs, nbrs = _continue_insertion(pdf, m, ef_build)
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(ids), int(pdf["shard"].iloc[0]), dtype=np.int64),
+                "pos": np.arange(len(ids), dtype=np.int64),
+                "vec_id": ids,
+                "cv": cvs,
+                "nbrs": nbrs,
+            }
+        )
+
+    rebuilt = merged.groupBy("shard").applyInPandas(
+        worker,
+        "shard long, pos long, vec_id long, cv array<double>, nbrs array<long>",
+    )
+    _overwrite_touched_shards(spark, rebuilt, path + "/graph")
+
+
+def upsert_nsw_routed_pq_index(
+    new: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a saved routed-PQ index — DiskANN-style
+    maintenance: the shards hold only codes + adjacency, so the touched
+    cells' RAW vectors are recovered from ``corpus`` (the lake-resident
+    table the exact re-rank already reads; it must contain the indexed
+    vectors), insertion continues at FULL precision, and every node
+    re-encodes against the FROZEN persisted codebooks (deterministic
+    encode ⇒ old nodes' codes are reproduced bit-for-bit; new codes use
+    the frozen books — the add-vs-retrain contract of ``upsert_pq_index``:
+    codes stay cell-independent and valid, retraining is an explicit
+    rebuild). With id-monotone ingest above the codebook train-sample
+    window the upserted index equals a full rebuild over the union
+    bit-for-bit (same centroids, same train slice, same insertion order —
+    tested); below it, rebuild would retrain the books, which is exactly
+    the retrain decision this function refuses to make silently."""
+    from .similarity import ivf_assign, ivf_assign_spill
+
+    spark = new.sparkSession
+    cent, graph, books, params = load_nsw_routed_pq_index(spark, path)
+    m, ef_build = params["m"], params["ef_build"]
+    eps = params.get("spill_eps", 0.0)
+    S, C, ds = books.shape
+    n_sel = new.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    assign = (
+        ivf_assign_spill(n_sel, cent, eps, "vec_id", "cv")
+        if eps > 0.0
+        else ivf_assign(n_sel, cent, 1, "vec_id", "cv")
+    )
+    add = n_sel.join(assign.select("vec_id", "cell"), "vec_id").withColumnRenamed(
+        "cell", "shard"
+    )
+    touched = [r["shard"] for r in add.select("shard").distinct().collect()]
+    if not touched:
+        return
+    raw = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    old = (
+        graph.filter(F.col("shard").isin(touched))
+        .select("shard", "pos", "vec_id", "nbrs")
+        .join(raw, "vec_id")
+        .select("shard", "pos", "vec_id", "cv", "nbrs")
+    )
+    merged = old.unionByName(
+        add.select(
+            "shard",
+            F.lit(None).cast("long").alias("pos"),
+            "vec_id",
+            "cv",
+            F.lit(None).cast("array<long>").alias("nbrs"),
+        )
+    )
+
+    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, U, _cvs, nbrs = _continue_insertion(pdf, m, ef_build)
+        sub = U.reshape(U.shape[0], S, ds)
+        d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+        codes = d2.argmin(-1)
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(ids), int(pdf["shard"].iloc[0]), dtype=np.int64),
+                "pos": np.arange(len(ids), dtype=np.int64),
+                "vec_id": ids,
+                "codes": [list(map(int, c)) for c in codes],
+                "nbrs": nbrs,
+            }
+        )
+
+    rebuilt = merged.groupBy("shard").applyInPandas(
+        worker,
+        "shard long, pos long, vec_id long, codes array<int>, nbrs array<long>",
+    )
+    _overwrite_touched_shards(spark, rebuilt, path + "/graph")
 
 
 def _shard_index_search(qids: np.ndarray, qmat: np.ndarray, ef_search: int):

@@ -5607,6 +5607,36 @@ def ann_nsw_routed_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ann_nsw_routed_prebuilt_topk"] = ORACLES["ann_nsw_routed_topk"]
 
 
+@query("ann_nsw_routed_upsert_topk", oracle=None)
+def ann_nsw_routed_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ROUTED-index maintenance under the value check: the
+    index is built over the first 400 vectors, the last 100 are UPSERTED
+    (assignment against the persisted centroids, touched cells continue
+    their insertion sequences — the daily-ingest pattern, no rebuild).
+    Because the new ids are all greater than the indexed ids, the
+    deterministic lowest-id centroids are unchanged and the continued
+    order IS the full rebuild's, so the upserted index — and the probe —
+    is bit-identical to the inline routed build over the whole corpus:
+    shares ann_nsw_routed_topk's independent golden oracle."""
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = _ANN_INDEX_CACHE.get(("nsw_routed_upsert", sf_dir))
+    if path is None:
+        path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/nsw_routed_upsert"
+        GA.save_nsw_routed_index(
+            emb.filter(F.col("vec_id") < 400), path, n_cells=8, m=8, ef_build=24
+        )
+        GA.upsert_nsw_routed_index(emb.filter(F.col("vec_id") >= 400), path)
+        _ANN_INDEX_CACHE[("nsw_routed_upsert", sf_dir)] = path
+    idx = GA.load_nsw_routed_index(spark, path)
+    return GA.nsw_routed_ann_topk(q, emb, k=5, n_probe=2, ef_search=16, index=idx)
+
+
+ORACLES["ann_nsw_routed_upsert_topk"] = ORACLES["ann_nsw_routed_topk"]
+
+
 @query("ann_nsw_routed_spill_prebuilt_topk", oracle=None)
 def ann_nsw_routed_spill_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-spilled routed NSW probing a PERSISTED index: the SPANN

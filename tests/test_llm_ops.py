@@ -1472,6 +1472,52 @@ def test_nsw_routed_spill_recovers_recall_and_stays_well_formed(spark, tmp_path)
     assert pre == sorted(map(tuple, rows))
 
 
+def test_routed_index_upserts_match_full_rebuild(spark, tmp_path):
+    """Routed-family upserts under the rebuild contract: with id-monotone
+    ingest, (a) a spilled routed index upserted with the last 100 vectors
+    is bit-identical to a full rebuild over the union (lowest-id
+    centroids unchanged ⇒ same cells, same per-cell insertion order —
+    spill assignment rides the index meta), and (b) a routed-PQ index
+    upserted the same way (new ids above the codebook train-sample
+    window, raw vectors recovered from the corpus table) equals its full
+    rebuild including the re-encoded codes."""
+    from bensp_suite_spark.operators import graph_ann as GA
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter("vec_id < 400")
+    add = emb.filter("vec_id >= 400")
+
+    def graph_rows(path, cols):
+        return {
+            (r["shard"], r["pos"]): tuple(
+                tuple(r[c]) if isinstance(r[c], list) else r[c] for c in cols
+            )
+            for r in spark.read.parquet(path + "/graph").collect()
+        }
+
+    up, full = str(tmp_path / "r_up"), str(tmp_path / "r_full")
+    GA.save_nsw_routed_index(base, up, n_cells=8, m=8, ef_build=24, spill_eps=0.25)
+    GA.upsert_nsw_routed_index(add, up)
+    GA.save_nsw_routed_index(emb, full, n_cells=8, m=8, ef_build=24, spill_eps=0.25)
+    assert graph_rows(up, ["vec_id", "nbrs"]) == graph_rows(full, ["vec_id", "nbrs"])
+
+    # routed-PQ: new ids sit ABOVE the 2048 train-sample window so the
+    # rebuild trains the identical codebooks (ids < 2048 slice unchanged)
+    shifted = emb.filter("vec_id >= 400").select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    union = base.unionByName(shifted)
+    pup, pfull = str(tmp_path / "pq_up"), str(tmp_path / "pq_full")
+    GA.save_nsw_routed_pq_index(base, pup, n_cells=8, m=8, ef_build=24)
+    GA.upsert_nsw_routed_pq_index(shifted, union, pup)
+    GA.save_nsw_routed_pq_index(union, pfull, n_cells=8, m=8, ef_build=24)
+    assert graph_rows(pup, ["vec_id", "codes", "nbrs"]) == graph_rows(
+        pfull, ["vec_id", "codes", "nbrs"]
+    )
+
+
 def test_nsw_routed_pq_index_compresses_without_losing_the_graph(spark, tmp_path):
     """DiskANN composition: the PQ-compressed routed index stores the
     SAME full-precision adjacency as the raw routed index (the build

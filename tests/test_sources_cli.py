@@ -644,13 +644,31 @@ def test_ann_cli_graph_families_end_to_end(spark, tmpdir):
     assert r.returncode == 0, r.stderr[-2000:]
     pq = spark.read.parquet(out_pq)
     assert pq.count() == 30
-    # upsert into a routed index: refused with guidance, never silent
+    # routed upsert: NEW ids append through the CLI (assignment against
+    # the persisted centroids; touched cells continue their sequence)
+    new_path = os.path.join(tmpdir, "new_vecs")
+    emb.filter("vec_id < 20").select(
+        (emb.vec_id + 10_000).alias("vec_id"), "embedding"
+    ).write.mode("overwrite").parquet(new_path)
     r = subprocess.run(
-        [sys.executable, "-m", "bensp_suite_spark.ann_cli", "upsert", q_path,
-         ridx],
+        [sys.executable, "-m", "bensp_suite_spark.ann_cli", "upsert",
+         new_path, ridx],
         capture_output=True, text=True, env=env, cwd=cwd,
     )
-    assert r.returncode == 2 and "rebuild" in r.stderr
+    assert r.returncode == 0, r.stderr[-2000:]
+    got_ids = {
+        row["vec_id"]
+        for row in spark.read.parquet(ridx + "/graph")
+        .select("vec_id").collect()
+    }
+    assert all(10_000 + i in got_ids for i in range(20))
+    # routed-pq upsert without --corpus: refused with guidance
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.ann_cli", "upsert",
+         new_path, pqidx],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert r.returncode == 2 and "--corpus" in r.stderr
 
 
 def test_cli_zstd_encode_decode_round_trip(tmpdir):
