@@ -5637,6 +5637,51 @@ def ann_nsw_routed_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ann_nsw_routed_upsert_topk"] = ORACLES["ann_nsw_routed_topk"]
 
 
+@query("stream_ann_routed_pq_topk", oracle=None)
+def stream_ann_routed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DiskANN: the 8 query vectors arrive as a 2-file stream
+    and probe the PREBUILT PQ-compressed routed index per micro-batch
+    (streaming/ann_stream.stream_routed_pq_topk) — routing, ADC beams
+    over code-only shards, exact rerank from the static raw corpus; the
+    drained result set equals the batch probe at any trigger sizing, so
+    it shares ann_nsw_routed_pq_topk's independent golden verbatim."""
+    import shutil
+    import tempfile
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 8)
+    path = _ANN_INDEX_CACHE.get(("nsw_routed_pq", sf_dir))
+    if path is None:
+        path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/nsw_routed_pq"
+        GA.save_nsw_routed_pq_index(
+            emb, path, n_cells=8, m=8, ef_build=24, n_subspaces=8,
+            n_centroids=256,
+        )
+        _ANN_INDEX_CACHE[("nsw_routed_pq", sf_dir)] = path
+    idx = GA.load_nsw_routed_pq_index(spark, path)
+    from .streaming.ann_stream import read_sink, stream_routed_pq_topk
+
+    with _fixture_build("stream_ann_routed_pq_topk"):
+        base = tempfile.mkdtemp(prefix="bensp_stream_rpq_")
+        q.repartition(2).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    stream_routed_pq_topk(
+        spark, stream, emb, idx, f"{base}/out", f"{base}/ckpt", k=5,
+        n_probe=2, ef_search=32,
+    )
+    result = read_sink(spark, f"{base}/out").localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["stream_ann_routed_pq_topk"] = ORACLES["ann_nsw_routed_pq_topk"]
+
+
 @query("ann_nsw_routed_spill_prebuilt_topk", oracle=None)
 def ann_nsw_routed_spill_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-spilled routed NSW probing a PERSISTED index: the SPANN

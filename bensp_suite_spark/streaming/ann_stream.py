@@ -103,6 +103,49 @@ def stream_snippet_match(
     return q
 
 
+def stream_routed_pq_topk(
+    spark: SparkSession,
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    index,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    n_probe: int = 2,
+    ef_search: int = 32,
+    await_termination: bool = True,
+):
+    """Streaming probe of a PREBUILT PQ-compressed routed index
+    (graph_ann.load_nsw_routed_pq_index) — the live-query shape of the
+    DiskANN rung: each micro-batch routes its query vectors to n_probe
+    cells, ADC-beams the code-only shards, and exact-reranks from the
+    static raw corpus; per-batch results are exact regardless of trigger
+    sizing, so the drained set equals the batch probe."""
+    from ..operators.graph_ann import nsw_routed_pq_ann_topk
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _write_batch(
+            nsw_routed_pq_ann_topk(
+                batch_df, corpus, index, k=k, n_probe=n_probe,
+                ef_search=ef_search,
+            ),
+            out_dir,
+            batch_id,
+        )
+
+    q = (
+        query_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def stream_nsw_topk(
     spark: SparkSession,
     query_stream: DataFrame,
