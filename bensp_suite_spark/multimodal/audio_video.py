@@ -567,6 +567,12 @@ def clip_match(
             "query_id", "qidx", "media_id", "frame_idx"
         )
     else:
+        if not 0 <= max_hamming < 64:
+            raise ValueError(
+                f"max_hamming must be in [0, 64) — the pigeonhole banding "
+                f"needs at least max_hamming+1 bands of a 64-bit hash "
+                f"(got {max_hamming})"
+            )
         # smallest band count dividing 64 that still pigeonholes h flips
         n_bands = next(nb for nb in (1, 2, 4, 8, 16, 32, 64) if nb > max_hamming)
         width = 64 // n_bands

@@ -1040,11 +1040,31 @@ def upsert_nsw_routed_pq_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    old = (
-        graph.filter(F.col("shard").isin(touched))
-        .select("shard", "pos", "vec_id", "nbrs")
-        .join(raw, "vec_id")
-        .select("shard", "pos", "vec_id", "cv", "nbrs")
+    old_g = graph.filter(F.col("shard").isin(touched)).select(
+        "shard", "pos", "vec_id", "nbrs"
+    )
+    # fail LOUDLY if the corpus is missing any indexed vector: an inner
+    # join would silently drop those nodes, _continue_insertion would
+    # renumber positions, and surviving nbrs arrays would point at the
+    # old positions — a quietly corrupted graph (r9 ADVICE). The check is
+    # an anti join over the touched shards only, bounded by the upsert's
+    # own working set; limit(5) keeps the diagnostic collect tiny.
+    missing = [
+        r["vec_id"]
+        for r in old_g.join(raw, "vec_id", "left_anti")
+        .select("vec_id")
+        .limit(5)
+        .collect()
+    ]
+    if missing:
+        raise ValueError(
+            f"corpus is missing raw vectors for indexed vec_ids {missing} "
+            "(touched shards must recover EVERY indexed node's full-"
+            "precision vector to continue insertion; pass the same lake "
+            "table the index was built from)"
+        )
+    old = old_g.join(raw, "vec_id").select(
+        "shard", "pos", "vec_id", "cv", "nbrs"
     )
     merged = old.unionByName(
         add.select(

@@ -594,28 +594,37 @@ def nb_quality_score(
     naive-Bayes log-odds — prior + Σ token LLRs (unseen tokens take the
     smoothed unseen constant, never zero), summed EXACTLY in integer
     micro-units so the value hashes identically at any parallelism.
-    ``predicted_hq`` = score > 0, the keep/drop filter signal. Plan: one
-    broadcast join against the (vocabulary-sized) LLR table + one
-    aggregation; document text never shuffles."""
+    ``predicted_hq`` = score > 0, the keep/drop filter signal. Every
+    input doc gets a verdict: a doc that tokenizes to ZERO tokens
+    (empty/whitespace-only text) scores the PRIOR alone — the aggregation
+    runs over exploded tokens, so token-less docs are restored by a left
+    join back to the distinct input ids instead of silently vanishing
+    from a keep/drop consumer's view (r9 ADVICE). Plan: one broadcast
+    join against the (vocabulary-sized) LLR table + one aggregation + one
+    id-only join-back; document text never shuffles."""
     toks = _class_tokens(docs, text_col, id_col)
     scored = toks.join(F.broadcast(llr), "token", "left").select(
         "_id",
         F.coalesce(F.col("llr_micro"), F.lit(unseen_micro)).alias("llr_micro"),
     )
-    return (
-        scored.groupBy(F.col("_id").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (F.sum("llr_micro") + F.lit(prior_micro))
-            .cast("long")
-            .alias("score_micro"),
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            "score_micro",
-            (F.col("score_micro") > 0).alias("predicted_hq"),
-        )
+    agg = scored.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("llr_micro") + F.lit(prior_micro))
+        .cast("long")
+        .alias("score_micro"),
+    )
+    all_ids = docs.select(F.col(id_col)).distinct()
+    return all_ids.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("score_micro", F.lit(prior_micro))
+        .cast("long")
+        .alias("score_micro"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "score_micro",
+        (F.col("score_micro") > 0).alias("predicted_hq"),
     )
 
 

@@ -7447,7 +7447,7 @@ def pipeline_warc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (read_warc_pages streaming=True: response filter + HTTP envelope
     parse + UTF-8 decode), text is recovered with the curation pipeline's
     extract_html_text, and the rows feed the RETENTION-enabled
-    incremental-dedup loop (compact_every=2, retention_window=1) — crawl
+    incremental-dedup loop (compact_every=3, retention_window=1) — crawl
     → curate → dedup-with-expiry in one declared query. The three
     segments carry exactly stream_incremental_dedup_retention's slices
     wrapped in HTML+HTTP+WARC envelopes (doc ids reconstruct from

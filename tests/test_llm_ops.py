@@ -1326,6 +1326,22 @@ def test_nb_quality_classifier_discriminates_and_handles_unseen(spark):
     row = TA.nb_quality_score(novel, llr, unseen, prior).collect()[0]
     assert row["score_micro"] == prior + 3 * unseen
     assert row["n_tokens"] == 3
+    # token-less docs must STILL get a verdict: prior-only score, never a
+    # silently missing row (r9 ADVICE — a keep/drop consumer needs one
+    # row per input doc)
+    empties = spark.createDataFrame(
+        [(7, ""), (8, "   \t \n "), (9, "real words here")],
+        "doc_id long, text string",
+    )
+    got_e = {
+        r["doc_id"]: r
+        for r in TA.nb_quality_score(empties, llr, unseen, prior).collect()
+    }
+    assert set(got_e) == {7, 8, 9}
+    for d in (7, 8):
+        assert got_e[d]["n_tokens"] == 0
+        assert got_e[d]["score_micro"] == prior
+        assert got_e[d]["predicted_hq"] == (prior > 0)
 
 
 def test_ngram_lm_score_separates_gibberish(spark):
@@ -1516,6 +1532,31 @@ def test_routed_index_upserts_match_full_rebuild(spark, tmp_path):
     assert graph_rows(pup, ["vec_id", "codes", "nbrs"]) == graph_rows(
         pfull, ["vec_id", "codes", "nbrs"]
     )
+
+
+def test_routed_pq_upsert_rejects_incomplete_corpus(spark, tmp_path):
+    """A corpus table missing ANY indexed vector must fail LOUDLY: an
+    inner-join recovery would silently drop the node, renumber positions,
+    and leave surviving nbrs arrays pointing at stale positions — a
+    corrupted graph with no error (r9 ADVICE). The guard is an anti join
+    over the touched shards and names offending vec_ids."""
+    import pytest
+
+    from bensp_suite_spark.operators import graph_ann as GA
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter("vec_id < 400")
+    add = emb.filter("vec_id >= 400 and vec_id < 450")
+    path = str(tmp_path / "pq_guard")
+    GA.save_nsw_routed_pq_index(base, path, n_cells=4, m=8, ef_build=24)
+    # a WRONG corpus: drop half the indexed vectors
+    bad_corpus = emb.filter("vec_id < 200 or vec_id >= 400")
+    with pytest.raises(ValueError, match="corpus is missing raw vectors"):
+        GA.upsert_nsw_routed_pq_index(add, bad_corpus, path)
+    # the guard fired BEFORE any shard rewrite: index still equals base
+    GA.upsert_nsw_routed_pq_index(add, emb, path)  # correct corpus works
 
 
 def test_nsw_routed_pq_index_compresses_without_losing_the_graph(spark, tmp_path):

@@ -1306,3 +1306,10 @@ def test_video_clip_search_reencoded_needs_banded_hamming(spark):
     # banded path may add near-match votes at other offsets, so compare
     # the top-1 identity, not the raw vote counts)
     assert [(r[0], r[1], r[2]) for r in e] == [(r[0], r[1], r[2]) for r in b]
+    # out-of-range banding budgets fail with a clear error, not a
+    # StopIteration from the band-count search (r9 ADVICE)
+    import pytest
+
+    for bad in (64, 100, -1):
+        with pytest.raises(ValueError, match="max_hamming"):
+            AV.clip_match(clips, index, k=1, max_hamming=bad)

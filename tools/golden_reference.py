@@ -1394,8 +1394,7 @@ def text_nb_quality_classifier(sf_dir: str):
     rows = []
     for did, text in held:
         ws = words(text)
-        if not ws:
-            continue
+        # token-less docs score the prior alone (operator's join-back)
         score = prior + sum(llr.get(w, unseen) for w in ws)
         rows.append((did, len(ws), score, score > 0))
     cols = [
