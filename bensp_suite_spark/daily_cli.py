@@ -274,7 +274,11 @@ def main(argv: list[str] | None = None) -> int:
             )
             if args.expire_before is not None:
                 merged = merged.filter(F.col("last_seen") >= args.expire_before)
-            merged = merged.coalesce(1)
+            # hash-bucketed multi-file seed — the groupBy above already
+            # partitioned by value, so writing it directly parallelizes
+            # the roll-up instead of funnelling 10⁸-10⁹ rows of window-
+            # bounded state through one task (r9 verdict #1); readers
+            # glob the directory, the swap renames it atomically
             out_part = os.path.join(tmp, "step=init")
             if blooms:
                 write_with_bloom(merged, out_part, [col])

@@ -234,9 +234,18 @@ def compact_signature_state(
         out = raw.groupBy(col).agg(F.max(ls).cast("long").alias("last_seen"))
         if expire_before is not None:
             out = out.filter(F.col("last_seen") >= expire_before)
+        # The merged seed writes HASH-BUCKETED MULTI-FILE, not coalesce(1):
+        # the groupBy above already hash-partitioned the state by value,
+        # so writing its partitions directly costs zero extra shuffle and
+        # the roll-up parallelizes across executors — at 100 TB a window-
+        # bounded crawl state is still 10⁸-10⁹ rows, and a single-writer
+        # funnel here was the one stop-the-world stage in an otherwise
+        # bounded maintenance loop (r9 verdict #1). AQE coalesces the toy-
+        # scale case back to few files; readers glob the directory either
+        # way, and the rename-swap crash protocol is unchanged — the swap
+        # moves the DIRECTORY, never individual files.
         (
-            out.coalesce(1)
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .parquet(_os.path.join(tmp, f"batch_id={SEED_BATCH_ID}"))
         )
         for p in _glob.glob(_os.path.join(root, "batch_id=*")):

@@ -1426,6 +1426,86 @@ def test_stream_retention_state_bounded_under_rolling_window(spark, tmp_path):
     assert out.filter("is_kept").count() == total_ever
 
 
+def test_compaction_rollup_writes_hash_bucketed_multifile_seed(spark, tmp_path):
+    """The roll-up's merged seed is a hash-bucketed MULTI-FILE partition,
+    never a coalesce(1) single-writer funnel (the r9 verdict's one scale-
+    killer): under a forced-small ``maxRecordsPerFile`` the seed directory
+    holds >1 parquet file after a roll-up, and flags stay byte-identical
+    to the unsplit run — for both the plain and the retention loop. The
+    groupBy inside the roll-up already hash-partitions the state by value,
+    so the multi-file write costs zero extra shuffle; readers glob the
+    directory and the rename-swap protocol moves it atomically."""
+    import glob
+    import os
+
+    from bensp_suite_spark.streaming.incremental_dedup_stream import (
+        SEED_BATCH_ID,
+        seed_signatures,
+        stream_incremental_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"bucketed seed doc {i} " + " ".join(f"t{i}{j}" for j in range(5)))
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    slices = [
+        [(100, "bucketed seed doc 3 t30 t31 t32 t33 t34"),   # exact history dup
+         (101, "a novel batch zero doc about canyons")],
+        [(200, "a novel batch zero doc about canyons"),       # batch-0 survivor
+         (201, "a second novel doc about fjords")],
+        [(300, "a third novel doc about steppes"),
+         (301, "a novel batch zero doc about canyons")],
+    ]
+
+    def run(tag, split_files, retention):
+        base = str(tmp_path / tag)
+        os.makedirs(base)
+        src = _write_slices(spark, base, slices)
+        sig = os.path.join(base, "sig")
+        old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+        try:
+            if split_files:
+                spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
+            seed_signatures(hist, sig, use_bloom=True)
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            # retention_window=10 over 3 batches: the retention code path
+            # runs in full (stamps, re-sighting rows, expiring roll-up +
+            # bloom rebuild) but the cutoff stays negative, so the seed
+            # KEEPS its 24+ rows — a tight window would expire the seed
+            # down to a handful of hashes and the multi-file assertion
+            # below would be vacuous
+            stream_incremental_dedup(
+                spark, stream, sig, os.path.join(base, "out"),
+                os.path.join(base, "ckpt"), compact_every=2,
+                retention_window=10 if retention else None,
+            )
+        finally:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
+        flags = {
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(base, "out"))
+            .drop("batch_id").collect()
+        }
+        seed_files = glob.glob(
+            os.path.join(sig, "hashes", f"batch_id={SEED_BATCH_ID}", "*.parquet")
+        )
+        return flags, len(seed_files)
+
+    for retention in (False, True):
+        sfx = "ret" if retention else "plain"
+        one_file, _ = run(f"unsplit_{sfx}", split_files=False, retention=retention)
+        split, n_seed = run(f"split_{sfx}", split_files=True, retention=retention)
+        assert split == one_file  # layout never changes flags
+        # the roll-up fired (compact_every=2 over 3 batches) and its
+        # merged seed came out multi-file — 24+ seed hashes at 4 rows/file
+        assert n_seed > 1
+
+
 def test_compact_signature_state_self_heals_interrupted_swap(spark, tmp_path):
     """compact_signature_state's swap is two renames (root→bak, tmp→root);
     a crash between them leaves the table root MISSING. On the next entry
