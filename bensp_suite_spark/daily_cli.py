@@ -178,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
         history_bloom,
         history_signatures,
         incremental_dedup,
+        sized_bloom_m,
     )
     from .operators.layout import write_with_bloom
     from .session import get_spark
@@ -201,19 +202,28 @@ def main(argv: list[str] | None = None) -> int:
         s = s.withColumn("last_seen", F.lit(0).cast("long"))
         write_with_bloom(h, _part(hashes_dir, "init"), ["content_hash"])
         s.write.mode("overwrite").parquet(_part(sims_dir, "init"))
+        # cardinality-scaled geometry (sized_bloom_m): a fixed m would
+        # saturate under a large day-0 corpus; the chosen m rides the
+        # sidecar meta so step advances OR into the same bitset
+        init_h = spark.read.parquet(_part(hashes_dir, "init"))
+        m_h = sized_bloom_m(init_h.count())
         _write_bloom(
             args.sig_dir,
-            history_bloom(spark.read.parquet(_part(hashes_dir, "init"))),
-            BLOOM_M,
+            history_bloom(init_h, m=m_h, k=BLOOM_K),
+            m_h,
             BLOOM_K,
+            floor_m=BLOOM_M,
         )
+        init_s = spark.read.parquet(_part(sims_dir, "init"))
+        m_b = sized_bloom_m(init_s.count() * 4)  # bands = max_hamming+1
         _write_bloom(
             args.sig_dir,
-            history_band_bloom(spark.read.parquet(_part(sims_dir, "init"))),
-            BLOOM_M,
+            history_band_bloom(init_s, m=m_b, k=BLOOM_K),
+            m_b,
             BLOOM_K,
             name="band_bloom",
             max_hamming=3,
+            floor_m=BLOOM_M,
         )
         os.makedirs(steps_dir, exist_ok=True)
         open(os.path.join(steps_dir, "init"), "w").close()
@@ -296,32 +306,41 @@ def main(argv: list[str] | None = None) -> int:
             # expired bits can't be unset by OR — rebuild the bitsets from
             # the surviving state so the prefilters track it (a stale
             # over-full bloom would stay CORRECT — false positives
-            # resolve in the joins — just progressively useless)
-            old = _read_bloom(args.sig_dir)
+            # resolve in the joins — just progressively useless). Each
+            # rebuild RE-SIZES from the surviving cardinality
+            # (sized_bloom_m): the bitset grows with a swelling window
+            # and shrinks back to the floor when it drains
+            with open(os.path.join(args.sig_dir, "bloom.json")) as fh:
+                floor_h = int(json.load(fh).get("floor_m", BLOOM_M))
+            surviving_h = spark.read.parquet(hashes_dir)
+            m_h = sized_bloom_m(surviving_h.count(), floor=floor_h)
             _write_bloom(
                 args.sig_dir,
-                history_bloom(
-                    spark.read.parquet(hashes_dir), m=old[1], k=old[2]
-                ),
-                old[1],
-                old[2],
+                history_bloom(surviving_h, m=m_h, k=BLOOM_K),
+                m_h,
+                BLOOM_K,
+                floor_m=floor_h,
             )
             old_bb = _read_bloom(args.sig_dir, "band_bloom")
             if old_bb is not None:
                 with open(os.path.join(args.sig_dir, "band_bloom.json")) as fh:
-                    bb_mh = json.load(fh).get("max_hamming", 3)
+                    bb_meta = json.load(fh)
+                bb_mh = bb_meta.get("max_hamming", 3)
+                floor_b = int(bb_meta.get("floor_m", BLOOM_M))
+                surviving_s = spark.read.parquet(sims_dir)
+                m_b = sized_bloom_m(
+                    surviving_s.count() * (bb_mh + 1), floor=floor_b
+                )
                 _write_bloom(
                     args.sig_dir,
                     history_band_bloom(
-                        spark.read.parquet(sims_dir),
-                        max_hamming=bb_mh,
-                        m=old_bb[1],
-                        k=old_bb[2],
+                        surviving_s, max_hamming=bb_mh, m=m_b, k=BLOOM_K
                     ),
-                    old_bb[1],
-                    old_bb[2],
+                    m_b,
+                    BLOOM_K,
                     name="band_bloom",
                     max_hamming=bb_mh,
+                    floor_m=floor_b,
                 )
         files_after = len(
             glob.glob(os.path.join(args.sig_dir, "*", "**", "*.parquet"), recursive=True)

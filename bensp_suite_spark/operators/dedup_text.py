@@ -867,6 +867,40 @@ BLOOM_M, BLOOM_K = 1 << 20, 4
 #: (:func:`sketches.bloom_cardinality_packed`) — no extra state reads.
 BLOOM_GATE_MIN_HISTORY = 250_000
 
+#: design fill ratio the sizing rule targets: at the sized cardinality the
+#: bitset is ~30% set, fpp ≈ 0.3⁴ ≈ 0.8% with k=4 — and the filter keeps
+#: usable headroom (~2× growth before fill 0.5) between rebuilds
+BLOOM_TARGET_FILL = 0.3
+
+#: hard cap on a sized bitset: 2³⁰ bits = 128 MB packed — still a
+#: broadcastable constant; histories beyond its comfort (~300M keys at
+#: k=4) should shard the filter, not grow it
+BLOOM_CAP_M = 1 << 30
+
+
+def sized_bloom_m(
+    n_keys: int, k: int = BLOOM_K, floor: int = BLOOM_M, cap: int = BLOOM_CAP_M
+) -> int:
+    """Bitset size (bits) for an expected key cardinality — the fix for
+    the fixed-capacity failure mode: a constant ``m`` saturates as history
+    grows (fill → 1), and while the prefilter stays CORRECT (bloom is
+    advisory; the exact join resolves), it silently degrades into a
+    no-op scan tax. Sizing rule: smallest power of two ≥
+    ``k·n / −ln(1 − TARGET_FILL)`` (the fill inversion of
+    ``fill = 1 − e^(−kn/m)``), never below ``floor`` (small histories
+    keep the default geometry) nor above ``cap``. Power-of-two rounding
+    means the realized fill at ``n_keys`` lands in (0.15, 0.3]. Called at
+    SEED and at every expiring REBUILD — the two moments a bitset is
+    built from scratch and can change geometry; OR-advances in between
+    keep whatever ``m`` the sidecar meta carries."""
+    import math
+
+    need = int(math.ceil(k * max(int(n_keys), 1) / -math.log1p(-BLOOM_TARGET_FILL)))
+    m = int(floor)
+    while m < need and m < cap:
+        m <<= 1
+    return min(m, cap)
+
 
 def history_bloom(
     hist_h: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K

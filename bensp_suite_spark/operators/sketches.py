@@ -177,6 +177,17 @@ def bloom_pack(bits: DataFrame, m: int) -> bytes:
     return np.packbits(arr).tobytes()
 
 
+def bloom_fill_ratio_packed(packed: bytes, m: int) -> float:
+    """Fraction of set bits in a packed bitset — the health signal for a
+    long-lived prefilter: fill near 1 means the bloom has saturated into
+    a no-op scan tax (still correct — false positives resolve in the
+    exact join — just useless) and should be re-sized at the next
+    rebuild (``dedup_text.sized_bloom_m``)."""
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+    x = int(lut[np.frombuffer(packed, dtype=np.uint8)].sum(dtype=np.int64))
+    return x / m
+
+
 def bloom_cardinality_packed(packed: bytes, m: int, k: int) -> float:
     """Estimated number of distinct keys inserted into a packed bitset —
     the standard fill-ratio inversion n ≈ -(m/k)·ln(1 − X/m) with X = set

@@ -79,6 +79,7 @@ from ..operators.dedup_text import (
     history_bloom,
     history_signatures,
     incremental_dedup,
+    sized_bloom_m,
 )
 
 #: partition value for the caller-seeded day-0 signatures
@@ -87,14 +88,22 @@ SEED_BATCH_ID = -1
 
 def seed_signatures(
     history: DataFrame, sig_dir: str, use_bloom: bool = True,
-    max_hamming: int = 3,
+    max_hamming: int = 3, bloom_floor_m: int = BLOOM_M,
 ) -> None:
     """Write the day-0 signature state (the stream's only raw-history
     scan) as the ``batch_id=-1`` partitions the stream builds on, plus
     the packed history bloom when ``use_bloom``. An empty history frame
     seeds an empty-but-schema'd state. Rows are stamped ``last_seen =
     -1`` (the seed batch id) — the retention clock starts here; without
-    ``retention_window`` the column is carried but never consulted."""
+    ``retention_window`` the column is carried but never consulted.
+
+    Bloom geometry is CARDINALITY-SCALED (``sized_bloom_m``): each bitset
+    is sized from the seed state's own row counts (band keys ≈ rows ×
+    (max_hamming+1)) so a 100 TB history gets a filter that isn't
+    saturated on day one; the chosen ``m`` (and the ``floor_m`` it grew
+    from) rides the sidecar meta so per-batch OR-advances and expiry
+    rebuilds keep/resize the same geometry. ``bloom_floor_m`` is the
+    smallest bitset ever used (default ``BLOOM_M``)."""
     h, s = history_signatures(history)
     h = h.withColumn("last_seen", F.lit(SEED_BATCH_ID).cast("long"))
     s = s.withColumn("last_seen", F.lit(SEED_BATCH_ID).cast("long"))
@@ -105,21 +114,29 @@ def seed_signatures(
     )
     if use_bloom:
         spark = history.sparkSession
+        seed_hashes = spark.read.parquet(seed_h)
+        m_h = sized_bloom_m(seed_hashes.count(), BLOOM_K, floor=bloom_floor_m)
         _write_packed_bloom(
-            sig_dir, history_bloom(spark.read.parquet(seed_h)), BLOOM_M, BLOOM_K
+            sig_dir,
+            history_bloom(seed_hashes, m=m_h, k=BLOOM_K),
+            m_h,
+            BLOOM_K,
+            floor_m=bloom_floor_m,
+        )
+        seed_sims = spark.read.parquet(
+            _pp.join(sig_dir, "sims", f"batch_id={SEED_BATCH_ID}")
+        )
+        m_b = sized_bloom_m(
+            seed_sims.count() * (max_hamming + 1), BLOOM_K, floor=bloom_floor_m
         )
         _write_packed_bloom(
             sig_dir,
-            history_band_bloom(
-                spark.read.parquet(
-                    _pp.join(sig_dir, "sims", f"batch_id={SEED_BATCH_ID}")
-                ),
-                max_hamming=max_hamming,
-            ),
-            BLOOM_M,
+            history_band_bloom(seed_sims, max_hamming=max_hamming, m=m_b, k=BLOOM_K),
+            m_b,
             BLOOM_K,
             name="band_bloom",
             max_hamming=max_hamming,
+            floor_m=bloom_floor_m,
         )
 
 
@@ -147,45 +164,65 @@ def _read_packed_bloom(
         return fh.read(), int(meta["m"]), int(meta["k"])
 
 
+def _bloom_floor(sig_dir: str, name: str = "bloom") -> int:
+    """The configured floor geometry from the sidecar meta (legacy metas
+    without it fall back to the module default)."""
+    meta_p = _os.path.join(sig_dir, f"{name}.json")
+    if _os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            return int(_json.load(fh).get("floor_m", BLOOM_M))
+    return BLOOM_M
+
+
 def _rebuild_blooms_after_expiry(
     spark: SparkSession, sig_dir: str, blooms_cache: dict, max_hamming: int
 ) -> None:
     """After an EXPIRING compaction the packed bitsets must be rebuilt
     from the surviving state — expired bits can't be unset by OR (a stale
     over-full bloom would stay CORRECT, just progressively useless).
-    Keeps the existing geometry and refreshes the sink's in-memory copy
-    so later batches probe the rebuilt sets."""
+    Each rebuild RE-SIZES the geometry from the surviving cardinality
+    (``sized_bloom_m`` over the state the compaction just rolled up —
+    the counts are bounded by the retention window, not the stream's
+    lifetime), so a bitset can both grow with a swelling crawl and shrink
+    back to the configured floor when the window drains; the new ``m``
+    rides the sidecar meta and the sink's in-memory copy so later
+    batches probe and OR-advance the resized sets."""
+    k = BLOOM_K
     old = _read_packed_bloom(sig_dir)
     if old is not None:
-        rebuilt = history_bloom(
-            spark.read.parquet(_pp.join(sig_dir, "hashes")).select(
-                "content_hash"
-            ),
-            m=old[1],
-            k=old[2],
+        surviving_h = spark.read.parquet(_pp.join(sig_dir, "hashes")).select(
+            "content_hash"
         )
-        _write_packed_bloom(sig_dir, rebuilt, old[1], old[2])
-        blooms_cache["bloom"] = (rebuilt, old[1], old[2])
+        floor = _bloom_floor(sig_dir)
+        m_h = sized_bloom_m(surviving_h.count(), k, floor=floor)
+        rebuilt = history_bloom(surviving_h, m=m_h, k=k)
+        _write_packed_bloom(sig_dir, rebuilt, m_h, k, floor_m=floor)
+        blooms_cache["bloom"] = (rebuilt, m_h, k)
     old_bb = _read_packed_bloom(sig_dir, "band_bloom")
     if old_bb is not None:
         # rebuild with the SINK's banding — the geometry the probes use
         # (a disk meta from a different max_hamming would be dropped by
         # the sink's guard anyway; rebuilding here re-aligns it)
+        surviving_s = spark.read.parquet(_pp.join(sig_dir, "sims")).select(
+            "hist_sim"
+        )
+        floor_bb = _bloom_floor(sig_dir, "band_bloom")
+        m_b = sized_bloom_m(
+            surviving_s.count() * (max_hamming + 1), k, floor=floor_bb
+        )
         rebuilt_bb = history_band_bloom(
-            spark.read.parquet(_pp.join(sig_dir, "sims")).select("hist_sim"),
-            max_hamming=max_hamming,
-            m=old_bb[1],
-            k=old_bb[2],
+            surviving_s, max_hamming=max_hamming, m=m_b, k=k
         )
         _write_packed_bloom(
             sig_dir,
             rebuilt_bb,
-            old_bb[1],
-            old_bb[2],
+            m_b,
+            k,
             name="band_bloom",
             max_hamming=max_hamming,
+            floor_m=floor_bb,
         )
-        blooms_cache["band"] = (rebuilt_bb, old_bb[1], old_bb[2])
+        blooms_cache["band"] = (rebuilt_bb, m_b, k)
 
 
 def compact_signature_state(

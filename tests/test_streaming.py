@@ -1506,6 +1506,96 @@ def test_compaction_rollup_writes_hash_bucketed_multifile_seed(spark, tmp_path):
         assert n_seed > 1
 
 
+def test_bloom_geometry_scales_with_history_cardinality(spark, tmp_path):
+    """Cardinality-scaled blooms (r9 verdict #2): a fixed-capacity bitset
+    saturates as history grows — fill → 1 and the prefilter degrades into
+    a correct-but-useless scan tax. ``sized_bloom_m`` sizes ``m`` from
+    the state's own cardinality at SEED and at every expiry REBUILD:
+    (a) the sizing math keeps fill < 0.5 at 10× a floor's comfort zone,
+    (b) a seeded history 10× the floor's comfort gets a measured fill
+    well under 0.5 with the sized m in the sidecar meta, and (c) a
+    rebuild over grown state re-sizes upward from the floor."""
+    import glob
+    import json
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bensp_suite_spark.operators.dedup_text import (
+        BLOOM_K,
+        BLOOM_TARGET_FILL,
+        sized_bloom_m,
+    )
+    from bensp_suite_spark.operators.sketches import bloom_fill_ratio_packed
+    from bensp_suite_spark.streaming.incremental_dedup_stream import (
+        _read_packed_bloom,
+        _rebuild_blooms_after_expiry,
+        seed_signatures,
+    )
+
+    # (a) pure sizing rule, at the default floor and a small one: 10× the
+    # comfort-zone cardinality still lands under the design fill
+    for floor in (1 << 10, 1 << 20):
+        comfort = int(floor * -math.log1p(-BLOOM_TARGET_FILL) / BLOOM_K)
+        n = 10 * comfort
+        m = sized_bloom_m(n, BLOOM_K, floor=floor)
+        fill = 1.0 - math.exp(-BLOOM_K * n / m)
+        assert m > floor
+        assert fill <= BLOOM_TARGET_FILL + 1e-9 < 0.5
+    # small histories keep the floor geometry; the cap clamps the top
+    assert sized_bloom_m(10, BLOOM_K, floor=1 << 20) == 1 << 20
+    assert sized_bloom_m(10**12, BLOOM_K, floor=1 << 20) == 1 << 30
+
+    # (b) seed integration: a history 10× the (test-small) floor's
+    # comfort zone — the seeded bitset must be sized, not saturated
+    floor = 1 << 10
+    n_docs = 10 * int(floor * -math.log1p(-BLOOM_TARGET_FILL) / BLOOM_K)
+    hist = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("scaled doc "), F.md5(F.col("id").cast("string"))).alias(
+            "text"
+        ),
+    )
+    sig = str(tmp_path / "sig")
+    seed_signatures(hist, sig, use_bloom=True, bloom_floor_m=floor)
+    packed, m_h, k = _read_packed_bloom(sig)
+    assert m_h > floor
+    measured = bloom_fill_ratio_packed(packed, m_h)
+    assert 0.0 < measured < 0.5
+    with open(os.path.join(sig, "bloom.json")) as fh:
+        meta = json.load(fh)
+    assert meta["m"] == m_h and meta["floor_m"] == floor
+    bb_packed, m_b, _ = _read_packed_bloom(sig, "band_bloom")
+    assert m_b > floor
+    assert bloom_fill_ratio_packed(bb_packed, m_b) < 0.5
+
+    # (c) rebuild-time resize: seed TINY (floor geometry), grow the state
+    # by a fake committed batch partition, rebuild → m grows; the sink's
+    # in-memory cache follows
+    sig2 = str(tmp_path / "sig2")
+    seed_signatures(hist.limit(5), sig2, use_bloom=True, bloom_floor_m=floor)
+    assert _read_packed_bloom(sig2)[1] == floor
+    grown_h = spark.range(n_docs).select(
+        F.md5(F.concat(F.lit("grown"), F.col("id").cast("string"))).alias(
+            "content_hash"
+        ),
+        F.lit(0).cast("long").alias("last_seen"),
+    )
+    grown_h.write.mode("overwrite").parquet(
+        os.path.join(sig2, "hashes", "batch_id=0")
+    )
+    spark.read.parquet(os.path.join(sig2, "sims", "batch_id=-1")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sig2, "sims", "batch_id=0"))
+    cache: dict = {}
+    _rebuild_blooms_after_expiry(spark, sig2, cache, max_hamming=3)
+    packed2, m2, _ = _read_packed_bloom(sig2)
+    assert m2 > floor
+    assert bloom_fill_ratio_packed(packed2, m2) < 0.5
+    assert cache["bloom"][1] == m2
+
+
 def test_compact_signature_state_self_heals_interrupted_swap(spark, tmp_path):
     """compact_signature_state's swap is two renames (root→bak, tmp→root);
     a crash between them leaves the table root MISSING. On the next entry
