@@ -939,7 +939,13 @@ def upsert_nsw_routed_index(
     centroids, the same cell membership, and the same per-cell insertion
     order — the upserted index is bit-identical to the rebuild (tested).
     Interleaved ids still yield a valid index against the frozen
-    centroids; keep ingest id-monotone for replayable parity."""
+    centroids; keep ingest id-monotone for replayable parity.
+
+    REPLAY-IDEMPOTENT: (shard, vec_id) pairs already present are dropped
+    before insertion, so retrying the same upsert (a crashed streaming
+    batch, a double-scheduled job) converges to the once-applied index
+    instead of duplicating nodes — the contract the streaming
+    index-maintenance loop relies on."""
     from .similarity import ivf_assign, ivf_assign_spill
 
     spark = new.sparkSession
@@ -958,6 +964,13 @@ def upsert_nsw_routed_index(
     add = n_sel.join(assign.select("vec_id", "cell"), "vec_id").withColumnRenamed(
         "cell", "shard"
     )
+    # REPLAY-IDEMPOTENT: drop (shard, vec_id) pairs the graph already
+    # holds — assignment is deterministic against frozen centroids, so a
+    # retried upsert (a crashed streaming batch, a double-scheduled job)
+    # re-derives the same pairs and every already-written shard drops out
+    # of `touched` instead of receiving duplicate nodes; a second full
+    # replay is a no-op. Fresh ingest is unaffected (nothing matches).
+    add = add.join(graph.select("shard", "vec_id"), ["shard", "vec_id"], "left_anti")
     touched = [r["shard"] for r in add.select("shard").distinct().collect()]
     if not touched:
         return
@@ -1013,7 +1026,9 @@ def upsert_nsw_routed_pq_index(
     window the upserted index equals a full rebuild over the union
     bit-for-bit (same centroids, same train slice, same insertion order —
     tested); below it, rebuild would retrain the books, which is exactly
-    the retrain decision this function refuses to make silently."""
+    the retrain decision this function refuses to make silently.
+    Replay-idempotent like :func:`upsert_nsw_routed_index` — retried
+    upserts drop their already-indexed (shard, vec_id) pairs."""
     from .similarity import ivf_assign, ivf_assign_spill
 
     spark = new.sparkSession
@@ -1033,6 +1048,9 @@ def upsert_nsw_routed_pq_index(
     add = n_sel.join(assign.select("vec_id", "cell"), "vec_id").withColumnRenamed(
         "cell", "shard"
     )
+    # replay-idempotent, same argument as upsert_nsw_routed_index: a
+    # retried batch's already-written (shard, vec_id) pairs drop out
+    add = add.join(graph.select("shard", "vec_id"), ["shard", "vec_id"], "left_anti")
     touched = [r["shard"] for r in add.select("shard").distinct().collect()]
     if not touched:
         return

@@ -1139,6 +1139,128 @@ def ann_nsw_routed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_routed_pq_upsert_probe", oracle=None)
+def stream_routed_pq_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INDEX MAINTENANCE — the full production crawl loop in
+    one declared query: day-batches of documents flow through the
+    RETENTION-enabled incremental-dedup stream, each batch's SURVIVORS
+    feed ``upsert_nsw_routed_pq_index`` inside ``foreachBatch`` (frozen
+    centroids + codebooks — the add-vs-retrain contract; replay-
+    idempotent via the (shard, vec_id) anti-join), and the stream then
+    probes ITS OWN updated index — crawl → dedup → index-maintain →
+    search end to end (reference analog: insert-on-miss inside the dedup
+    loop, apps/dedup/src/encoder.c:666-703 — state maintenance lives
+    INSIDE the stream, not in a nightly rebuild).
+
+    Day 0 plants exact duplicates of the seed history (rejected — their
+    vectors must never enter the index), day 1 plants duplicates of day-0
+    survivors (idem, against the ADVANCED state); texts are md5 tokens so
+    the independent mirror re-derives the flags from first principles
+    (hashlib md5 + pure-python SimHash). Output: each day's top-k probe
+    of the evolved index — golden-pinned against the non-Spark mirror of
+    the WHOLE loop (dedup flags, state advance, frozen-book re-encode,
+    continued insertion, ADC beams, exact rerank)."""
+    import glob as _glob
+    import hashlib as _hl
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming.incremental_dedup_stream import (
+        seed_signatures,
+        stream_incremental_dedup as _run,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+
+    def txt(tag: str, i: int) -> str:
+        return " ".join(
+            _hl.md5(f"{tag}-{i}-{j}".encode()).hexdigest() for j in (1, 2, 3)
+        )
+
+    base = tempfile.mkdtemp(prefix="bensp_srup_")
+    idx_path = _os.path.join(base, "idx")
+    with _fixture_build("stream_routed_pq_upsert_probe"):
+        # day-0 index over the base corpus: frozen centroids + codebooks
+        # (train slice = all base ids < 2048, mirroring the golden)
+        GA.save_nsw_routed_pq_index(
+            emb.filter(F.col("vec_id") < 400), idx_path, n_cells=8, m=8,
+            ef_build=24, n_subspaces=8, n_centroids=256,
+        )
+        # batches share tools/golden_reference._srup_batches's recipe:
+        # day 0 = ids 400..449 (first 5 copy history texts), day 1 =
+        # 450..499 (first 5 copy day-0 survivors 405..409)
+        b0 = [
+            (400 + i, txt("uh", i) if i < 5 else txt("ud", 400 + i))
+            for i in range(50)
+        ]
+        b1 = [
+            (450 + i, txt("ud", 405 + i) if i < 5 else txt("ud", 450 + i))
+            for i in range(50)
+        ]
+        hist = spark.createDataFrame(
+            [(i, txt("uh", i)) for i in range(20)], "doc_id long, text string"
+        )
+        src = _os.path.join(base, "src")
+        _os.makedirs(src)
+        for i, rows in enumerate((b0, b1)):
+            sl = spark.createDataFrame(rows, "doc_id long, text string")
+            tmp = _os.path.join(base, f"w{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = _os.path.join(src, f"day{i}.parquet")
+            shutil.move(part, dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        seed_signatures(hist, _os.path.join(base, "sig"), use_bloom=False)
+    probe_out = _os.path.join(base, "probe_out")
+
+    def maintain_and_probe(survivors: DataFrame, batch_id: int) -> None:
+        # survivors' embeddings continue the index (corpus = the lake
+        # table the exact rerank reads); probe the UPDATED index and
+        # write per-day (partition overwrite → replay-idempotent, the
+        # on_survivors contract)
+        add = emb.join(
+            survivors.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        GA.upsert_nsw_routed_pq_index(add, emb, idx_path)
+        idx = GA.load_nsw_routed_pq_index(spark, idx_path)
+        GA.nsw_routed_pq_ann_topk(
+            q, emb, idx, k=5, n_probe=2, ef_search=32
+        ).write.mode("overwrite").parquet(f"{probe_out}/day={batch_id}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _run(
+        spark,
+        stream,
+        _os.path.join(base, "sig"),
+        _os.path.join(base, "flags"),
+        _os.path.join(base, "ckpt"),
+        compact_every=2,
+        retention_window=3,
+        on_survivors=maintain_and_probe,
+    )
+    result = (
+        spark.read.parquet(probe_out)
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "cosine",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 @query("ann_opq_topk", oracle=None)
 def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN (Ge et al. 2013): PQ's compressed-domain ADC scan run in a

@@ -304,6 +304,7 @@ def stream_incremental_dedup(
     max_hamming: int = 3,
     compact_every: int | None = 64,
     retention_window: int | None = None,
+    on_survivors=None,
 ) -> None:
     """Run the stream to completion (availableNow): flags land under
     ``out_dir/batch_id=N``; the signature state under ``sig_dir`` ends
@@ -316,7 +317,17 @@ def stream_incremental_dedup(
     forget semantics (module doc: last_seen stamps + re-sighting rows
     per batch; expiry cutoff ``batch_id − W`` applied inside each
     roll-up, blooms rebuilt after) — state is then bounded by the
-    rolling window instead of growing with the stream's lifetime."""
+    rolling window instead of growing with the stream's lifetime.
+
+    ``on_survivors(survivors_df, batch_id)`` is the DOWNSTREAM
+    composition hook — the place a production loop maintains whatever
+    derived state the day's KEPT documents feed (e.g. upserting their
+    embeddings into a routed-PQ ANN index, the dedup → index-maintain →
+    search loop). It runs AFTER the batch's signature append and BEFORE
+    the commit marker, so a crash replays it against the identical
+    survivor set; the callback MUST therefore be idempotent under replay
+    (partition-overwrite sinks, idempotent upserts). A committed batch
+    never re-runs it."""
     if retention_window is not None and compact_every is None:
         raise ValueError(
             "retention_window requires compact_every — the expiry filter "
@@ -494,6 +505,12 @@ def stream_incremental_dedup(
                         max_hamming=max_hamming,
                     )
                     _blooms["band"] = (merged_bb, band_bloom[1], band_bloom[2])
+                if on_survivors is not None:
+                    # downstream maintenance (e.g. ANN index upsert) runs
+                    # pre-marker: a crash here replays the batch against
+                    # the same state prefix and the same survivor set —
+                    # the callback's own idempotency closes the loop
+                    on_survivors(survivors, batch_id)
             finally:
                 flags.unpersist()
         finally:

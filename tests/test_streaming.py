@@ -1506,6 +1506,113 @@ def test_compaction_rollup_writes_hash_bucketed_multifile_seed(spark, tmp_path):
         assert n_seed > 1
 
 
+def test_stream_maintained_index_equals_batch_upserts_and_replays(spark, tmp_path):
+    """Streaming index maintenance (the r9 verdict's #2): per-batch
+    dedup SURVIVORS upsert a routed-PQ index from inside the stream's
+    ``on_survivors`` hook. The final streamed index must be BIT-IDENTICAL
+    to sequential batch upserts over the same survivor sets, and the
+    upsert must be replay-idempotent — re-applying a batch (the crashed-
+    sink case) changes nothing. Dup docs planted in batch 1 must keep
+    their vectors OUT of the index."""
+    import hashlib
+
+    from bensp_suite_spark.operators import graph_ann as GA
+    from bensp_suite_spark.streaming.incremental_dedup_stream import (
+        seed_signatures,
+        stream_incremental_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base_emb = emb.filter("vec_id < 400")
+
+    def txt(tag, i):
+        return " ".join(
+            hashlib.md5(f"{tag}-{i}-{j}".encode()).hexdigest() for j in (1, 2, 3)
+        )
+
+    slices = [
+        [(400 + i, txt("sx", 400 + i)) for i in range(25)],
+        # first 5 docs of batch 1 duplicate batch-0 docs → rejected
+        [(425 + i, txt("sx", 400 + i) if i < 5 else txt("sx", 425 + i))
+         for i in range(25)],
+    ]
+    base = str(tmp_path / "maint")
+    os.makedirs(base)
+    src = _write_slices(spark, base, slices)
+    stream_idx = os.path.join(base, "stream_idx")
+    batch_idx = os.path.join(base, "batch_idx")
+    for p in (stream_idx, batch_idx):
+        GA.save_nsw_routed_pq_index(
+            base_emb, p, n_cells=8, m=8, ef_build=24, n_subspaces=8,
+            n_centroids=16,
+        )
+    seed_signatures(
+        spark.createDataFrame([], "doc_id long, text string"),
+        os.path.join(base, "sig"), use_bloom=False,
+    )
+    upserted_batches = []
+
+    def maintain(survivors, batch_id):
+        add = emb.join(
+            survivors.select(F.col("doc_id").alias("vec_id")), "vec_id",
+            "left_semi",
+        )
+        upserted_batches.append(sorted(r["vec_id"] for r in add.select("vec_id").collect()))
+        GA.upsert_nsw_routed_pq_index(add, emb, stream_idx)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_incremental_dedup(
+        spark, stream, os.path.join(base, "sig"), os.path.join(base, "flags"),
+        os.path.join(base, "ckpt"), compact_every=None,
+        on_survivors=maintain,
+    )
+    assert upserted_batches[0] == list(range(400, 425))
+    assert upserted_batches[1] == list(range(430, 450))  # 425-429 rejected
+
+    def graph_rows(path):
+        return {
+            (r["shard"], r["pos"]): (r["vec_id"], tuple(r["codes"]), tuple(r["nbrs"]))
+            for r in spark.read.parquet(path + "/graph").collect()
+        }
+
+    # batch path: same survivor sets, sequential upserts → bit-identical
+    for ids in upserted_batches:
+        GA.upsert_nsw_routed_pq_index(
+            emb.filter(F.col("vec_id").isin(ids)), emb, batch_idx
+        )
+    want = graph_rows(batch_idx)
+    assert graph_rows(stream_idx) == want
+    # rejected duplicates' vectors are NOT in the index
+    indexed = {v for v, _, _ in want.values()}
+    assert indexed.isdisjoint(set(range(425, 430)))
+    # replay idempotency: re-applying the last batch changes nothing
+    GA.upsert_nsw_routed_pq_index(
+        emb.filter(F.col("vec_id").isin(upserted_batches[1])), emb, batch_idx
+    )
+    assert graph_rows(batch_idx) == want
+    # and the routed (raw) variant shares the contract
+    raw_idx = os.path.join(base, "raw_idx")
+    GA.save_nsw_routed_index(base_emb, raw_idx, n_cells=8, m=8, ef_build=24)
+    add = emb.filter("vec_id >= 400 and vec_id < 420")
+    GA.upsert_nsw_routed_index(add, raw_idx)
+    raw_once = {
+        (r["shard"], r["pos"]): (r["vec_id"], tuple(r["nbrs"]))
+        for r in spark.read.parquet(raw_idx + "/graph").collect()
+    }
+    GA.upsert_nsw_routed_index(add, raw_idx)
+    raw_twice = {
+        (r["shard"], r["pos"]): (r["vec_id"], tuple(r["nbrs"]))
+        for r in spark.read.parquet(raw_idx + "/graph").collect()
+    }
+    assert raw_twice == raw_once
+
+
 def test_bloom_geometry_scales_with_history_cardinality(spark, tmp_path):
     """Cardinality-scaled blooms (r9 verdict #2): a fixed-capacity bitset
     saturates as history grows — fill → 1 and the prefilter degrades into

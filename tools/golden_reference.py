@@ -1681,6 +1681,158 @@ def ann_nsw_routed_pq_topk(sf_dir: str, k: int = 5, n_cells: int = 8,
     return ANN_COLS, rows
 
 
+def _simhash_ref(text: str, bits: int = 48) -> int:
+    """Mirror of dedup_text.simhash for one document: tf-weighted ±1
+    votes of 32-bit md5 token hashes, bit set iff the vote is positive."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    toks = [w for w in re.split(r"\s+", text.strip()) if w]
+    votes = [0] * bits
+    for tok, tf in Counter(toks).items():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        for i in range(bits):
+            votes[i] += tf if (h >> i) & 1 else -tf
+    return sum(1 << i for i in range(bits) if votes[i] > 0)
+
+
+#: stream_routed_pq_upsert_probe fixture constants, shared verbatim by
+#: the declared query (queries.py) and this mirror — both sides derive
+#: the texts independently from the same md5 recipe
+SRUP_HIST_N = 20       # seed history docs (ids 0..19, tag "uh")
+SRUP_BASE_MAX = 400    # base index = embeddings with vec_id < 400
+SRUP_DUPS = 5          # planted duplicate docs per batch
+
+
+def _srup_text(tag: str, i: int) -> str:
+    import hashlib
+
+    return " ".join(
+        hashlib.md5(f"{tag}-{i}-{j}".encode()).hexdigest() for j in (1, 2, 3)
+    )
+
+
+def _srup_batches() -> list[list[tuple[int, str]]]:
+    """The two day-batches: ids 400..449 and 450..499; the first 5 docs
+    of batch 0 copy HISTORY texts (exact dups → rejected, never
+    indexed), the first 5 of batch 1 copy batch-0 SURVIVOR texts."""
+    b0 = [
+        (400 + i, _srup_text("uh", i) if i < SRUP_DUPS else _srup_text("ud", 400 + i))
+        for i in range(50)
+    ]
+    b1 = [
+        (450 + i, _srup_text("ud", 405 + i) if i < SRUP_DUPS else _srup_text("ud", 450 + i))
+        for i in range(50)
+    ]
+    return [b0, b1]
+
+
+def stream_routed_pq_upsert_probe(sf_dir: str, k: int = 5, n_cells: int = 8,
+                                  n_probe: int = 2, m: int = 8,
+                                  ef_build: int = 24, ef_search: int = 32,
+                                  n_subspaces: int = 8, n_centroids: int = 256,
+                                  max_hamming: int = 3):
+    """Mirror of queries.stream_routed_pq_upsert_probe — the crawl →
+    dedup → index-maintain → search loop recomputed end to end without
+    Spark: per-day survivor flags from first principles (hashlib md5
+    exact check + pure-python tf-weighted SimHash near check, hamming ≤
+    3 against the advancing history state), survivors' embeddings
+    continue the FROZEN-codebook routed-PQ index (same centroids, same
+    base-trained books, per-cell insertion in ascending id order — the
+    upsert contract), and each day's probe ADC-beams the evolved index
+    and exact-reranks raw cosines. A drift anywhere — dedup flags, state
+    advance, upsert insertion order, codebook freeze, ADC math — flips
+    the pin."""
+    import hashlib
+
+    ids, V = _embeddings(sf_dir)
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    base_ids = np.sort(ids[ids < SRUP_BASE_MAX])
+    cent = V[ids < n_cells]
+    cell_of = {
+        int(v): int(((V[id_to_row[int(v)]][None, :] - cent) ** 2).sum(-1).argmin())
+        for v in ids
+    }
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    # frozen codebooks: trained ONCE on the base corpus (ids < 400, all
+    # under the 2048 train window), exactly save_nsw_routed_pq_index's
+    # slice — upserted days re-encode against these, never retrain
+    T = U[[id_to_row[int(v)] for v in base_ids]]
+    books = _pq_lloyd_ref(T, n_subspaces, n_centroids, 8)
+    S, C, ds = books.shape
+    qmask = ids < 8
+    qids = ids[qmask]
+    Q = U[qmask]
+    qsub = Q.reshape(Q.shape[0], S, ds)
+    tables = (books[None, :, :, :] * qsub[:, :, None, :]).sum(-1)
+
+    # dedup state: history = 20 seed docs; flags per batch against the
+    # state EXCLUDING the batch (incremental_dedup semantics), survivors
+    # advance it
+    hist_hashes = {
+        hashlib.md5(_srup_text("uh", i).encode()).hexdigest()
+        for i in range(SRUP_HIST_N)
+    }
+    hist_sims = [_srup_text("uh", i) for i in range(SRUP_HIST_N)]
+    hist_sims = [_simhash_ref(t) for t in hist_sims]
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    members = set(int(v) for v in base_ids)
+    rows = []
+    for day, batch in enumerate(_srup_batches()):
+        surv = []
+        new_hashes, new_sims = [], []
+        for did, text in batch:
+            h = hashlib.md5(text.encode()).hexdigest()
+            s = _simhash_ref(text)
+            exact = h in hist_hashes
+            near = any(hamming(s, hs) <= max_hamming for hs in hist_sims)
+            if not exact and not near:
+                surv.append(did)
+                new_hashes.append(h)
+                new_sims.append(s)
+        hist_hashes |= set(new_hashes)
+        hist_sims += new_sims
+        members |= set(surv)
+        # index after this day's upsert: per-cell graphs over ascending
+        # member ids (continued insertion == full build at monotone ids),
+        # codes from the frozen books
+        shards = {}
+        for cell in range(n_cells):
+            sids = np.array(
+                sorted(v for v in members if cell_of[v] == cell), dtype=np.int64
+            )
+            if len(sids) == 0:
+                continue
+            Us = U[[id_to_row[int(v)] for v in sids]]
+            sub = Us.reshape(Us.shape[0], S, ds)
+            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(-1)
+            shards[cell] = (sids, codes, _nsw_build_ref(Us, m, ef_build))
+        for qi, qid in enumerate(qids):
+            qrow = id_to_row[int(qid)]
+            qd2 = ((V[qrow][None, :] - cent) ** 2).sum(-1)
+            probed = np.argsort(qd2, kind="stable")[:n_probe]
+            cset: set[int] = set()
+            for cell in probed:
+                if int(cell) not in shards:
+                    continue
+                sids, codes, nbrs = shards[int(cell)]
+                for _, p in _nsw_beam_adc_ref(codes, nbrs, tables[qi], ef_search):
+                    cset.add(int(sids[p]))
+            cset.discard(int(qid))
+            cids = np.array(sorted(cset), dtype=np.int64)
+            Cm = V[[id_to_row[int(c)] for c in cids]]
+            rows += [
+                (day,) + r
+                for r in _topk_rows(qid, cids, cosine_rounded(V[qrow], Cm), k)
+            ]
+    return [("day", "BIGINT")] + ANN_COLS, rows
+
+
 def ann_nsw_topk(sf_dir: str, k: int = 5, n_shards: int = 4, m: int = 8,
                  ef_build: int = 24, ef_search: int = 16):
     """Sharded-NSW graph ANN: per-shard deterministic NSW build + beam
@@ -1726,6 +1878,7 @@ REFERENCE_FNS = {
     "ann_nsw_routed_topk": ann_nsw_routed_topk,
     "ann_nsw_routed_spill_topk": ann_nsw_routed_spill_topk,
     "ann_nsw_routed_pq_topk": ann_nsw_routed_pq_topk,
+    "stream_routed_pq_upsert_probe": stream_routed_pq_upsert_probe,
     "text_bpe_trained_tokenize": text_bpe_trained_tokenize,
     "text_ngram_lm_score": text_ngram_lm_score,
     "text_nb_quality_classifier": text_nb_quality_classifier,
