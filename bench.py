@@ -102,6 +102,56 @@ def main() -> None:
                 if build:
                     build_secs[name] = round(build, 4)
 
+    # --- DuckDB-proportional evidence (BASELINE.md's relational bar:
+    # "within 2× of duckdb-proportional runtime at sf0.1") -------------
+    # Time the SAME oracle SQL every relational declared query is
+    # verified against, in DuckDB, over the same parquet files. Eligible
+    # = SQL oracles that do real work (golden VALUES pins are constant
+    # literals; stream_/pipeline_ queries time micro-batch machinery the
+    # oracle recompute doesn't — both excluded). The BAR is the
+    # SUITE-LEVEL ratio Σ spark_sec / Σ duckdb_sec: per-query ratios on
+    # sub-second toy-scale queries measure Spark's fixed per-query
+    # overhead (plan compile, task scheduling), not plan quality, and
+    # that overhead amortizes away at real scale. r10 calibration:
+    # 142 queries, 90.2 s Spark vs 46.3 s DuckDB → 1.95.
+    duckdb_prop: dict = {}
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from oracle import duckdb_con
+
+        _con = duckdb_con(sf_dir)
+        _duck: dict[str, float] = {}
+        for name, sql in Q.ORACLES.items():
+            if (
+                sql is None
+                or "VALUES" in sql
+                or name.startswith(("stream_", "pipeline_"))
+                or name not in times
+            ):
+                continue
+            t0 = time.perf_counter()
+            _con.execute(sql).df()
+            _duck[name] = round(time.perf_counter() - t0, 4)
+        _con.close()
+        _tot_s = sum(times[n] for n in _duck)
+        _tot_d = sum(_duck.values())
+        duckdb_prop = {
+            "n_queries": len(_duck),
+            "spark_sec": round(_tot_s, 2),
+            "duckdb_sec": round(_tot_d, 2),
+            "ratio": round(_tot_s / _tot_d, 3) if _tot_d else None,
+        }
+        if (
+            os.environ.get("SPARK_GRAFT_BENCH_GUARD") == "1"
+            and duckdb_prop["ratio"] is not None
+        ):
+            assert duckdb_prop["ratio"] <= 2.0, (
+                f"suite-level DuckDB-proportional ratio "
+                f"{duckdb_prop['ratio']} exceeds the 2× BASELINE bar"
+            )
+    except ImportError:
+        duckdb_prop = {"error": "duckdb oracle runner unavailable"}
+
     # ferret-pipeline throughput (BASELINE.md: reference query time 2.409 s
     # for its test batch, corel-class corpus, LSH probe + EMD rerank,
     # top-50). Warm reps then best-of-2 on a fixed synthetic workload
@@ -1245,6 +1295,7 @@ def main() -> None:
                     "ann_pq_trained_build_query_sec": pq_trained_sec,
                     "ann_pq_deterministic_build_query_sec": pq_det_sec,
                     "ann_scale_100k": ann_scale,
+                    "duckdb_proportional": duckdb_prop,
                     "bloom_prefilter": bloom_prefilter,
                     "url_skew": url_skew,
                     "bloom_skip": bloom_skip,

@@ -85,6 +85,103 @@ def run_dedup_sweep(spark: SparkSession, cfg: SweepConfig) -> DataFrame:
     )
 
 
+def write_dat_files(metrics: DataFrame, out_dir: str) -> tuple[str, str]:
+    """Emit the testbed's artifact shapes from a sweep metrics table:
+    ``throughput.dat`` (one whitespace-separated line per configuration ×
+    repetition, MB/s) and ``execution_time.dat`` (same grid, wall
+    seconds) — the files testbed/t1/throughput.sh and time.sh accumulate
+    from run logs and feed to gnuplot (testbed/t1/throughput.sh:1-20,
+    time.sh:1-24). Column order: threads compress arrow_batch rep value.
+    Rows are written driver-side (a sweep grid is dozens of rows — the
+    bounded-collect class)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = sorted(
+        metrics.collect(),
+        key=lambda r: (
+            r["compress_type"], r["shuffle_partitions"], r["arrow_batch"], r["rep"]
+        ),
+    )
+    tp = os.path.join(out_dir, "throughput.dat")
+    et = os.path.join(out_dir, "execution_time.dat")
+    header = "# threads compress arrow_batch rep"
+    with open(tp, "w") as f:
+        f.write(f"{header} throughput_mbps\n")
+        for r in rows:
+            f.write(
+                f"{r['shuffle_partitions']} {r['compress_type']} "
+                f"{r['arrow_batch']} {r['rep']} {r['throughput_mbps']}\n"
+            )
+    with open(et, "w") as f:
+        f.write(f"{header} wall_sec\n")
+        for r in rows:
+            f.write(
+                f"{r['shuffle_partitions']} {r['compress_type']} "
+                f"{r['arrow_batch']} {r['rep']} {r['wall_sec']}\n"
+            )
+    return tp, et
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI sweep driver — the ``bin/parsec_stream`` sweep-and-emit loop
+    (bin/parsec_stream:51-103) as a subprocess entry:
+
+      python -m bensp_suite_spark.bench.sweeps OUT_DIR \\
+          [--threads 4,8] [--compress gzip,none] [--arrow-batch 10000] \\
+          [--reps 2] [--n-files 16] [--file-bytes 262144] [--pool-size 64] [-v]
+
+    Writes throughput.dat + execution_time.dat (gnuplot shapes) and the
+    full tidy metrics table as parquet (``metrics/``) under OUT_DIR."""
+    import argparse
+    import os
+    import sys
+
+    ap = argparse.ArgumentParser(prog="bensp-sweeps", description=main.__doc__)
+    ap.add_argument("out_dir")
+    ap.add_argument("--threads", default="4,8",
+                    help="comma list of shuffle-partition counts (the -t axis)")
+    ap.add_argument("--compress", default="gzip,none",
+                    help="comma list of chunk compress types")
+    ap.add_argument("--arrow-batch", default="10000",
+                    help="comma list of Arrow maxRecordsPerBatch values "
+                         "(the fr/dd/comp/rr buffer axis)")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--n-files", type=int, default=16)
+    ap.add_argument("--file-bytes", type=int, default=1 << 18)
+    ap.add_argument("--pool-size", type=int, default=64)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..session import get_spark
+
+    spark = get_spark("bensp-sweeps")
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = SweepConfig(
+        shuffle_partitions=[int(x) for x in args.threads.split(",") if x],
+        compress_types=[x for x in args.compress.split(",") if x],
+        arrow_batches=[int(x) for x in args.arrow_batch.split(",") if x],
+        repetitions=args.reps,
+        n_files=args.n_files,
+        file_bytes=args.file_bytes,
+        pool_size=args.pool_size,
+    )
+    metrics = run_dedup_sweep(spark, cfg)
+    metrics.write.mode("overwrite").parquet(os.path.join(args.out_dir, "metrics"))
+    tp, et = write_dat_files(metrics, args.out_dir)
+    if args.verbose:
+        for line in summarize(metrics).collect():
+            print(
+                f"threads={line['shuffle_partitions']} "
+                f"compress={line['compress_type']} arrow={line['arrow_batch']} "
+                f"mean={line['mean_mbps']} MB/s best={line['best_mbps']} MB/s",
+                file=sys.stderr,
+            )
+    print(f"wrote {tp} and {et}")
+    spark.stop()
+    return 0
+
+
 def summarize(metrics: DataFrame) -> DataFrame:
     """Per-configuration mean/max throughput (the plots the testbed scripts
     fed to gnuplot, as a DataFrame)."""
@@ -100,3 +197,9 @@ def summarize(metrics: DataFrame) -> DataFrame:
         )
         .orderBy("compress_type", "shuffle_partitions")
     )
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

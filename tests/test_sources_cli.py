@@ -287,6 +287,41 @@ def test_dedup_sweep_harness(spark):
     assert len(summary) == 4
 
 
+def test_sweep_cli_emits_dat_files(spark, tmpdir):
+    """The sweep CLI (bin/parsec_stream's sweep-and-emit loop,
+    testbed/t1/throughput.sh) e2e as a subprocess: one grid run must
+    write throughput.dat + execution_time.dat in the gnuplot shape (one
+    line per config × rep, value column last) plus the tidy parquet
+    metrics table, and the .dat values must agree with the table."""
+    out = os.path.join(tmpdir, "sweep_out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+    r = subprocess.run(
+        [sys.executable, "-m", "bensp_suite_spark.bench.sweeps", out,
+         "--threads", "4", "--compress", "gzip,none", "--reps", "1",
+         "--n-files", "4", "--file-bytes", "65536", "-v"],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    tp = os.path.join(out, "throughput.dat")
+    et = os.path.join(out, "execution_time.dat")
+    assert os.path.exists(tp) and os.path.exists(et)
+    tp_lines = [l.split() for l in open(tp) if not l.startswith("#")]
+    et_lines = [l.split() for l in open(et) if not l.startswith("#")]
+    assert len(tp_lines) == len(et_lines) == 2  # 1 thread × 2 compress × 1 rep
+    metrics = {
+        (r2["shuffle_partitions"], r2["compress_type"], r2["arrow_batch"], r2["rep"]):
+        (r2["throughput_mbps"], r2["wall_sec"])
+        for r2 in spark.read.parquet(os.path.join(out, "metrics")).collect()
+    }
+    for parts, ctype, batch, rep, mbps in tp_lines:
+        key = (int(parts), ctype, int(batch), int(rep))
+        assert key in metrics
+        assert float(mbps) == metrics[key][0]
+    for parts, ctype, batch, rep, sec in et_lines:
+        assert float(sec) == metrics[(int(parts), ctype, int(batch), int(rep))][1]
+
+
 def test_ddp_incremental_parser_bounded_reads(spark, tmpdir):
     """The archive parser must consume its file object record-at-a-time —
     never a whole-archive read() — so a multi-GB archive decodes in
