@@ -82,18 +82,24 @@ _REVERIFY_QUOTA = 70
 #: re-checks them in the same round as the change, regardless of where
 #: the rotation happens to be. Clear when the round's changes land green.
 _FORCE_REVERIFY = [
-    # r9: ANN stream sinks now write per-batch_id partitions (idempotent
-    # retry) and readers drop the partition column
-    "stream_ann_brute_topk",
-    "stream_ann_nsw_topk",
-    "stream_audio_snippet_search",
-    # r9: upsert_nsw_index empty-shard seeding fix + materialize-before-
-    # overwrite + conf restore
-    "ann_nsw_upsert_topk",
-    # r9: streaming incremental dedup grew retention (seed/append rows now
-    # carry last_seen; compaction collapses sightings via groupBy-max
-    # instead of distinct; sink reads select exact signature columns)
+    # r10: compaction roll-up now writes the merged seed hash-bucketed
+    # multi-file (coalesce(1) removed) and blooms are cardinality-scaled
+    # at seed/rebuild — every query driving the incremental-dedup state
+    # machine re-pins
     "stream_incremental_dedup",
+    "stream_incremental_dedup_retention",
+    "pipeline_warc_daily",
+    "pipeline_daily_increment_day3",
+    # r10: routed/routed-PQ upserts grew the replay-idempotency anti-join
+    # and the corpus-completeness guard
+    "ann_nsw_routed_upsert_topk",
+    # r10: nb_quality_score emits prior-only rows for token-less docs
+    # (join-back added to the scoring plan)
+    "text_nb_quality_classifier",
+    # r10: clip_match banding gained the max_hamming range guard
+    "multimodal_video_clip_search_reencoded",
+    # r10: bloom-path queries exercise the resized-geometry read path
+    "dedup_incremental_bloom_prefilter",
 ]
 
 
