@@ -628,6 +628,161 @@ def nb_quality_score(
     )
 
 
+def _hashed_grams(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) rows — DSIR's hashed n-gram features: lowercase
+    whitespace unigrams + bigrams, md5-hashed into ``n_buckets`` buckets
+    (the same md5-prefix integer trick as the bloom positions — one
+    deterministic cross-engine hash family for the whole repo). Narrow
+    explode; the text never shuffles."""
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "
+    )
+    w = F.filter(words, lambda t: t != "")
+    n = F.size(w)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(w, bigrams)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(grams).alias("gram")
+    ).select("_id", bucket.alias("bucket"))
+
+
+def dsir_fit(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> tuple[DataFrame, int]:
+    """Fit DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169), the pretraining-data selector that picks raw
+    web documents whose hashed-n-gram profile looks like a trusted target
+    corpus: per-bucket importance log-ratio ``ln p_target(b) −
+    ln p_raw(b)`` with add-one smoothing over the bucket space. Fitting
+    is two count aggregations over (doc, bucket) explodes + one
+    bucket-space full-outer join — counts shuffle (≤ n_buckets rows),
+    text never does; at 100 TB the fitted model is a ≤ n_buckets-row
+    table you broadcast, exactly like the NB classifier's LLR table.
+
+    → (lr table (bucket, lr_micro), unseen_lr_micro): every ratio is
+    ROUNDed once into integer micro-units (the repo's decimal-exact
+    float contract — per-doc sums become order-free).
+    ``unseen_lr_micro`` covers buckets absent from BOTH corpora."""
+    import math
+
+    tg = _hashed_grams(target, text_col, id_col, n_buckets)
+    rg = _hashed_grams(raw, text_col, id_col, n_buckets)
+    ct = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    cr = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    joined = ct.join(cr, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        F.coalesce("c_r", F.lit(0)).alias("c_r"),
+    )
+    totals = joined.agg(
+        F.sum("c_t").alias("nt"), F.sum("c_r").alias("nr")
+    ).collect()[0]
+    n_t, n_r = int(totals["nt"]), int(totals["nr"])
+    lr_micro = F.round(
+        (
+            F.log((F.col("c_t") + F.lit(1.0)) / F.lit(float(n_t + n_buckets)))
+            - F.log((F.col("c_r") + F.lit(1.0)) / F.lit(float(n_r + n_buckets)))
+        )
+        * F.lit(float(LOGP_MICRO)),
+        0,
+    ).cast("long")
+    lr = joined.select("bucket", lr_micro.alias("lr_micro"))
+    unseen = int(
+        round(
+            (
+                math.log(1.0 / (n_t + n_buckets))
+                - math.log(1.0 / (n_r + n_buckets))
+            )
+            * LOGP_MICRO
+        )
+    )
+    return lr, unseen
+
+
+def dsir_score(
+    docs: DataFrame,
+    lr: DataFrame,
+    unseen_lr_micro: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """(doc_id, n_grams, logweight_micro): per-document DSIR importance
+    log-weight — Σ over the doc's hashed n-grams of the bucket log-ratio
+    (buckets unseen at fit time take the smoothed constant), summed
+    EXACTLY in integer micro-units. Every input doc gets a row: gram-less
+    docs (empty/whitespace text) score 0 via the id join-back — the same
+    no-silent-drop contract as :func:`nb_quality_score`. Plan: one
+    broadcast join against the ≤ n_buckets-row table + one aggregation."""
+    grams = _hashed_grams(docs, text_col, id_col, n_buckets)
+    scored = grams.join(F.broadcast(lr), "bucket", "left").select(
+        "_id",
+        F.coalesce(F.col("lr_micro"), F.lit(unseen_lr_micro)).alias("lr_micro"),
+    )
+    agg = scored.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("lr_micro").cast("long").alias("logweight_micro"),
+    )
+    all_ids = docs.select(F.col(id_col)).distinct()
+    return all_ids.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("logweight_micro", F.lit(0)).cast("long").alias(
+            "logweight_micro"
+        ),
+    )
+
+
+def dsir_select(
+    target: DataFrame,
+    pool: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """The full DSIR selection pass: fit p on ``target`` and q on the
+    raw ``pool`` itself (the paper's estimator — q is the pool's own
+    distribution), score every pool doc, and flag the top ``k`` by
+    (logweight desc, id) as ``selected`` — the deterministic-rank
+    variant of the paper's gumbel-top-k resample (ranking by weight is
+    the zero-temperature limit; a seeded gumbel perturbation drops in as
+    one extra column without changing the plan shape). Returns ALL
+    scored pool docs with the flag, so the caller audits the margin,
+    not just the winners. The rank is a global TopK over pool-sized
+    rows of (id, weight) — TakeOrderedAndProject territory at any
+    scale; document text stays out of the window."""
+    lr, unseen = dsir_fit(target, pool, text_col, id_col, n_buckets)
+    scored = dsir_score(pool, lr, unseen, text_col, id_col, n_buckets)
+    w = Window.orderBy(F.col("logweight_micro").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .select(
+            id_col,
+            "n_grams",
+            "logweight_micro",
+            (F.col("rank") <= k).alias("selected"),
+        )
+    )
+
+
 def token_distribution_drift(
     old: DataFrame,
     new: DataFrame,

@@ -819,6 +819,41 @@ def text_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.nb_quality_score(held, llr, unseen_micro, prior_micro)
 
 
+@query("curation_dsir_select", oracle=None)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), the hashed-n-gram data selector LLaMA-class
+    pipelines run over raw crawl: fit p on a trusted target corpus and q
+    on the raw pool itself (unigram+bigram md5-bucket counts, add-one
+    smoothing over 10k buckets), score every pool doc with Σ bucket
+    log-ratios in exact integer micro-units, flag the deterministic
+    top-30 by (weight desc, id) as selected. Fitting is two bucket-count
+    aggregations + one ≤10k-row full-outer join; scoring is one
+    broadcast join + one aggregation; the rank window sees only (id,
+    weight) pairs — document text never shuffles, which is the whole
+    100 TB story. Pool = held-out real docs [400,460) + token-reversed
+    noise twins at +AUG ids: the real docs must dominate the selection.
+    Golden-pinned via the independent pure-Python DSIR mirror
+    (cross-engine ln ULP parity is not a SQL contract — the NB/LM
+    precedent)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+    )
+    reversed_text = F.array_join(
+        F.transform(words, lambda w: F.reverse(w)), " "
+    )
+    target = docs.filter(F.col("doc_id") < 200)
+    held = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 460))
+    pool = held.unionByName(
+        held.select(
+            (F.col("doc_id") + DT.AUG_OFFSET).alias("doc_id"),
+            reversed_text.alias("text"),
+        )
+    )
+    return TA.dsir_select(target, pool, k=30)
+
+
 @query(
     "text_quality_score",
     oracle="""

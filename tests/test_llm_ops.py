@@ -1344,6 +1344,51 @@ def test_nb_quality_classifier_discriminates_and_handles_unseen(spark):
         assert got_e[d]["predicted_hq"] == (prior > 0)
 
 
+def test_dsir_selects_target_like_docs_and_covers_every_input(spark):
+    """DSIR importance resampling must DISCRIMINATE: over a pool of
+    held-out in-distribution documents mixed with equal-length
+    token-reversed noise, the top-k selection is dominated by the real
+    docs (their hashed-n-gram profile matches the target corpus).
+    Contracts: one row per pool doc (gram-less docs get a 0-weight row,
+    never a silent drop), exactly k selected, weights are exact integer
+    micro-units (order-free sums — any parallelism, same hash)."""
+    from bensp_suite_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+    )
+    rev = F.array_join(F.transform(words, lambda w: F.reverse(w)), " ")
+    target = docs.filter("doc_id < 200")
+    held = docs.filter("doc_id >= 400 and doc_id < 440")
+    pool = held.unionByName(
+        held.select((F.col("doc_id") + 10_000).alias("doc_id"), rev.alias("text"))
+    ).unionByName(
+        spark.createDataFrame([(99_999, "   ")], "doc_id long, text string")
+    )
+    out = {r["doc_id"]: r for r in TA.dsir_select(target, pool, k=20).collect()}
+    assert len(out) == 81  # 40 real + 40 reversed + 1 empty — all covered
+    assert out[99_999]["n_grams"] == 0 and out[99_999]["logweight_micro"] == 0
+    sel = [d for d, r in out.items() if r["selected"]]
+    assert len(sel) == 20
+    real = sum(1 for d in sel if d < 10_000)
+    assert real >= 18  # noise twins must not crowd the selection
+    # determinism across shuffle parallelism: integer micro sums hash
+    # identically at a different partition count
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = {
+            r["doc_id"]: tuple(r)
+            for r in TA.dsir_select(target, pool, k=20).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert again == {d: tuple(r) for d, r in out.items()}
+
+
 def test_ngram_lm_score_separates_gibberish(spark):
     """The LM quality signal must DISCRIMINATE: an in-domain document
     (words drawn from the corpus vocabulary) scores a higher mean bigram

@@ -1406,6 +1406,96 @@ def text_nb_quality_classifier(sf_dir: str):
     return cols, rows
 
 
+def curation_dsir_select(sf_dir: str, n_buckets: int = 10_000, k: int = 30):
+    """Mirror of queries.curation_dsir_select: DSIR importance
+    resampling recomputed in pure python — hashed unigram+bigram bucket
+    counts (md5-prefix % n_buckets, the repo's cross-engine hash
+    family), add-one-smoothed per-bucket log-ratio spark_round(·1e6, 0),
+    exact integer per-doc sums, deterministic top-k by (weight desc,
+    id). Target = documents < 200; pool = held-out 400..460 real texts
+    + token-reversed noise twins at +1e6 ids; q fits on the pool
+    itself (the paper's estimator)."""
+    import hashlib
+    import math
+    import re
+
+    def words(t: str) -> list[str]:
+        t = re.sub(r"\s+", " ", (t or "").strip().lower())
+        return [w for w in t.split(" ") if w] if t else []
+
+    def rev(t: str) -> str:
+        t = re.sub(r"\s+", " ", (t or "").strip().lower())
+        return " ".join(w[::-1] for w in t.split(" ")) if t else ""
+
+    def grams(t: str) -> list[str]:
+        ws = words(t)
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    docs = _documents(sf_dir)
+    by_id = dict(docs)
+    AUG = 1_000_000
+    target = [text for did, text in docs if did < 200]
+    pool = [
+        (did, by_id[did]) for did in sorted(by_id) if 400 <= did < 460
+    ] + [
+        (did + AUG, rev(by_id[did])) for did in sorted(by_id) if 400 <= did < 460
+    ]
+    c_t: dict[int, int] = {}
+    for t in target:
+        for g in grams(t):
+            b = bucket(g)
+            c_t[b] = c_t.get(b, 0) + 1
+    c_r: dict[int, int] = {}
+    for _, t in pool:
+        for g in grams(t):
+            b = bucket(g)
+            c_r[b] = c_r.get(b, 0) + 1
+    n_t = sum(c_t.values())
+    n_r = sum(c_r.values())
+    lr = {
+        b: int(
+            spark_round(
+                (
+                    math.log((c_t.get(b, 0) + 1.0) / float(n_t + n_buckets))
+                    - math.log((c_r.get(b, 0) + 1.0) / float(n_r + n_buckets))
+                )
+                * 1_000_000.0,
+                0,
+            )
+        )
+        for b in set(c_t) | set(c_r)
+    }
+    unseen = int(
+        round(
+            (
+                math.log(1.0 / (n_t + n_buckets))
+                - math.log(1.0 / (n_r + n_buckets))
+            )
+            * 1_000_000
+        )
+    )
+    scored = []
+    for did, t in pool:
+        gs = grams(t)
+        lw = sum(lr.get(bucket(g), unseen) for g in gs)
+        scored.append((did, len(gs), lw))
+    order = sorted(scored, key=lambda r: (-r[2], r[0]))
+    topk = {r[0] for r in order[:k]}
+    rows = [
+        (did, n, lw, did in topk) for did, n, lw in sorted(scored)
+    ]
+    cols = [
+        ("doc_id", "BIGINT"),
+        ("n_grams", "BIGINT"),
+        ("logweight_micro", "BIGINT"),
+        ("selected", "BOOLEAN"),
+    ]
+    return cols, rows
+
+
 def corpus_token_drift(sf_dir: str, top: int = 20):
     """Mirror of queries.corpus_token_drift: pure-Python token counts
     over the two snapshot halves (new half plants ' driftword' on every
@@ -1882,6 +1972,7 @@ REFERENCE_FNS = {
     "text_bpe_trained_tokenize": text_bpe_trained_tokenize,
     "text_ngram_lm_score": text_ngram_lm_score,
     "text_nb_quality_classifier": text_nb_quality_classifier,
+    "curation_dsir_select": curation_dsir_select,
     "sample_kcenter_diverse": sample_kcenter_diverse,
     "corpus_token_drift": corpus_token_drift,
     "ann_opq_topk": ann_opq_topk,
