@@ -766,20 +766,28 @@ def dsir_select(
     the zero-temperature limit; a seeded gumbel perturbation drops in as
     one extra column without changing the plan shape). Returns ALL
     scored pool docs with the flag, so the caller audits the margin,
-    not just the winners. The rank is a global TopK over pool-sized
-    rows of (id, weight) — TakeOrderedAndProject territory at any
-    scale; document text stays out of the window."""
+    not just the winners.
+
+    Plan shape: NO global window (a pool-sized row_number would funnel
+    every row through one partition). The k-th (weight, id) pair comes
+    from an ``orderBy().limit(k)`` — TakeOrderedAndProject: per-partition
+    top-k + a k-row driver merge — reduced to a 1-row threshold that
+    broadcast-joins back; the flag is a scan-local struct comparison."""
     lr, unseen = dsir_fit(target, pool, text_col, id_col, n_buckets)
     scored = dsir_score(pool, lr, unseen, text_col, id_col, n_buckets)
-    w = Window.orderBy(F.col("logweight_micro").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .select(
-            id_col,
-            "n_grams",
-            "logweight_micro",
-            (F.col("rank") <= k).alias("selected"),
-        )
+    okey = F.struct(
+        (-F.col("logweight_micro")).alias("negw"), F.col(id_col).alias("oid")
+    )
+    kth = (
+        scored.orderBy(F.col("logweight_micro").desc(), F.col(id_col))
+        .limit(k)
+        .agg(F.max(okey).alias("kth"))
+    )
+    return scored.crossJoin(F.broadcast(kth)).select(
+        id_col,
+        "n_grams",
+        "logweight_micro",
+        (okey <= F.col("kth")).alias("selected"),
     )
 
 
