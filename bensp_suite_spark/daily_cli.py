@@ -95,6 +95,16 @@ def _write_bloom(sig_dir: str, packed: bytes, m: int, k: int, name: str = "bloom
         json.dump({"m": m, "k": k, **meta}, fh)
 
 
+def _bloom_floor(sig_dir: str, name: str = "bloom") -> int:
+    """Configured floor geometry from the sidecar meta (legacy metas
+    without it fall back to the module default)."""
+    meta_p = os.path.join(sig_dir, f"{name}.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            return int(json.load(fh).get("floor_m", BLOOM_M))
+    return BLOOM_M
+
+
 def _step_id_from(batch_path: str) -> str:
     base = os.path.basename(batch_path.rstrip("/"))
     return re.sub(r"[^A-Za-z0-9_.\-]", "_", base) or "step"
@@ -451,11 +461,14 @@ def main(argv: list[str] | None = None) -> int:
                 m=bloom[1],
                 k=bloom[2],
             )
+            # floor_m rides every rewrite so the next expiry rebuild
+            # keeps the configured floor instead of falling back to BLOOM_M
             _write_bloom(
                 args.sig_dir,
                 bloom_merge_packed(bloom[0], day_bloom),
                 bloom[1],
                 bloom[2],
+                floor_m=_bloom_floor(args.sig_dir),
             )
         if band_bloom is not None:
             from .operators.sketches import bloom_merge_packed
@@ -473,6 +486,7 @@ def main(argv: list[str] | None = None) -> int:
                 band_bloom[2],
                 name="band_bloom",
                 max_hamming=args.max_hamming,
+                floor_m=_bloom_floor(args.sig_dir, "band_bloom"),
             )
         os.makedirs(steps_dir, exist_ok=True)
         open(marker, "w").close()

@@ -773,6 +773,10 @@ def dsir_select(
     from an ``orderBy().limit(k)`` — TakeOrderedAndProject: per-partition
     top-k + a k-row driver merge — reduced to a 1-row threshold that
     broadcast-joins back; the flag is a scan-local struct comparison."""
+    if k < 1:
+        # limit(0) would make the agg-max threshold NULL and silently
+        # turn 'selected' NULL for every row — fail loudly instead
+        raise ValueError(f"dsir_select requires k >= 1, got {k}")
     lr, unseen = dsir_fit(target, pool, text_col, id_col, n_buckets)
     scored = dsir_score(pool, lr, unseen, text_col, id_col, n_buckets)
     okey = F.struct(

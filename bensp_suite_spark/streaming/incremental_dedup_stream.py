@@ -477,7 +477,13 @@ def stream_incremental_dedup(
                     # OR is idempotent: a replayed advance re-ORs the same
                     # bits; a stale bloom only costs extra maybe-rows
                     merged_b = bloom_merge_packed(bloom[0], add)
-                    _write_packed_bloom(sig_dir, merged_b, bloom[1], bloom[2])
+                    # floor_m rides EVERY rewrite: the next expiry rebuild
+                    # re-sizes from the sidecar meta, and dropping it here
+                    # would shrink a custom-floored bitset back to BLOOM_M
+                    _write_packed_bloom(
+                        sig_dir, merged_b, bloom[1], bloom[2],
+                        floor_m=_bloom_floor(sig_dir),
+                    )
                     _blooms["bloom"] = (merged_b, bloom[1], bloom[2])
                 if band_bloom is not None:
                     from ..operators.sketches import bloom_merge_packed
@@ -503,6 +509,7 @@ def stream_incremental_dedup(
                         band_bloom[2],
                         name="band_bloom",
                         max_hamming=max_hamming,
+                        floor_m=_bloom_floor(sig_dir, "band_bloom"),
                     )
                     _blooms["band"] = (merged_bb, band_bloom[1], band_bloom[2])
                 if on_survivors is not None:

@@ -1387,6 +1387,12 @@ def test_dsir_selects_target_like_docs_and_covers_every_input(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert again == {d: tuple(r) for d, r in out.items()}
+    # k < 1 must fail loudly (r10 ADVICE): limit(0) would NULL the agg-max
+    # threshold and silently make 'selected' NULL everywhere
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k >= 1"):
+        TA.dsir_select(target, pool, k=0)
 
 
 def test_ngram_lm_score_separates_gibberish(spark):

@@ -1220,7 +1220,16 @@ def test_stream_incremental_dedup_compaction_and_bloom_preserve_flags(spark, tmp
     # this meta assertion can catch it)
     import json as _json
     with open(os.path.join(base_b, "sig", "band_bloom.json")) as fh:
-        assert _json.load(fh).get("max_hamming") == 3
+        bb_meta = _json.load(fh)
+    assert bb_meta.get("max_hamming") == 3
+    # ... and the floor_m geometry (r10 ADVICE): a custom bloom_floor_m
+    # set at seed time must survive every per-batch OR-advance rewrite,
+    # or the next expiry rebuild falls back to BLOOM_M and the bitset
+    # shrinks below the configured floor
+    from bensp_suite_spark.operators.dedup_text import BLOOM_M as _BM
+    assert bb_meta.get("floor_m") == _BM
+    with open(os.path.join(base_b, "sig", "bloom.json")) as fh:
+        assert _json.load(fh).get("floor_m") == _BM
 
     # replay the whole stream over the SAME checkpoint: commit markers make
     # it a no-op — state partition count and flags unchanged
