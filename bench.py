@@ -62,6 +62,19 @@ def main() -> None:
     spark = get_spark("bensp-bench", shuffle_partitions=int(shuffle))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Scale-aware AQE, same rationale as the shuffle sizing above: at
+    # bench SF the per-stage re-plan latency is pure overhead on
+    # sub-second queries (measured 109.6 → 95.4 s across the 155 oracle
+    # queries, only two >0.3 s regressions), while at real scale AQE's
+    # runtime re-planning (broadcast conversion, skew splitting,
+    # partition coalescing) is load-bearing — so only the small-SF suite
+    # loop turns it off; the heavy phases below re-enable it (the
+    # streaming merge sink's winners joins RELY on AQE broadcast
+    # conversion).
+    aqe_off_for_suite = (sf or 1.0) <= 0.1
+    if aqe_off_for_suite:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     # Warm the JVM + cache the input tables so per-query times measure the
     # query, not 45 cold scans of the same ten parquet files (the DuckDB
     # comparison point reads OS-page-cached files too).
@@ -207,8 +220,9 @@ def main() -> None:
     from bensp_suite_spark.ferret import fixtures as FER_F
     from bensp_suite_spark.ferret import pipeline as FER_P
 
-    # the compute-heavy phases below want full parallelism, not the
-    # input-byte-sized suite shuffle setting
+    # the compute-heavy phases below want full parallelism and AQE back
+    # on, not the input-byte-sized suite shuffle setting
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 
     fer_corpus = FER_F.synthetic_corpus(spark, m=1000).persist(StorageLevel.MEMORY_ONLY)
@@ -738,6 +752,55 @@ def main() -> None:
         .count()
     )
     ann_scale["nsw_routed_pq_recall_at10_100k"] = round(pq_hits / n_exact, 4)
+    # SPANN spill × DiskANN PQ at the FULL 100k point (r10 verdict #5:
+    # the spilled point previously existed only at 20k because the
+    # spilled build was believed multi-minute; measured r11 on this host
+    # it is ~3 min wall — the closure triples every cell and the largest
+    # cell's single-worker nsw_build is the straggler — acceptable once
+    # per bench for the headline recall floor). Same probe budget as the
+    # unspilled run above; the floor is the 0.8 bar the other compressed
+    # families hold.
+    t0 = time.perf_counter()
+    GA_B.save_nsw_routed_pq_index(
+        big_emb, _pq_base + "/pq_spill", n_cells=32, m=12, ef_build=32,
+        n_subspaces=8, n_centroids=256, spill_eps=0.05,
+    )
+    ann_scale["nsw_routed_pq_spill_build_sec_100k"] = round(
+        time.perf_counter() - t0, 1
+    )
+    _sp_idx = GA_B.load_nsw_routed_pq_index(spark, _pq_base + "/pq_spill")
+    _sp_hits = (
+        GA_B.nsw_routed_pq_ann_topk(
+            big_q, big_emb, _sp_idx, k=10, n_probe=12, ef_search=128
+        )
+        .select("query_id", "neighbor_id")
+        .join(brute_res, ["query_id", "neighbor_id"])
+        .count()
+    )
+    ann_scale["nsw_routed_pq_spill_recall_at10_100k"] = round(
+        _sp_hits / n_exact, 4
+    )
+    # fully-distributed (cogroup) probe at 100k: zero driver collect in
+    # the probe path (r10 verdict #6/#9) — parity with the wave path is
+    # pytest-pinned; this records the transport's cost at scale
+    best = None
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        GA_B.nsw_routed_pq_ann_topk(
+            big_q, big_emb, _sp_idx, k=10, n_probe=12, ef_search=128,
+            probe_mode="cogroup",
+        ).write.format("noop").mode("overwrite").save()
+        sec = time.perf_counter() - t0
+        if _rep > 0:
+            best = sec if best is None else min(best, sec)
+    ann_scale["routed_pq_cogroup_qps_100k"] = round(100 / best, 2)
+    assert ann_scale["nsw_routed_pq_spill_recall_at10_100k"] >= 0.8, (
+        f"spilled routed-PQ recall@10 at 100k "
+        f"{ann_scale['nsw_routed_pq_spill_recall_at10_100k']} fell below "
+        "the 0.8 floor (eps=0.05, 12/32 probes, ef=128 — measured 0.846 "
+        "at r11 calibration; the spill must keep the DiskANN rung at the "
+        "family bar)"
+    )
     _sh.rmtree(_pq_base, ignore_errors=True)
     assert ann_scale["nsw_routed_pq_recall_at10_100k"] >= 0.75, (
         f"PQ-routed-NSW recall@10 "
@@ -749,14 +812,12 @@ def main() -> None:
         ann_scale["nsw_routed_pq_graph_mb_100k"]
         < ann_scale["nsw_routed_raw_graph_mb_100k"] / 3
     ), "PQ shards must be a small fraction of the raw-vector shards"
-    # SPANN spill × DiskANN PQ — the composed 100 TB point (r9 verdict
-    # #5: the PQ floor's <5% margin was the only thin one; spill buys the
-    # headroom). Measured at 20k, the scale the raw spill was calibrated
-    # at (r9): a 100k spilled-PQ build is a multi-minute python graph
-    # build (the eps=0.05 closure triples every cell) — too slow for a
-    # bench phase, and the recall DELTA is scale-stable. Same pair
-    # params: m=12, ef_build=32, 12-of-32 probes, ef=128, eps=0.05.
-    # r10 calibration: unspilled 0.849 → spilled 0.928 at 3.01× state.
+    # SPANN spill × DiskANN PQ at 20k — the cheap calibration pair kept
+    # alongside the full 100k spilled point above (the 20k pair isolates
+    # the spill DELTA at identical params for a few seconds of build).
+    # Same pair params: m=12, ef_build=32, 12-of-32 probes, ef=128,
+    # eps=0.05. r10 calibration: unspilled 0.849 → spilled 0.928 at
+    # 3.01× state.
     spill20 = {}
     _sp_base = _tf.mkdtemp(prefix="bensp_pq_spill_")
     emb20 = big_emb.filter(F.col("vec_id") < 20_000).persist(StorageLevel.MEMORY_ONLY)
@@ -819,6 +880,14 @@ def main() -> None:
         f"SQ8 recall@10 {ann_scale['sq8_recall_at10_100k']} fell below the "
         "0.9 floor — 8-bit quantization should be nearly lossless at 64d"
     )
+    # scale-safe k-center at 100k (r10 verdict #4): the two-stage
+    # composable-coreset form — one assignment pass + one grouped shuffle
+    # regardless of k, vs the exact form's k full corpus scans (which at
+    # k=64 would be ~64× this cost; the exact form stays the test-scale
+    # oracle)
+    t0 = time.perf_counter()
+    SIM_B.kcenter_sample_cells(big_emb, k=64, n_cells=auto_cells).count()
+    ann_scale["kcenter_cells_k64_sec_100k"] = round(time.perf_counter() - t0, 2)
     ivfpq_coded.unpersist()
     assign.unpersist()
     big_emb.unpersist()
@@ -951,23 +1020,26 @@ def main() -> None:
 
     from bensp_suite_spark.streaming import dedup_stream as DSTR
 
-    stream_mb = 256
+    # Headline protocol measures the SHIPPED configuration: files_source's
+    # default 256 MB trigger (the measured knee — see
+    # DEFAULT_MAX_BYTES_PER_TRIGGER), 512 MB of input → 2 triggers, so
+    # cross-batch winners state is still exercised. r10 measured the same
+    # pipeline at an artificial 64 MB trigger (4× the per-trigger fixed
+    # cost) — that point still appears in the trigger sweep below; the
+    # headline is the default a deployment actually runs.
+    stream_mb = 512
     listener = DSTR.ThroughputListener()
     handle = listener.attach(spark)
     sdir = tempfile.mkdtemp(prefix="bensp_bench_stream_")
     s_src = os.path.join(sdir, "src")
     DF.synthetic_docs(
         spark, n_files=stream_mb, file_bytes=1 << 20, pool_size=64, seed=11
-    ).repartition(8).write.mode("overwrite").parquet(s_src)
+    ).repartition(16).write.mode("overwrite").parquet(s_src)
     stream_sec = None
     for _rep in range(3):
         s_out = os.path.join(sdir, f"out{_rep}")
         s_ckpt = os.path.join(sdir, f"ckpt{_rep}")
-        s_stream = (
-            spark.readStream.schema("file_id long, content binary")
-            .option("maxFilesPerTrigger", 2)
-            .parquet(s_src)
-        )
+        s_stream = DSTR.files_source(spark, s_src)
         t0 = time.perf_counter()
         DSTR.stream_encode_merge(spark, s_stream, s_out, s_ckpt)
         rep_sec = round(time.perf_counter() - t0, 4)
@@ -1349,7 +1421,10 @@ def main() -> None:
         # Heavy phases between the suite loop and here churn the page
         # cache, so rerun against re-cached tables first.
         if flagged:
+            # same conf the suite loop timed under
             spark.conf.set("spark.sql.shuffle.partitions", str(int(shuffle)))
+            if aqe_off_for_suite:
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
             cache_tables(spark, sf_dir)
             for name in sorted(flagged):
                 suite_sec = times[name]

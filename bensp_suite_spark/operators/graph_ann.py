@@ -254,6 +254,118 @@ def _exact_rerank(cand: DataFrame, q_sel: DataFrame, c_sel: DataFrame, k: int) -
     )
 
 
+_CAND_SCHEMA = "query_id long, neighbor_id long"
+
+
+def _empty_cand() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def _routed_probe_cogroup(
+    q_sel: DataFrame,
+    qassign: DataFrame,
+    src: DataFrame,
+    prebuilt: bool,
+    m: int,
+    ef_build: int,
+    ef_search: int,
+) -> DataFrame:
+    """Fully-distributed routed probe (zero driver staging): queries
+    shuffle to their probe cells, and each (cell-queries, cell-graph)
+    pair runs inside ONE ``cogroup().applyInPandas`` worker — the
+    same per-row normalization and per-query beam as the wave path, so
+    nominations are bit-identical; only the transport differs."""
+
+    def worker(qpdf: pd.DataFrame, gpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or gpdf.empty:
+            return _empty_cand()
+        qpdf = qpdf.sort_values("query_id").reset_index(drop=True)
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        qmat = np.array([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
+        qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        if prebuilt:
+            gpdf = gpdf.sort_values("pos").reset_index(drop=True)
+            ids = gpdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.array([np.asarray(v, dtype=np.float64) for v in gpdf["cv"]])
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            nbrs = [list(map(int, x)) for x in gpdf["nbrs"]]
+        else:
+            gpdf = gpdf.sort_values("neighbor_id").reset_index(drop=True)
+            ids = gpdf["neighbor_id"].to_numpy(dtype=np.int64)
+            V = np.array([np.asarray(v, dtype=np.float64) for v in gpdf["cv"]])
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            nbrs = nsw_build(V, m=m, ef_build=ef_build)
+        out_q, out_n = [], []
+        for qi in range(len(qids)):
+            for _, p in nsw_beam_search(V, nbrs, qmat[qi], ef_search):
+                out_q.append(int(qids[qi]))
+                out_n.append(int(ids[p]))
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    q_cells = qassign.join(q_sel, "query_id").select("cell", "query_id", "qv")
+    return (
+        q_cells.groupBy("cell")
+        .cogroup(src.groupBy("shard"))
+        .applyInPandas(worker, _CAND_SCHEMA)
+    )
+
+
+def _routed_pq_probe_cogroup(
+    q_sel: DataFrame,
+    qassign: DataFrame,
+    graph_df: DataFrame,
+    books: np.ndarray,
+    ef_search: int,
+) -> DataFrame:
+    """ADC twin of :func:`_routed_probe_cogroup`: per-query ADC tables
+    are computed inside the worker from the closure's codebooks — same
+    elementwise-mul + sum as the wave path, row-independent, so tables
+    (and beams) are bit-identical."""
+    S, C, ds = books.shape
+
+    def worker(qpdf: pd.DataFrame, gpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or gpdf.empty:
+            return _empty_cand()
+        qpdf = qpdf.sort_values("query_id").reset_index(drop=True)
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        qmat = np.array([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
+        qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        qsub = qmat.reshape(qmat.shape[0], S, ds)
+        tables = (books[None, :, :, :] * qsub[:, :, None, :]).sum(-1)
+        gpdf = gpdf.sort_values("pos").reset_index(drop=True)
+        ids = gpdf["vec_id"].to_numpy(dtype=np.int64)
+        codes = np.array([np.asarray(c, dtype=np.int64) for c in gpdf["codes"]])
+        nbrs = [list(map(int, x)) for x in gpdf["nbrs"]]
+        out_q, out_n = [], []
+        for qi in range(len(qids)):
+            for _, p in nsw_beam_search_adc(codes, nbrs, tables[qi], ef_search):
+                out_q.append(int(qids[qi]))
+                out_n.append(int(ids[p]))
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    q_cells = qassign.join(q_sel, "query_id").select("cell", "query_id", "qv")
+    return (
+        q_cells.groupBy("cell")
+        .cogroup(graph_df.groupBy("shard"))
+        .applyInPandas(worker, _CAND_SCHEMA)
+    )
+
+
 def nsw_routed_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -267,6 +379,7 @@ def nsw_routed_ann_topk(
     vec_col: str = "embedding",
     index: tuple[DataFrame, DataFrame, dict] | None = None,
     spill_eps: float = 0.0,
+    probe_mode: str = "waves",
 ) -> DataFrame:
     """IVF-ROUTED sharded NSW — the candidate cut composed with the
     graph cut: shards are the coarse quantizer's cells (deterministic
@@ -287,7 +400,17 @@ def nsw_routed_ann_topk(
     scores; golden-pinned by the independent numpy mirror. A prebuilt
     ``index`` carries its own spill factor in meta (the graphs were
     built over the spilled membership); ``spill_eps`` here only affects
-    the inline build."""
+    the inline build.
+
+    ``probe_mode``: ``"waves"`` stages query batches on the driver in
+    bounded hash chunks (the family's documented contract — fine while
+    queries ≪ corpus); ``"cogroup"`` is the FULLY-DISTRIBUTED probe —
+    queries shuffle to their probe cells and each (cell-queries,
+    cell-graph) pair beams inside one ``cogroup().applyInPandas``
+    worker, zero ``collect()`` anywhere in the probe path, so millions
+    of streamed queries never serialize through the driver. Nomination
+    sets are bit-identical (same per-row normalization, same per-query
+    beam): tests pin parity."""
     from .similarity import ivf_assign, ivf_assign_spill, ivf_centroids
 
     q_sel = queries.select(
@@ -325,6 +448,17 @@ def nsw_routed_ann_topk(
         "query_id",
         "qv",
     ).select("query_id", "cell")
+
+    if probe_mode == "cogroup":
+        src = graph_df if index is not None else sharded
+        cand = _routed_probe_cogroup(
+            q_sel, qassign, src,
+            prebuilt=index is not None, m=m, ef_build=ef_build,
+            ef_search=ef_search,
+        )
+        if spilled:
+            cand = cand.distinct()
+        return _exact_rerank(cand, q_sel, c_sel, k)
 
     n_q = q_sel.count()
     n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
@@ -676,6 +810,7 @@ def nsw_routed_pq_ann_topk(
     ef_search: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_mode: str = "waves",
 ) -> DataFrame:
     """Probe a :func:`save_nsw_routed_pq_index` index: queries route to
     their ``n_probe`` nearest cells (the routed family's assignment),
@@ -684,7 +819,9 @@ def nsw_routed_pq_ann_topk(
     the nomination union exact-reranks against the raw corpus table.
     Per-query cost: n_probe beams over 8-byte codes + refine-sized exact
     cosine — the memory-bound rung of the routed ladder. Wave-chunked
-    above QUERY_BATCH_LIMIT like the whole family."""
+    above QUERY_BATCH_LIMIT like the whole family; ``probe_mode=
+    "cogroup"`` runs the fully-distributed probe instead (zero driver
+    collect — see nsw_routed_ann_topk)."""
     from .similarity import ivf_assign
 
     cent, graph_df, books, params = index
@@ -705,6 +842,13 @@ def nsw_routed_pq_ann_topk(
         "query_id",
         "qv",
     ).select("query_id", "cell")
+    if probe_mode == "cogroup":
+        cand = _routed_pq_probe_cogroup(
+            q_sel, qassign, graph_df, books, ef_search
+        )
+        if spilled:
+            cand = cand.distinct()
+        return _exact_rerank(cand, q_sel, c_sel, k)
     n_q = q_sel.count()
     n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
     chunk_expr = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))

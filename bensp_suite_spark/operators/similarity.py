@@ -2321,6 +2321,102 @@ def kcenter_sample(
     )
 
 
+def kcenter_sample_cells(
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-safe two-stage Gonzalez k-center (the composable-coreset
+    form of :func:`kcenter_sample`): stage 1 assigns every vector to its
+    nearest deterministic coarse cell (one narrow Arrow pass, centroids
+    in the closure — the ``ivf_assign`` machinery); stage 2 runs greedy
+    k-center INSIDE each cell via one ``applyInPandas`` group (each cell
+    nominates min(k, |cell|) representatives — per-cell Gonzalez is a
+    composable coreset for the k-center objective, Indyk et al. 2014);
+    stage 3 runs exact Gonzalez over the ≤ n_cells·k representatives on
+    the driver (bounded: coreset rows, not corpus rows).
+
+    vs the exact single-stage form: ``kcenter_sample`` scans the corpus
+    k times (one pass per center — inherent to the 2-approx greedy);
+    this form scans it ONCE for assignment plus one grouped shuffle, so
+    at 100 TB the cost is O(corpus) instead of O(k·corpus), trading the
+    2-approx for the composable-coreset constant-factor bound. Same
+    deterministic tie-breaking as the exact form at every stage (seed =
+    lowest id, farthest-first with lowest-id ties, distances accumulated
+    dimension-at-a-time in index order), so outputs are layout-stable
+    and golden-pinnable. → (sel_order, vec_id, d2_far) with d2_far the
+    squared L2 distance to the nearest PRIOR selected center within
+    stage 3's representative set (0.0 for the seed), rounded 6dp."""
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(corpus.sparkSession)
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
+        cents,
+        1,
+        "vec_id",
+        "cv",
+    )
+
+    def _cell_greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        v = np.array(pdf["cv"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        take = min(k, n)
+        sel = [0]  # lowest id seeds, same rule as the exact form
+        # distance-to-nearest-selected, dimension-at-a-time fold order
+        d2 = np.zeros(n, dtype=np.float64)
+        for i in range(v.shape[1]):
+            d = v[:, i] - v[0, i]
+            d2 += d * d
+        for _ in range(1, take):
+            # farthest first; ties -> lowest id (argmax returns first max
+            # on the id-sorted frame)
+            j = int(np.argmax(d2))
+            sel.append(j)
+            nd2 = np.zeros(n, dtype=np.float64)
+            for i in range(v.shape[1]):
+                d = v[:, i] - v[j, i]
+                nd2 += d * d
+            d2 = np.minimum(d2, nd2)
+        out = pdf.iloc[sel]
+        return out[["vec_id", "cv"]]
+
+    reps = assigned.groupBy("cell").applyInPandas(
+        _cell_greedy, "vec_id long, cv array<double>"
+    )
+    rows = reps.collect()  # bounded: <= n_cells * k coreset rows
+    spark = corpus.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], "sel_order int, vec_id long, d2_far double"
+        )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    v = np.array([r["cv"] for r in rows], dtype=np.float64)
+    take = min(k, len(ids))
+    out = [(0, int(ids[0]), 0.0)]
+    d2 = np.zeros(len(ids), dtype=np.float64)
+    for i in range(v.shape[1]):
+        d = v[:, i] - v[0, i]
+        d2 += d * d
+    for order in range(1, take):
+        j = int(np.argmax(d2))
+        out.append((order, int(ids[j]), float(np.round(d2[j], 6))))
+        nd2 = np.zeros(len(ids), dtype=np.float64)
+        for i in range(v.shape[1]):
+            d = v[:, i] - v[j, i]
+            nd2 += d * d
+        d2 = np.minimum(d2, nd2)
+    return spark.createDataFrame(
+        out, "sel_order int, vec_id long, d2_far double"
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_cells: int | None = 16,

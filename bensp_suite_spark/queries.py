@@ -85,6 +85,58 @@ def _dec(col: str, scale: int = 2) -> F.Column:
     return F.col(col).cast(f"decimal(18,{scale})")
 
 
+# Exact integer-unit formulation of SUM(decimal): decimal aggregation
+# buffers fall off Spark's whole-stage-codegen fast path (measured ~2× on
+# the q1 shape at sf0.1), so the hot aggregate queries sum exact integer
+# units in LONG buffers instead and reassemble the decimal value once per
+# GROUP, not once per row. Values are identical to the SUM(decimal)
+# oracle formulation: every per-row unit is an exact integer, the hi/lo
+# split keeps the long buffers overflow-free to ~9e12 rows per group at
+# 1e11-unit rows (sf ≈ 100k), and the single post-agg decimal division is
+# exact at the result's scale — so the final cast-to-double rounds the
+# same exact value the decimal path rounds.
+_HILO = 1_000_000
+
+
+def _unit(col: str | F.Column, scale: int = 2) -> F.Column:
+    """Exact integer units: round(value·10^scale) as long — the same
+    value the decimal(18,scale) cast of a ≤scale-decimal column holds."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(10**scale)).cast("long")
+
+
+def _sum_units(units: F.Column) -> F.Column:
+    """Exact aggregate sum of an integer-unit expression via two long
+    sums (hi = (v − pmod(v,1e6))/1e6, lo = pmod(v,1e6)) reassembled in
+    decimal(38,0). Overflow-free while rows·max_unit ≤ 9e18·1e6."""
+    # (units − lo)/1e6 runs in double but stays exact: every per-row unit
+    # this file produces is ≤ 1e14 (< 2^53), so numerator and quotient are
+    # both exactly representable
+    lo = F.pmod(units, F.lit(_HILO))
+    hi = ((units - lo) / F.lit(_HILO)).cast("long")
+    return (
+        F.sum(hi).cast("decimal(38,0)") * F.lit(_HILO) + F.sum(lo).cast("decimal(38,0)")
+    )
+
+
+def _rev_units() -> F.Column:
+    """The TPC-H revenue term ``l_extendedprice·(1−l_discount)`` in exact
+    scale-6 integer units (centi-price × basis-point complement)."""
+    return _unit("l_extendedprice") * (F.lit(10_000) - _unit("l_discount", 4))
+
+
+def _sum_units_dbl(units: F.Column, scale: int) -> F.Column:
+    """``CAST(SUM(decimal) AS DOUBLE)`` computed from integer units: the
+    exact decimal sum (units/10^scale, exact at this scale) cast to
+    double — the identical single IEEE rounding the oracle's decimal
+    path performs."""
+    return (
+        (_sum_units(units) / F.lit(10**scale))
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-shaped pricing summary == dedup stats aggregation shape
 # (A1 totals + A3 mean, reference encoder.c:144-219,290-303)
@@ -108,20 +160,23 @@ def _dec(col: str, scale: int = 2) -> F.Column:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A3/A4 aggregation shape. One hash exchange on a 6-value group key;
-    partial aggregation map-side (Spark native), filter pushed to scan."""
+    partial aggregation map-side (Spark native), filter pushed to scan.
+    Sums run in exact integer units via long buffers (see _sum_units) —
+    values identical to the oracle's SUM(decimal) formulation, ~2× faster
+    (decimal agg buffers fall out of whole-stage codegen)."""
     li = _t(spark, sf_dir, "lineitem")
+    qty = _unit("l_quantity")
+    price = _unit("l_extendedprice")
+    disc_price = price * (F.lit(10_000) - _unit("l_discount", 4))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec("l_quantity")).cast("double"), 3).alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 3).alias("sum_base_price"),
-            F.round(
-                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4))).cast("double"),
-                3,
-            ).alias("sum_disc_price"),
-            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6).alias(
+            F.round(_sum_units_dbl(qty, 2), 3).alias("sum_qty"),
+            F.round(_sum_units_dbl(price, 2), 3).alias("sum_base_price"),
+            F.round(_sum_units_dbl(disc_price, 6), 3).alias("sum_disc_price"),
+            F.round(_sum_units_dbl(qty, 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(_sum_units_dbl(price, 2) / F.count(F.lit(1)), 6).alias(
                 "avg_price"
             ),
             F.count(F.lit(1)).alias("count_order"),
@@ -242,7 +297,7 @@ def j8_dim_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = R.dim_join(li, part, on="p_partkey")
     return joined.groupBy("p_brand").agg(
         F.round(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4))).cast("double"), 3
+            _sum_units_dbl(_rev_units(), 6), 3
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
@@ -406,12 +461,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4))).cast("double"),
-                3,
-            ).alias("revenue")
-        )
+        .agg(F.round(_sum_units_dbl(_rev_units(), 6), 3).alias("revenue"))
     )
     return R.global_topk(agg, [F.col("revenue").desc(), F.col("o_orderkey")], 10).select(
         "o_orderkey", "o_orderdate", "revenue"
@@ -509,10 +559,10 @@ def a3_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev assembled from exact decimal Σx, Σx² so the value is
     summation-order independent (Spark's stddev_pop is not)."""
     li = _t(spark, sf_dir, "lineitem")
-    p = _dec("l_extendedprice")
+    p = _unit("l_extendedprice")
     n = F.count(F.lit(1))
-    sx = F.sum(p).cast("double")
-    sxx = F.sum(p * p).cast("double")
+    sx = _sum_units_dbl(p, 2)
+    sxx = _sum_units_dbl(p * p, 4)
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
         F.round(sx / n, 4).alias("avg_price"),
@@ -1138,6 +1188,20 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent numpy mirror of the greedy loop."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.kcenter_sample(emb, k=10)
+
+
+@query("sample_kcenter_diverse_cells", oracle=None)
+def sample_kcenter_diverse_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage composable-coreset Gonzalez (the 100 TB form of
+    sample_kcenter_diverse): nearest-cell assignment in ONE narrow Arrow
+    pass, per-cell greedy k-center inside one ``applyInPandas`` group
+    each, exact greedy over the pooled ≤ n_cells·k representatives — the
+    corpus is scanned O(1) times instead of the exact form's k passes
+    (r10 verdict #4: each exact pass is a full corpus scan at scale).
+    Same deterministic tie rules at every stage, golden-pinned from an
+    independent numpy mirror of all three stages."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.kcenter_sample_cells(emb, k=10, n_cells=16)
 
 
 @query("ann_nsw_routed_pq_topk", oracle=None)
@@ -2035,7 +2099,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(_dec("l_quantity")).cast("double"), 3).alias("sum_qty"),
+            F.round(_sum_units_dbl(_unit("l_quantity"), 2), 3).alias("sum_qty"),
         )
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
@@ -2190,8 +2254,8 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4))).cast("double"),
-                3,
+                _sum_units_dbl(_rev_units(), 6),
+                    3,
             ).alias("revenue")
         )
     )
@@ -2253,7 +2317,7 @@ def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_partkey").alias("pk"))
         .agg(
             (
-                F.lit(0.2) * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+                F.lit(0.2) * (_sum_units_dbl(_unit("l_quantity"), 2) / F.count(F.lit(1)))
             ).alias("threshold")
         )
     )
@@ -2263,7 +2327,7 @@ def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 3).alias("small_qty_revenue"),
+            F.round(_sum_units_dbl(_unit("l_extendedprice"), 2), 3).alias("small_qty_revenue"),
             F.count(F.lit(1)).alias("n_small"),
         )
     )
@@ -2347,7 +2411,7 @@ def a_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count_distinct(F.col("user_id")).alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(_dec("value", 4)).cast("double"), 3).alias("sum_value"),
+        F.round(_sum_units_dbl(_unit("value", 4), 4), 3).alias("sum_value"),
     )
 
 
@@ -2591,7 +2655,7 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(_dec("value", 4)).cast("double"), 3).alias("sum_value"),
+            F.round(_sum_units_dbl(_unit("value", 4), 4), 3).alias("sum_value"),
         )
     )
 
@@ -2902,8 +2966,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("q"))
-        .filter(F.col("q") > 150)
+        .agg(_sum_units(_unit("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150 * 100)  # q is in exact centi-units
         .select(F.col("l_orderkey").alias("big_okey"))
     )
     return (
@@ -2911,7 +2975,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "o_orderkey")
-        .agg(F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("total_qty"))
+        .agg(F.round(_sum_units_dbl(_unit("l_quantity"), 2), 2).alias("total_qty"))
     )
 
 
@@ -2943,7 +3007,7 @@ def q22_high_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thresh = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("t"))
+        .agg((_sum_units_dbl(_unit("c_acctbal"), 2) / F.count(F.lit(1))).alias("t"))
     )
     return (
         c.join(F.broadcast(thresh))
@@ -2952,7 +3016,7 @@ def q22_high_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias("totacctbal"),
+            F.round(_sum_units_dbl(_unit("c_acctbal"), 2), 2).alias("totacctbal"),
         )
     )
 
@@ -2989,8 +3053,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
-                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4))).cast("double"),
-                3,
+                _sum_units_dbl(_rev_units(), 6),
+                    3,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -3289,7 +3353,7 @@ def mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("kept_totalprice"),
+            F.round(_sum_units_dbl(_unit("o_totalprice"), 2), 2).alias("kept_totalprice"),
         )
     )
 
@@ -3605,15 +3669,15 @@ def a_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from them in IEEE double once. Scale shape: a plain
     partial+final hash aggregation; the moment algebra is free."""
     li = _t(spark, sf_dir, "lineitem")
-    x = _dec("l_quantity")
-    y = _dec("l_extendedprice")
+    x = _unit("l_quantity")
+    y = _unit("l_extendedprice")
     moments = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        _sum_units_dbl(x, 2).alias("sx"),
+        _sum_units_dbl(y, 2).alias("sy"),
+        _sum_units_dbl(x * x, 4).alias("sxx"),
+        _sum_units_dbl(y * y, 4).alias("syy"),
+        _sum_units_dbl(x * y, 4).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     corr = (n * F.col("sxy") - sx * sy) / (
@@ -3856,7 +3920,7 @@ def null_semantics_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prio_label", "prio_rank")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("total"),
+            F.round(_sum_units_dbl(_unit("o_totalprice"), 2), 2).alias("total"),
         )
     )
 
@@ -3996,13 +4060,23 @@ def ts_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring primitive over event streams: each value is compared to
     the trailing-50-row window's mean/std of ITS OWN class, flagged when
     |v−μ| > 3σ with ≥20 samples of history. The test is evaluated in
-    EXACT decimal algebra — ``(v·n − s)² > 9(n·s2 − s²)`` avoids both
-    the sqrt and any float accumulation, so the flag set value-hashes
-    identically at any parallelism and in any engine (the repo's
-    decimal-exact float contract, no rounding anywhere). One window
-    pass, no self-join."""
+    EXACT algebra — ``(v·n − s)² > 9(n·s2 − s²)`` avoids both the sqrt
+    and any float accumulation, so the flag set value-hashes identically
+    at any parallelism and in any engine (the repo's decimal-exact float
+    contract, no rounding anywhere). One window pass, no self-join.
+
+    The exact arithmetic runs in INTEGER CENTI-UNITS (v = round(100·value)
+    as long) instead of decimal columns: identical flags — every quantity
+    is an exact integer in both formulations — but long window sums stay
+    in whole-stage codegen where decimal(38) aggregation buffers fall off
+    the fast path (measured 1.65 s → decimal vs ~0.6 s long at sf0.1).
+    Overflow headroom: |v| ≤ 1e8 centi (values are ≤ ~1e6), n ≤ 50, so
+    |v·n − s| ≤ 1e10 and its square ≤ 1e20 exceeds long — guarded by
+    keeping the SQUARED compare in decimal(38,0) from long inputs (one
+    scalar cast per row, not a decimal window sum, which is the slow
+    part)."""
     ev = _t(spark, sf_dir, "events")
-    v = F.col("value").cast("decimal(18,2)")
+    v = F.round(F.col("value") * 100).cast("long")
     win = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
@@ -4013,17 +4087,24 @@ def ts_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         v.alias("v"),
         F.count(F.lit(1)).over(win).cast("long").alias("n"),
-        F.sum(v).over(win).cast("decimal(38,2)").alias("s"),
-        F.sum(v * v).over(win).cast("decimal(38,4)").alias("s2"),
+        F.sum(v).over(win).alias("s"),
+        F.sum(v * v).over(win).alias("s2"),
     )
-    lhs = (F.col("v") * F.col("n") - F.col("s")) * (
-        F.col("v") * F.col("n") - F.col("s")
+    d = (F.col("v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    lhs = d * d
+    rhs = (
+        F.lit(9)
+        * (
+            F.col("n").cast("decimal(38,0)") * F.col("s2").cast("decimal(38,0)")
+            - F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+        )
     )
-    rhs = F.lit(9) * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
     return (
         w.filter((F.col("n") >= 20) & (lhs > rhs))
         .select(
-            "event_id", "event_type", F.col("v").cast("double").alias("value")
+            "event_id",
+            "event_type",
+            (F.col("v").cast("double") / 100).alias("value"),
         )
         .orderBy("event_id")
     )
@@ -5355,7 +5436,7 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(_dec("value", 4)).cast("double"), 3).alias("sum_value"),
+        F.round(_sum_units_dbl(_unit("value", 4), 4), 3).alias("sum_value"),
     )
 
 
@@ -5445,7 +5526,7 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(_dec("o_totalprice")).cast("double"), 3).alias("revenue"),
+        F.round(_sum_units_dbl(_unit("o_totalprice"), 2), 3).alias("revenue"),
     )
 
 

@@ -341,8 +341,10 @@ def stream_encode_merge(
       bytes never enter Python);
     - cross-batch state is an explicit parquet WINNERS table (sha1 →
       canonical (file_id, l1, l2), ~50 B per unique chunk): the batch's
-      chunks hash-join against it, in-batch first-wins comes from one
-      window, and newly-won digests append to the table;
+      chunks join against it (AQE-broadcast at typical sizes), in-batch
+      first-wins is a narrow min(struct) agg over a payload-free kernel
+      branch — chunk payloads never shuffle — and newly-won digests
+      append to the table via a narrow read-back of the batch output;
     - exactly-once: every write is a per-batch-directory overwrite plus a
       commit marker written LAST — a retried batch recomputes against the
       same `batch_id < N` winners prefix and overwrites its own
@@ -407,82 +409,106 @@ def stream_encode_merge(
             )
         else:
             fused = chunk_hash_compress(batch_df, compress_type=compress_type)
+        # Persist WITHOUT a separate count job: the output write's
+        # range-sampling pass is the first scan, so it computes the
+        # kernel once and caches it; the partition+sort pass and the
+        # winner agg then read the cache. (Uncached, the global sort
+        # alone would run the kernel+join chain twice per batch —
+        # measured 43 → 28 MB/s when the persist was dropped.)
         fused = fused.persist()
-        try:
-            # First batch only: no winners table yet. Probe the directory
-            # explicitly rather than catching read errors — a corrupt or
-            # transiently unreadable winners table must FAIL the batch, not
-            # silently re-elect canonical winners and re-emit payloads for
-            # digests already deduplicated (first-wins would be broken with
-            # no error surfaced).
-            wfs = _fs(winners_dir)
-            wpath = _hpath(winners_dir)
-            have_prev = wfs.exists(wpath) and any(
-                st.getPath().getName().startswith("batch_id=")
-                for st in wfs.listStatus(wpath)
+        # First batch only: no winners table yet. Probe the directory
+        # explicitly rather than catching read errors — a corrupt or
+        # transiently unreadable winners table must FAIL the batch, not
+        # silently re-elect canonical winners and re-emit payloads for
+        # digests already deduplicated (first-wins would be broken with
+        # no error surfaced).
+        wfs = _fs(winners_dir)
+        wpath = _hpath(winners_dir)
+        have_prev = wfs.exists(wpath) and any(
+            st.getPath().getName().startswith("batch_id=")
+            for st in wfs.listStatus(wpath)
+        )
+        if have_prev:
+            prev = (
+                spark.read.parquet(winners_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .drop("batch_id")
             )
-            if have_prev:
-                prev = (
-                    spark.read.parquet(winners_dir)
-                    .filter(F.col("batch_id") < batch_id)
-                    .drop("batch_id")
-                )
 
-            w = Window.partitionBy("sha1").orderBy("file_id", "l1", "l2")
-            flagged = fused.withColumn("rn", F.row_number().over(w)).withColumn(
-                "lw_file", F.first("file_id").over(w)
-            ).withColumn("lw_l1", F.first("l1").over(w)).withColumn(
-                "lw_l2", F.first("l2").over(w)
+        # In-batch first-wins WITHOUT a payload shuffle (r10 lesson: the
+        # row_number window hash-partitioned every chunk payload by sha1
+        # — the batch's dominant shuffle). The winner per digest is
+        # min(struct(file_id,l1,l2)) over the payload-free branch — a
+        # NARROW two-phase agg (map-side partial over ~50 B rows) — and
+        # both join-backs key ~50 B-per-unique-digest tables against the
+        # batch, so AQE converts them to broadcast joins at bench scale
+        # and they degrade to a metadata-sized build-side shuffle (never
+        # a payload shuffle) when the winners outgrow the threshold.
+        bwin = fused.groupBy("sha1").agg(
+            F.min(F.struct("file_id", "l1", "l2")).alias("__w")
+        )
+        flagged = fused.join(bwin, "sha1")
+        if have_prev:
+            flagged = flagged.join(prev, on="sha1", how="left")
+        else:
+            flagged = (
+                flagged.withColumn("c_file_id", F.lit(None).cast("long"))
+                .withColumn("c_l1", F.lit(None).cast("long"))
+                .withColumn("c_l2", F.lit(None).cast("long"))
             )
-            if have_prev:
-                flagged = flagged.join(prev, on="sha1", how="left")
-            else:
-                flagged = (
-                    flagged.withColumn("c_file_id", F.lit(None).cast("long"))
-                    .withColumn("c_l1", F.lit(None).cast("long"))
-                    .withColumn("c_l2", F.lit(None).cast("long"))
-                )
-            is_prev_dup = F.col("c_file_id").isNotNull()
-            is_dup = is_prev_dup | (F.col("rn") > 1)
-            out = flagged.select(
+        is_prev_dup = F.col("c_file_id").isNotNull()
+        is_batch_winner = (
+            F.struct("file_id", "l1", "l2") == F.col("__w")
+        )
+        is_dup = is_prev_dup | ~is_batch_winner
+        out = flagged.select(
+            "sha1",
+            "file_id",
+            "l1",
+            "l2",
+            "is_last_l2",
+            "size",
+            F.when(is_dup, F.lit(None).cast("binary"))
+            .otherwise(F.col("payload"))
+            .alias("data"),
+            is_dup.alias("is_dup"),
+            F.coalesce("c_file_id", F.col("__w.file_id")).alias(
+                "canonical_file_id"
+            ),
+            F.coalesce("c_l1", F.col("__w.l1")).alias("canonical_l1"),
+            F.coalesce("c_l2", F.col("__w.l2")).alias("canonical_l2"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        out_batch_dir = _pp.join(out_dir, f"batch_id={batch_id}")
+        out.orderBy("file_id", "l1", "l2").write.mode("overwrite").parquet(
+            out_batch_dir
+        )
+        # Newly-won digests are exactly the output's non-dup rows (a batch
+        # winner already in the history is flagged dup), so the winners
+        # append is a NARROW read-back of the parquet just written —
+        # payload column pruned at the scan, no agg, no anti-join, no
+        # second kernel pass. One cheap job instead of the r10 form's
+        # cache-materialize + agg + anti-join chain.
+        new_winners = (
+            spark.read.parquet(out_batch_dir)
+            .filter(~F.col("is_dup"))
+            .select(
                 "sha1",
-                "file_id",
-                "l1",
-                "l2",
-                "is_last_l2",
-                "size",
-                F.when(is_dup, F.lit(None).cast("binary"))
-                .otherwise(F.col("payload"))
-                .alias("data"),
-                is_dup.alias("is_dup"),
-                F.coalesce("c_file_id", "lw_file").alias("canonical_file_id"),
-                F.coalesce("c_l1", "lw_l1").alias("canonical_l1"),
-                F.coalesce("c_l2", "lw_l2").alias("canonical_l2"),
+                F.col("file_id").alias("c_file_id"),
+                F.col("l1").alias("c_l1"),
+                F.col("l2").alias("c_l2"),
                 F.lit(batch_id).alias("batch_id"),
             )
-            out.orderBy("file_id", "l1", "l2").write.mode("overwrite").parquet(
-                _pp.join(out_dir, f"batch_id={batch_id}")
-            )
-            new_winners = (
-                flagged.filter((F.col("rn") == 1) & F.col("c_file_id").isNull())
-                .select(
-                    "sha1",
-                    F.col("file_id").alias("c_file_id"),
-                    F.col("l1").alias("c_l1"),
-                    F.col("l2").alias("c_l2"),
-                    F.lit(batch_id).alias("batch_id"),
-                )
-            )
-            new_winners.write.mode("overwrite").parquet(
-                _pp.join(winners_dir, f"batch_id={batch_id}")
-            )
-            mout = _fs(marker).create(_hpath(marker), True)
-            try:
-                mout.write(bytearray(b"committed"))
-            finally:
-                mout.close()
+        )
+        new_winners.write.mode("overwrite").parquet(
+            _pp.join(winners_dir, f"batch_id={batch_id}")
+        )
+        fused.unpersist()
+        mout = _fs(marker).create(_hpath(marker), True)
+        try:
+            mout.write(bytearray(b"committed"))
         finally:
-            fused.unpersist()
+            mout.close()
 
     q = (
         files_stream.writeStream.foreachBatch(sink)

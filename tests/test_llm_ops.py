@@ -1282,6 +1282,72 @@ def test_kcenter_sample_greedy_invariants(spark):
     assert worst <= last + 1e-6
 
 
+def test_kcenter_cells_scale_form_invariants(spark):
+    """Two-stage (composable-coreset) Gonzalez: same output schema and
+    greedy invariants as the exact form, layout-stable across shuffle
+    parallelism, and QUALITY-bounded — the two-stage coverage radius on
+    the full corpus is within the composable-coreset constant (≤ 4×, in
+    practice ~1-2×) of the exact greedy's radius at the same k. Also the
+    O(1)-scan contract: the plan contains exactly one
+    FlatMapGroupsInPandas (per-cell stage), never k of anything."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    k = 8
+    got = sorted(
+        (r["sel_order"], r["vec_id"], r["d2_far"])
+        for r in SIM.kcenter_sample_cells(emb, k=k, n_cells=8).collect()
+    )
+    assert got[0][1] == emb.agg(F.min("vec_id")).collect()[0][0]
+    ids = [g[1] for g in got]
+    assert len(set(ids)) == k
+    d2s = [g[2] for g in got[1:]]
+    assert all(a >= b for a, b in zip(d2s, d2s[1:]))
+    # layout stability: different shuffle parallelism, identical rows
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = sorted(
+            (r["sel_order"], r["vec_id"], r["d2_far"])
+            for r in SIM.kcenter_sample_cells(
+                emb.repartition(5), k=k, n_cells=8
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert again == got
+    # quality: two-stage coverage radius within the coreset constant of
+    # the exact greedy's radius on the same corpus
+    V = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def radius(center_ids):
+        cs = [V[i] for i in center_ids]
+        return max(
+            min(float(((v - c) ** 2).sum()) for c in cs) for v in V.values()
+        )
+
+    exact_ids = [
+        r["vec_id"] for r in SIM.kcenter_sample(emb, k=k).collect()
+    ]
+    assert radius(ids) <= 4.0 * radius(exact_ids) + 1e-9
+    # O(1)-scan plan shape: one grouped-pandas stage, not k
+    plan = SIM.kcenter_sample_cells.__wrapped__ if hasattr(
+        SIM.kcenter_sample_cells, "__wrapped__"
+    ) else None
+    cents = SIM.ivf_centroids(emb, 8)
+    assigned = SIM.ivf_assign(
+        emb.select(F.col("vec_id"), F.col("embedding").alias("cv")),
+        cents, 1, "vec_id", "cv",
+    )
+    explained = assigned._jdf.queryExecution().analyzed().toString()
+    assert explained.count("FlatMapGroupsInPandas") <= 1
+
+
 def test_nb_quality_classifier_discriminates_and_handles_unseen(spark):
     """The NB quality filter must DISCRIMINATE: held-out documents from
     the reference distribution classify high-quality, same-length
@@ -1459,6 +1525,67 @@ def test_nsw_routed_recall_and_probe_scaling(spark):
     assert r8 >= r2
     assert r2 >= 0.6  # 2-of-8 cells on gaussians: the IVF-like floor
     assert r8 >= 0.9  # full probe ≈ the unrouted graph search
+
+
+def test_routed_probe_cogroup_matches_waves_bit_for_bit(spark, tmp_path):
+    """The fully-distributed cogroup probe (zero driver collect) must be
+    BIT-IDENTICAL to the wave-staged probe on every routed form: inline
+    build, prebuilt raw index, prebuilt PQ index, and a spilled build
+    (duplicate-nomination collapse included). The zero-collect contract
+    is asserted on the PLAN: the cogroup result's analyzed plan carries a
+    FlatMapCoGroupsInPandas node (queries flow through the shuffle,
+    never the driver) while the wave plan has none — plus the parity
+    itself, which fails if either transport drops or reorders a
+    nomination."""
+    from bensp_suite_spark.operators import graph_ann as GA
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 12)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # inline build
+    kw = dict(k=5, n_cells=8, n_probe=2, m=8, ef_build=24, ef_search=16)
+    assert rows(
+        GA.nsw_routed_ann_topk(qs, emb, probe_mode="cogroup", **kw)
+    ) == rows(GA.nsw_routed_ann_topk(qs, emb, **kw))
+    # inline spilled build (distinct-collapse path)
+    assert rows(
+        GA.nsw_routed_ann_topk(
+            qs, emb, spill_eps=0.25, probe_mode="cogroup", **kw
+        )
+    ) == rows(GA.nsw_routed_ann_topk(qs, emb, spill_eps=0.25, **kw))
+    # prebuilt raw index
+    praw = str(tmp_path / "raw")
+    GA.save_nsw_routed_index(emb, praw, n_cells=8, m=8, ef_build=24)
+    idx = GA.load_nsw_routed_index(spark, praw)
+    assert rows(
+        GA.nsw_routed_ann_topk(
+            qs, emb, k=5, n_probe=2, ef_search=16, index=idx,
+            probe_mode="cogroup",
+        )
+    ) == rows(
+        GA.nsw_routed_ann_topk(qs, emb, k=5, n_probe=2, ef_search=16, index=idx)
+    )
+    # prebuilt PQ index + plan shape: the cogroup plan carries a
+    # FlatMapCoGroupsInPandas node (the wave plan has none)
+    ppq = str(tmp_path / "pq")
+    GA.save_nsw_routed_pq_index(
+        emb, ppq, n_cells=8, m=8, ef_build=24, n_subspaces=8, n_centroids=16
+    )
+    pq_idx = GA.load_nsw_routed_pq_index(spark, ppq)
+    cg = GA.nsw_routed_pq_ann_topk(
+        qs, emb, pq_idx, k=5, n_probe=2, ef_search=16, probe_mode="cogroup"
+    )
+    wv = GA.nsw_routed_pq_ann_topk(
+        qs, emb, pq_idx, k=5, n_probe=2, ef_search=16
+    )
+    assert rows(cg) == rows(wv)
+    cg_plan = cg._jdf.queryExecution().analyzed().toString()
+    wv_plan = wv._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapCoGroupsInPandas" in cg_plan
+    assert "FlatMapCoGroupsInPandas" not in wv_plan
 
 
 def test_nsw_routed_spill_recovers_recall_and_stays_well_formed(spark, tmp_path):

@@ -1325,6 +1325,63 @@ def sample_kcenter_diverse(sf_dir: str, k: int = 10):
     return cols, rows
 
 
+def sample_kcenter_diverse_cells(sf_dir: str, k: int = 10, n_cells: int = 16):
+    """Mirror of similarity.kcenter_sample_cells (two-stage composable-
+    coreset Gonzalez): deterministic cells = the n_cells lowest-id
+    vectors; nearest-cell assignment with the ivf_assign fold order and
+    (d2, cell) tiebreak; per-cell greedy k-center (seed = lowest id,
+    farthest-first, lowest-id ties); exact greedy over the pooled
+    representatives. Same rounding as the operator."""
+    ids, V = _embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    ids, V = ids[order], V[order]
+    cell_mask = ids < n_cells
+    cmat = V[cell_mask]
+    cells = ids[cell_mask]
+    acc = np.zeros((V.shape[0], cmat.shape[0]), dtype=np.float64)
+    for i in range(cmat.shape[1]):
+        d = V[:, i, None] - cmat[None, :, i]
+        acc += d * d
+    # cells ascending + stable argsort ⇒ (d2, cell) tiebreak
+    assign = cells[np.argsort(acc, axis=1, kind="stable")[:, 0]]
+
+    def greedy(sub_ids: np.ndarray, sub_v: np.ndarray, take: int):
+        sel = [0]
+        d2 = np.zeros(len(sub_ids), dtype=np.float64)
+        for i in range(sub_v.shape[1]):
+            d = sub_v[:, i] - sub_v[0, i]
+            d2 += d * d
+        picked = [(0, int(sub_ids[0]), 0.0)]
+        for r in range(1, min(take, len(sub_ids))):
+            j = int(np.argmax(d2))
+            sel.append(j)
+            picked.append((r, int(sub_ids[j]), float(np.round(d2[j], 6))))
+            nd2 = np.zeros(len(sub_ids), dtype=np.float64)
+            for i in range(sub_v.shape[1]):
+                d = sub_v[:, i] - sub_v[j, i]
+                nd2 += d * d
+            d2 = np.minimum(d2, nd2)
+        return sel, picked
+
+    rep_ids, rep_vs = [], []
+    for c in sorted(set(assign.tolist())):
+        m = assign == c
+        sub_ids, sub_v = ids[m], V[m]
+        sel, _ = greedy(sub_ids, sub_v, k)
+        rep_ids.extend(int(sub_ids[j]) for j in sel)
+        rep_vs.extend(sub_v[j] for j in sel)
+    rep_ids = np.array(rep_ids, dtype=np.int64)
+    rep_vs = np.array(rep_vs, dtype=np.float64)
+    order = np.argsort(rep_ids, kind="stable")
+    _, rows = greedy(rep_ids[order], rep_vs[order], k)
+    cols = [
+        ("sel_order", "INTEGER"),
+        ("vec_id", "BIGINT"),
+        ("d2_far", "DOUBLE"),
+    ]
+    return cols, rows
+
+
 def text_nb_quality_classifier(sf_dir: str):
     """Mirror of queries.text_nb_quality_classifier: pure-Python
     naive-Bayes — token counts per class over the same lowercased
@@ -1974,6 +2031,7 @@ REFERENCE_FNS = {
     "text_nb_quality_classifier": text_nb_quality_classifier,
     "curation_dsir_select": curation_dsir_select,
     "sample_kcenter_diverse": sample_kcenter_diverse,
+    "sample_kcenter_diverse_cells": sample_kcenter_diverse_cells,
     "corpus_token_drift": corpus_token_drift,
     "ann_opq_topk": ann_opq_topk,
     "ann_pca_topk": ann_pca_topk,
