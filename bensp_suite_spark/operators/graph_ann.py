@@ -460,13 +460,20 @@ def nsw_routed_ann_topk(
             cand = cand.distinct()
         return _exact_rerank(cand, q_sel, c_sel, k)
 
-    n_q = q_sel.count()
-    n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
+    # limit-probe instead of a count job: the common queries ≪ corpus
+    # call collects its single wave directly (one driver job instead of
+    # count + collect — measured ~0.2 s per declared-query call)
+    q_head = q_sel.limit(QUERY_BATCH_LIMIT + 1).collect()
+    if len(q_head) <= QUERY_BATCH_LIMIT:
+        n_chunks = 1
+    else:
+        n_q = q_sel.count()
+        n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
     chunk_expr = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))
     cand_parts = []
     for ci in range(n_chunks):
         qc = q_sel if n_chunks == 1 else q_sel.filter(chunk_expr == ci)
-        rows = qc.collect()
+        rows = q_head if n_chunks == 1 else qc.collect()
         if not rows:
             continue
         rows.sort(key=lambda r: r["query_id"])
@@ -849,13 +856,20 @@ def nsw_routed_pq_ann_topk(
         if spilled:
             cand = cand.distinct()
         return _exact_rerank(cand, q_sel, c_sel, k)
-    n_q = q_sel.count()
-    n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
+    # limit-probe instead of a count job: the common queries ≪ corpus
+    # call collects its single wave directly (one driver job instead of
+    # count + collect — measured ~0.2 s per declared-query call)
+    q_head = q_sel.limit(QUERY_BATCH_LIMIT + 1).collect()
+    if len(q_head) <= QUERY_BATCH_LIMIT:
+        n_chunks = 1
+    else:
+        n_q = q_sel.count()
+        n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
     chunk_expr = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))
     cand_parts = []
     for ci in range(n_chunks):
         qc = q_sel if n_chunks == 1 else q_sel.filter(chunk_expr == ci)
-        rows = qc.collect()
+        rows = q_head if n_chunks == 1 else qc.collect()
         if not rows:
             continue
         rows.sort(key=lambda r: r["query_id"])
@@ -1321,13 +1335,20 @@ def nsw_ann_topk(
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("shard", F.col("neighbor_id") % F.lit(n_shards))
 
-    n_q = q_sel.count()
-    n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
+    # limit-probe instead of a count job: the common queries ≪ corpus
+    # call collects its single wave directly (one driver job instead of
+    # count + collect — measured ~0.2 s per declared-query call)
+    q_head = q_sel.limit(QUERY_BATCH_LIMIT + 1).collect()
+    if len(q_head) <= QUERY_BATCH_LIMIT:
+        n_chunks = 1
+    else:
+        n_q = q_sel.count()
+        n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
     chunk_expr = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))
     cand_parts = []
     for ci in range(n_chunks):
         qc = q_sel if n_chunks == 1 else q_sel.filter(chunk_expr == ci)
-        rows = qc.collect()
+        rows = q_head if n_chunks == 1 else qc.collect()
         if not rows:
             continue
         rows.sort(key=lambda r: r["query_id"])

@@ -1208,8 +1208,13 @@ def ivfpq_ann_topk(
         "qv",
     ).select("query_id", "cell")
 
-    n_q = q_sel.count()
-    n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
+    # limit-probe instead of a count job (see graph_ann wave paths)
+    q_head = q_sel.limit(QUERY_BATCH_LIMIT + 1).collect()
+    if len(q_head) <= QUERY_BATCH_LIMIT:
+        n_chunks = 1
+    else:
+        n_q = q_sel.count()
+        n_chunks = max(1, -(-n_q // QUERY_BATCH_LIMIT))
     big_batch = n_chunks > 1
     if big_batch:
         # wave probing: the coded corpus and the probe assignment are
@@ -1226,7 +1231,7 @@ def ivfpq_ann_topk(
     parts = []
     for ci in range(n_chunks):
         qc = q_sel if n_chunks == 1 else q_sel.filter(chunk_expr == ci)
-        rows = qc.collect()
+        rows = q_head if n_chunks == 1 else qc.collect()
         if not rows:
             continue
         rows.sort(key=lambda r: r["query_id"])

@@ -1229,7 +1229,7 @@ def ann_nsw_routed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_centroids=256,
         )
         _ANN_INDEX_CACHE[("nsw_routed_pq", sf_dir)] = path
-    idx = GA.load_nsw_routed_pq_index(spark, path)
+    idx = _memo_load(spark, "nsw_routed_pq", path, GA.load_nsw_routed_pq_index)
     # 8-bit codes + a wider beam than the raw probe: ADC noise is paid in
     # beam width, never in answers (r9 calibration: C=256/ef=32 matches
     # the raw routed probe's recall on this fixture; C=16/ef=16 was 0.55)
@@ -1325,6 +1325,8 @@ def stream_routed_pq_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame
             "left_semi",
         )
         GA.upsert_nsw_routed_pq_index(add, emb, idx_path)
+        # NOT memoized: the upsert just rewrote shards, and a cached
+        # load would serve the pre-upsert file listing
         idx = GA.load_nsw_routed_pq_index(spark, idx_path)
         GA.nsw_routed_pq_ann_topk(
             q, emb, idx, k=5, n_probe=2, ef_search=32
@@ -5534,6 +5536,20 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_INDEX_CACHE: dict = {}
 
 
+def _memo_load(spark: SparkSession, kind: str, path: str, loader):
+    """Memoize a loaded index per (session, kind, path): load_* eagerly
+    collects its meta row (a driver job), so re-loading per declared-
+    query call paid ~0.2 s of pure session fixed cost. The loaded tuple
+    holds lazy DataFrames bound to the session — keyed by applicationId
+    so a fresh session never sees another session's plans."""
+    key = ("loaded", kind, path, spark.sparkContext.applicationId)
+    got = _ANN_INDEX_CACHE.get(key)
+    if got is None:
+        got = loader(spark, path)
+        _ANN_INDEX_CACHE[key] = got
+    return got
+
+
 @query(
     "ann_ivf_prebuilt_topk",
     oracle=SIM.ivf_topk_oracle_sql(k=5, max_query_id=8, n_cells=16, n_probe=2),
@@ -5555,7 +5571,7 @@ def ann_ivf_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/ivf"
         SIM.save_ivf_index(emb, path, n_cells=16)
         _ANN_INDEX_CACHE[("ivf", sf_dir)] = path
-    idx = SIM.load_ivf_index(spark, path)
+    idx = _memo_load(spark, "ivf", path, SIM.load_ivf_index)
     return SIM.ivf_ann_topk(q, emb, k=5, n_cells=16, n_probe=2, index=idx)
 
 
@@ -5583,7 +5599,7 @@ def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SIM.save_ivf_index(emb.filter(F.col("vec_id") <= half), path, n_cells=16)
         SIM.upsert_ivf_index(spark, path, emb.filter(F.col("vec_id") > half))
         _ANN_INDEX_CACHE[("ivf_upsert", sf_dir)] = path
-    idx = SIM.load_ivf_index(spark, path)
+    idx = _memo_load(spark, "ivf", path, SIM.load_ivf_index)
     return SIM.ivf_ann_topk(q, emb, k=5, n_cells=16, n_probe=2, index=idx)
 
 
@@ -5669,7 +5685,7 @@ def pipeline_daily_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         SIM.upsert_ivf_index(spark, path, surv_emb)
         _ANN_INDEX_CACHE[("ivf_daily", sf_dir)] = path
     # --- stage 4: probe the merged index ------------------------------
-    idx = SIM.load_ivf_index(spark, path)
+    idx = _memo_load(spark, "ivf", path, SIM.load_ivf_index)
     return SIM.ivf_ann_topk(q, emb_d, k=5, n_cells=16, n_probe=2, index=idx)
 
 
@@ -5688,7 +5704,7 @@ def ann_pq_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/pq"
         SIM.save_pq_index(emb, path)
         _ANN_INDEX_CACHE[("pq", sf_dir)] = path
-    idx = SIM.load_pq_index(spark, path)
+    idx = _memo_load(spark, "pq", path, SIM.load_pq_index)
     return SIM.pq_ann_topk(q, emb, k=5, refine=10, index=idx)
 
 
@@ -5714,7 +5730,7 @@ def ann_ivfpq_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/ivfpq"
         SIM.save_ivfpq_index(emb, path, n_cells=16, n_centroids=16)
         _ANN_INDEX_CACHE[("ivfpq", sf_dir)] = path
-    idx = SIM.load_ivfpq_index(spark, path)
+    idx = _memo_load(spark, "ivfpq", path, SIM.load_ivfpq_index)
     return SIM.ivfpq_ann_topk(q, emb, k=5, n_probe=2, refine=4, index=idx)
 
 
@@ -5739,7 +5755,7 @@ def ann_nsw_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/nsw"
         GA.save_nsw_index(emb, path, n_shards=4, m=8, ef_build=24)
         _ANN_INDEX_CACHE[("nsw", sf_dir)] = path
-    idx = GA.load_nsw_index(spark, path)
+    idx = _memo_load(spark, "nsw", path, GA.load_nsw_index)
     return GA.nsw_ann_topk(q, emb, k=5, ef_search=16, index=idx)
 
 
@@ -5768,7 +5784,7 @@ def ann_nsw_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GA.upsert_nsw_index(emb.filter(F.col("vec_id") >= 400), path)
         _ANN_INDEX_CACHE[("nsw_upsert", sf_dir)] = path
-    idx = GA.load_nsw_index(spark, path)
+    idx = _memo_load(spark, "nsw", path, GA.load_nsw_index)
     return GA.nsw_ann_topk(q, emb, k=5, ef_search=16, index=idx)
 
 
@@ -5795,7 +5811,7 @@ def stream_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/nsw"
         GA.save_nsw_index(emb, path, n_shards=4, m=8, ef_build=24)
         _ANN_INDEX_CACHE[("nsw", sf_dir)] = path
-    idx = GA.load_nsw_index(spark, path)
+    idx = _memo_load(spark, "nsw", path, GA.load_nsw_index)
     from .streaming.ann_stream import stream_nsw_topk
 
     with _fixture_build("stream_ann_nsw_topk"):
@@ -5836,7 +5852,7 @@ def ann_nsw_routed_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = _tf.mkdtemp(prefix="bensp_ann_idx_") + "/nsw_routed"
         GA.save_nsw_routed_index(emb, path, n_cells=8, m=8, ef_build=24)
         _ANN_INDEX_CACHE[("nsw_routed", sf_dir)] = path
-    idx = GA.load_nsw_routed_index(spark, path)
+    idx = _memo_load(spark, "nsw_routed", path, GA.load_nsw_routed_index)
     return GA.nsw_routed_ann_topk(
         q, emb, k=5, n_probe=2, ef_search=16, index=idx
     )
@@ -5868,7 +5884,7 @@ def ann_nsw_routed_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GA.upsert_nsw_routed_index(emb.filter(F.col("vec_id") >= 400), path)
         _ANN_INDEX_CACHE[("nsw_routed_upsert", sf_dir)] = path
-    idx = GA.load_nsw_routed_index(spark, path)
+    idx = _memo_load(spark, "nsw_routed", path, GA.load_nsw_routed_index)
     return GA.nsw_routed_ann_topk(q, emb, k=5, n_probe=2, ef_search=16, index=idx)
 
 
@@ -5897,7 +5913,7 @@ def stream_ann_routed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_centroids=256,
         )
         _ANN_INDEX_CACHE[("nsw_routed_pq", sf_dir)] = path
-    idx = GA.load_nsw_routed_pq_index(spark, path)
+    idx = _memo_load(spark, "nsw_routed_pq", path, GA.load_nsw_routed_pq_index)
     from .streaming.ann_stream import read_sink, stream_routed_pq_topk
 
     with _fixture_build("stream_ann_routed_pq_topk"):
@@ -5938,7 +5954,7 @@ def ann_nsw_routed_spill_prebuilt_topk(spark: SparkSession, sf_dir: str) -> Data
             emb, path, n_cells=8, m=8, ef_build=24, spill_eps=0.25
         )
         _ANN_INDEX_CACHE[("nsw_routed_spill", sf_dir)] = path
-    idx = GA.load_nsw_routed_index(spark, path)
+    idx = _memo_load(spark, "nsw_routed", path, GA.load_nsw_routed_index)
     return GA.nsw_routed_ann_topk(
         q, emb, k=5, n_probe=2, ef_search=16, index=idx
     )
