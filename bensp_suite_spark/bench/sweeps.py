@@ -37,51 +37,75 @@ class SweepConfig:
     file_bytes: int = 1 << 20
     pool_size: int = 64
     seed: int = 11
+    #: duplication-controlled input classes ("<size>:<content>", e.g.
+    #: "h1:abc" — bin/parsec_stream's l1-l3/h1-h3/t/f size taxonomy x
+    #: create_txt_files.c's RAND/AAR/ABC/FFF/FFR/RFF content classes).
+    #: Empty -> one run of the legacy block-pool generator, recorded as
+    #: input_class "pool".
+    input_classes: list[str] = field(default_factory=list)
 
 
 def run_dedup_sweep(spark: SparkSession, cfg: SweepConfig) -> DataFrame:
     """Sweep the dedup pipeline; returns the metrics table:
-    (shuffle_partitions, compress_type, arrow_batch, rep,
-     input_mb, wall_sec, throughput_mbps, n_chunks, dup_ratio)."""
+    (input_class, shuffle_partitions, compress_type, arrow_batch, rep,
+     input_mb, wall_sec, throughput_mbps, n_chunks, dup_ratio).
+
+    The ``input_class`` axis reproduces the paper's input
+    parameterization: duplication-ratio-controlled synthetic inputs
+    (size class l1-l3/h1-h3/t/f x content class rand/aar/abc/fff/
+    ffr/rff — the create_txt_files.c block scheme), with the measured
+    dup_ratio recorded per row so the duplication control is evidence,
+    not an assumption."""
     from ..dedup import fixtures, pipeline
 
-    files = fixtures.synthetic_docs(
-        spark,
-        n_files=cfg.n_files,
-        file_bytes=cfg.file_bytes,
-        pool_size=cfg.pool_size,
-        seed=cfg.seed,
-    ).cache()
-    files.count()
-
     rows = []
-    grid = itertools.product(cfg.shuffle_partitions, cfg.compress_types, cfg.arrow_batches)
-    for parts, ctype, batch in grid:
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
-        for rep in range(cfg.repetitions):
-            t0 = time.perf_counter()
-            stat = pipeline.dedup_stats(files, compress_type=ctype).collect()[0]
-            wall = time.perf_counter() - t0
-            mb = stat.total_input_bytes / (1 << 20)
-            rows.append(
-                (
-                    parts,
-                    ctype,
-                    batch,
-                    rep,
-                    round(mb, 2),
-                    round(wall, 4),
-                    round(mb / wall, 2),
-                    stat.n_chunks,
-                    float(stat.dup_ratio),
-                )
+    for input_class in (cfg.input_classes or ["pool"]):
+        if input_class == "pool":
+            files = fixtures.synthetic_docs(
+                spark,
+                n_files=cfg.n_files,
+                file_bytes=cfg.file_bytes,
+                pool_size=cfg.pool_size,
+                seed=cfg.seed,
+            ).cache()
+        else:
+            files = fixtures.class_files(
+                spark, input_class, seed=cfg.seed
+            ).cache()
+        files.count()
+        grid = itertools.product(
+            cfg.shuffle_partitions, cfg.compress_types, cfg.arrow_batches
+        )
+        for parts, ctype, batch in grid:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch)
             )
-    files.unpersist()
+            for rep in range(cfg.repetitions):
+                t0 = time.perf_counter()
+                stat = pipeline.dedup_stats(files, compress_type=ctype).collect()[0]
+                wall = time.perf_counter() - t0
+                mb = stat.total_input_bytes / (1 << 20)
+                rows.append(
+                    (
+                        input_class,
+                        parts,
+                        ctype,
+                        batch,
+                        rep,
+                        round(mb, 2),
+                        round(wall, 4),
+                        round(mb / wall, 2),
+                        stat.n_chunks,
+                        float(stat.dup_ratio),
+                    )
+                )
+        files.unpersist()
     return spark.createDataFrame(
         rows,
-        "shuffle_partitions int, compress_type string, arrow_batch int, rep int, "
-        "input_mb double, wall_sec double, throughput_mbps double, n_chunks long, dup_ratio double",
+        "input_class string, shuffle_partitions int, compress_type string, "
+        "arrow_batch int, rep int, input_mb double, wall_sec double, "
+        "throughput_mbps double, n_chunks long, dup_ratio double",
     )
 
 
@@ -100,25 +124,28 @@ def write_dat_files(metrics: DataFrame, out_dir: str) -> tuple[str, str]:
     rows = sorted(
         metrics.collect(),
         key=lambda r: (
-            r["compress_type"], r["shuffle_partitions"], r["arrow_batch"], r["rep"]
+            r["input_class"], r["compress_type"], r["shuffle_partitions"],
+            r["arrow_batch"], r["rep"],
         ),
     )
     tp = os.path.join(out_dir, "throughput.dat")
     et = os.path.join(out_dir, "execution_time.dat")
-    header = "# threads compress arrow_batch rep"
+    header = "# input_class threads compress arrow_batch rep"
     with open(tp, "w") as f:
         f.write(f"{header} throughput_mbps\n")
         for r in rows:
             f.write(
-                f"{r['shuffle_partitions']} {r['compress_type']} "
-                f"{r['arrow_batch']} {r['rep']} {r['throughput_mbps']}\n"
+                f"{r['input_class']} {r['shuffle_partitions']} "
+                f"{r['compress_type']} {r['arrow_batch']} {r['rep']} "
+                f"{r['throughput_mbps']}\n"
             )
     with open(et, "w") as f:
         f.write(f"{header} wall_sec\n")
         for r in rows:
             f.write(
-                f"{r['shuffle_partitions']} {r['compress_type']} "
-                f"{r['arrow_batch']} {r['rep']} {r['wall_sec']}\n"
+                f"{r['input_class']} {r['shuffle_partitions']} "
+                f"{r['compress_type']} {r['arrow_batch']} {r['rep']} "
+                f"{r['wall_sec']}\n"
             )
     return tp, et
 
@@ -150,6 +177,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-files", type=int, default=16)
     ap.add_argument("--file-bytes", type=int, default=1 << 18)
     ap.add_argument("--pool-size", type=int, default=64)
+    ap.add_argument("--input-class", default="",
+                    help="comma list of duplication-controlled input classes "
+                         "(<size>:<content>, sizes l1-l3/h1-h3/t/f, contents "
+                         "rand/aar/abc/fff/ffr/rff; e.g. 'l1:rand,l1:abc'); "
+                         "empty = the block-pool generator")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -165,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
         n_files=args.n_files,
         file_bytes=args.file_bytes,
         pool_size=args.pool_size,
+        input_classes=[x for x in args.input_class.split(",") if x],
     )
     metrics = run_dedup_sweep(spark, cfg)
     metrics.write.mode("overwrite").parquet(os.path.join(args.out_dir, "metrics"))
@@ -172,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.verbose:
         for line in summarize(metrics).collect():
             print(
+                f"class={line['input_class']} "
                 f"threads={line['shuffle_partitions']} "
                 f"compress={line['compress_type']} arrow={line['arrow_batch']} "
                 f"mean={line['mean_mbps']} MB/s best={line['best_mbps']} MB/s",
@@ -188,14 +222,16 @@ def summarize(metrics: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     return (
-        metrics.groupBy("shuffle_partitions", "compress_type", "arrow_batch")
+        metrics.groupBy(
+            "input_class", "shuffle_partitions", "compress_type", "arrow_batch"
+        )
         .agg(
             F.round(F.avg("throughput_mbps"), 2).alias("mean_mbps"),
             F.round(F.max("throughput_mbps"), 2).alias("best_mbps"),
             F.round(F.avg("wall_sec"), 3).alias("mean_sec"),
             F.first("n_chunks").alias("n_chunks"),
         )
-        .orderBy("compress_type", "shuffle_partitions")
+        .orderBy("input_class", "compress_type", "shuffle_partitions")
     )
 
 

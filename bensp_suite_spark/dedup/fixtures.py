@@ -116,3 +116,125 @@ def synthetic_docs(
             yield pd.DataFrame({"file_id": pdf["id"], "content": contents})
 
     return spark.range(n_files).repartition(max(1, n_files // 8)).mapInPandas(gen, FILES_SCHEMA)
+
+
+#: content classes of the reference's duplication-controlled text
+#: generator (tools/create_txt_files.c:37-41,70-84: 60-byte lines built
+#: from fixed 20-byte runs and/or random tails, one class per compile
+#: flag RAND/AAR/ABC/FFF/FFR/RFF)
+INPUT_CONTENT_CLASSES = ("rand", "aar", "abc", "fff", "ffr", "rff")
+
+#: size classes of the testbed's input taxonomy
+#: (bin/parsec_stream:30-39: light_duty l1-l3 / heavy_duty h1-h3, plus
+#: t = test and f = free class). The reference's concrete inputs are
+#: media tarballs of those magnitudes; here the same scheme maps to
+#: (n_files, file_bytes) so the sweep reproduces the paper's
+#: input-parameterization axis on the text generator.
+INPUT_SIZE_CLASSES = {
+    "t": (2, 1 << 16),
+    "l1": (8, 1 << 18),
+    "l2": (16, 1 << 18),
+    "l3": (32, 1 << 18),
+    "h1": (32, 1 << 20),
+    "h2": (64, 1 << 20),
+    "h3": (128, 1 << 20),
+    "f": (16, 1 << 20),
+}
+
+_LINE_CHARSET = (
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    b",.-#'?!@$%&*()-+={}^~;:/?|"
+)
+
+
+def class_files(
+    spark: SparkSession,
+    input_class: str,
+    n_files: int | None = None,
+    file_bytes: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """The reference's input-class generator, distributed: ``input_class``
+    is ``"<size>:<content>"`` (e.g. ``"h1:abc"``) or just a content class
+    (size defaults to ``l1``). Files are 61-byte lines (60 chars + \\n)
+    laid out per the content class:
+
+      rand  60 random chars                  → ~0 duplicate chunks
+      aar   20+20 'a' run + 20 random        → compressible, low dup
+      abc   fixed a20 b20 c20 line           → ~100% duplicate chunks
+      fff   fixed 'f'*60 line                → ~100% duplicate chunks
+      ffr   40 'f' run + 20 random           → compressible, low dup
+      rff   20 random + 40 'f' run           → compressible, low dup
+
+    Per-file RNG seeded by (seed, file_id) — pure function of its args,
+    layout-independent like ``synthetic_docs``."""
+    size_cls, _, content_cls = input_class.partition(":")
+    if not content_cls:
+        size_cls, content_cls = "l1", size_cls
+    if content_cls not in INPUT_CONTENT_CLASSES:
+        raise ValueError(
+            f"unknown content class {content_cls!r}; have {INPUT_CONTENT_CLASSES}"
+        )
+    if size_cls not in INPUT_SIZE_CLASSES:
+        raise ValueError(
+            f"unknown size class {size_cls!r}; have {sorted(INPUT_SIZE_CLASSES)}"
+        )
+    d_files, d_bytes = INPUT_SIZE_CLASSES[size_cls]
+    n_files = d_files if n_files is None else n_files
+    file_bytes = d_bytes if file_bytes is None else file_bytes
+    from ..session import ensure_worker_imports as _ewi
+
+    _ewi(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        charset = np.frombuffer(_LINE_CHARSET, dtype=np.uint8)
+        n_lines = -(-file_bytes // 61)
+        for pdf in batches:
+            contents = []
+            for fid in pdf["id"]:
+                rng = np.random.default_rng((seed << 21) ^ int(fid))
+
+                def rnd(width):
+                    return charset[
+                        rng.integers(0, len(charset), size=(n_lines, width))
+                    ]
+
+                fixed = {
+                    "a": np.full((n_lines, 20), ord("a"), dtype=np.uint8),
+                    "b": np.full((n_lines, 20), ord("b"), dtype=np.uint8),
+                    "c": np.full((n_lines, 20), ord("c"), dtype=np.uint8),
+                    "f": np.full((n_lines, 20), ord("f"), dtype=np.uint8),
+                }
+                if content_cls == "rand":
+                    body = rnd(60)
+                elif content_cls == "aar":
+                    body = np.concatenate(
+                        [fixed["a"], fixed["a"], rnd(20)], axis=1
+                    )
+                elif content_cls == "abc":
+                    body = np.concatenate(
+                        [fixed["a"], fixed["b"], fixed["c"]], axis=1
+                    )
+                elif content_cls == "fff":
+                    body = np.concatenate(
+                        [fixed["f"], fixed["f"], fixed["f"]], axis=1
+                    )
+                elif content_cls == "ffr":
+                    body = np.concatenate(
+                        [fixed["f"], fixed["f"], rnd(20)], axis=1
+                    )
+                else:  # rff
+                    body = np.concatenate(
+                        [rnd(20), fixed["f"], fixed["f"]], axis=1
+                    )
+                lines = np.concatenate(
+                    [body, np.full((n_lines, 1), 0x0A, dtype=np.uint8)], axis=1
+                )
+                contents.append(lines.tobytes()[:file_bytes])
+            yield pd.DataFrame({"file_id": pdf["id"], "content": contents})
+
+    return (
+        spark.range(n_files)
+        .repartition(max(1, n_files // 8))
+        .mapInPandas(gen, FILES_SCHEMA)
+    )

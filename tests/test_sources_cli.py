@@ -281,10 +281,45 @@ def test_dedup_sweep_harness(spark):
     rows = metrics.collect()
     assert len(rows) == 2 * 2 * 2  # grid × reps
     assert all(r.throughput_mbps > 0 for r in rows)
+    assert {r.input_class for r in rows} == {"pool"}
     # identical inputs → identical chunk counts across configs
     assert len({r.n_chunks for r in rows}) == 1
     summary = summarize(metrics).collect()
     assert len(summary) == 4
+
+
+def test_dedup_sweep_input_class_axis_controls_duplication(spark):
+    """The duplication-ratio axis (bin/parsec_stream:30-39's l/h/t/f size
+    classes x create_txt_files.c:37-41's line schemes): fully-fixed
+    content classes (abc, fff) must measure near-total duplicate-chunk
+    ratios, fully-random near zero, and the fixed-run+random-tail
+    classes in between must stay low-dup (every 4 KB chunk carries
+    random tails) — the measured dup_ratio column IS the evidence the
+    paper's parameterization study keys on."""
+    from bensp_suite_spark.bench.sweeps import SweepConfig, run_dedup_sweep
+
+    cfg = SweepConfig(
+        shuffle_partitions=[4],
+        compress_types=["none"],
+        repetitions=1,
+        input_classes=["l1:rand", "l1:abc", "l1:fff", "l1:ffr"],
+    )
+    rows = {r.input_class: r for r in run_dedup_sweep(spark, cfg).collect()}
+    assert set(rows) == {"l1:rand", "l1:abc", "l1:fff", "l1:ffr"}
+    # constant content never triggers a rolling-hash boundary, so each
+    # file is ONE max-size chunk and every file after the first is a
+    # whole-file duplicate: dup_ratio = (n_files-1)/n_files = 7/8
+    assert rows["l1:abc"].dup_ratio > 0.85
+    assert rows["l1:fff"].dup_ratio > 0.85
+    assert rows["l1:rand"].dup_ratio < 0.1
+    assert rows["l1:ffr"].dup_ratio < rows["l1:abc"].dup_ratio
+    # size classes scale the input: h-class bytes > t-class bytes
+    from bensp_suite_spark.dedup.fixtures import INPUT_SIZE_CLASSES
+
+    assert (
+        INPUT_SIZE_CLASSES["h1"][0] * INPUT_SIZE_CLASSES["h1"][1]
+        > INPUT_SIZE_CLASSES["t"][0] * INPUT_SIZE_CLASSES["t"][1]
+    )
 
 
 def test_sweep_cli_emits_dat_files(spark, tmpdir):
@@ -310,16 +345,17 @@ def test_sweep_cli_emits_dat_files(spark, tmpdir):
     et_lines = [l.split() for l in open(et) if not l.startswith("#")]
     assert len(tp_lines) == len(et_lines) == 2  # 1 thread × 2 compress × 1 rep
     metrics = {
-        (r2["shuffle_partitions"], r2["compress_type"], r2["arrow_batch"], r2["rep"]):
+        (r2["input_class"], r2["shuffle_partitions"], r2["compress_type"],
+         r2["arrow_batch"], r2["rep"]):
         (r2["throughput_mbps"], r2["wall_sec"])
         for r2 in spark.read.parquet(os.path.join(out, "metrics")).collect()
     }
-    for parts, ctype, batch, rep, mbps in tp_lines:
-        key = (int(parts), ctype, int(batch), int(rep))
+    for icls, parts, ctype, batch, rep, mbps in tp_lines:
+        key = (icls, int(parts), ctype, int(batch), int(rep))
         assert key in metrics
         assert float(mbps) == metrics[key][0]
-    for parts, ctype, batch, rep, sec in et_lines:
-        assert float(sec) == metrics[(int(parts), ctype, int(batch), int(rep))][1]
+    for icls, parts, ctype, batch, rep, sec in et_lines:
+        assert float(sec) == metrics[(icls, int(parts), ctype, int(batch), int(rep))][1]
 
 
 def test_ddp_incremental_parser_bounded_reads(spark, tmpdir):
