@@ -82,24 +82,35 @@ _REVERIFY_QUOTA = 70
 #: re-checks them in the same round as the change, regardless of where
 #: the rotation happens to be. Clear when the round's changes land green.
 _FORCE_REVERIFY = [
-    # r10: compaction roll-up now writes the merged seed hash-bucketed
-    # multi-file (coalesce(1) removed) and blooms are cardinality-scaled
-    # at seed/rebuild — every query driving the incremental-dedup state
-    # machine re-pins
-    "stream_incremental_dedup",
-    "stream_incremental_dedup_retention",
-    "pipeline_warc_daily",
-    "pipeline_daily_increment_day3",
-    # r10: routed/routed-PQ upserts grew the replay-idempotency anti-join
-    # and the corpus-completeness guard
+    # r11: decimal aggregates re-expressed as exact integer-unit sums in
+    # long buffers (hi/lo split, _sum_units) — every converted query
+    # re-pins externally in the same round
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_regional_revenue",
+    "q10_returned_revenue",
+    "q17_below_avg_quantity",
+    "q18_large_volume_orders",
+    "q22_high_balance_inactive",
+    "a3_group_stats",
+    "a_distinct_users",
+    "a_price_quantity_corr",
+    "agg_rollup",
+    "j8_dim_join_revenue",
+    "ts_rolling_anomalies",
+    # r11: wave probes' limit-probe fast path + memoized index loads
+    "ann_nsw_routed_spill_prebuilt_topk",
+    "ann_ivfpq_prebuilt_topk",
+    "ann_nsw_prebuilt_topk",
+    "ann_pq_prebuilt_topk",
+    "ann_ivf_prebuilt_topk",
+    "ann_ivf_upsert_topk",
     "ann_nsw_routed_upsert_topk",
-    # r10: nb_quality_score emits prior-only rows for token-less docs
-    # (join-back added to the scoring plan)
-    "text_nb_quality_classifier",
-    # r10: clip_match banding gained the max_hamming range guard
-    "multimodal_video_clip_search_reencoded",
-    # r10: bloom-path queries exercise the resized-geometry read path
-    "dedup_incremental_bloom_prefilter",
+    "ann_nsw_upsert_topk",
+    "ann_nsw_routed_prebuilt_topk",
+    # r11: merge-sink first-wins rebuilt (narrow agg + read-back winners)
+    "stream_incremental_dedup",
+    "pipeline_warc_daily",
 ]
 
 

@@ -213,6 +213,75 @@ def test_av_codec_adapters_and_routing(spark):
             AV.decode_video(b"\x00", "webm")
     with pytest.raises(ValueError, match="unknown audio format"):
         AV.decode_audio(b"", "aiff")
+
+
+def test_video_dedup_h264_swap_in_lane(spark):
+    """Opt-in lane (r10 verdict #10): where PyAV exists, a compressed-
+    codec mp4 decodes through decode_video and the frame-dhash dedup
+    path pairs a planted copy — continuously proving the avc1 stub's
+    swap-in contract on hosts that have ffmpeg. Skipped (not passed
+    vacuously) in containers without PyAV; the typed-stub branch is
+    covered by the avc1 gate test above."""
+    av = pytest.importorskip("av")
+    import io
+
+    frames = np.zeros((6, 64, 64, 3), dtype=np.uint8)
+    for i in range(6):
+        frames[i, :, : 8 * (i + 1)] = (40 * (i + 1)) % 255
+    payload = None
+    for codec in ("libx264", "h264", "mpeg4"):
+        buf = io.BytesIO()
+        try:
+            with av.open(buf, "w", format="mp4") as out:
+                stream = out.add_stream(codec, rate=25)
+                stream.width, stream.height = 64, 64
+                stream.pix_fmt = "yuv420p"
+                for f in frames:
+                    for pkt in stream.encode(
+                        av.VideoFrame.from_ndarray(f, format="rgb24")
+                    ):
+                        out.mux(pkt)
+                for pkt in stream.encode():
+                    out.mux(pkt)
+            payload = buf.getvalue()
+            break
+        except Exception:
+            continue
+    if payload is None:
+        pytest.skip("PyAV present but no mp4-capable encoder")
+    decoded = AV.decode_video(payload, "mp4")
+    assert decoded.shape[0] == 6 and decoded.shape[1:] == (64, 64, 3)
+    video = spark.createDataFrame(
+        [(0, "mp4", bytearray(payload)), (1, "mp4", bytearray(payload))],
+        "media_id long, format string, video binary",
+    )
+    from bensp_suite_spark.multimodal.audio_video import video_frame_dhashes
+
+    hashes = video_frame_dhashes(video, every_n=1)
+    a = {r["dhash"] for r in hashes.filter("media_id = 0").collect()}
+    b = {r["dhash"] for r in hashes.filter("media_id = 1").collect()}
+    assert a and a == b  # identical payloads → identical fingerprints
+
+
+def test_audio_dedup_mp3_swap_in_lane(spark):
+    """Opt-in lane (r10 verdict #4): where soundfile can read mp3
+    (libsndfile ≥ 1.1), a compressed mp3 decodes through decode_audio
+    and fingerprints pair a planted copy — the mp3 stub's swap-in
+    contract. Skipped where soundfile or its mp3 codec is absent."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    if "MP3" not in getattr(sf, "available_formats", lambda: {})():
+        pytest.skip("libsndfile without mp3 support")
+    samples = np.sin(np.linspace(0, 440 * 2 * np.pi, 16000)) * 0.5
+    buf = io.BytesIO()
+    sf.write(buf, samples, 16000, format="MP3")
+    payload = buf.getvalue()
+    got = AV.decode_audio(payload, "mp3")
+    assert got.shape[0] > 8000  # decoded length in the right ballpark
+    fp1 = AV.audio_fingerprint_kernel(got)
+    fp2 = AV.audio_fingerprint_kernel(AV.decode_audio(payload, "mp3"))
+    assert fp1 == fp2  # deterministic decode → identical fingerprint
     with pytest.raises(ValueError, match="unknown video format"):
         AV.decode_video(b"", "mov")
 
