@@ -98,6 +98,8 @@ def _write_bloom(sig_dir: str, packed: bytes, m: int, k: int, name: str = "bloom
 def _bloom_floor(sig_dir: str, name: str = "bloom") -> int:
     """Configured floor geometry from the sidecar meta (legacy metas
     without it fall back to the module default)."""
+    from .operators.dedup_text import BLOOM_M
+
     meta_p = os.path.join(sig_dir, f"{name}.json")
     if os.path.exists(meta_p):
         with open(meta_p) as fh:
