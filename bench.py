@@ -25,19 +25,58 @@ if REPO not in sys.path:
 #: pure ratios on a shared machine)
 GUARD_RATIO = 1.5
 GUARD_ABS_SEC = 0.5
+#: host-speed normalization for the guard (r11 lesson): bench_best minima
+#: accumulate from the fastest host/round ever seen. Measured r11: a host
+#: ~1.4× slower than the r10 builder's put the MEDIAN query at 1.43× its
+#: best uniformly across every query class, and same-host A/B of HEAD vs
+#: the r10 close reproduced zero of the 18 flags — they measured the host,
+#: not the code. The guard therefore compares each query against
+#: host_factor × best, where host_factor is the run's own suite-wide
+#: median ratio: a regression is a query slow RELATIVE TO THE REST OF THE
+#: SAME RUN. Bounds keep it honest — needs ≥ HOST_NORM_MIN_N samples with
+#: a ≥0.2 s best (jitter-dominated sub-0.2 s queries excluded from the
+#: estimate), never < 1.0 (a faster host must not hide absolute drift),
+#: and capped at HOST_NORM_CAP (a >2× suite-wide slowdown is a real
+#: problem to surface, not a host trait to absorb).
+HOST_NORM_MIN_N = 20
+HOST_NORM_CAP = 2.0
+
+
+def host_speed_factor(
+    times: dict[str, float], best: dict[str, float]
+) -> float:
+    """Run-wide host-speed estimate: median sec/best over queries with a
+    meaningful (≥0.2 s) recorded best, clamped to [1.0, HOST_NORM_CAP];
+    1.0 when fewer than HOST_NORM_MIN_N samples exist."""
+    rs = sorted(
+        times[n] / best[n]
+        for n in times
+        if n in best and best[n] >= 0.2
+    )
+    if len(rs) < HOST_NORM_MIN_N:
+        return 1.0
+    mid = len(rs) // 2
+    med = rs[mid] if len(rs) % 2 else (rs[mid - 1] + rs[mid]) / 2
+    return round(min(HOST_NORM_CAP, max(1.0, med)), 3)
 
 
 def detect_regressions(
-    times: dict[str, float], best: dict[str, float]
+    times: dict[str, float], best: dict[str, float], host: float = 1.0
 ) -> dict[str, dict]:
-    """→ {query: {sec, best, ratio}} for every query exceeding both guard
-    thresholds vs its recorded best. Queries absent from ``best`` (new
-    this round) are never flagged."""
+    """→ {query: {sec, best, ratio, ...}} for every query exceeding both
+    guard thresholds vs ``host × best``. Queries absent from ``best`` (new
+    this round) are never flagged. ``ratio`` stays the raw sec/best for
+    auditability; ``host_norm_ratio`` is the one the guard fired on."""
     out: dict[str, dict] = {}
     for name, sec in times.items():
         b = best.get(name)
-        if b is not None and sec > GUARD_RATIO * b and sec - b > GUARD_ABS_SEC:
+        if b is None:
+            continue
+        hb = host * b
+        if sec > GUARD_RATIO * hb and sec - hb > GUARD_ABS_SEC:
             out[name] = {"sec": sec, "best": b, "ratio": round(sec / b, 2)}
+            if host != 1.0:
+                out[name]["host_norm_ratio"] = round(sec / hb, 2)
     return out
 
 
@@ -62,18 +101,17 @@ def main() -> None:
     spark = get_spark("bensp-bench", shuffle_partitions=int(shuffle))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Scale-aware AQE, same rationale as the shuffle sizing above: at
-    # bench SF the per-stage re-plan latency is pure overhead on
-    # sub-second queries (measured 109.6 → 95.4 s across the 155 oracle
-    # queries, only two >0.3 s regressions), while at real scale AQE's
-    # runtime re-planning (broadcast conversion, skew splitting,
-    # partition coalescing) is load-bearing — so only the small-SF suite
-    # loop turns it off; the heavy phases below re-enable it (the
-    # streaming merge sink's winners joins RELY on AQE broadcast
-    # conversion).
-    aqe_off_for_suite = (sf or 1.0) <= 0.1
-    if aqe_off_for_suite:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # AQE stays ON for the whole suite (the scale-honest setting — at
+    # 100 TB its broadcast conversion / skew splitting / coalescing are
+    # load-bearing, and the streaming machinery queries' winners joins
+    # RELY on broadcast conversion). An earlier r11 change disabled it
+    # for the small-SF loop based on a measurement over the 155 oracle
+    # queries only; a full-suite A/B on the shipping tree reversed that:
+    # AQE-on 324.8 s vs AQE-off 383.8 s over all 220 queries (2-rep min,
+    # same host), with AQE-off catastrophically high-variance on the
+    # join-heavy machinery queries (pipeline_warc_daily 60 s off vs
+    # 17 s on; ann_ivfpq_auto 14.6 vs 6.6) and not even winning the
+    # relational classes. Details in OPTIMIZATION_r11.md.
 
     # Warm the JVM + cache the input tables so per-query times measure the
     # query, not 45 cold scans of the same ten parquet files (the DuckDB
@@ -220,9 +258,8 @@ def main() -> None:
     from bensp_suite_spark.ferret import fixtures as FER_F
     from bensp_suite_spark.ferret import pipeline as FER_P
 
-    # the compute-heavy phases below want full parallelism and AQE back
-    # on, not the input-byte-sized suite shuffle setting
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the compute-heavy phases below want full parallelism, not the
+    # input-byte-sized suite shuffle setting (AQE is already on)
     spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 
     fer_corpus = FER_F.synthetic_corpus(spark, m=1000).persist(StorageLevel.MEMORY_ONLY)
@@ -1407,10 +1444,21 @@ def main() -> None:
     regressions: dict[str, dict] = {}
     regression_reruns: dict[str, dict] = {}
     best_path = os.path.join(REPO, "bench_best.json")
+    host_factor = 1.0
     if sf == 0.1 and os.path.exists(best_path):
         with open(best_path) as fh:
             best = json.load(fh).get("queries", {})
-        flagged = detect_regressions(times, best)
+        host_factor = host_speed_factor(times, best)
+        if host_factor > 1.15:
+            print(
+                f"HOST-SPEED NOTE: suite-wide median query time is "
+                f"{host_factor}x the recorded bests — this host runs "
+                "slower than the best-recording host(s); the drift guard "
+                "compares against host-normalized bests (raw ratios "
+                "recorded per flag)",
+                file=sys.stderr,
+            )
+        flagged = detect_regressions(times, best, host_factor)
         # In-session min-of-2 rerun before flagging (r10 lesson: the
         # driver's run flagged 14 queries at 1.5-1.9x that a clean rerun
         # 15 min later could not reproduce — contended-host noise, not
@@ -1423,8 +1471,7 @@ def main() -> None:
         if flagged:
             # same conf the suite loop timed under
             spark.conf.set("spark.sql.shuffle.partitions", str(int(shuffle)))
-            if aqe_off_for_suite:
-                spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
             cache_tables(spark, sf_dir)
             for name in sorted(flagged):
                 suite_sec = times[name]
@@ -1447,7 +1494,7 @@ def main() -> None:
                 }
                 times[name] = min(suite_sec, rerun_best)
             regressions = detect_regressions(
-                {n: times[n] for n in flagged}, best
+                {n: times[n] for n in flagged}, best, host_factor
             )
         for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
             print(
@@ -1511,6 +1558,7 @@ def main() -> None:
                     "bloom_skip": bloom_skip,
                     "fixture_build_sec": build_secs,
                     "regression_reruns": regression_reruns,
+                    "host_speed_factor": host_factor,
                     "dedup_single_thread_input_mb": single_thread.get("input_mb"),
                     "dedup_single_thread_mbps": single_thread.get("mbps_gzip"),
                     "dedup_single_thread_none_mbps": single_thread.get("mbps_none"),

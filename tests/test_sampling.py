@@ -311,6 +311,25 @@ def test_bench_regression_guard_thresholds():
     assert set(flagged) == {"big"}
     assert flagged["big"]["ratio"] == 1.75
 
+    # host normalization: with a population of queries all sitting ~1.4x
+    # over their bests (a slower host, the measured r11 situation), the
+    # factor is the median ratio and only queries beyond 1.5x of the
+    # HOST-NORMALIZED best flag; with few samples the factor stays 1.0
+    assert bench.host_speed_factor(times, best) == 1.0  # n < HOST_NORM_MIN_N
+    pop_best = {f"t{i}": 1.0 for i in range(30)}
+    pop_times = {f"t{i}": 1.4 for i in range(30)}
+    pop_times["t0"] = 1.6   # 1.6x raw: under 1.5x of the 1.4 host factor
+    pop_times["t1"] = 2.8   # 2.0x raw = 2.0x of host-normalized -> flagged
+    host = bench.host_speed_factor(pop_times, pop_best)
+    assert host == 1.4
+    pop_flagged = bench.detect_regressions(pop_times, pop_best, host)
+    assert set(pop_flagged) == {"t1"}
+    assert pop_flagged["t1"]["ratio"] == 2.8
+    assert pop_flagged["t1"]["host_norm_ratio"] == 2.0
+    # the cap: a 3x-slower suite is not absorbed as "the host"
+    cap_times = {f"t{i}": 3.0 for i in range(30)}
+    assert bench.host_speed_factor(cap_times, pop_best) == bench.HOST_NORM_CAP
+
 
 def test_merge_partial_aggs_equals_full_recompute(spark):
     from bensp_suite_spark.operators.relational import merge_partial_aggs
