@@ -98,6 +98,9 @@ _FORCE_REVERIFY = [
     "agg_rollup",
     "j8_dim_join_revenue",
     "ts_rolling_anomalies",
+    "json_variant_agg",
+    "mixture_downsample",
+    "null_semantics_join",
     # r11: wave probes' limit-probe fast path + memoized index loads
     "ann_nsw_routed_spill_prebuilt_topk",
     "ann_ivfpq_prebuilt_topk",
@@ -111,6 +114,11 @@ _FORCE_REVERIFY = [
     # r11: merge-sink first-wins rebuilt (narrow agg + read-back winners)
     "stream_incremental_dedup",
     "pipeline_warc_daily",
+    # r11: cogroup probe_mode plumbed through the routed-PQ probe; layout
+    # pair's bucketed tables now cached per (session, sf_dir)
+    "ann_nsw_routed_pq_topk",
+    "layout_bucketed_join",
+    "layout_partition_pruning",
 ]
 
 
