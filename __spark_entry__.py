@@ -119,6 +119,13 @@ _FORCE_REVERIFY = [
     "ann_nsw_routed_pq_topk",
     "layout_bucketed_join",
     "layout_partition_pruning",
+    # r11 §9: shared per-batch signatures/pairs in the incremental-dedup
+    # streams + daily loop (one SimHash pass + one banded join per batch)
+    "stream_incremental_dedup_retention",
+    "stream_routed_pq_upsert_probe",
+    "pipeline_daily_increment",
+    "pipeline_daily_increment_day2",
+    "pipeline_daily_increment_day3",
 ]
 
 

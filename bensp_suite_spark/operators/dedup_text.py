@@ -818,16 +818,38 @@ def strip_boilerplate_oracle_sql(
     """
 
 
+def _normalized_text() -> "Column":
+    """The exact-dup normalization every signature derivation shares:
+    trim, collapse whitespace, lowercase — drift here would silently
+    split the hash space between the daily loop and the streams."""
+    return F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+
+
 def history_signatures(history: DataFrame) -> tuple[DataFrame, DataFrame]:
     """→ (distinct normalized content hashes, simhash fingerprints) for a
     historical corpus — the tables a daily pipeline PERSISTS once per day
     so each batch's :func:`incremental_dedup` never rescans history raw
     text. Pass via ``history_sig=`` (and persist/parquet them between
     days)."""
-    t = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    hist_h = history.select(F.md5(t).alias("content_hash")).distinct()
+    hist_h = history.select(F.md5(_normalized_text()).alias("content_hash")).distinct()
     hist_s = simhash(history).select(F.col("simhash").alias("hist_sim"))
     return hist_h, hist_s
+
+
+def batch_signatures(new_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per-doc signature frames for ONE batch: ``(doc_id → content_hash,
+    doc_id → simhash)`` — the derivations :func:`incremental_dedup`
+    makes internally, exposed so a caller that needs them MORE than once
+    per batch (flags + near re-sightings + survivor state appends, the
+    streaming/daily loop shape) computes the SimHash aggregation a
+    single time and shares it via ``new_sig=``/persist instead of paying
+    the tokenize + two-agg pass once per consumer. Results are
+    bit-identical to the internal derivations (same normalization, same
+    fingerprint)."""
+    new_h = new_docs.select(
+        "doc_id", F.md5(_normalized_text()).alias("content_hash")
+    )
+    return new_h, simhash(new_docs)
 
 
 def advance_signatures(
@@ -969,37 +991,89 @@ def matched_history_sims(
     through this same join when its raw text is identical (hamming 0);
     a case-variant exact dup whose simhash drifted past max_hamming
     re-sights only the hash — documented edge, flags stay conservative."""
-    bands = _simhash_bands(max_hamming)
-    new_s = simhash(new_docs)
-
-    def banded(df, col):
-        arr = F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    F.shiftright(F.col(col), sh)
-                    .bitwiseAND(F.lit((1 << w) - 1))
-                    .alias("band_val"),
-                )
-                for i, (sh, w) in enumerate(bands)
-            ])
-        ).alias("b")
-        return df.select(*df.columns, arr).select(
-            *df.columns, "b.band_idx", "b.band_val"
-        )
-
-    cand = banded(new_s.select("simhash"), "simhash").join(
-        banded(hist_s.select("hist_sim"), "hist_sim"),
-        on=["band_idx", "band_val"],
-    )
     return (
-        cand.filter(
-            F.bit_count(F.col("simhash").bitwiseXOR(F.col("hist_sim")))
-            <= max_hamming
-        )
+        matched_history_pairs(simhash(new_docs), hist_s, max_hamming)
         .select("hist_sim")
         .distinct()
     )
+
+
+def _banded(df: DataFrame, col: str, max_hamming: int) -> DataFrame:
+    """Explode one SimHash column into its ``max_hamming + 1`` band
+    occurrences (pigeonhole candidate keys), keeping every input column."""
+    bands = _simhash_bands(max_hamming)
+    arr = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col(col), sh)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("band_val"),
+            )
+            for i, (sh, w) in enumerate(bands)
+        ])
+    ).alias("b")
+    return df.select(*df.columns, arr).select(
+        *df.columns, "b.band_idx", "b.band_val"
+    )
+
+
+def matched_history_pairs(
+    new_s: DataFrame,
+    hist_s: DataFrame,
+    max_hamming: int = 3,
+    history_band_bloom_packed: bytes | None = None,
+    bloom_m: int = BLOOM_M,
+    bloom_k: int = BLOOM_K,
+    bloom_gate_min_history: int = BLOOM_GATE_MIN_HISTORY,
+) -> DataFrame:
+    """→ ``(doc_id, hist_sim)`` candidate MATCH pairs between a batch's
+    fingerprints (``new_s``: doc_id, simhash) and the history fingerprint
+    table — banded equi-join + exact hamming ≤ ``max_hamming`` refine,
+    NOT deduplicated (a pair surviving several band collisions appears
+    several times; each consumer applies its own distinct, exactly as the
+    inline forms always did). This is the ONE banded join both the NEAR
+    flag (distinct doc_id) and the retention re-sighting signal (distinct
+    hist_sim) are projections of — the streaming/daily loop persists it
+    per batch so the join runs once, not once per consumer.
+
+    ``history_band_bloom_packed`` applies the band-bloom prefilter under
+    the same size gate as :func:`incremental_dedup`; pairs are identical
+    with or without it (a truly matching band is by definition present in
+    the history's band set, so the bloom — zero false negatives — cannot
+    drop it)."""
+    if (
+        bloom_gate_min_history
+        and history_band_bloom_packed is not None
+    ):
+        from .sketches import bloom_cardinality_packed
+
+        if (
+            bloom_cardinality_packed(
+                history_band_bloom_packed, bloom_m, bloom_k
+            )
+            < bloom_gate_min_history
+        ):
+            history_band_bloom_packed = None
+    new_bands = _banded(new_s.select("doc_id", "simhash"), "simhash", max_hamming)
+    if history_band_bloom_packed is not None:
+        from .sketches import bloom_maybe_contains_packed
+
+        keyed = new_bands.withColumn("__bkey", _band_key())
+        probed = bloom_maybe_contains_packed(
+            keyed, "__bkey", history_band_bloom_packed, m=bloom_m, k=bloom_k
+        )
+        new_bands = probed.filter(F.col("bloom_maybe")).drop(
+            "bloom_maybe", "__bkey"
+        )
+    cand = new_bands.join(
+        _banded(hist_s.select("hist_sim"), "hist_sim", max_hamming),
+        on=["band_idx", "band_val"],
+    )
+    return cand.filter(
+        F.bit_count(F.col("simhash").bitwiseXOR(F.col("hist_sim")))
+        <= max_hamming
+    ).select("doc_id", "hist_sim")
 
 
 def incremental_dedup(
@@ -1012,6 +1086,8 @@ def incremental_dedup(
     bloom_m: int = BLOOM_M,
     bloom_k: int = BLOOM_K,
     bloom_gate_min_history: int = BLOOM_GATE_MIN_HISTORY,
+    new_sig: tuple[DataFrame, DataFrame] | None = None,
+    near_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against a HISTORICAL corpus — the daily-crawl-
     increment pattern: a new document is dropped if it exactly matches any
@@ -1055,7 +1131,16 @@ def incremental_dedup(
     daily/streaming loops therefore pass their blooms unconditionally and
     the right form picks itself as history grows, with flags identical by
     the zero-false-negative argument either way. Pass ``0`` to force the
-    probe (the oracle-parity proof query does)."""
+    probe (the oracle-parity proof query does).
+
+    ``new_sig=(new_h, new_s)`` (from :func:`batch_signatures`, typically
+    persisted) substitutes precomputed per-doc signature frames for the
+    internal derivations, and ``near_pairs`` (from
+    :func:`matched_history_pairs` over the SAME ``new_s``/``hist_s``)
+    substitutes the banded near join — the streaming/daily sinks pass
+    both so the SimHash aggregation and the band join each run once per
+    batch instead of once per consumer. Flags are identical: the
+    substitutes are the same expressions over the same inputs."""
     if history_sig is None:
         if history is None:
             raise ValueError("pass either history or history_sig")
@@ -1080,8 +1165,14 @@ def incremental_dedup(
         ):
             history_band_bloom_packed = None
 
-    t = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    new_h = new_docs.select("doc_id", F.md5(t).alias("content_hash"))
+    if new_sig is not None:
+        new_h, new_s = new_sig
+        new_h = new_h.select("doc_id", "content_hash")
+    else:
+        new_h = new_docs.select(
+            "doc_id", F.md5(_normalized_text()).alias("content_hash")
+        )
+        new_s = None
     hh = hist_h.withColumnRenamed("content_hash", "hh")
 
     # The exact check is EXISTS semantics (matching the SQL oracle): left
@@ -1119,45 +1210,29 @@ def incremental_dedup(
     else:
         exact = _exact_flags(new_h)
 
-    bands = _simhash_bands(max_hamming)
-    new_s = simhash(new_docs)
-
-    def banded(df, col, out):
-        arr = F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    F.shiftright(F.col(col), sh).bitwiseAND(F.lit((1 << w) - 1)).alias("band_val"),
-                )
-                for i, (sh, w) in enumerate(bands)
-            ])
-        ).alias("b")
-        return df.select(*df.columns, arr).select(*df.columns, "b.band_idx", "b.band_val")
-
-    new_bands = banded(new_s, "simhash", "n")
-    if history_band_bloom_packed is not None:
-        # the NEAR check's prefilter, same zero-false-negative argument as
-        # the exact one: a (band_idx, band_val) pair absent from the
-        # history's band bloom cannot join, so only maybe-bands enter the
-        # banded equi-join — at 100 TB the history band table is
-        # (max_hamming+1)·|history| rows and this keeps the genuinely-new
-        # majority of a batch's bands out of its shuffle. Flags identical
-        # (false positives just join and find nothing).
-        from .sketches import bloom_maybe_contains_packed
-
-        keyed = new_bands.withColumn("__bkey", _band_key())
-        probed = bloom_maybe_contains_packed(
-            keyed, "__bkey", history_band_bloom_packed, m=bloom_m, k=bloom_k
+    if near_pairs is None:
+        # the NEAR check's band-bloom prefilter (inside
+        # matched_history_pairs) shares the exact check's zero-false-
+        # negative argument: a band absent from the history's band set
+        # cannot join, so only maybe-bands enter the banded equi-join —
+        # at 100 TB the history band table is (max_hamming+1)·|history|
+        # rows and this keeps the genuinely-new majority of a batch's
+        # bands out of its shuffle. Flags identical (false positives
+        # just join and find nothing). The bloom was already gated above,
+        # so the helper's own gate is disabled.
+        if new_s is None:
+            new_s = simhash(new_docs)
+        near_pairs = matched_history_pairs(
+            new_s,
+            hist_s,
+            max_hamming=max_hamming,
+            history_band_bloom_packed=history_band_bloom_packed,
+            bloom_m=bloom_m,
+            bloom_k=bloom_k,
+            bloom_gate_min_history=0,
         )
-        new_bands = probed.filter(F.col("bloom_maybe")).drop("bloom_maybe", "__bkey")
-    cand = new_bands.join(
-        banded(hist_s, "hist_sim", "h"), on=["band_idx", "band_val"]
-    )
     near = (
-        cand.filter(
-            F.bit_count(F.col("simhash").bitwiseXOR(F.col("hist_sim"))) <= max_hamming
-        )
-        .select("doc_id")
+        near_pairs.select("doc_id")
         .distinct()
         .withColumn("near_dup", F.lit(True))
     )

@@ -29,7 +29,7 @@ from collections.abc import Callable, Iterable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup_text import advance_signatures, incremental_dedup
+from ..operators.dedup_text import incremental_dedup
 
 Sig = tuple[DataFrame, DataFrame]
 _IDENT = lambda df, _key: df  # noqa: E731
@@ -61,9 +61,21 @@ def daily_step(
     bloom-maybe rows reach the history join; flags are identical either
     way (zero false negatives). The advance of the bloom itself is the
     caller's (``daily_cli`` keeps it as a third state file)."""
-    from ..operators.dedup_text import BLOOM_K, BLOOM_M
+    from ..operators.dedup_text import BLOOM_K, BLOOM_M, batch_signatures
 
     keep = persist or _IDENT
+    # ONE SimHash aggregation per day, shared between the flags pass and
+    # the signature advance (r11): the advance previously re-derived
+    # simhash(survivors) from raw text even though the flags pass had
+    # just fingerprinted the same batch — at 100 TB that's the day's
+    # dominant aggregation twice. Pinning the batch fingerprints (only
+    # when the day advances AND the caller persists state at all) lets
+    # the advance project the survivor rows out of the cached frame;
+    # per-doc signatures are deterministic, so the appended rows are
+    # bit-identical to history_signatures(survivors).
+    new_h, new_s = batch_signatures(batch)
+    if advance and persist is not None:
+        new_s = keep(new_s, f"daily.batch_sims{day}")
     flags = incremental_dedup(
         batch,
         max_hamming=max_hamming,
@@ -72,6 +84,7 @@ def daily_step(
         history_band_bloom_packed=history_band_bloom_packed,
         bloom_m=bloom_m or BLOOM_M,
         bloom_k=bloom_k or BLOOM_K,
+        new_sig=(new_h, new_s),
     )
     survivors = batch.join(
         flags.filter(F.col("is_kept")).select("doc_id"), "doc_id", "left_semi"
@@ -81,7 +94,17 @@ def daily_step(
         # frame; leave it lazy (the caller pins it if it needs it)
         return flags, survivors, history_sig
     survivors = keep(survivors, f"daily.surv{day}")
-    h, s = advance_signatures(history_sig, survivors)
+    surv_ids = survivors.select("doc_id")
+    hist_h, hist_s = history_sig
+    day_h = (
+        new_h.join(surv_ids, "doc_id", "left_semi")
+        .select("content_hash")
+        .distinct()
+    )
+    day_s = new_s.join(surv_ids, "doc_id", "left_semi").select(
+        F.col("simhash").alias("hist_sim")
+    )
+    h, s = hist_h.unionByName(day_h), hist_s.unionByName(day_s)
     sig = (keep(h, f"daily.sig_h{day}"), keep(s, f"daily.sig_s{day}"))
     return flags, survivors, sig
 

@@ -75,10 +75,12 @@ from pyspark.sql import functions as F
 from ..operators.dedup_text import (
     BLOOM_K,
     BLOOM_M,
+    batch_signatures,
     history_band_bloom,
     history_bloom,
     history_signatures,
     incremental_dedup,
+    matched_history_pairs,
     sized_bloom_m,
 )
 
@@ -188,8 +190,10 @@ def _rebuild_blooms_after_expiry(
     rides the sidecar meta and the sink's in-memory copy so later
     batches probe and OR-advance the resized sets."""
     k = BLOOM_K
-    old = _read_packed_bloom(sig_dir)
-    if old is not None:
+
+    def _rebuild_hash_bloom() -> None:
+        if _read_packed_bloom(sig_dir) is None:
+            return
         surviving_h = spark.read.parquet(_pp.join(sig_dir, "hashes")).select(
             "content_hash"
         )
@@ -198,8 +202,10 @@ def _rebuild_blooms_after_expiry(
         rebuilt = history_bloom(surviving_h, m=m_h, k=k)
         _write_packed_bloom(sig_dir, rebuilt, m_h, k, floor_m=floor)
         blooms_cache["bloom"] = (rebuilt, m_h, k)
-    old_bb = _read_packed_bloom(sig_dir, "band_bloom")
-    if old_bb is not None:
+
+    def _rebuild_band_bloom() -> None:
+        if _read_packed_bloom(sig_dir, "band_bloom") is None:
+            return
         # rebuild with the SINK's banding — the geometry the probes use
         # (a disk meta from a different max_hamming would be dropped by
         # the sink's guard anyway; rebuilding here re-aligns it)
@@ -224,6 +230,18 @@ def _rebuild_blooms_after_expiry(
         )
         blooms_cache["band"] = (rebuilt_bb, m_b, k)
 
+    # independent bitsets over independent tables — overlap the rebuilds
+    # (guide §2.6), same reasoning as the compaction roll-ups
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(_rebuild_hash_bloom),
+            pool.submit(_rebuild_band_bloom),
+        ]
+        for f in futs:
+            f.result()
+
 
 def compact_signature_state(
     spark: SparkSession, sig_dir: str, committed_ids: set[int],
@@ -240,8 +258,7 @@ def compact_signature_state(
     swap: values whose newest sighting is ``< expire_before`` are
     dropped from BOTH tables (the caller rebuilds the packed blooms —
     OR can't unset bits)."""
-    merged = 0
-    for table, col in (("hashes", "content_hash"), ("sims", "hist_sim")):
+    def _compact_one(table: str, col: str) -> int:
         root = _pp.join(sig_dir, table)
         bak0 = root + "._compact_old"
         if _os.path.exists(bak0) and not _os.path.exists(root):
@@ -257,7 +274,7 @@ def compact_signature_state(
             or int(p.split("batch_id=")[-1]) in committed_ids
         ]
         if len(parts) <= 1:
-            continue
+            return 0
         tmp, bak = root + "._compact_tmp", root + "._compact_old"
         for stale in (tmp, bak):
             if _os.path.exists(stale):
@@ -291,8 +308,19 @@ def compact_signature_state(
         _os.rename(root, bak)
         _os.rename(tmp, root)
         _shutil.rmtree(bak)
-        merged = max(merged, len(parts))
-    return merged
+        return len(parts)
+
+    # the two tables' roll-ups are independent (separate directories,
+    # separate swap protocols) — overlap them so the maintenance pause
+    # costs one roll-up latency, not two (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(_compact_one, table, col)
+            for table, col in (("hashes", "content_hash"), ("sims", "hist_sim"))
+        ]
+        return max(f.result() for f in futs)
 
 
 def stream_incremental_dedup(
@@ -389,14 +417,19 @@ def stream_incremental_dedup(
                     )
         # select exactly the signature columns: the exact/near checks need
         # nothing else, so the parquet scan prunes last_seen and mixed
-        # (legacy vs stamped) partition schemas never need mergeSchema
+        # (legacy vs stamped) partition schemas never need mergeSchema.
+        # Schemas are EXPLICIT: the state layout is fixed by this module,
+        # and inference would re-read a parquet footer on every batch
+        # (per-trigger driver fixed cost for zero information).
         hist_h = (
-            spark.read.parquet(hashes_dir)
+            spark.read.schema("content_hash string, last_seen long, batch_id long")
+            .parquet(hashes_dir)
             .filter(F.col("batch_id") < batch_id)
             .select("content_hash")
         )
         hist_s = (
-            spark.read.parquet(sims_dir)
+            spark.read.schema("hist_sim long, last_seen long, batch_id long")
+            .parquet(sims_dir)
             .filter(F.col("batch_id") < batch_id)
             .select("hist_sim")
         )
@@ -415,15 +448,39 @@ def stream_incremental_dedup(
         bloom = _blooms["bloom"]
         band_bloom = _blooms["band"]
         batch_df = batch_df.persist()
+        # ONE SimHash aggregation and ONE banded near join per batch,
+        # shared by every consumer (the near flag, the retention
+        # re-sighting signal, the survivor fingerprint append) — the
+        # previous shape recomputed the fingerprint pass up to three
+        # times and the band join twice per batch, which at 100 TB
+        # doubles the dominant join and locally pays the per-action
+        # fixed cost once per recompute (guide §1.1/§2.4: don't compute
+        # things twice).
+        new_h, new_s = batch_signatures(batch_df)
+        new_s = new_s.persist()
+        pairs = matched_history_pairs(
+            new_s,
+            hist_s,
+            max_hamming=max_hamming,
+            history_band_bloom_packed=band_bloom[0] if band_bloom else None,
+            bloom_m=band_bloom[1] if band_bloom else BLOOM_M,
+            bloom_k=band_bloom[2] if band_bloom else BLOOM_K,
+        )
+        if retention_window is not None:
+            # two consumers (near flag + re-sighting rows) → cache the
+            # joined pairs; without retention the single consumer
+            # inlines them (persist would only cost memory)
+            pairs = pairs.persist()
         try:
             flags = incremental_dedup(
                 batch_df,
                 max_hamming=max_hamming,
                 history_sig=(hist_h, hist_s),
                 history_bloom_packed=bloom[0] if bloom else None,
-                history_band_bloom_packed=band_bloom[0] if band_bloom else None,
                 bloom_m=bloom[1] if bloom else BLOOM_M,
                 bloom_k=bloom[2] if bloom else BLOOM_K,
+                new_sig=(new_h, new_s),
+                near_pairs=pairs,
             ).persist()
             try:
                 flags.write.mode("overwrite").parquet(
@@ -434,12 +491,22 @@ def stream_incremental_dedup(
                     "doc_id",
                     "left_semi",
                 )
-                day_h, day_s = history_signatures(survivors)
-                day_h = day_h.withColumn(
-                    "last_seen", F.lit(batch_id).cast("long")
+                # survivor signatures are PROJECTIONS of the cached batch
+                # signature frames (semi join on the kept ids), not a
+                # re-derivation from raw text — bit-identical to
+                # history_signatures(survivors) by determinism of the
+                # per-doc signature
+                surv_ids = flags.filter(F.col("is_kept")).select("doc_id")
+                day_h = (
+                    new_h.join(surv_ids, "doc_id", "left_semi")
+                    .select("content_hash")
+                    .distinct()
+                    .withColumn("last_seen", F.lit(batch_id).cast("long"))
                 )
-                day_s = day_s.withColumn(
-                    "last_seen", F.lit(batch_id).cast("long")
+                day_s = (
+                    new_s.join(surv_ids, "doc_id", "left_semi")
+                    .select(F.col("simhash").alias("hist_sim"))
+                    .withColumn("last_seen", F.lit(batch_id).cast("long"))
                 )
                 if retention_window is not None:
                     # re-sighting rows (daily_cli's --day protocol at
@@ -457,17 +524,33 @@ def stream_incremental_dedup(
                         .withColumn("last_seen", F.lit(batch_id).cast("long"))
                     )
                     day_h = day_h.unionByName(resight_h)
-                    from ..operators.dedup_text import matched_history_sims
-
-                    resight_s = matched_history_sims(
-                        batch_df, hist_s, max_hamming=max_hamming
-                    ).withColumn("last_seen", F.lit(batch_id).cast("long"))
+                    resight_s = (
+                        pairs.select("hist_sim")
+                        .distinct()
+                        .withColumn("last_seen", F.lit(batch_id).cast("long"))
+                    )
                     day_s = day_s.unionByName(resight_s)
                 batch_h_dir = _pp.join(hashes_dir, f"batch_id={batch_id}")
-                day_h.write.mode("overwrite").parquet(batch_h_dir)
-                day_s.write.mode("overwrite").parquet(
-                    _pp.join(sims_dir, f"batch_id={batch_id}")
-                )
+                # the two state appends are independent single-directory
+                # writes over already-cached inputs — overlap them so the
+                # batch pays one write latency, not two (guide §2.6);
+                # exactly-once is untouched (both precede the marker, and
+                # a replay overwrites both)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fh = pool.submit(
+                        lambda: day_h.write.mode("overwrite").parquet(
+                            batch_h_dir
+                        )
+                    )
+                    fs = pool.submit(
+                        lambda: day_s.write.mode("overwrite").parquet(
+                            _pp.join(sims_dir, f"batch_id={batch_id}")
+                        )
+                    )
+                    fh.result()
+                    fs.result()
                 if bloom is not None:
                     from ..operators.sketches import bloom_merge_packed
 
@@ -521,6 +604,9 @@ def stream_incremental_dedup(
             finally:
                 flags.unpersist()
         finally:
+            new_s.unpersist()
+            if retention_window is not None:
+                pairs.unpersist()
             batch_df.unpersist()
         mout = _fs(marker).create(_hpath(marker), True)
         try:

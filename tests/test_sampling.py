@@ -578,6 +578,54 @@ def test_incremental_dedup_history_sig_parity(spark):
     assert any(r[2] for r in inline)  # the exact dup flagged
 
 
+def test_incremental_dedup_shared_signature_parity(spark):
+    """The r11 shared-signature path — precomputed batch_signatures +
+    matched_history_pairs passed via new_sig=/near_pairs= (the
+    streaming/daily sinks' one-SimHash-per-batch shape) — must be
+    flag-identical to the self-contained path, and the pair frame's
+    hist_sim projection must equal matched_history_sims (the retention
+    re-sighting signal it replaces)."""
+    from bensp_suite_spark.operators.dedup_text import (
+        batch_signatures,
+        history_signatures,
+        incremental_dedup,
+        matched_history_pairs,
+        matched_history_sims,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"historic doc number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "historic doc number 7"),        # exact dup
+         (101, "historic doc number"),           # near dup (one word off)
+         (102, "an entirely unrelated new doc")],
+        "doc_id long, text string",
+    )
+    sig = history_signatures(hist)
+    plain = {tuple(r) for r in incremental_dedup(new, history_sig=sig).collect()}
+    new_h, new_s = batch_signatures(new)
+    pairs = matched_history_pairs(new_s, sig[1])
+    shared = {
+        tuple(r)
+        for r in incremental_dedup(
+            new, history_sig=sig, new_sig=(new_h, new_s), near_pairs=pairs
+        ).collect()
+    }
+    assert plain == shared
+    assert any(r[2] for r in plain)  # the exact dup flagged
+    # the re-sighting projection: pairs → distinct hist_sim must equal
+    # the standalone matched_history_sims over the same inputs
+    via_pairs = {
+        r["hist_sim"] for r in pairs.select("hist_sim").distinct().collect()
+    }
+    standalone = {
+        r["hist_sim"] for r in matched_history_sims(new, sig[1]).collect()
+    }
+    assert via_pairs == standalone and via_pairs  # non-empty: near match exists
+
+
 def test_canonical_url_fragment_query_not_resurrected(spark):
     """A '?' INSIDE the fragment must not be resurrected as a query string
     (ADVICE r6): https://x.com/p#sec?b=1 canonicalizes identically to

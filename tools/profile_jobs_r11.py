@@ -34,6 +34,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,11 +61,13 @@ def main() -> None:
     spark.stop()
 
     # parse the single event-log file
-    evfiles = [
-        os.path.join(evdir, f)
-        for f in os.listdir(evdir)
-        if not f.startswith(".")
-    ]
+    evfiles = []
+    for root, _dirs, files in os.walk(evdir):
+        evfiles += [
+            os.path.join(root, f)
+            for f in files
+            if not f.startswith(".") and "appstatus" not in f
+        ]
     jobs: dict[int, dict] = {}
     for evf in evfiles:
         with open(evf) as fh:
