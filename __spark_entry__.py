@@ -126,6 +126,15 @@ _FORCE_REVERIFY = [
     "pipeline_daily_increment",
     "pipeline_daily_increment_day2",
     "pipeline_daily_increment_day3",
+    # r11 §10: simhash's 48 bit-sum aggregates + CASE reassembly rebuilt
+    # from SQL strings (driver construction cost — values bit-identical,
+    # parity-tested); every remaining simhash-embedding query re-pins
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_near_dup_resolution",
+    "dedup_incremental_batch",
+    "dedup_incremental_bloom_prefilter",
+    "dedup_incremental_bloom_forced",
 ]
 
 

@@ -19,10 +19,10 @@ schedules:
 RETENTION (``step --day N`` + ``compact --expire-before D``): each step
 stamps its appended rows with ``last_seen = N`` and ALSO appends
 re-sighting rows — (hash, N) per exact-dup match, and (fingerprint, N)
-per history fingerprint the batch near-matches
-(``dedup_text.matched_history_sims``, a second banded pass that only
-runs with ``--day``) — so content stays alive while copies of it keep
-arriving, exactly or near. Compaction keeps a value iff
+per history fingerprint the batch near-matches (a distinct projection
+of the step's ONE shared banded-pair frame,
+``dedup_text.matched_history_pairs`` — not a second banded pass) — so
+content stays alive while copies of it keep arriving, exactly or near. Compaction keeps a value iff
 ``max(last_seen) >= D`` in BOTH tables. Semantics, stated exactly: a
 doc whose content was last sighted before the cutoff is FORGOTTEN — a
 later re-crawl flags neither exact_dup nor near_dup (genuinely new; its
@@ -186,10 +186,12 @@ def main(argv: list[str] | None = None) -> int:
     from .operators.dedup_text import (
         BLOOM_K,
         BLOOM_M,
+        batch_signatures,
         history_band_bloom,
         history_bloom,
         history_signatures,
         incremental_dedup,
+        matched_history_pairs,
         sized_bloom_m,
     )
     from .operators.layout import write_with_bloom
@@ -284,8 +286,8 @@ def main(argv: list[str] | None = None) -> int:
             # retention cutoff — the expiry filter lives exactly in the
             # compaction swap so it shares its crash protocol. Both
             # tables expire: hashes by exact re-sightings, fingerprints
-            # by matched_history_sims re-sightings (step --day writes
-            # both), so a re-crawled EXPIRED doc is new end to end.
+            # by near-match re-sightings (step --day writes both), so a
+            # re-crawled EXPIRED doc is new end to end.
             ls = (
                 F.coalesce(F.col("last_seen"), F.lit(0))
                 if "last_seen" in raw.columns
@@ -396,28 +398,63 @@ def main(argv: list[str] | None = None) -> int:
             if json.load(fh).get("max_hamming") != args.max_hamming:
                 band_bloom = None
     # the two blooms share (m, k) by construction (written together)
+    # ONE SimHash aggregation and ONE banded near join per step, shared by
+    # every consumer — the flags pass, the survivor state append, and the
+    # retention re-sighting signal (the streaming sink's r11 shape). The
+    # old step re-derived the fingerprints from raw text up to three times
+    # and ran the banded join twice when --day was given; at 100 TB that
+    # is the day's dominant aggregation and join each paid double. Flags
+    # and appended rows are bit-identical: the substitutes are the same
+    # expressions over the same inputs (per-doc signatures deterministic;
+    # the band bloom on the shared pair frame has zero false negatives).
+    new_h, new_s = batch_signatures(batch)
+    if not args.no_advance:
+        # the advance re-projects the survivor fingerprints out of new_s
+        new_s = new_s.persist()
+    pairs = matched_history_pairs(
+        new_s,
+        sig[1],
+        max_hamming=args.max_hamming,
+        history_band_bloom_packed=band_bloom[0] if band_bloom else None,
+        bloom_m=band_bloom[1] if band_bloom else BLOOM_M,
+        bloom_k=band_bloom[2] if band_bloom else BLOOM_K,
+    )
+    if args.day is not None and not args.no_advance:
+        # two consumers (near flag + fingerprint re-sightings) → cache the
+        # joined pairs; otherwise the single consumer inlines them
+        pairs = pairs.persist()
     flags = incremental_dedup(
         batch,
         max_hamming=args.max_hamming,
         history_sig=sig,
         history_bloom_packed=bloom[0] if bloom else None,
-        history_band_bloom_packed=band_bloom[0] if band_bloom else None,
         bloom_m=bloom[1] if bloom else BLOOM_M,
         bloom_k=bloom[2] if bloom else BLOOM_K,
+        new_sig=(new_h, new_s),
+        near_pairs=pairs,
     )
     flags.write.mode("overwrite").parquet(args.flags_out)
     if not args.no_advance:
         # the O(day) state advance: survivors' signatures land in this
         # step's OWN partitions (overwrite = replay-safe); the bloom OR
-        # is idempotent by algebra
-        survivors = batch.join(
+        # is idempotent by algebra. Survivor signatures are PROJECTIONS
+        # of the cached batch signature frames (semi-join on the kept
+        # ids), bit-identical to history_signatures(survivors) by
+        # determinism of the per-doc signature — raw batch text is not
+        # re-fingerprinted.
+        surv_ids = (
             spark.read.parquet(args.flags_out)
             .filter(F.col("is_kept"))
-            .select("doc_id"),
-            "doc_id",
-            "left_semi",
+            .select("doc_id")
         )
-        day_h, day_s = history_signatures(survivors)
+        day_h = (
+            new_h.join(surv_ids, "doc_id", "left_semi")
+            .select("content_hash")
+            .distinct()
+        )
+        day_s = new_s.join(surv_ids, "doc_id", "left_semi").select(
+            F.col("simhash").alias("hist_sim")
+        )
         day_h = day_h.withColumn(
             "last_seen", F.lit(args.day or 0).cast("long")
         )
@@ -443,15 +480,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             day_h = day_h.unionByName(resight)
             # fingerprint sightings: every history fingerprint the batch
-            # near-matches (exact copies land here too at hamming 0) —
-            # the second banded pass is the price of retention, and only
-            # runs when --day is given. Appending matched values (not
-            # novel ones) cannot change any future near-dup flag.
-            from .operators.dedup_text import matched_history_sims
-
-            sim_resight = matched_history_sims(
-                batch, sig[1], max_hamming=args.max_hamming
-            ).withColumn("last_seen", F.lit(args.day).cast("long"))
+            # near-matches (exact copies land here too at hamming 0) — a
+            # DISTINCT projection of the shared pair frame, not a second
+            # banded pass. Appending matched values (not novel ones)
+            # cannot change any future near-dup flag.
+            sim_resight = (
+                pairs.select("hist_sim")
+                .distinct()
+                .withColumn("last_seen", F.lit(args.day).cast("long"))
+            )
             day_s = day_s.unionByName(sim_resight)
         write_with_bloom(day_h, _part(hashes_dir, step_id), ["content_hash"])
         day_s.write.mode("overwrite").parquet(_part(sims_dir, step_id))

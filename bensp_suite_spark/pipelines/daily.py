@@ -105,7 +105,20 @@ def daily_step(
         F.col("simhash").alias("hist_sim")
     )
     h, s = hist_h.unionByName(day_h), hist_s.unionByName(day_s)
-    sig = (keep(h, f"daily.sig_h{day}"), keep(s, f"daily.sig_s{day}"))
+    if persist is not None:
+        # the two advanced tables are independent materializations over
+        # already-pinned parents (batch_sims + survivors) — overlap them
+        # so the day pays one persist latency, not two (guide §2.6); at
+        # toy scale each persist is ~1 job of driver fixed cost, which is
+        # the whole local bill of the day loop
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fh = pool.submit(keep, h, f"daily.sig_h{day}")
+            fs = pool.submit(keep, s, f"daily.sig_s{day}")
+            sig = (fh.result(), fs.result())
+    else:
+        sig = (keep(h, f"daily.sig_h{day}"), keep(s, f"daily.sig_s{day}"))
     return flags, survivors, sig
 
 

@@ -7264,7 +7264,7 @@ def pipeline_daily_increment_day2(spark: SparkSession, sf_dir: str) -> DataFrame
     covers only the first 200 docs, matching a shrinking-increment day —
     and keeping the second full dedup pass off the bench's critical
     path."""
-    from .session import pooled_persist
+    from .session import pooled_persist, pooled_persist_all
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.split(F.trim(F.col("text")), r"\s+")
@@ -7282,9 +7282,9 @@ def pipeline_daily_increment_day2(spark: SparkSession, sf_dir: str) -> DataFrame
         jitter1.unionByName(exact_copies), "q.pipeline_day2.new1"
     )
     h1, s1 = DT.history_signatures(docs)
-    sig1 = (
-        pooled_persist(h1, "q.pipeline_day2.hist1_hashes"),
-        pooled_persist(s1, "q.pipeline_day2.hist1_sims"),
+    sig1 = pooled_persist_all(
+        (h1, "q.pipeline_day2.hist1_hashes"),
+        (s1, "q.pipeline_day2.hist1_sims"),
     )
     flags1 = DT.incremental_dedup(new1, max_hamming=3, history_sig=sig1)
     surv1 = pooled_persist(
@@ -7297,9 +7297,9 @@ def pipeline_daily_increment_day2(spark: SparkSession, sf_dir: str) -> DataFrame
     # --- day 2: history grows by day-1 survivors ----------------------
     history2 = docs.unionByName(surv1)
     h2, s2 = DT.history_signatures(history2)
-    sig2 = (
-        pooled_persist(h2, "q.pipeline_day2.hist2_hashes"),
-        pooled_persist(s2, "q.pipeline_day2.hist2_sims"),
+    sig2 = pooled_persist_all(
+        (h2, "q.pipeline_day2.hist2_hashes"),
+        (s2, "q.pipeline_day2.hist2_sims"),
     )
     keep2 = F.greatest(F.size(words) - 5, F.lit(1))
     jitter2 = docs.filter(F.col("doc_id") < 200).select(
@@ -7397,6 +7397,7 @@ def pipeline_daily_increment_day3(spark: SparkSession, sf_dir: str) -> DataFrame
     tables would be parquet appends, which this loop's shape maps 1:1."""
     from .pipelines.daily import daily_step
     from .session import pooled_persist as _pin
+    from .session import pooled_persist_all as _pin_all
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.split(F.trim(F.col("text")), r"\s+")
@@ -7415,9 +7416,9 @@ def pipeline_daily_increment_day3(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # day 0: the ONLY raw-history signature derivation in the whole loop
     h0, s0 = DT.history_signatures(docs)
-    sig = (
-        _pin(h0, "q.day3.sig_h0"),
-        _pin(s0, "q.day3.sig_s0"),
+    sig = _pin_all(
+        (h0, "q.day3.sig_h0"),
+        (s0, "q.day3.sig_s0"),
     )
     # batches stay unpinned: each is a cheap projection of the cached
     # documents table (re-deriving it twice costs less than materializing

@@ -164,6 +164,25 @@ def pooled_persist(df, key: str):
     return out
 
 
+def pooled_persist_all(*items: tuple[object, str]) -> tuple:
+    """Materialize several INDEPENDENT ``(df, key)`` pins concurrently —
+    one :func:`pooled_persist` per driver thread (guide §2.6: actions are
+    only sequential because driver code calls them sequentially). The
+    day-loop queries pin (hashes, sims) signature pairs whose plans share
+    only already-cached parents; at toy scale each pin is ~1 job of
+    driver fixed cost, so overlapping the pair halves that bill. Results
+    and cache semantics are identical to sequential calls — the pool dict
+    is keyed, and Spark schedules concurrent jobs FIFO."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(items) == 1:
+        df, key = items[0]
+        return (pooled_persist(df, key),)
+    with ThreadPoolExecutor(max_workers=min(4, len(items))) as pool:
+        futs = [pool.submit(pooled_persist, df, key) for df, key in items]
+        return tuple(f.result() for f in futs)
+
+
 def align_session(spark: SparkSession) -> SparkSession:
     """Runtime-settable conf alignment for a session we did not create.
 

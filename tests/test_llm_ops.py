@@ -188,6 +188,53 @@ def test_simhash_pairs_find_planted(spark):
     assert planted_found >= 0.5 * n_docs
 
 
+def test_simhash_expr_form_matches_chained_columns(spark):
+    """simhash builds its 48 bit-sum aggregates and the CASE reassembly
+    from SQL strings (r11: one Catalyst parse per expression instead of
+    ~2-4k py4j round-trips of chained Column ops). The fingerprints must
+    be bit-identical to the chained-op construction it replaced — the
+    value every oracle-pinned dedup query downstream depends on."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    corpus = DT.augmented_corpus(docs).select("doc_id", "text")
+
+    bits = DT.SIMHASH_BITS
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    tok = corpus.select("doc_id", F.explode(words).alias("token"))
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    tok = tok.select("doc_id", h.alias("h"))
+    tf = (
+        tok.repartition(
+            tok.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sums = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * F.col("tf")
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = tf.groupBy("doc_id").agg(F.sum("tf").alias("cnt"), *sums)
+    sim = sum(
+        F.when(2 * F.col(f"s{i}") > F.col("cnt"), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i in range(bits)
+    )
+    chained = {
+        r.doc_id: r.simhash
+        for r in agg.select(
+            "doc_id", sim.cast("long").alias("simhash")
+        ).collect()
+    }
+    current = {r.doc_id: r.simhash for r in DT.simhash(corpus).collect()}
+    assert current == chained
+    assert len(current) > 0
+
+
 def test_simhash_banding_pigeonhole_exact(spark):
     """Banded candidate generation must have PERFECT recall at the declared
     hamming bound: every true pair from the brute-force signature join must
