@@ -1012,10 +1012,17 @@ def matched_history_sims(
     )
 
 
-def _banded(df: DataFrame, col: str, max_hamming: int) -> DataFrame:
+def _banded(
+    df: DataFrame, col: str, max_hamming: int, cols: tuple[str, ...] | None = None
+) -> DataFrame:
     """Explode one SimHash column into its ``max_hamming + 1`` band
-    occurrences (pigeonhole candidate keys), keeping every input column."""
+    occurrences (pigeonhole candidate keys), keeping every input column.
+    ``cols`` names the input columns when the caller knows them statically
+    — ``df.columns`` forces an eager Catalyst analysis of the input plan
+    (noticeable when it embeds the 48-agg fingerprint tree), paid once per
+    band side per batch for information the call site already has."""
     bands = _simhash_bands(max_hamming)
+    keep = list(cols) if cols is not None else df.columns
     arr = F.explode(
         F.array(*[
             F.struct(
@@ -1027,9 +1034,7 @@ def _banded(df: DataFrame, col: str, max_hamming: int) -> DataFrame:
             for i, (sh, w) in enumerate(bands)
         ])
     ).alias("b")
-    return df.select(*df.columns, arr).select(
-        *df.columns, "b.band_idx", "b.band_val"
-    )
+    return df.select(*keep, arr).select(*keep, "b.band_idx", "b.band_val")
 
 
 def matched_history_pairs(
@@ -1069,7 +1074,10 @@ def matched_history_pairs(
             < bloom_gate_min_history
         ):
             history_band_bloom_packed = None
-    new_bands = _banded(new_s.select("doc_id", "simhash"), "simhash", max_hamming)
+    new_bands = _banded(
+        new_s.select("doc_id", "simhash"), "simhash", max_hamming,
+        cols=("doc_id", "simhash"),
+    )
     if history_band_bloom_packed is not None:
         from .sketches import bloom_maybe_contains_packed
 
@@ -1081,7 +1089,10 @@ def matched_history_pairs(
             "bloom_maybe", "__bkey"
         )
     cand = new_bands.join(
-        _banded(hist_s.select("hist_sim"), "hist_sim", max_hamming),
+        _banded(
+            hist_s.select("hist_sim"), "hist_sim", max_hamming,
+            cols=("hist_sim",),
+        ),
         on=["band_idx", "band_val"],
     )
     return cand.filter(
@@ -1199,8 +1210,12 @@ def incremental_dedup(
     # frame twice, recomputing an unpinned batch derivation per branch
     # (measured +60% on the day-3 loop, whose batches are lazy by design).
     def _exact_flags(cand: DataFrame) -> DataFrame:
+        # F.col, not cand.content_hash: the attribute access forces an
+        # eager analysis of cand's plan (the batch md5 derivation) just to
+        # resolve a name that is unambiguous in the join (hh's only column
+        # is the renamed "hh")
         return (
-            cand.join(hh, cand.content_hash == F.col("hh"), "left")
+            cand.join(hh, F.col("content_hash") == F.col("hh"), "left")
             .groupBy("doc_id", "content_hash")
             .agg(F.max(F.col("hh").isNotNull()).alias("exact_dup"))
         )
