@@ -59,6 +59,14 @@ TOUCHED = [
     "ann_nsw_routed_pq_topk",
     # two-stage Gonzalez k-center (new in r11 -> no _before file)
     "sample_kcenter_diverse_cells",
+    # r11 session 3: expr-built simhash construction + shared daily_cli
+    # signatures + overlapped pins (driver-side cost; plan shape
+    # unchanged — the simhash/incremental plans are byte-identical and
+    # day3's 20 MB executed plan differs only in operator IDs, committed
+    # as a truncated excerpt)
+    "dedup_simhash",
+    "dedup_incremental_batch",
+    "pipeline_daily_increment_day3",
 ]
 
 
