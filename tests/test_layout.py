@@ -302,3 +302,19 @@ def test_write_with_bloom_carries_filters_and_round_trips(spark, tmp_path):
     assert len(got) == 1 and got[0]["id"] == 12345
     # full value parity with the plain write
     assert back.exceptAll(spark.read.parquet(plain_dir)).count() == 0
+
+
+def test_load_table_memoizes_lazy_handle_without_persisting(spark):
+    """r11: load_table memoizes the LAZY DataFrame per (session, sf_dir,
+    table) — one reader construction per session (the DuckDB CREATE VIEW
+    analog), but nothing materialized: the handle must carry no storage
+    level, so every action still computes from the parquet inputs."""
+    from pyspark import StorageLevel
+
+    a = load_table(spark, SF_CORRECT, "orders")
+    b = load_table(spark, SF_CORRECT, "orders")
+    assert a is b  # memo hit: same lazy handle, no re-construction
+    assert a.storageLevel == StorageLevel.NONE  # lazy, never persisted
+    # distinct keys stay distinct handles
+    c = load_table(spark, SF_CORRECT, "lineitem")
+    assert c is not a
