@@ -41,6 +41,44 @@ GUARD_ABS_SEC = 0.5
 HOST_NORM_MIN_N = 20
 HOST_NORM_CAP = 2.0
 
+#: Per-phase wall clocks (r11 lesson: the driver's 32-core run timed out,
+#: rc=124, and nothing in the payload said WHERE the time went — the next
+#: timeout must be attributable). Every phase boundary prints elapsed /
+#: cumulative seconds plus free disk on the Spark scratch volume to stderr
+#: and records the figure for ``extras.phase_secs``.
+_PHASE_SECS: dict[str, float] = {}
+_PHASE_STATE = {"t0": None, "last": None, "scratch": "/tmp"}
+
+
+def _phase(name: str) -> None:
+    now = time.perf_counter()
+    if _PHASE_STATE["t0"] is None:
+        _PHASE_STATE["t0"] = _PHASE_STATE["last"] = now
+    prev = _PHASE_STATE["prev"] if "prev" in _PHASE_STATE else None
+    if prev is not None:
+        _PHASE_SECS[prev] = round(now - _PHASE_STATE["last"], 1)
+    _PHASE_STATE["prev"] = name
+    _PHASE_STATE["last"] = now
+    try:
+        import shutil as _shu
+
+        free_gb = round(_shu.disk_usage(_PHASE_STATE["scratch"]).free / 1e9, 1)
+    except Exception:
+        free_gb = None
+    print(
+        f"BENCH PHASE [{round(now - _PHASE_STATE['t0'], 1):>7}s cum] "
+        f"start {name} (scratch free {free_gb} GB)",
+        file=sys.stderr,
+        flush=True,
+    )
+
+
+def _phase_end() -> None:
+    now = time.perf_counter()
+    prev = _PHASE_STATE.pop("prev", None)
+    if prev is not None:
+        _PHASE_SECS[prev] = round(now - _PHASE_STATE["last"], 1)
+
 
 def host_speed_factor(
     times: dict[str, float], best: dict[str, float]
@@ -98,7 +136,26 @@ def main() -> None:
     cpus = default_parallelism()
     shuffle = max(8, min(4 * cpus, total_bytes // (32 << 20) or 8))
 
-    spark = get_spark("bensp-bench", shuffle_partitions=int(shuffle))
+    # Spark scratch (shuffle files, blockmgr dirs) goes to repo-local
+    # storage instead of /tmp (r11: the driver's 32-core run died inside a
+    # shuffle fetch with a missing /tmp blockmgr file — whether /tmp
+    # pressure or shutdown racing, a scratch dir we own is attributable
+    # and cleanable). Stale leftovers from killed runs are removed first.
+    scratch = os.path.join(REPO, ".spark-scratch")
+    try:
+        import shutil as _shu0
+
+        _shu0.rmtree(scratch, ignore_errors=True)
+        os.makedirs(scratch, exist_ok=True)
+        _PHASE_STATE["scratch"] = scratch
+        local_dir_conf = {"spark.local.dir": scratch}
+    except Exception:
+        local_dir_conf = {}
+    _phase("suite_loop")
+
+    spark = get_spark(
+        "bensp-bench", shuffle_partitions=int(shuffle), extra_conf=local_dir_conf
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # AQE stays ON for the whole suite (the scale-honest setting — at
@@ -174,6 +231,7 @@ def main() -> None:
     #   BASELINE 2× class. r10 idle-machine measurement (min-of-2 duck
     #   reps): all-142 raw 2.75; ≥0.1 s subset (53 queries, 49.4 s vs
     #   25.5 s) → 1.93; ≥0.2 s subset → 1.69.
+    _phase("duckdb_proportional")
     duckdb_prop: dict = {}
     try:
         sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -255,6 +313,7 @@ def main() -> None:
     # cache churn leaves the kernel reclaiming for tens of seconds, which
     # doubled ferret batch times when ferret ran second (6.8 s tail vs
     # 3.3 s isolated).
+    _phase("ferret_batch")
     from pyspark import StorageLevel
 
     from bensp_suite_spark.ferret import fixtures as FER_F
@@ -308,6 +367,7 @@ def main() -> None:
     # (tests/test_dedup_jvm_kernel.py). One warm run then best-of-2, the
     # same steady-state protocol as the reference's 10-rep testbed sweeps
     # (testbed/t1/time.sh).
+    _phase("dedup_1g")
     from bensp_suite_spark.dedup import fixtures as DF
     from bensp_suite_spark.dedup import pipeline as DP
     from bensp_suite_spark.session import has_jvm_kernel
@@ -352,6 +412,7 @@ def main() -> None:
     # the whole corpus — the first-wins window's worst case. Times the
     # skew-safe (min-reduce + join) encode path against it; the window
     # path on the same input is the anti-benchmark this entry guards.
+    _phase("saturated_encode")
     sat_mb = 128
     sat = DF.synthetic_docs(spark, n_files=1, file_bytes=1 << 20, pool_size=1, seed=7)
     one = sat.limit(1).collect()[0]["content"]
@@ -390,6 +451,7 @@ def main() -> None:
     # first-wins FLAG stage on a synthetic fused stream — 16M rows, one
     # digest owning 95% — where the row_number window ships the hot group
     # to one task and the min-reduce + join spreads it (measured ~2.3×).
+    _phase("skew_flags")
     from pyspark.sql import Window as _W
     from pyspark.sql import functions as _F
 
@@ -437,6 +499,7 @@ def main() -> None:
     # explodes into ~n²/2 candidate pairs, while the PPJoin prefix pushes
     # exactly those shingles out of the indexed prefix. Same exact result
     # (parity-tested); this entry records what the prefix buys.
+    _phase("jaccard_hot")
     from bensp_suite_spark.operators import dedup_text as DT
 
     hot = "the quick brown fox jumps over the lazy dog again and again today "
@@ -469,6 +532,7 @@ def main() -> None:
     # DataFrame — at 100 TB the input never fits in memory; the OS page
     # cache plays the warm-storage role across reps). Peak heap via the
     # JVM memory-pool peaks, reset before the timed reps.
+    _phase("dedup_large_4g")
     import tempfile as _tf
 
     large_mb = int(os.environ.get("SPARK_GRAFT_BENCH_LARGE_MB", "4096"))
@@ -521,6 +585,7 @@ def main() -> None:
     # trained-quantizer build cost next to the deterministic build (same
     # query path; recall comparison lives in tests — this entry records
     # what the production build COSTS, since plan shape is unchanged)
+    _phase("pq_build_cost")
     from pyspark.sql import functions as F
 
     from bensp_suite_spark.operators import graph_ann as GA_B
@@ -552,6 +617,7 @@ def main() -> None:
     # per-round instead of leaving them a one-off claim. Corpus generation
     # is per-row seeded (layout-independent); index build excluded from
     # the timed probe (mkdb-offline, same frame as ferret).
+    _phase("ann_scale_100k")
     import pandas as _apd
 
     def _gauss(batches):
@@ -761,6 +827,7 @@ def main() -> None:
     # ef 64/96/128/192 → 0.689/0.736/0.778/0.819) — each ADC distance is
     # an 8-byte table gather instead of a 64-double dot, so the widened
     # beam still nets out far cheaper where shards are memory-bound.
+    _phase("ann_routed_pq_100k")
     import shutil as _sh
     import tempfile as _tf
 
@@ -799,6 +866,7 @@ def main() -> None:
     # per bench for the headline recall floor). Same probe budget as the
     # unspilled run above; the floor is the 0.8 bar the other compressed
     # families hold.
+    _phase("ann_spilled_pq_build_100k")
     t0 = time.perf_counter()
     GA_B.save_nsw_routed_pq_index(
         big_emb, _pq_base + "/pq_spill", n_cells=32, m=12, ef_build=32,
@@ -857,6 +925,7 @@ def main() -> None:
     # Same pair params: m=12, ef_build=32, 12-of-32 probes, ef=128,
     # eps=0.05. r10 calibration: unspilled 0.849 → spilled 0.928 at
     # 3.01× state.
+    _phase("ann_spill_pair_20k")
     spill20 = {}
     _sp_base = _tf.mkdtemp(prefix="bensp_pq_spill_")
     emb20 = big_emb.filter(F.col("vec_id") < 20_000).persist(StorageLevel.MEMORY_ONLY)
@@ -924,6 +993,7 @@ def main() -> None:
     # regardless of k, vs the exact form's k full corpus scans (which at
     # k=64 would be ~64× this cost; the exact form stays the test-scale
     # oracle)
+    _phase("kcenter_100k")
     t0 = time.perf_counter()
     SIM_B.kcenter_sample_cells(big_emb, k=64, n_cells=auto_cells).count()
     ann_scale["kcenter_cells_k64_sec_100k"] = round(time.perf_counter() - t0, 2)
@@ -940,6 +1010,8 @@ def main() -> None:
     # residual distribution. 64-center mixture (center = 5·N(0,1), point
     # = center + N(0,1)): r8 calibration measured residual 0.866 vs raw
     # 0.746 at the auto defaults — the +0.12 the encoding claims.
+    _phase("ann_clustered_lowrank_fixtures")
+
     def _mix(batches):
         for pdf in batches:
             import numpy as _np
@@ -1054,6 +1126,7 @@ def main() -> None:
     # real cross-batch state. One warm run then best-of-2 (fresh
     # checkpoint each run — the protocol measures steady-state pipeline
     # rate, not checkpoint reuse).
+    _phase("streaming_dedup")
     import shutil
     import tempfile
 
@@ -1132,6 +1205,7 @@ def main() -> None:
     # single-core figure; the 32-way per-core number above is bandwidth-
     # shared). Skipped silently on any failure — the headline entries
     # above must not depend on a second JVM coming up.
+    _phase("single_thread_probe")
     single_thread = {}
     try:
         import subprocess
@@ -1155,6 +1229,7 @@ def main() -> None:
     # probe wall time at the same row count (the packed form is the
     # production broadcast shape; r6 flagged its per-row Python loop —
     # now a JVM-position + numpy-gather pipeline).
+    _phase("bloom_prefilter")
     from bensp_suite_spark.operators import sketches as SKB
 
     bl_m, bl_k = 1 << 22, 4
@@ -1292,6 +1367,7 @@ def main() -> None:
     #   cluster executor's task memory is a fraction of this — a 100M-
     #   page host's single-task sort spills or OOMs there, while phase 1
     #   splits it across salt_n tasks. Same contract as skew_flags.
+    _phase("url_skew")
     from bensp_suite_spark.operators import urls as URLB
     from bensp_suite_spark.operators.sampling import hash_bucket as _hb
     from pyspark.sql import Window as _W2
@@ -1370,6 +1446,7 @@ def main() -> None:
     # rejects an absent key — exactly the row groups a bloom-aware reader
     # skips; min/max envelopes are useless on hash-random keys) plus the
     # measured Spark point-lookup time on the bloom vs plain layout.
+    _phase("bloom_skip")
     import tempfile as _btf
 
     from bensp_suite_spark.operators import layout as LYB
@@ -1443,6 +1520,7 @@ def main() -> None:
     # 0.5 s over it (sub-second queries jitter past pure ratios).
     # Report-only by default — the driver's per-round run must always
     # produce a BENCH file; SPARK_GRAFT_BENCH_GUARD=1 makes it exit 1.
+    _phase("drift_guard")
     regressions: dict[str, dict] = {}
     regression_reruns: dict[str, dict] = {}
     best_path = os.path.join(REPO, "bench_best.json")
@@ -1507,6 +1585,7 @@ def main() -> None:
 
     # total reflects post-rerun per-query minima (the same steady-state
     # min protocol the suite loop uses, extended to the flagged queries)
+    _phase_end()
     total = round(sum(times.values()), 4)
 
     payload = {
@@ -1561,6 +1640,12 @@ def main() -> None:
                     "fixture_build_sec": build_secs,
                     "regression_reruns": regression_reruns,
                     "host_speed_factor": host_factor,
+                    "phase_secs": _PHASE_SECS,
+                    # cold first-invocation build/load seconds for the
+                    # session-keyed index builds, bucketed-table writes and
+                    # _memo_load calls (r11 verdict: warm minima must never
+                    # be conflated with the cold cost they exclude)
+                    "cold_build_sec": dict(Q.COLD_BUILD_SECONDS),
                     "dedup_single_thread_input_mb": single_thread.get("input_mb"),
                     "dedup_single_thread_mbps": single_thread.get("mbps_gzip"),
                     "dedup_single_thread_none_mbps": single_thread.get("mbps_none"),
@@ -1582,6 +1667,12 @@ def main() -> None:
     line["queries_file"] = full_path
     print(json.dumps(line))
     spark.stop()
+    try:
+        import shutil as _shu1
+
+        _shu1.rmtree(scratch, ignore_errors=True)
+    except Exception:
+        pass
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_GUARD") == "1":
         sys.exit(1)
 
