@@ -101,7 +101,10 @@ def run_dedup_sweep(spark: SparkSession, cfg: SweepConfig) -> DataFrame:
                     )
                 )
         files.unpersist()
-    return spark.createDataFrame(
+    from ..session import local_rows_df as _ldf
+
+    return _ldf(
+        spark,
         rows,
         "input_class string, shuffle_partitions int, compress_type string, "
         "arrow_batch int, rep int, input_mb double, wall_sec double, "

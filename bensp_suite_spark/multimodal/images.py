@@ -716,7 +716,9 @@ def synthetic_textured_images(spark, n: int = 12, size: int = 32, seed: int = 17
         dup = np.clip(imgs[src].astype(np.int32) + 10, 0, 255).astype(np.uint8)
         rows.append((new_id, f"dup_{new_id:05d}.raw", "raw-rgb", size, size,
                      encode_raw_rgb(dup)))
-    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA).coalesce(max(1, len(rows)))
+    from ..session import local_rows_df as _ldf
+
+    return _ldf(spark, rows, IMAGE_TABLE_SCHEMA, min(len(rows), 32))
 
 
 def synthetic_png_images(spark, n: int = 12, size: int = 32, seed: int = 31):
@@ -737,7 +739,9 @@ def synthetic_png_images(spark, n: int = 12, size: int = 32, seed: int = 31):
             (i, f"img_{i:05d}.png", "png", size, size,
              encode_png(img, row_filters=[0, 1, 2, 3, 4]))
         )
-    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA).coalesce(max(1, n))
+    from ..session import local_rows_df as _ldf
+
+    return _ldf(spark, rows, IMAGE_TABLE_SCHEMA, min(max(1, n), 32))
 
 
 def synthetic_jpeg_images(
@@ -763,7 +767,9 @@ def synthetic_jpeg_images(
             (i, f"img_{i:05d}.jpg", "jpeg", size, size,
              encode_jpeg(img, quality=quality, subsample=True, restart_interval=2))
         )
-    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA).coalesce(max(1, n))
+    from ..session import local_rows_df as _ldf
+
+    return _ldf(spark, rows, IMAGE_TABLE_SCHEMA, min(max(1, n), 32))
 
 
 def synthetic_images(spark, n: int = 16, size: int = 48, seed: int = 31):
@@ -781,7 +787,9 @@ def synthetic_images(spark, n: int = 16, size: int = 48, seed: int = 31):
     # one partition per image, not one per core: the downstream stages are
     # all Python UDFs, and n tiny rows spread over 32 partitions would spin
     # up 32 Python workers to process 12 images
-    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA).coalesce(max(1, n))
+    from ..session import local_rows_df as _ldf
+
+    return _ldf(spark, rows, IMAGE_TABLE_SCHEMA, min(max(1, n), 32))
 
 
 # ---------------------------------------------------------------------------

@@ -545,16 +545,32 @@ def near_dup_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") ->
     # rows took 20+ s of pure planning). Truncating lineage each round is
     # the standard iterative-algorithm pattern; swap for checkpoint(dir) on
     # a real cluster if executor loss during the loop must be survivable.
+    #
+    # The edge table is repartitioned on the JOIN key (y) before the
+    # checkpoint: localCheckpoint preserves output partitioning, so every
+    # round's edges-side of the label join reuses this one exchange
+    # instead of re-shuffling the (largest) table per round (guide §2.4;
+    # at bench scale the label side broadcasts and no edges exchange
+    # exists either way — the pre-partitioning is the 100 TB shape, where
+    # labels ∝ nodes force a shuffle join every round).
+    #
+    # `new`'s checkpoint is LAZY (eager=False): the round's checksum
+    # action materializes it and computes the fixpoint sum in ONE job
+    # instead of two (r12: the loop's cost at toy scale was driver fixed
+    # cost × blocking-action count). `stepped` keeps its EAGER
+    # checkpoint: it feeds both sides of the pointer-jump self-join, and
+    # an A/B showed exchange reuse does NOT dedupe the two un-materialized
+    # references (the round's join+agg ran twice and the loop got slower).
     edges = (
         e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("x").alias("node"))
         .distinct()
         .withColumn("rep", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _checksum(df: DataFrame):
@@ -568,7 +584,6 @@ def near_dup_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") ->
         nbr = edges.join(
             labels.select(F.col("node").alias("y"), F.col("rep").alias("nrep")), on="y"
         ).select(F.col("x").alias("node"), F.col("nrep").alias("rep"))
-        # checkpointed: it feeds BOTH sides of the pointer-jump self-join
         stepped = (
             labels.unionByName(nbr).groupBy("node").agg(F.min("rep").alias("rep"))
         ).localCheckpoint(eager=True)
@@ -584,7 +599,7 @@ def near_dup_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") ->
                 how="left",
             )
             .select("node", F.least(F.col("rep"), F.col("rep2")).alias("rep"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = _checksum(new)
         labels = new

@@ -59,11 +59,24 @@ def pagerank_int(
     # basket explode in graph_pagerank_copurchase — that triples the work
     # at 3 iterations). localCheckpoint pins them in executor storage,
     # same as the connected-components loop.
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=True
+    #
+    # Both tables are repartitioned on the iteration join key (src)
+    # before their checkpoints: localCheckpoint preserves output
+    # partitioning, so every iteration's ranks⋈deg⋈e joins reuse these
+    # exchanges instead of re-shuffling both sides per round (guide
+    # §2.4; at bench scale AQE broadcasts the small sides, at 100 TB
+    # this is one exchange per side for the whole loop). The edge
+    # checkpoint is lazy — materializing deg (which reads e) pins both
+    # in one blocking job instead of two.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     base = (100 - damping_pct) * RANK_SCALE // 100
     ranks = deg.select("src", F.lit(RANK_SCALE).cast("long").alias("rank"))

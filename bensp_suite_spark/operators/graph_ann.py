@@ -649,28 +649,37 @@ def save_nsw_routed_index(
     idx.write.mode("overwrite").partitionBy("shard").parquet(path + "/graph")
     cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    from ..session import local_rows_df as _ldf
+
+    _ldf(
+        spark,
         [(int(n_cells), int(m), int(ef_build), float(spill_eps))],
         "n_cells int, m int, ef_build int, spill_eps double",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def load_nsw_routed_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
-    """→ (centroids, graph, params) for ``nsw_routed_ann_topk(index=…)``."""
-    meta = spark.read.parquet(path + "/meta").collect()[0]
-    row = meta.asDict()
-    return (
-        spark.read.parquet(path + "/centroids"),
-        spark.read.parquet(path + "/graph"),
-        {
-            "n_cells": int(row["n_cells"]),
-            "m": int(row["m"]),
-            "ef_build": int(row["ef_build"]),
-            # pre-r9 indexes have no spill column — they were built with
-            # the plain nearest-cell assignment
-            "spill_eps": float(row.get("spill_eps", 0.0) or 0.0),
-        },
-    )
+    """→ (centroids, graph, params) for ``nsw_routed_ann_topk(index=…)``.
+    Centroids/params are frozen post-save and memoized per (session,
+    path, meta mtime); the graph read stays fresh (see _frozen_memo)."""
+
+    def _load_frozen():
+        meta = spark.read.parquet(path + "/meta").collect()[0]
+        row = meta.asDict()
+        return (
+            spark.read.parquet(path + "/centroids"),
+            {
+                "n_cells": int(row["n_cells"]),
+                "m": int(row["m"]),
+                "ef_build": int(row["ef_build"]),
+                # pre-r9 indexes have no spill column — they were built
+                # with the plain nearest-cell assignment
+                "spill_eps": float(row.get("spill_eps", 0.0) or 0.0),
+            },
+        )
+
+    cent, params = _frozen_memo(spark, path, _load_frozen)
+    return (cent, spark.read.parquet(path + "/graph"), params)
 
 
 def _unit_pq_codebooks(
@@ -768,19 +777,67 @@ def save_nsw_routed_pq_index(
     idx.write.mode("overwrite").partitionBy("shard").parquet(path + "/graph")
     cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    from ..session import local_rows_df as _ldf
+
+    _ldf(
+        spark,
         [
             (int(s), int(c), books[s, c].tolist())
             for s in range(S)
             for c in range(C)
         ],
         "s int, c int, vec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/books")
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(path + "/books")
+    _ldf(
+        spark,
         [(int(n_cells), int(m), int(ef_build), int(S), int(C), float(spill_eps))],
         "n_cells int, m int, ef_build int, n_subspaces int, "
         "n_centroids int, spill_eps double",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    ).write.mode("overwrite").parquet(path + "/meta")
+
+
+#: (applicationId, path, meta_stamp) → the FROZEN parts of a saved index
+#: (meta params, codebooks ndarray, centroid DataFrame handle). Every
+#: save_* writes its meta file LAST, and upserts rewrite only graph shard
+#: partitions — so for a given meta mtime these parts are immutable and
+#: their per-load collects (2 driver jobs each) are pure fixed cost in a
+#: per-batch maintenance loop. The GRAPH read is never memoized: callers
+#: must see post-upsert shards (the stream query's documented contract).
+_FROZEN_META_CACHE: dict = {}
+
+
+def _meta_stamp(path: str):
+    """Newest mtime_ns among the meta part files, or None off local FS
+    (no memoization there — fresh loads keep the old behavior)."""
+    import glob as _g
+    import os as _os
+
+    try:
+        return max(
+            _os.stat(p).st_mtime_ns
+            for p in _g.glob(_os.path.join(path, "meta", "part-*.parquet"))
+        )
+    except (ValueError, OSError):
+        return None
+
+
+def _frozen_memo(spark, path: str, loader):
+    """Memoize ``loader()``'s frozen-part tuple per (session, path, meta
+    mtime); a re-save rewrites meta (last) and invalidates the key."""
+    stamp = _meta_stamp(path)
+    if stamp is None:
+        return loader()
+    key = (spark.sparkContext.applicationId, path, stamp)
+    got = _FROZEN_META_CACHE.get(key)
+    if got is None:
+        # evict stale stamps of the same (session, path)
+        for k in [
+            k for k in _FROZEN_META_CACHE if k[0] == key[0] and k[1] == path
+        ]:
+            del _FROZEN_META_CACHE[k]
+        got = loader()
+        _FROZEN_META_CACHE[key] = got
+    return got
 
 
 def load_nsw_routed_pq_index(
@@ -788,24 +845,32 @@ def load_nsw_routed_pq_index(
 ) -> tuple[DataFrame, DataFrame, np.ndarray, dict]:
     """→ (centroids, graph, codebooks, params) for
     ``nsw_routed_pq_ann_topk``. The codebook fetch is bounded (S·C
-    rows)."""
-    meta = spark.read.parquet(path + "/meta").collect()[0].asDict()
-    S, C = int(meta["n_subspaces"]), int(meta["n_centroids"])
-    brows = spark.read.parquet(path + "/books").collect()
-    books = np.zeros((S, C, len(brows[0]["vec"])), dtype=np.float64)
-    for r in brows:
-        books[int(r["s"]), int(r["c"])] = np.asarray(r["vec"], dtype=np.float64)
-    return (
-        spark.read.parquet(path + "/centroids"),
-        spark.read.parquet(path + "/graph"),
-        books,
-        {
-            "n_cells": int(meta["n_cells"]),
-            "m": int(meta["m"]),
-            "ef_build": int(meta["ef_build"]),
-            "spill_eps": float(meta.get("spill_eps", 0.0) or 0.0),
-        },
-    )
+    rows). Meta/books/centroids are frozen post-save (upserts rewrite
+    only graph shards), so their collects are memoized per (session,
+    path, meta mtime); the graph read is always fresh."""
+
+    def _load_frozen():
+        meta = spark.read.parquet(path + "/meta").collect()[0].asDict()
+        S, C = int(meta["n_subspaces"]), int(meta["n_centroids"])
+        brows = spark.read.parquet(path + "/books").collect()
+        books = np.zeros((S, C, len(brows[0]["vec"])), dtype=np.float64)
+        for r in brows:
+            books[int(r["s"]), int(r["c"])] = np.asarray(
+                r["vec"], dtype=np.float64
+            )
+        return (
+            spark.read.parquet(path + "/centroids"),
+            books,
+            {
+                "n_cells": int(meta["n_cells"]),
+                "m": int(meta["m"]),
+                "ef_build": int(meta["ef_build"]),
+                "spill_eps": float(meta.get("spill_eps", 0.0) or 0.0),
+            },
+        )
+
+    cent, books, params = _frozen_memo(spark, path, _load_frozen)
+    return (cent, spark.read.parquet(path + "/graph"), books, params)
 
 
 def nsw_routed_pq_ann_topk(
@@ -926,8 +991,12 @@ def nsw_routed_pq_ann_topk(
             )
         )
     if not cand_parts:
-        return queries.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, cosine double"
+        from ..session import local_rows_df as _ldf
+
+        return _ldf(
+            queries.sparkSession,
+            [],
+            "query_id long, neighbor_id long, rank int, cosine double",
         )
     cand = cand_parts[0]
     for extra in cand_parts[1:]:
@@ -954,22 +1023,32 @@ def save_nsw_index(
     idx = build_nsw_index(corpus, n_shards, m, ef_build, id_col, vec_col)
     idx.write.mode("overwrite").partitionBy("shard").parquet(path + "/graph")
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(int(n_shards), int(m), int(ef_build))], "n_shards int, m int, ef_build int"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    from ..session import local_rows_df as _ldf
+
+    _ldf(
+        spark,
+        [(int(n_shards), int(m), int(ef_build))],
+        "n_shards int, m int, ef_build int",
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def load_nsw_index(spark, path: str) -> tuple[DataFrame, dict]:
-    """→ (graph DataFrame, params) for ``nsw_ann_topk(index=…)``."""
-    meta = spark.read.parquet(path + "/meta").collect()[0]
-    return (
-        spark.read.parquet(path + "/graph"),
-        {
-            "n_shards": int(meta["n_shards"]),
-            "m": int(meta["m"]),
-            "ef_build": int(meta["ef_build"]),
-        },
-    )
+    """→ (graph DataFrame, params) for ``nsw_ann_topk(index=…)``. The
+    params collect is memoized per (session, path, meta mtime) — meta is
+    frozen post-save; the graph read stays fresh (see _frozen_memo)."""
+
+    def _load_frozen():
+        meta = spark.read.parquet(path + "/meta").collect()[0]
+        return (
+            {
+                "n_shards": int(meta["n_shards"]),
+                "m": int(meta["m"]),
+                "ef_build": int(meta["ef_build"]),
+            },
+        )
+
+    (params,) = _frozen_memo(spark, path, _load_frozen)
+    return (spark.read.parquet(path + "/graph"), params)
 
 
 def upsert_nsw_index(
@@ -1128,40 +1207,49 @@ def upsert_nsw_routed_index(
     # re-derives the same pairs and every already-written shard drops out
     # of `touched` instead of receiving duplicate nodes; a second full
     # replay is a no-op. Fresh ingest is unaffected (nothing matches).
-    add = add.join(graph.select("shard", "vec_id"), ["shard", "vec_id"], "left_anti")
-    touched = [r["shard"] for r in add.select("shard").distinct().collect()]
-    if not touched:
-        return
-    old = graph.filter(F.col("shard").isin(touched)).select(
-        "shard", "pos", "vec_id", "cv", "nbrs"
-    )
-    merged = old.unionByName(
-        add.select(
-            "shard",
-            F.lit(None).cast("long").alias("pos"),
-            "vec_id",
-            "cv",
-            F.lit(None).cast("array<long>").alias("nbrs"),
+    # Persisted: feeds both the touched-shard collect and the rebuild
+    # plan — one assignment-UDF pass instead of one per action.
+    add = add.join(
+        graph.select("shard", "vec_id"), ["shard", "vec_id"], "left_anti"
+    ).persist()
+    try:
+        touched = [r["shard"] for r in add.select("shard").distinct().collect()]
+        if not touched:
+            return
+        old = graph.filter(F.col("shard").isin(touched)).select(
+            "shard", "pos", "vec_id", "cv", "nbrs"
         )
-    )
-
-    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, _U, cvs, nbrs = _continue_insertion(pdf, m, ef_build)
-        return pd.DataFrame(
-            {
-                "shard": np.full(len(ids), int(pdf["shard"].iloc[0]), dtype=np.int64),
-                "pos": np.arange(len(ids), dtype=np.int64),
-                "vec_id": ids,
-                "cv": cvs,
-                "nbrs": nbrs,
-            }
+        merged = old.unionByName(
+            add.select(
+                "shard",
+                F.lit(None).cast("long").alias("pos"),
+                "vec_id",
+                "cv",
+                F.lit(None).cast("array<long>").alias("nbrs"),
+            )
         )
 
-    rebuilt = merged.groupBy("shard").applyInPandas(
-        worker,
-        "shard long, pos long, vec_id long, cv array<double>, nbrs array<long>",
-    )
-    _overwrite_touched_shards(spark, rebuilt, path + "/graph")
+        def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids, _U, cvs, nbrs = _continue_insertion(pdf, m, ef_build)
+            return pd.DataFrame(
+                {
+                    "shard": np.full(
+                        len(ids), int(pdf["shard"].iloc[0]), dtype=np.int64
+                    ),
+                    "pos": np.arange(len(ids), dtype=np.int64),
+                    "vec_id": ids,
+                    "cv": cvs,
+                    "nbrs": nbrs,
+                }
+            )
+
+        rebuilt = merged.groupBy("shard").applyInPandas(
+            worker,
+            "shard long, pos long, vec_id long, cv array<double>, nbrs array<long>",
+        )
+        _overwrite_touched_shards(spark, rebuilt, path + "/graph")
+    finally:
+        add.unpersist()
 
 
 def upsert_nsw_routed_pq_index(
@@ -1207,71 +1295,92 @@ def upsert_nsw_routed_pq_index(
         "cell", "shard"
     )
     # replay-idempotent, same argument as upsert_nsw_routed_index: a
-    # retried batch's already-written (shard, vec_id) pairs drop out
-    add = add.join(graph.select("shard", "vec_id"), ["shard", "vec_id"], "left_anti")
-    touched = [r["shard"] for r in add.select("shard").distinct().collect()]
-    if not touched:
-        return
-    raw = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    old_g = graph.filter(F.col("shard").isin(touched)).select(
-        "shard", "pos", "vec_id", "nbrs"
-    )
-    # fail LOUDLY if the corpus is missing any indexed vector: an inner
-    # join would silently drop those nodes, _continue_insertion would
-    # renumber positions, and surviving nbrs arrays would point at the
-    # old positions — a quietly corrupted graph (r9 ADVICE). The check is
-    # an anti join over the touched shards only, bounded by the upsert's
-    # own working set; limit(5) keeps the diagnostic collect tiny.
-    missing = [
-        r["vec_id"]
-        for r in old_g.join(raw, "vec_id", "left_anti")
-        .select("vec_id")
-        .limit(5)
-        .collect()
-    ]
-    if missing:
-        raise ValueError(
-            f"corpus is missing raw vectors for indexed vec_ids {missing} "
-            "(touched shards must recover EVERY indexed node's full-"
-            "precision vector to continue insertion; pass the same lake "
-            "table the index was built from)"
+    # retried batch's already-written (shard, vec_id) pairs drop out.
+    # Persisted: the anti-joined assignment feeds BOTH the bounded
+    # touched-shard collect and the rebuild plan — without the pin the
+    # per-row assignment UDF pass runs once per action (r11 verdict
+    # item: batch the shard-touch discovery instead of re-deriving it).
+    add = add.join(
+        graph.select("shard", "vec_id"), ["shard", "vec_id"], "left_anti"
+    ).persist()
+    try:
+        touched = [r["shard"] for r in add.select("shard").distinct().collect()]
+        if not touched:
+            return
+        raw = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
         )
-    old = old_g.join(raw, "vec_id").select(
-        "shard", "pos", "vec_id", "cv", "nbrs"
-    )
-    merged = old.unionByName(
-        add.select(
-            "shard",
-            F.lit(None).cast("long").alias("pos"),
-            "vec_id",
-            "cv",
-            F.lit(None).cast("array<long>").alias("nbrs"),
+        old_g = graph.filter(F.col("shard").isin(touched)).select(
+            "shard", "pos", "vec_id", "nbrs"
         )
-    )
-
-    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, U, _cvs, nbrs = _continue_insertion(pdf, m, ef_build)
-        sub = U.reshape(U.shape[0], S, ds)
-        d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
-        codes = d2.argmin(-1)
-        return pd.DataFrame(
-            {
-                "shard": np.full(len(ids), int(pdf["shard"].iloc[0]), dtype=np.int64),
-                "pos": np.arange(len(ids), dtype=np.int64),
-                "vec_id": ids,
-                "codes": [list(map(int, c)) for c in codes],
-                "nbrs": nbrs,
-            }
+        # fail LOUDLY if the corpus is missing any indexed vector: an
+        # inner join would silently drop those nodes, _continue_insertion
+        # would renumber positions, and surviving nbrs arrays would point
+        # at the old positions — a quietly corrupted graph (r9 ADVICE).
+        # The check rides the rebuild pass itself (LEFT join; a null cv on
+        # an indexed row raises inside the worker, before any shard
+        # write) instead of paying a separate per-batch anti-join job.
+        old = old_g.join(raw, "vec_id", "left").select(
+            "shard", "pos", "vec_id", "cv", "nbrs"
+        )
+        merged = old.unionByName(
+            add.select(
+                "shard",
+                F.lit(None).cast("long").alias("pos"),
+                "vec_id",
+                "cv",
+                F.lit(None).cast("array<long>").alias("nbrs"),
+            )
         )
 
-    rebuilt = merged.groupBy("shard").applyInPandas(
-        worker,
-        "shard long, pos long, vec_id long, codes array<int>, nbrs array<long>",
-    )
-    _overwrite_touched_shards(spark, rebuilt, path + "/graph")
+        def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+            missing = sorted(
+                int(v)
+                for v in pdf.loc[
+                    pdf["pos"].notna() & pdf["cv"].isna(), "vec_id"
+                ].head(5)
+            )
+            if missing:
+                raise ValueError(
+                    f"corpus is missing raw vectors for indexed vec_ids "
+                    f"{missing} (touched shards must recover EVERY indexed "
+                    "node's full-precision vector to continue insertion; "
+                    "pass the same lake table the index was built from)"
+                )
+            ids, U, _cvs, nbrs = _continue_insertion(pdf, m, ef_build)
+            sub = U.reshape(U.shape[0], S, ds)
+            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(-1)
+            return pd.DataFrame(
+                {
+                    "shard": np.full(
+                        len(ids), int(pdf["shard"].iloc[0]), dtype=np.int64
+                    ),
+                    "pos": np.arange(len(ids), dtype=np.int64),
+                    "vec_id": ids,
+                    "codes": [list(map(int, c)) for c in codes],
+                    "nbrs": nbrs,
+                }
+            )
+
+        rebuilt = merged.groupBy("shard").applyInPandas(
+            worker,
+            "shard long, pos long, vec_id long, codes array<int>, nbrs array<long>",
+        )
+        try:
+            _overwrite_touched_shards(spark, rebuilt, path + "/graph")
+        except Exception as exc:
+            # surface the worker-side guard as the API's documented
+            # ValueError (the raise happens during the pre-write
+            # materialization, so no shard partition was rewritten)
+            msg = str(exc)
+            tag = "corpus is missing raw vectors"
+            if tag in msg:
+                raise ValueError(msg[msg.index(tag):].split("\n")[0]) from exc
+            raise
+    finally:
+        add.unpersist()
 
 
 def _shard_index_search(qids: np.ndarray, qmat: np.ndarray, ef_search: int):

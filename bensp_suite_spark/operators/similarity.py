@@ -323,7 +323,9 @@ def ivf_centroids_trained(
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    return spark.createDataFrame(rows, "cell long, centroid array<double>")
+    from ..session import local_rows_df as _ldf
+
+    return _ldf(spark, rows, "cell long, centroid array<double>")
 
 
 def pq_codebooks_trained(
@@ -1299,8 +1301,12 @@ def ivfpq_ann_topk(
             .select("query_id", "neighbor_id", adist.alias("adist"))
         )
     if not parts:  # zero queries: empty result, correct schema
-        return queries.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, cosine double"
+        from ..session import local_rows_df as _ldf
+
+        return _ldf(
+            queries.sparkSession,
+            [],
+            "query_id long, neighbor_id long, rank int, cosine double",
         )
     cand = parts[0]
     for p in parts[1:]:
@@ -1929,9 +1935,11 @@ def save_pq_index(
         for s in range(S)
         for c in range(C)
     ]
-    spark.createDataFrame(
-        rows, "subspace int, centroid int, features array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    from ..session import local_rows_df as _ldf
+
+    _ldf(
+        spark, rows, "subspace int, centroid int, features array<double>"
+    ).write.mode("overwrite").parquet(path + "/codebooks")
     pq_encode(corpus, books, id_col, vec_col).write.mode("overwrite").parquet(
         path + "/codes"
     )
@@ -2061,9 +2069,11 @@ def save_ivfpq_index(
         for c in range(C)
     ]
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        rows, "subspace int, centroid int, features array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    from ..session import local_rows_df as _ldf
+
+    _ldf(
+        spark, rows, "subspace int, centroid int, features array<double>"
+    ).write.mode("overwrite").parquet(path + "/codebooks")
     cassign = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         cent,
@@ -2073,9 +2083,9 @@ def save_ivfpq_index(
     ).select("neighbor_id", "cell")
     coded = _ivfpq_encode(corpus, cent, cassign, books, id_col, vec_col, residual)
     coded.write.mode("overwrite").parquet(path + "/coded")
-    spark.createDataFrame(
-        [(bool(residual),)], "residual boolean"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    _ldf(spark, [(bool(residual),)], "residual boolean").write.mode(
+        "overwrite"
+    ).parquet(path + "/meta")
 
 
 def _ivfpq_encode(
@@ -2281,8 +2291,10 @@ def kcenter_sample(
         .collect()
     )
     if not rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "sel_order int, vec_id long, d2_far double"
+        from ..session import local_rows_df as _ldf
+
+        return _ldf(
+            corpus.sparkSession, [], "sel_order int, vec_id long, d2_far double"
         )
     sel_ids = [int(rows[0][0])]
     centers = [np.asarray(rows[0][1], dtype=np.float64)]
@@ -2320,7 +2332,10 @@ def kcenter_sample(
         centers.append(np.asarray(pick["cv"], dtype=np.float64))
         out.append((order, int(-pick["nid"]), float(pick["d2"])))
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    from ..session import local_rows_df as _ldf
+
+    return _ldf(
+        spark,
         [(o, i, float(np.round(d, 6))) for o, i, d in out],
         "sel_order int, vec_id long, d2_far double",
     )
@@ -2397,8 +2412,10 @@ def kcenter_sample_cells(
     rows = reps.collect()  # bounded: <= n_cells * k coreset rows
     spark = corpus.sparkSession
     if not rows:
-        return spark.createDataFrame(
-            [], "sel_order int, vec_id long, d2_far double"
+        from ..session import local_rows_df as _ldf
+
+        return _ldf(
+            spark, [], "sel_order int, vec_id long, d2_far double"
         )
     rows.sort(key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
@@ -2417,9 +2434,9 @@ def kcenter_sample_cells(
             d = v[:, i] - v[j, i]
             nd2 += d * d
         d2 = np.minimum(d2, nd2)
-    return spark.createDataFrame(
-        out, "sel_order int, vec_id long, d2_far double"
-    )
+    from ..session import local_rows_df as _ldf
+
+    return _ldf(spark, out, "sel_order int, vec_id long, d2_far double")
 
 
 def semantic_dedup(

@@ -123,6 +123,27 @@ def ensure_worker_imports(spark: SparkSession) -> None:
         sc._bensp_pyfile_added = True
 
 
+def local_rows_df(spark: SparkSession, rows, schema, parts: int = 1):
+    """``spark.createDataFrame(rows, schema)`` for small driver-local
+    data without the default-parallelism Python-RDD walk.
+
+    ``createDataFrame(list)`` parallelizes the rows into
+    ``defaultParallelism`` slices (32 here), and EVERY downstream action
+    re-evaluates all of them through the Python runner at ~0.15 s per
+    slice — measured 4.5-8 s per tiny write at local[32], 20-40× the
+    data's actual cost, and paid again on each re-scan of the plan
+    (joins, broadcasts, reranks). Slicing to the partition count the
+    caller actually wants (usually 1; the old ``.coalesce(n)`` cannot
+    help — it only groups the 32 slices, every one of which still pays a
+    Python evaluation) removes the overhead while keeping the EXACT
+    createDataFrame conversion semantics (same row-by-row pickler, same
+    type coercions — unlike the pandas/Arrow path, which coerces
+    differently). Rows are listified so generators slice correctly."""
+    rows = rows if isinstance(rows, list) else list(rows)
+    parts = max(1, min(parts, max(1, len(rows))))
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), schema)
+
+
 #: One live cache generation per call site — see :func:`pooled_persist`.
 _PERSIST_POOL: dict[str, object] = {}
 

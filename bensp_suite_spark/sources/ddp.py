@@ -129,6 +129,8 @@ def parse_ddp(spark: SparkSession, blob: bytes) -> tuple[str, DataFrame]:
     it = iter_ddp_records(blob)
     _, ctype_name = next(it)
     rows = list(it)
-    return ctype_name, spark.createDataFrame(
-        rows, "seq long, rtype int, sha1 string, payload binary"
+    from ..session import local_rows_df as _ldf
+
+    return ctype_name, _ldf(
+        spark, rows, "seq long, rtype int, sha1 string, payload binary", 8
     )

@@ -312,7 +312,10 @@ class ThroughputListener:
             )
             for p in self.progress
         ]
-        return spark.createDataFrame(
+        from ..session import local_rows_df as _ldf
+
+        return _ldf(
+            spark,
             rows,
             "batch_id long, num_input_rows long, input_rows_per_second double, "
             "processed_rows_per_second double, duration_ms long, heap_used_bytes long",
