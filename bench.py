@@ -866,48 +866,63 @@ def main() -> None:
     # per bench for the headline recall floor). Same probe budget as the
     # unspilled run above; the floor is the 0.8 bar the other compressed
     # families hold.
-    _phase("ann_spilled_pq_build_100k")
-    t0 = time.perf_counter()
-    GA_B.save_nsw_routed_pq_index(
-        big_emb, _pq_base + "/pq_spill", n_cells=32, m=12, ef_build=32,
-        n_subspaces=8, n_centroids=256, spill_eps=0.05,
+    # The spilled 100k build + probe + cogroup block is env-gated
+    # (SPARK_GRAFT_BENCH_FULL=1): it measured 391 s of the r12 baseline
+    # bench on a FAST host — the r11 verdict names the r11-added 100k
+    # phases as the proximate cause of the driver's 32-core rc=124
+    # timeout and prescribes exactly this bounded default profile. The
+    # default profile keeps the 20k spilled calibration pair below
+    # (spill delta at identical params, floors asserted) and every
+    # pre-r11 100k floor; the FULL profile re-measures the 100k spilled
+    # point + the cogroup transport.
+    bench_full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+    ann_scale["full_100k_spill_phase"] = (
+        "run" if bench_full else "gated (set SPARK_GRAFT_BENCH_FULL=1)"
     )
-    ann_scale["nsw_routed_pq_spill_build_sec_100k"] = round(
-        time.perf_counter() - t0, 1
-    )
-    _sp_idx = GA_B.load_nsw_routed_pq_index(spark, _pq_base + "/pq_spill")
-    _sp_hits = (
-        GA_B.nsw_routed_pq_ann_topk(
-            big_q, big_emb, _sp_idx, k=10, n_probe=12, ef_search=128
-        )
-        .select("query_id", "neighbor_id")
-        .join(brute_res, ["query_id", "neighbor_id"])
-        .count()
-    )
-    ann_scale["nsw_routed_pq_spill_recall_at10_100k"] = round(
-        _sp_hits / n_exact, 4
-    )
-    # fully-distributed (cogroup) probe at 100k: zero driver collect in
-    # the probe path (r10 verdict #6/#9) — parity with the wave path is
-    # pytest-pinned; this records the transport's cost at scale
-    best = None
-    for _rep in range(3):
+    if bench_full:
+        _phase("ann_spilled_pq_build_100k")
         t0 = time.perf_counter()
-        GA_B.nsw_routed_pq_ann_topk(
-            big_q, big_emb, _sp_idx, k=10, n_probe=12, ef_search=128,
-            probe_mode="cogroup",
-        ).write.format("noop").mode("overwrite").save()
-        sec = time.perf_counter() - t0
-        if _rep > 0:
-            best = sec if best is None else min(best, sec)
-    ann_scale["routed_pq_cogroup_qps_100k"] = round(100 / best, 2)
-    assert ann_scale["nsw_routed_pq_spill_recall_at10_100k"] >= 0.8, (
-        f"spilled routed-PQ recall@10 at 100k "
-        f"{ann_scale['nsw_routed_pq_spill_recall_at10_100k']} fell below "
-        "the 0.8 floor (eps=0.05, 12/32 probes, ef=128 — measured 0.846 "
-        "at r11 calibration; the spill must keep the DiskANN rung at the "
-        "family bar)"
-    )
+        GA_B.save_nsw_routed_pq_index(
+            big_emb, _pq_base + "/pq_spill", n_cells=32, m=12, ef_build=32,
+            n_subspaces=8, n_centroids=256, spill_eps=0.05,
+        )
+        ann_scale["nsw_routed_pq_spill_build_sec_100k"] = round(
+            time.perf_counter() - t0, 1
+        )
+        _sp_idx = GA_B.load_nsw_routed_pq_index(spark, _pq_base + "/pq_spill")
+        _sp_hits = (
+            GA_B.nsw_routed_pq_ann_topk(
+                big_q, big_emb, _sp_idx, k=10, n_probe=12, ef_search=128
+            )
+            .select("query_id", "neighbor_id")
+            .join(brute_res, ["query_id", "neighbor_id"])
+            .count()
+        )
+        ann_scale["nsw_routed_pq_spill_recall_at10_100k"] = round(
+            _sp_hits / n_exact, 4
+        )
+        # fully-distributed (cogroup) probe at 100k: zero driver collect
+        # in the probe path (r10 verdict #6/#9) — parity with the wave
+        # path is pytest-pinned; this records the transport's cost at
+        # scale
+        best = None
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            GA_B.nsw_routed_pq_ann_topk(
+                big_q, big_emb, _sp_idx, k=10, n_probe=12, ef_search=128,
+                probe_mode="cogroup",
+            ).write.format("noop").mode("overwrite").save()
+            sec = time.perf_counter() - t0
+            if _rep > 0:
+                best = sec if best is None else min(best, sec)
+        ann_scale["routed_pq_cogroup_qps_100k"] = round(100 / best, 2)
+        assert ann_scale["nsw_routed_pq_spill_recall_at10_100k"] >= 0.8, (
+            f"spilled routed-PQ recall@10 at 100k "
+            f"{ann_scale['nsw_routed_pq_spill_recall_at10_100k']} fell below "
+            "the 0.8 floor (eps=0.05, 12/32 probes, ef=128 — measured 0.846 "
+            "at r11 calibration; the spill must keep the DiskANN rung at "
+            "the family bar)"
+        )
     _sh.rmtree(_pq_base, ignore_errors=True)
     assert ann_scale["nsw_routed_pq_recall_at10_100k"] >= 0.75, (
         f"PQ-routed-NSW recall@10 "

@@ -111,6 +111,52 @@ class _cold_build:
         return False
 
 
+class _stateful_stream_parts:
+    """Scale-adaptive state-store sizing for a STATEFUL streaming query
+    (stream-stream joins, session windows, keyed state): Spark binds the
+    state-partition count to ``spark.sql.shuffle.partitions`` at the
+    query's first batch and AQE never re-coalesces stateful exchanges,
+    so every micro-batch pays per-partition state-store commit cost
+    (delta file + fsync per store per partition — an interval join keeps
+    FOUR stores). The partition count therefore must follow the
+    stream's INPUT size, not the session constant: this applies the
+    bench's own ~32 MB/partition rule to the source directory, clamped
+    to [2, session setting] — a toy replay stops paying hundreds of
+    empty state commits per trigger (measured: the sf0.1 interval join
+    ran 12 s at 32 partitions, 3.0 s at 2, identical rows), while a
+    100 TB deployment's input keeps the session's thousands of
+    partitions (the clamp only ever lowers). Results are partition-
+    count independent — every wrapped query is value-checked against
+    its batch oracle."""
+
+    def __init__(self, spark: SparkSession, *src_dirs: str):
+        import os as _os
+
+        self.spark = spark
+        b = 0
+        for d in src_dirs:
+            if _os.path.isfile(d):
+                b += _os.path.getsize(d)
+            else:
+                for root, _dirs, files in _os.walk(d):
+                    b += sum(
+                        _os.path.getsize(_os.path.join(root, f)) for f in files
+                    )
+        self.input_bytes = b
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        parts = max(
+            2, min(int(self.prev), self.input_bytes // (32 << 20) or 2)
+        )
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -1703,14 +1749,15 @@ def stream_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = DS.windowed_event_metrics(stream, window="1 day", watermark="2 days")
     qname = f"winq_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stateful_stream_parts(spark, src):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # the result lives in the memory sink; the temp source/checkpoint dirs
     # are dead weight once the availableNow run terminates
     import shutil
@@ -4451,7 +4498,8 @@ def stream_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    TDS.stream_passage_dedup(spark, stream, out, ckpt)
+    with _stateful_stream_parts(spark, src):
+        TDS.stream_passage_dedup(spark, stream, out, ckpt)
     # materialize into block-manager storage so the temp sink can go away
     # before the driver consumes the returned DataFrame
     result = (
@@ -4488,7 +4536,8 @@ def stream_exact_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{base}/src")
     )
-    TDS.stream_exact_dedup(spark, stream, f"{base}/out", f"{base}/ckpt")
+    with _stateful_stream_parts(spark, f"{base}/src"):
+        TDS.stream_exact_dedup(spark, stream, f"{base}/out", f"{base}/ckpt")
     result = (
         spark.read.parquet(f"{base}/out")
         .select("content_hash")
@@ -4942,7 +4991,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{base}/v")
     )
-    ES.run_to_parquet(ES.interval_join(c_s, v_s), f"{base}/out", f"{base}/ckpt")
+    with _stateful_stream_parts(spark, f"{base}/c", f"{base}/v"):
+        ES.run_to_parquet(ES.interval_join(c_s, v_s), f"{base}/out", f"{base}/ckpt")
     result = spark.read.parquet(f"{base}/out").localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return result
@@ -5015,9 +5065,12 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{base}/v")
     )
-    ES.run_to_parquet(
-        ES.interval_join(c_s, v_s, how="left_outer"), f"{base}/out", f"{base}/ckpt"
-    )
+    with _stateful_stream_parts(spark, f"{base}/c", f"{base}/v"):
+        ES.run_to_parquet(
+            ES.interval_join(c_s, v_s, how="left_outer"),
+            f"{base}/out",
+            f"{base}/ckpt",
+        )
     # deterministic check surface: the (user, click, view) pairing set —
     # NULL view_id marks an outer row (the timestamp columns add no
     # information beyond the ids here: event_id is unique)
@@ -5061,10 +5114,11 @@ def stream_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{base}/src")
     )
-    TS.stream_topk_per_key(
-        spark, stream, f"{base}/out", f"{base}/ckpt",
-        key="event_type", item_col="event_id", order_col="value", k=5,
-    )
+    with _stateful_stream_parts(spark, f"{base}/src"):
+        TS.stream_topk_per_key(
+            spark, stream, f"{base}/out", f"{base}/ckpt",
+            key="event_type", item_col="event_id", order_col="value", k=5,
+        )
     out = spark.read.parquet(f"{base}/out")
     w = Window.partitionBy("key")
     result = (
@@ -5124,7 +5178,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="bensp_stream_sess_")
     ev.unionByName(sentinel).repartition(5).write.parquet(f"{base}/src")
     stream = spark.readStream.schema(_EVENT_STREAM_SCHEMA).parquet(f"{base}/src")
-    ES.run_to_parquet(ES.session_counts(stream), f"{base}/out", f"{base}/ckpt")
+    with _stateful_stream_parts(spark, f"{base}/src"):
+        ES.run_to_parquet(ES.session_counts(stream), f"{base}/out", f"{base}/ckpt")
     result = (
         spark.read.parquet(f"{base}/out")
         .filter(F.col("user_id") >= 0)
@@ -5165,10 +5220,11 @@ def stream_per_key_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{base}/src")
     )
-    QS.stream_per_key_quota(
-        spark, stream, f"{base}/out", f"{base}/ckpt",
-        key="source", quota=40, output_schema="doc_id long, source string",
-    )
+    with _stateful_stream_parts(spark, f"{base}/src"):
+        QS.stream_per_key_quota(
+            spark, stream, f"{base}/out", f"{base}/ckpt",
+            key="source", quota=40, output_schema="doc_id long, source string",
+        )
     admitted = spark.read.parquet(f"{base}/out")
     offered = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_offered"))
     result = (
@@ -6887,11 +6943,12 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{base}/src")
     )
-    run_to_parquet(
-        CSTR.cms_cells_stream(stream, "token", w=_SCMS_W, d=_SCMS_D),
-        f"{base}/out",
-        f"{base}/ckpt",
-    )
+    with _stateful_stream_parts(spark, f"{base}/src"):
+        run_to_parquet(
+            CSTR.cms_cells_stream(stream, "token", w=_SCMS_W, d=_SCMS_D),
+            f"{base}/out",
+            f"{base}/ckpt",
+        )
     out = spark.read.parquet(f"{base}/out")
     last = out.groupBy("row").agg(F.max("seq").alias("seq"))
     result = (
@@ -7012,7 +7069,10 @@ def stream_kmv_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{base}/src")
     )
-    run_to_parquet(KS.stream_kmv_per_key(stream, k=k), f"{base}/out", f"{base}/ckpt")
+    with _stateful_stream_parts(spark, f"{base}/src"):
+        run_to_parquet(
+            KS.stream_kmv_per_key(stream, k=k), f"{base}/out", f"{base}/ckpt"
+        )
     out = spark.read.parquet(f"{base}/out")
     w = Window.partitionBy("source").orderBy(F.col("seq").desc())
     final = (
