@@ -160,28 +160,41 @@ def pooled_persist(df, key: str):
     caches that ARE live. Keeping exactly one generation per call site keeps
     the benefit (branches share one materialization) without the leak. An
     unpersisted previous generation silently recomputes if re-executed —
-    slower, never wrong."""
-    old = _PERSIST_POOL.get(key)
-    if old is not None:
+    slower, never wrong.
+
+    The handed-out pin is ``localCheckpoint(eager=True)`` rather than a
+    bare ``persist()``: a persisted DataFrame still carries its FULL
+    logical plan (the cache substitutes only at physical planning), so a
+    loop that composes pins — the day-N pipeline, multi-stage dedup —
+    accumulates a multiplicatively nested tree that Catalyst re-analyzes
+    on every downstream action (day3's executed plan measured ~20 MB and
+    ~8 s of pure driver planning per invocation at r12). The checkpoint
+    truncates the handed-out lineage to a LogicalRDD while the ORIGINAL
+    plan is kept in the pool for the sameResult reuse check, so repeated
+    invocations still hit the memo. Values are identical; storage
+    lifecycle is unchanged (the superseded generation's blocks are
+    released by the ContextCleaner when the pool drops its reference)."""
+    entry = _PERSIST_POOL.get(key)
+    if entry is not None:
+        src, out = entry
         try:
-            # Same logical plan ⇒ same result: reuse the live cache instead
+            # Same logical plan ⇒ same result: reuse the live pin instead
             # of re-materializing (the intermediate-result store a repeated
             # query batch wants — simhash signatures, shingle tables, LSH
             # indexes survive across same-input invocations). A different
             # input path/plan fails sameResult and falls through to rebuild.
-            if old._jdf.queryExecution().analyzed().sameResult(
+            if src._jdf.queryExecution().analyzed().sameResult(
                 df._jdf.queryExecution().analyzed()
             ):
-                return old
+                return out
         except Exception:
             pass
         try:
-            old.unpersist(blocking=False)
+            src.unpersist(blocking=False)
         except Exception:
             pass  # e.g. its SparkSession is already stopped
-    out = df.persist()
-    out.count()
-    _PERSIST_POOL[key] = out
+    out = df.localCheckpoint(eager=True)
+    _PERSIST_POOL[key] = (df, out)
     return out
 
 
