@@ -23,9 +23,14 @@ def test_query_matches_oracle(spark, name):
     assert ok, f"{name}: {msg}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
 def test_query_smoke_sf0001(spark, name):
-    """t1 smoke: every registered query runs at sf0.001 and has a schema."""
+    """t1 smoke: every registered query runs at sf0.001 and has a schema.
+
+    Builder tier (slow): every registered query has an oracle, so the
+    sf0.01 oracle lane above already executes all 220 — this lane only
+    adds the second scale factor."""
     df = Q.QUERIES[name](spark, SF_SMOKE)
     assert df.columns
     assert df.count() >= 0

@@ -3,6 +3,8 @@ express: LSH-ANN recall vs brute force, planted near-dup detection."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bensp_suite_spark.operators import dedup_text as DT
@@ -558,6 +560,7 @@ def test_passages_tile_documents_exactly(spark):
         assert got == want, r.doc_id
 
 
+@pytest.mark.slow
 def test_trained_quantizers_beat_deterministic_on_skewed_corpus(spark, tmp_path):
     """The deterministic quantizer builds (lowest-id centroids / lowest-id
     training sample) exist for oracle-ability; on a corpus where the low
@@ -678,6 +681,7 @@ def test_ngram_jaccard_naive_matches_prefix_filtered(spark):
     assert any(a == 7 and b == 100 for a, b, _j in fast)
 
 
+@pytest.mark.slow
 def test_trained_quantizer_builds_are_layout_independent(spark):
     """The trained IVF/PQ builds must produce identical centroids and
     codebooks regardless of how the corpus is partitioned: sample().limit()

@@ -1058,6 +1058,7 @@ def test_decode_video_routes_mp4_through_pure_demuxer():
     assert np.array_equal(dec, want)
 
 
+@pytest.mark.slow
 def test_mp4_demux_never_crashes_on_arbitrary_bytes():
     """Fuzz the demuxer: any byte string either demuxes or raises a typed
     ValueError — never an unhandled struct/index error or a hang. Seeds
@@ -1143,6 +1144,7 @@ def test_media_decoders_never_crash_on_arbitrary_bytes():
         make_check(decode, valid[fmt])()
 
 
+@pytest.mark.slow
 def test_image_decoders_never_crash_on_arbitrary_bytes():
     """The never-crashes contract for the image codecs (PNG chunk walk +
     zlib inflate; JPEG huffman/IDCT): mutated valid files and arbitrary

@@ -22,6 +22,9 @@ import pytest
 
 from bensp_suite_spark import queries as Q
 
+# full partitioning-sweep lanes re-run heavy queries per layout (builder tier)
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.01"
 
 REPRESENTATIVE = [

@@ -469,6 +469,7 @@ def test_flac_escape_raw_bits_guard():
         _best_rice_param(z, max_param=14)
 
 
+@pytest.mark.slow
 def test_advance_signatures_appends_not_rederives(spark):
     """Day-N signature maintenance is a pure survivor-append: the advanced
     tables equal a full re-derivation over history ∪ survivors (set-
@@ -511,6 +512,7 @@ def test_advance_signatures_appends_not_rederives(spark):
     assert adv_fp == full_fp
 
 
+@pytest.mark.slow
 def test_daily_loop_accumulates_across_days(spark):
     """Three daily_step iterations: a day-3 copy of a day-1 survivor AND
     of a day-2 survivor must both flag exact_dup — possible only if every
@@ -738,6 +740,7 @@ def test_bloom_merge_packed_or_equals_pack_of_union(spark):
     assert SK.bloom_merge_packed(merged, pb) == merged  # idempotent
 
 
+@pytest.mark.slow
 def test_incremental_dedup_bloom_prefilter_flag_parity(spark):
     """incremental_dedup with the packed-bloom prefilter is flag-IDENTICAL
     to the plain path (zero false negatives by construction), and an

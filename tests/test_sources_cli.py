@@ -17,6 +17,9 @@ import pytest
 from bensp_suite_spark.dedup import fixtures, pipeline
 from bensp_suite_spark.sources import binaryfiles, ddp as ddpfmt
 
+# CLI end-to-end lanes spawn subprocess Spark sessions (builder tier)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def tmpdir():

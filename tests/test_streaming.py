@@ -571,6 +571,7 @@ def test_interval_join_restart_is_exactly_once(spark, tmpdir):
         df.unpersist()
 
 
+@pytest.mark.slow
 def test_streaming_dedup_ttl_evicts_state_after_horizon(spark, tmpdir):
     """Bounded-state dedup (dropDuplicatesWithinWatermark): a duplicate
     inside the event-time horizon is dropped; once the watermark passes
@@ -1131,6 +1132,7 @@ def test_stream_restart_resumes_dedup_state_exactly_once(spark, tmp_path):
     assert final.select("content_hash").distinct().count() == 8
 
 
+@pytest.mark.slow
 def test_stream_incremental_dedup_compaction_and_bloom_preserve_flags(spark, tmp_path):
     """The streaming incremental-dedup loop with the packed-bloom prefilter
     AND a mid-stream state roll-up (compact_every=2) produces flags
@@ -1270,6 +1272,7 @@ def _write_slices(spark, base, slices):
     return src
 
 
+@pytest.mark.slow
 def test_stream_incremental_dedup_retention_bounds_state_and_forgets(
     spark, tmp_path
 ):
@@ -1383,6 +1386,7 @@ def test_stream_incremental_dedup_retention_bounds_state_and_forgets(
     assert run() == flags
 
 
+@pytest.mark.slow
 def test_stream_retention_state_bounded_under_rolling_window(spark, tmp_path):
     """Boundedness proper: N batches of fully-novel content through a
     retention window W — the surviving hash state after the run carries
@@ -1435,6 +1439,7 @@ def test_stream_retention_state_bounded_under_rolling_window(spark, tmp_path):
     assert out.filter("is_kept").count() == total_ever
 
 
+@pytest.mark.slow
 def test_compaction_rollup_writes_hash_bucketed_multifile_seed(spark, tmp_path):
     """The roll-up's merged seed is a hash-bucketed MULTI-FILE partition,
     never a coalesce(1) single-writer funnel (the r9 verdict's one scale-
@@ -1515,6 +1520,7 @@ def test_compaction_rollup_writes_hash_bucketed_multifile_seed(spark, tmp_path):
         assert n_seed > 1
 
 
+@pytest.mark.slow
 def test_stream_maintained_index_equals_batch_upserts_and_replays(spark, tmp_path):
     """Streaming index maintenance (the r9 verdict's #2): per-batch
     dedup SURVIVORS upsert a routed-PQ index from inside the stream's
