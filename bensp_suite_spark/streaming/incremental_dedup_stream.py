@@ -551,7 +551,14 @@ def stream_incremental_dedup(
                     )
                     fh.result()
                     fs.result()
-                if bloom is not None:
+                # the two sidecar advances are INDEPENDENT (different
+                # input dirs, different output files, different _blooms
+                # keys) — overlap them in the same 2-thread pattern as
+                # the state appends above so the batch pays one
+                # aggregate+collect latency, not two; each advance's own
+                # sequencing (read-back → OR-merge → rewrite) and the
+                # pre-marker ordering are unchanged
+                def _advance_hash_bloom() -> None:
                     from ..operators.sketches import bloom_merge_packed
 
                     add = history_bloom(
@@ -568,7 +575,8 @@ def stream_incremental_dedup(
                         floor_m=_bloom_floor(sig_dir),
                     )
                     _blooms["bloom"] = (merged_b, bloom[1], bloom[2])
-                if band_bloom is not None:
+
+                def _advance_band_bloom() -> None:
                     from ..operators.sketches import bloom_merge_packed
 
                     add_b = history_band_bloom(
@@ -595,6 +603,22 @@ def stream_incremental_dedup(
                         floor_m=_bloom_floor(sig_dir, "band_bloom"),
                     )
                     _blooms["band"] = (merged_bb, band_bloom[1], band_bloom[2])
+
+                _advances = [
+                    fn
+                    for fn, enabled in (
+                        (_advance_hash_bloom, bloom is not None),
+                        (_advance_band_bloom, band_bloom is not None),
+                    )
+                    if enabled
+                ]
+                if len(_advances) == 2:
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        futs = [pool.submit(fn) for fn in _advances]
+                        for f in futs:
+                            f.result()
+                elif _advances:
+                    _advances[0]()
                 if on_survivors is not None:
                     # downstream maintenance (e.g. ANN index upsert) runs
                     # pre-marker: a crash here replays the batch against
