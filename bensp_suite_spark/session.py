@@ -193,8 +193,18 @@ def pooled_persist(df, key: str):
             src.unpersist(blocking=False)
         except Exception:
             pass  # e.g. its SparkSession is already stopped
-    out = df.localCheckpoint(eager=True)
-    _PERSIST_POOL[key] = (df, out)
+    # persist() FIRST, then checkpoint: the eager checkpoint's single job
+    # computes the cache-marked plan, so one materialization populates
+    # BOTH artifacts. The persisted original stays registered in Spark's
+    # CacheManager, which substitutes it into ANY other query whose plan
+    # contains the same subtree (e.g. dedup_simhash's whole plan IS the
+    # subtree dedup_simhash_pairs pins) — dropping the persist() cost
+    # that cross-query reuse and flagged a real drift (r12 bench:
+    # dedup_simhash 0.17 → 0.86 s). The handed-out frame stays the
+    # lineage-truncated checkpoint.
+    pinned = df.persist()
+    out = pinned.localCheckpoint(eager=True)
+    _PERSIST_POOL[key] = (pinned, out)
     return out
 
 
